@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{BinaryType, DateType, IntegerType, StringType}
+
+/** The Hive mask scalar-function family with character-exact semantics
+  * (goldens: /root/reference/src/test/java/com/hw/security/flink/common/CommonTest.java:78-93,
+  * execute/ExecuteDataMaskTest.java:71-102).
+  *
+  * Everything is composed from built-in Catalyst expressions
+  * (`Mask`/`Substring`/`Concat`/`Sha2`/...), so masked queries stay inside
+  * whole-stage codegen — no UDF boxing on the hot path, which matters when a
+  * masked projection runs over 100 TB.
+  *
+  * Semantics implemented (from the reference's golden strings):
+  *   - mask(s[,u,l,d,o]): upper->u ('X'), lower->l ('x'), digit->d ('n'),
+  *     other->o (-1 = retain).
+  *   - mask(s,u,l,d,o,num,day,month,year): date variant — component values of
+  *     -1 mean "keep"; `month` is 0-based when set (Hive quirk); returns DATE.
+  *   - mask_first_n(s, n=4, ...): mask the first n chars, retain the rest.
+  *   - mask_last_n(s, n=4, ...): retain all but the last n chars.
+  *   - mask_show_first_n(s, n=4, ...): retain the first n chars, mask rest.
+  *   - mask_show_last_n(s, n=4, ...): mask all but the last n chars.
+  *   - mask_hash(s): lowercase sha256 hex digest.
+  *
+  * Divergence from Hive (documented): the `numberChar` argument applies only
+  * to numeric-typed inputs in Hive; the reference exercises strings and dates
+  * only, so numeric-input masking is not implemented and `numberChar` is
+  * accepted-and-ignored.
+  */
+object MaskFunctions {
+
+  private val MaxLen = Literal(Int.MaxValue)
+
+  // Hive char-args may be 1-char strings or the int -1 meaning "retain".
+  // Spark's Mask uses NULL for "retain".
+  private def charArg(e: Expression): Expression = e match {
+    case lit if lit.resolved && lit.foldable =>
+      val v = lit.eval()
+      v match {
+        case i: Int if i == -1 => Literal(null, StringType)
+        case l: Long if l == -1L => Literal(null, StringType)
+        case null => Literal(null, StringType)
+        case _ => Cast(lit, StringType)
+      }
+    case other => Cast(other, StringType)
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case lit if lit.resolved && lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
+  /** mask(substr) with normalized char args; defaults X/x/n/retain. */
+  private def maskCore(s: Expression, chars: Seq[Expression]): Expression = {
+    val u = chars.lift(0).map(charArg).getOrElse(Literal("X"))
+    val l = chars.lift(1).map(charArg).getOrElse(Literal("x"))
+    val d = chars.lift(2).map(charArg).getOrElse(Literal("n"))
+    val o = chars.lift(3).map(charArg).getOrElse(Literal(null, StringType))
+    Mask(s, u, l, d, o)
+  }
+
+  /** Position of the char after the first (len(s)-n) chars, floored at 1. */
+  private def lastNStart(s: Expression, n: Expression): Expression =
+    Greatest(Seq(Add(Subtract(Length(s), n), Literal(1)), Literal(1)))
+
+  def maskBuilder(args: Seq[Expression]): Expression = args match {
+    // date variant: mask(col, u, l, d, o, num, day, month, year)
+    case Seq(c, _, _, _, _, _, dayE, monthE, yearE) =>
+      val (day, month, year) =
+        (intLit(dayE, "day"), intLit(monthE, "month"), intLit(yearE, "year"))
+      val col = Cast(c, DateType)
+      val y = if (year == -1) Year(col) else Literal(year)
+      val m = if (month == -1) Month(col) else Literal(month + 1) // Hive month arg is 0-based
+      val d = if (day == -1) DayOfMonth(col) else Literal(day)
+      MakeDate(y, m, d)
+    case s +: chars if chars.length <= 4 =>
+      maskCore(Cast(s, StringType), chars)
+    case _ => throw new IllegalArgumentException(
+      s"mask expects 1-5 or 9 arguments, got ${args.length}")
+  }
+
+  /** mask_first_n: mask chars [1..n], retain the rest. */
+  def maskFirstN(args: Seq[Expression]): Expression = {
+    val s = Cast(args.head, StringType)
+    val n = args.lift(1).getOrElse(Literal(4))
+    val chars = args.drop(2)
+    Concat(Seq(
+      maskCore(Substring(s, Literal(1), n), chars),
+      Substring(s, Add(n, Literal(1)), MaxLen)))
+  }
+
+  /** mask_last_n: retain chars [1..len-n], mask the rest. */
+  def maskLastN(args: Seq[Expression]): Expression = {
+    val s = Cast(args.head, StringType)
+    val n = args.lift(1).getOrElse(Literal(4))
+    val chars = args.drop(2)
+    Concat(Seq(
+      Substring(s, Literal(1), Subtract(Length(s), n)),
+      maskCore(Substring(s, lastNStart(s, n), MaxLen), chars)))
+  }
+
+  /** mask_show_first_n: retain chars [1..n], mask the rest. */
+  def maskShowFirstN(args: Seq[Expression]): Expression = {
+    val s = Cast(args.head, StringType)
+    val n = args.lift(1).getOrElse(Literal(4))
+    val chars = args.drop(2)
+    Concat(Seq(
+      Substring(s, Literal(1), n),
+      maskCore(Substring(s, Add(n, Literal(1)), MaxLen), chars)))
+  }
+
+  /** mask_show_last_n: mask chars [1..len-n], retain the rest. */
+  def maskShowLastN(args: Seq[Expression]): Expression = {
+    val s = Cast(args.head, StringType)
+    val n = args.lift(1).getOrElse(Literal(4))
+    val chars = args.drop(2)
+    Concat(Seq(
+      maskCore(Substring(s, Literal(1), Subtract(Length(s), n)), chars),
+      Substring(s, lastNStart(s, n), MaxLen)))
+  }
+
+  /** mask_hash: lowercase sha256 hex (CommonTest.java:84-85). */
+  def maskHash(args: Seq[Expression]): Expression =
+    Lower(Sha2(Cast(args.head, BinaryType), Literal(256)))
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "mask" -> maskBuilder _, // extends the builtin with the 9-arg date form
+    "mask_first_n" -> maskFirstN _,
+    "mask_last_n" -> maskLastN _,
+    "mask_show_first_n" -> maskShowFirstN _,
+    "mask_show_last_n" -> maskShowLastN _,
+    "mask_hash" -> maskHash _
+  )
+
+  /** Register the family in the session's FunctionRegistry so they resolve in
+    * SQL text and in policy transformer templates.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}

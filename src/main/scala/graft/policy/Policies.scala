@@ -1,0 +1,128 @@
+package graft.policy
+
+/** Policy model for the security layer.
+  *
+  * Mirrors the reference's policy abstractions (see
+  * /root/reference/src/main/java/com/hw/security/flink/policy/RowFilterPolicy.java:30-41
+  * and DataMaskPolicy.java:30-43) as plain Scala case classes. Identifiers are
+  * matched case-insensitively, like Calcite/Spark's default resolver.
+  */
+final case class RowFilterPolicy(
+    username: String,
+    catalogName: String,
+    database: String,
+    tableName: String,
+    /** SQL boolean expression AND-ed into every scan of the table. */
+    condition: String
+)
+
+final case class DataMaskPolicy(
+    username: String,
+    catalogName: String,
+    database: String,
+    tableName: String,
+    columnName: String,
+    /** Name of a [[DataMaskType]], e.g. "MASK_SHOW_FIRST_4". */
+    maskType: String
+)
+
+/** A named masking strategy with a transformer template in which `{col}` is
+  * substituted with the column name (reference: enums/DataMaskType.java:30-43,
+  * resources/data_mask_types.json). `transformer == None` covers MASK_NULL /
+  * MASK_NONE / CUSTOM, which the reference would NPE on
+  * (DataMaskVisitor.java:97-98) — we handle them explicitly.
+  */
+final case class DataMaskType(
+    itemId: Int,
+    name: String,
+    label: String,
+    description: String,
+    transformer: Option[String]
+) {
+  def transformerFor(column: String): Option[String] =
+    transformer.map(_.replace("{col}", column))
+}
+
+object DataMaskType {
+  /** Built-in registry (semantics of the reference's data_mask_types.json;
+    * re-authored, not copied). The transformer strings are SQL calls into the
+    * mask function family registered by [[graft.functions.MaskFunctions]].
+    */
+  val builtin: Seq[DataMaskType] = Seq(
+    DataMaskType(1, "MASK", "Redact",
+      "Replace lowercase with 'x', uppercase with 'X', digits with 'n'",
+      Some("mask({col})")),
+    DataMaskType(2, "MASK_SHOW_LAST_4", "Partial mask: show last 4",
+      "Show last 4 characters; mask the rest with 'x'",
+      Some("mask_show_last_n({col}, 4, 'x', 'x', 'x', -1, '1')")),
+    DataMaskType(3, "MASK_SHOW_FIRST_4", "Partial mask: show first 4",
+      "Show first 4 characters; mask the rest with 'x'",
+      Some("mask_show_first_n({col}, 4, 'x', 'x', 'x', -1, '1')")),
+    DataMaskType(4, "MASK_HASH", "Hash",
+      "Replace the value with its sha256 hex digest",
+      Some("mask_hash({col})")),
+    DataMaskType(5, "MASK_NULL", "Nullify",
+      "Replace the value with NULL", None),
+    DataMaskType(6, "MASK_NONE", "Unmasked (retain original value)",
+      "No masking", None),
+    DataMaskType(12, "MASK_DATE_SHOW_YEAR", "Date: show only year",
+      "Keep the year; day -> 1, month -> January",
+      Some("mask({col}, 'x', 'x', 'x', -1, '1', 1, 0, -1)")),
+    DataMaskType(13, "CUSTOM", "Custom", "User-supplied transformer", None)
+  )
+}
+
+/** In-memory policy store with the same lookup semantics as the reference's
+  * PolicyManager (PolicyManager.java:61-113): linear scan, exact
+  * (case-insensitive) match on user + catalog + db + table (+ column).
+  *
+  * Thread-safe; policies are expected to be few (admin-entered). At 100 TB
+  * scale this lives on the driver only — lookups happen during plan rewrite,
+  * never per-row — so a linear scan is irrelevant to executor throughput.
+  */
+final class PolicyManager {
+  import scala.collection.mutable.ArrayBuffer
+
+  private val rowFilters = ArrayBuffer.empty[RowFilterPolicy]
+  private val dataMasks = ArrayBuffer.empty[DataMaskPolicy]
+  private val maskTypes = ArrayBuffer.from(DataMaskType.builtin)
+
+  private def eq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+
+  def addPolicy(p: RowFilterPolicy): Boolean = synchronized { rowFilters += p; true }
+  def removePolicy(p: RowFilterPolicy): Boolean = synchronized {
+    val i = rowFilters.indexOf(p); if (i >= 0) { rowFilters.remove(i); true } else false
+  }
+  def addPolicy(p: DataMaskPolicy): Boolean = synchronized { dataMasks += p; true }
+  def removePolicy(p: DataMaskPolicy): Boolean = synchronized {
+    val i = dataMasks.indexOf(p); if (i >= 0) { dataMasks.remove(i); true } else false
+  }
+  def registerMaskType(t: DataMaskType): Unit = synchronized { maskTypes += t }
+
+  def rowFilterPolicies: Seq[RowFilterPolicy] = synchronized(rowFilters.toSeq)
+  def dataMaskPolicies: Seq[DataMaskPolicy] = synchronized(dataMasks.toSeq)
+
+  /** All AND-able conditions for (user, table); reference keeps at most one
+    * but nothing stops multiple policies matching — we AND them all.
+    */
+  def rowFilterConditions(user: String, catalog: String, db: String,
+      table: String): Seq[String] = synchronized {
+    rowFilters.collect {
+      case p if eq(p.username, user) && eq(p.catalogName, catalog) &&
+        eq(p.database, db) && eq(p.tableName, table) => p.condition
+    }.toSeq
+  }
+
+  def dataMaskType(user: String, catalog: String, db: String, table: String,
+      column: String): Option[DataMaskType] = synchronized {
+    dataMasks.collectFirst {
+      case p if eq(p.username, user) && eq(p.catalogName, catalog) &&
+        eq(p.database, db) && eq(p.tableName, table) &&
+        eq(p.columnName, column) => p.maskType
+    }.flatMap(getMaskType)
+  }
+
+  def getMaskType(name: String): Option[DataMaskType] = synchronized {
+    maskTypes.find(t => eq(t.name, name))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.MaskFunctions
+
+/** Scratch driver for manual end-to-end verification (not part of the API). */
+object VerifyDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    MaskFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("customer")
+    println("== masked projection over real parquet ==")
+    spark.sql(
+      """select c_custkey, c_name, mask(c_name) as masked,
+        |       mask_show_first_n(c_name, 4, 'x', 'x', 'x', -1, '1') as show4,
+        |       mask_hash(c_mktsegment) as seg_hash
+        |from customer order by c_custkey limit 5""".stripMargin).show(false)
+    println("== date mask over real parquet ==")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("orders")
+    spark.sql(
+      """select o_orderdate, mask(o_orderdate, 'x','x','x',-1,'1',1,0,-1) as year_only
+        |from orders order by o_orderkey limit 3""".stripMargin).show(false)
+    // probes
+    for (bad <- Seq(
+      "select mask('a','b','c','d','e','f')", // 6 args: unsupported count
+      "select mask(o_orderdate,'x','x','x',-1,'1',o_orderkey,0,-1) from orders" // non-literal day
+    )) {
+      try { spark.sql(bad).collect(); println(s"PROBE-NO-ERROR: $bad") }
+      catch { case e: Throwable =>
+        println(s"PROBE-ERROR [$bad]: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+    }
+    spark.stop()
+  }
+}
