@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.MaskFunctions
+import graft.plans.{DataMaskRule, RowFilterRule, TableScope}
+import graft.policy.PolicyManager
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graft.GraftSqlShims
+import org.apache.spark.sql.types.StructType
+
+/** User-facing facade — the Spark-native equivalent of the reference's
+  * SecurityContext (SecurityContext.java:126-242).
+  *
+  * Lifecycle per query: parse -> analyze -> inject (RowFilterRule then
+  * DataMaskRule) -> re-analyze -> execute. The re-analysis replaces the
+  * reference's SQL-string round trip (toString + Flink re-parse,
+  * SecurityContext.java:134) and gives name resolution, star expansion and
+  * type coercion of injected policy expressions for free.
+  */
+final class SecurityContext(
+    val spark: SparkSession,
+    val policyManager: PolicyManager = new PolicyManager,
+    defaultCatalog: String = "spark_catalog",
+    defaultDatabase: String = "default"
+) {
+  MaskFunctions.register(spark)
+
+  private val scope = TableScope(defaultCatalog, defaultDatabase)
+
+  /** Parse a single SQL statement (the parser rejects multi-statement input,
+    * mirroring ParserImplExtension.java:74).
+    */
+  def parseSql(sql: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql)
+
+  private def analyzed(plan: LogicalPlan): LogicalPlan =
+    spark.sessionState.executePlan(plan).analyzed
+
+  /** Catalog schema lookup (reference getTable, SecurityContext.java:253-292). */
+  def getTable(table: String): StructType = spark.table(table).schema
+
+  // --- rewrite-only API (reference SecurityContext.java:126-167) ---
+
+  def rewriteRowFilter(user: String, sql: String): LogicalPlan =
+    analyzed(RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql))))
+
+  def rewriteDataMask(user: String, sql: String): LogicalPlan =
+    analyzed(DataMaskRule(spark, user, policyManager, scope)(analyzed(parseSql(sql))))
+
+  /** Row filter BEFORE mask — fixed order, filters see masked values
+    * (SecurityContext.java:154-167).
+    */
+  def mixedRewrite(user: String, sql: String): LogicalPlan = {
+    val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered))
+  }
+
+  // --- DataFrame API ---
+
+  def dfRowFilter(user: String, sql: String): DataFrame =
+    GraftSqlShims.ofRows(spark, rewriteRowFilter(user, sql))
+
+  def dfDataMask(user: String, sql: String): DataFrame =
+    GraftSqlShims.ofRows(spark, rewriteDataMask(user, sql))
+
+  def dfMixed(user: String, sql: String): DataFrame =
+    GraftSqlShims.ofRows(spark, mixedRewrite(user, sql))
+
+  // --- execute API (reference SecurityContext.java:190-242) ---
+
+  val DefaultFetchSize = 10
+
+  /** Direct execution, no rewrite (DDL, baseline queries). */
+  def execute(sql: String): Seq[Row] = execute(sql, DefaultFetchSize)
+  def execute(sql: String, size: Int): Seq[Row] =
+    fetch(GraftSqlShims.ofRows(spark, parseSql(sql)), size)
+
+  def executeRowFilter(user: String, sql: String, size: Int = DefaultFetchSize): Seq[Row] =
+    fetch(dfRowFilter(user, sql), size)
+
+  def executeDataMask(user: String, sql: String, size: Int = DefaultFetchSize): Seq[Row] =
+    fetch(dfDataMask(user, sql), size)
+
+  def mixedExecute(user: String, sql: String, size: Int = DefaultFetchSize): Seq[Row] =
+    fetch(dfMixed(user, sql), size)
+
+  /** fetch-N without collecting the full result (SecurityContext.java:235-242
+    * iterates; here `limit` is planned, so only N rows cross the driver
+    * boundary — at scale this is a LocalLimit pushed to executors).
+    */
+  private def fetch(df: DataFrame, size: Int): Seq[Row] =
+    if (df.schema.isEmpty) { df.collect(); Seq.empty } // commands (INSERT/DDL)
+    else df.limit(size).collect().toSeq
+}

@@ -1,0 +1,216 @@
+package graft.plans
+
+import graft.policy.PolicyManager
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.Metadata
+
+/** Plan-level equivalents of the reference's AST visitors.
+  *
+  * The reference rewrites SQL text between Calcite's validator and Flink's
+  * planner (RowFilterVisitor.java:45-106, DataMaskVisitor.java:54-157). Here
+  * the same semantics are Catalyst rules that inject `Filter` / `Project`
+  * nodes directly above each policied base-table scan:
+  *
+  *   - RowFilterRule:  SubqueryAlias(t, scan)  ->  SubqueryAlias(t, Filter(cond, scan))
+  *   - DataMaskRule:   SubqueryAlias(t, [Filter*,] scan)
+  *                       ->  SubqueryAlias(t, [Filter*,] Project(maskedCols, scan))
+  *
+  * Masked columns get fresh exprIds and every reference above the scan is
+  * rewritten to them (via `transformUpWithNewOutput`), so every operator above
+  * — including a row filter injected first — transparently reads masked
+  * values. That reproduces the reference's `mixedRewrite` composition where
+  * the injected WHERE sits outside the mask subquery
+  * (SecurityContext.java:154-167, MixedRewriteTest.java:101-134). (Re-using
+  * the original exprIds instead is NOT safe: the masked Project's output then
+  * equals its child's output and the optimizer's RemoveNoopOperators strips
+  * the mask away.)
+  *
+  * Injected conditions/transformers are left unresolved; the caller re-runs
+  * the analyzer (SecurityContext) or the surrounding analyzer fixed point
+  * (extension mode) resolves names, functions and type coercion — this is
+  * what replaces the reference's string re-parse round trip.
+  *
+  * Re-entrancy (the reference's javassist `custom` flag hack,
+  * SecurityContext.java:67-90) is a plain TreeNodeTag here.
+  *
+  * Scale note: rules run once per query on the driver; the injected Filter
+  * sits directly above the scan, so Catalyst pushes predicates into the
+  * Parquet reader and prunes masked-but-unreferenced columns — at 100 TB the
+  * security layer adds zero extra shuffles or passes.
+  */
+object SecurityTags {
+  val RowFilterApplied: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.rowFilterApplied")
+  val MaskApplied: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.maskApplied")
+}
+
+/** Resolves which (catalog, database) a bare single-part table reference
+  * belongs to, mirroring the reference's implicit hive.default qualification.
+  */
+final case class TableScope(catalog: String, database: String)
+
+trait SecurityRuleSupport {
+  def scope: TableScope
+
+  /** A scan of a named table: the alias directly over a leaf relation or a
+    * (temp) view. Derived tables have Project/Filter/... children and are
+    * excluded — policies reach the tables inside them instead, exactly like
+    * the reference's visitor (RowFilterVisitor.java:71-79).
+    */
+  protected def isBaseTable(p: LogicalPlan): Boolean = p match {
+    case _: View => true
+    case _: LeafNode => true
+    case _ => false
+  }
+
+  /** (catalog, db, table) of a SubqueryAlias identifier; empty qualifiers get
+    * the context's defaults, like Flink's validator qualifying bare names.
+    */
+  protected def tableParts(id: org.apache.spark.sql.catalyst.AliasIdentifier): (String, String, String) =
+    id.qualifier match {
+      case Seq() => (scope.catalog, scope.database, id.name)
+      case Seq(db) => (scope.catalog, db, id.name)
+      case parts => (parts.head, parts.last, id.name)
+    }
+}
+
+/** Injects row-level-security filters for `user` (reference:
+  * RowFilterVisitor.java:45-125).
+  */
+final case class RowFilterRule(
+    spark: SparkSession,
+    user: String,
+    policies: PolicyManager,
+    override val scope: TableScope,
+    postAnalysis: Boolean = true
+) extends Rule[LogicalPlan] with SecurityRuleSupport {
+
+  private def alreadyFiltered(child: LogicalPlan): Boolean = child match {
+    case f: Filter => f.getTagValue(SecurityTags.RowFilterApplied).contains(true)
+    case _ => false
+  }
+
+  private val pf: PartialFunction[LogicalPlan, LogicalPlan] = {
+    case sa @ SubqueryAlias(id, child) if isBaseTable(child) && !alreadyFiltered(child) =>
+      val (cat, db, table) = tableParts(id)
+      policies.rowFilterConditions(user, cat, db, table) match {
+        case Seq() => sa
+        case conds =>
+          val cond = conds
+            .map(c => spark.sessionState.sqlParser.parseExpression(c))
+            .reduceLeft[Expression](And(_, _))
+          val filter = Filter(cond, child)
+          filter.setTagValue(SecurityTags.RowFilterApplied, true)
+          SubqueryAlias(id, filter)
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (postAnalysis) plan.transformUp(pf) else plan.resolveOperatorsUp(pf)
+}
+
+/** Injects masking projections for `user` (reference:
+  * DataMaskVisitor.java:54-157). For each scan of a policied table, builds a
+  * full-width Project where masked columns become
+  * `CAST(transformer(col) AS originalType) AS col` with the original exprId,
+  * other columns pass through. MASK_NULL -> typed null, MASK_NONE ->
+  * passthrough (the reference would NPE on these, DataMaskVisitor.java:97-98).
+  */
+final case class DataMaskRule(
+    spark: SparkSession,
+    user: String,
+    policies: PolicyManager,
+    override val scope: TableScope,
+    postAnalysis: Boolean = true
+) extends Rule[LogicalPlan] with SecurityRuleSupport {
+
+  /** Resolve a parsed transformer template against the scan's output. The
+    * mask family's builders insert their own input casts, so the result is
+    * fully resolved without an analyzer round trip — required because
+    * transformUpWithNewOutput needs resolved outputs to propagate mappings.
+    */
+  private def resolveMaskExpr(raw: Expression, base: LogicalPlan): Expression = {
+    val resolver = spark.sessionState.conf.resolver
+    raw.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        base.resolve(u.nameParts, resolver).getOrElse(
+          throw new IllegalArgumentException(
+            s"mask transformer references unknown column ${u.name}"))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        spark.sessionState.catalog.lookupFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.last), f.arguments)
+    }
+  }
+
+  private def maskedProject(base: LogicalPlan, cat: String, db: String,
+      table: String): Option[(LogicalPlan, Seq[(Attribute, Attribute)])] = {
+    val mapping = Seq.newBuilder[(Attribute, Attribute)]
+    var any = false
+    def aliasAs(attr: Attribute, e: Expression): NamedExpression = {
+      any = true
+      val a = Alias(Cast(e, attr.dataType), attr.name)(qualifier = attr.qualifier)
+      mapping += attr -> a.toAttribute
+      a
+    }
+    val cols: Seq[NamedExpression] = base.output.map { attr =>
+      policies.dataMaskType(user, cat, db, table, attr.name) match {
+        case Some(t) if t.name.equalsIgnoreCase("MASK_NONE") => attr
+        case Some(t) if t.name.equalsIgnoreCase("MASK_NULL") =>
+          aliasAs(attr, Literal(null, attr.dataType))
+        case Some(t) =>
+          t.transformerFor(s"`${attr.name}`") match {
+            case Some(tpl) =>
+              aliasAs(attr,
+                resolveMaskExpr(spark.sessionState.sqlParser.parseExpression(tpl), base))
+            case None => attr // CUSTOM without transformer: passthrough
+          }
+        case None => attr
+      }
+    }
+    if (!any) None
+    else {
+      val p = Project(cols, base)
+      p.setTagValue(SecurityTags.MaskApplied, true)
+      Some((p, mapping.result()))
+    }
+  }
+
+  /** Descend through filters already injected above the scan (row-filter rule
+    * runs first) and wrap the base relation itself, so filters evaluate over
+    * masked values — the reference's fixed composition order. Resolved
+    * references in those filters are remapped onto the masked output; the
+    * row-filter rule's still-unresolved conditions later resolve by name
+    * against the masked Project, with the same effect.
+    */
+  private def injectUnderFilters(p: LogicalPlan, cat: String, db: String,
+      table: String): Option[(LogicalPlan, Seq[(Attribute, Attribute)])] = p match {
+    case f: Filter =>
+      injectUnderFilters(f.child, cat, db, table).map { case (nc, mapping) =>
+        val remapped = f.condition.transform {
+          case a: AttributeReference =>
+            mapping.collectFirst { case (from, to) if from.exprId == a.exprId => to }.getOrElse(a)
+        }
+        val nf = Filter(remapped, nc)
+        f.getTagValue(SecurityTags.RowFilterApplied)
+          .foreach(v => nf.setTagValue(SecurityTags.RowFilterApplied, v))
+        (nf, mapping)
+      }
+    case pr: Project if pr.getTagValue(SecurityTags.MaskApplied).contains(true) =>
+      None // re-entrancy guard
+    case base if isBaseTable(base) => maskedProject(base, cat, db, table)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithNewOutput {
+      case sa @ SubqueryAlias(id, child) =>
+        val (cat, db, table) = tableParts(id)
+        injectUnderFilters(child, cat, db, table) match {
+          case Some((newChild, mapping)) => (SubqueryAlias(id, newChild), mapping)
+          case None => (sa, Nil)
+        }
+    }
+}

@@ -27,6 +27,18 @@ object VerifyDrive {
     spark.sql(
       """select o_orderdate, mask(o_orderdate, 'x','x','x',-1,'1',1,0,-1) as year_only
         |from orders order by o_orderkey limit 3""".stripMargin).show(false)
+    println("== security context over real parquet ==")
+    val ctx = new graft.SecurityContext(spark)
+    ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_mktsegment = 'BUILDING'"))
+    ctx.policyManager.addPolicy(graft.policy.DataMaskPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_name", "MASK_SHOW_LAST_4"))
+    ctx.mixedExecute("analyst",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey", 5)
+      .foreach(println)
+    println("== rewritten plan ==")
+    println(ctx.mixedRewrite("analyst",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer").treeString)
     // probes
     for (bad <- Seq(
       "select mask('a','b','c','d','e','f')", // 6 args: unsupported count

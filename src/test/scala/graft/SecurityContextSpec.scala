@@ -1,0 +1,262 @@
+package graft
+
+import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Result-level goldens from the reference's execute/rewrite tests
+  * (ExecuteRowFilterTest / ExecuteDataMaskTest / MixedExecuteTest,
+  * Rewrite*Test structural cases) on the exact seed rows of
+  * data/database/mysql_init.sql.
+  */
+class SecurityContextSpec extends SparkFunSuite {
+
+  private val CAT = "hive"
+  private val DB = "default"
+
+  private lazy val ctx: SecurityContext = {
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    seed()
+    val pm = c.policyManager
+    pm.addPolicy(RowFilterPolicy("user_A", CAT, DB, "orders", "region = 'beijing'"))
+    pm.addPolicy(RowFilterPolicy("user_B", CAT, DB, "orders", "region = 'hangzhou'"))
+    pm.addPolicy(RowFilterPolicy("user_A", CAT, DB, "products", "name = 'hammer'"))
+    pm.addPolicy(RowFilterPolicy("user_A", CAT, DB, "shipments", "is_arrived = FALSE"))
+    pm.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders", "customer_name", "MASK"))
+    pm.addPolicy(DataMaskPolicy("user_B", CAT, DB, "orders", "customer_name", "MASK_SHOW_FIRST_4"))
+    pm.addPolicy(DataMaskPolicy("user_A", CAT, DB, "products", "name", "MASK_SHOW_LAST_4"))
+    // pins the filter-sees-masked-values composition quirk (SURVEY §3 EP2)
+    pm.addPolicy(RowFilterPolicy("user_C", CAT, DB, "orders", "customer_name = 'Xxxx'"))
+    pm.addPolicy(DataMaskPolicy("user_C", CAT, DB, "orders", "customer_name", "MASK"))
+    c
+  }
+
+  private def seed(): Unit = {
+    val ordersSchema = StructType(Seq(
+      StructField("order_id", IntegerType),
+      StructField("order_date", TimestampType),
+      StructField("customer_name", StringType),
+      StructField("product_id", IntegerType),
+      StructField("price", DecimalType(10, 5)),
+      StructField("order_status", BooleanType),
+      StructField("region", StringType)))
+    def ts(s: String) = Timestamp.valueOf(s)
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val orders = Seq(
+      Row(10001, ts("2020-07-30 10:08:22"), "Jack", 102, dec("50.50"), false, "beijing"),
+      Row(10002, ts("2020-07-30 10:11:09"), "Sally", 105, dec("15.00"), false, "beijing"),
+      Row(10003, ts("2020-07-30 12:00:30"), "Edward", 106, dec("25.25"), false, "hangzhou"),
+      Row(10004, ts("2022-12-15 12:11:09"), "John", 103, dec("78.00"), false, "hangzhou"),
+      Row(10005, ts("2022-12-16 12:00:30"), "Edward", 104, dec("64.00"), false, "shanghai"),
+      Row(10006, ts("2022-12-17 23:00:30"), "Jack", 103, dec("20.00"), false, "shanghai"))
+    spark.createDataFrame(spark.sparkContext.parallelize(orders), ordersSchema)
+      .createOrReplaceTempView("orders")
+
+    val productsSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("description", StringType)))
+    val products = Seq(
+      Row(101, "scooter", "Small 2-wheel scooter"),
+      Row(102, "car battery", "12V car battery"),
+      Row(103, "12-pack drill bits", "12-pack of drill bits with sizes ranging from #40 to #3"),
+      Row(104, "hammer", "12oz carpenter's hammer"),
+      Row(105, "hammer", "14oz carpenter's hammer"),
+      Row(106, "hammer", "16oz carpenter's hammer"),
+      Row(107, "rocks", "box of assorted rocks"),
+      Row(108, "jacket", "water resistent black wind breaker"),
+      Row(109, "spare tire", "24 inch spare tire"))
+    spark.createDataFrame(spark.sparkContext.parallelize(products), productsSchema)
+      .createOrReplaceTempView("products")
+
+    val shipmentsSchema = StructType(Seq(
+      StructField("shipment_id", IntegerType),
+      StructField("order_id", IntegerType),
+      StructField("origin", StringType),
+      StructField("destination", StringType),
+      StructField("is_arrived", BooleanType)))
+    val shipments = Seq(
+      Row(1001, 10001, "Beijing", "Shanghai", false),
+      Row(1002, 10002, "Hangzhou", "Shanghai", false),
+      Row(1003, 10003, "Shanghai", "Hangzhou", false))
+    spark.createDataFrame(spark.sparkContext.parallelize(shipments), shipmentsSchema)
+      .createOrReplaceTempView("shipments")
+  }
+
+  private val baseSql = "SELECT order_id, customer_name, product_id, region FROM orders ORDER BY order_id"
+
+  private def rows(rs: Seq[Row]): Seq[Seq[Any]] = rs.map(_.toSeq)
+
+  test("execute without rewrite returns all seed rows") {
+    assert(rows(ctx.execute(baseSql)) == Seq(
+      Seq(10001, "Jack", 102, "beijing"),
+      Seq(10002, "Sally", 105, "beijing"),
+      Seq(10003, "Edward", 106, "hangzhou"),
+      Seq(10004, "John", 103, "hangzhou"),
+      Seq(10005, "Edward", 104, "shanghai"),
+      Seq(10006, "Jack", 103, "shanghai")))
+  }
+
+  test("row filter: user_A sees only beijing (ExecuteRowFilterTest)") {
+    assert(rows(ctx.executeRowFilter("user_A", baseSql)) == Seq(
+      Seq(10001, "Jack", 102, "beijing"),
+      Seq(10002, "Sally", 105, "beijing")))
+  }
+
+  test("row filter: user_B sees only hangzhou") {
+    assert(rows(ctx.executeRowFilter("user_B", baseSql)) == Seq(
+      Seq(10003, "Edward", 106, "hangzhou"),
+      Seq(10004, "John", 103, "hangzhou")))
+  }
+
+  test("row filter respects existing WHERE with OR (implicit parenthesization)") {
+    val sql = "SELECT order_id, region FROM orders WHERE region = 'beijing' OR region = 'shanghai' ORDER BY order_id"
+    // (a OR b) AND region='hangzhou' -> empty for user_B
+    assert(ctx.executeRowFilter("user_B", sql).isEmpty)
+    assert(rows(ctx.executeRowFilter("user_A", sql)) ==
+      Seq(Seq(10001, "beijing"), Seq(10002, "beijing")))
+  }
+
+  test("row filter under GROUP BY aggregation (RewriteRowFilterTest:160)") {
+    val sql = "SELECT region, count(*) AS cnt FROM orders GROUP BY region ORDER BY region"
+    assert(rows(ctx.executeRowFilter("user_A", sql)) == Seq(Seq("beijing", 2L)))
+  }
+
+  test("row filter applies per-table across LEFT JOIN (RewriteRowFilterTest:369)") {
+    val sql = """SELECT o.order_id, o.customer_name, p.name
+                |FROM orders AS o LEFT JOIN products AS p ON o.product_id = p.id
+                |ORDER BY o.order_id""".stripMargin
+    assert(rows(ctx.executeRowFilter("user_A", sql)) == Seq(
+      Seq(10001, "Jack", null), // product 102 is not a hammer -> filtered off the right side
+      Seq(10002, "Sally", "hammer")))
+  }
+
+  test("row filter applies on all three joined tables (RewriteRowFilterTest:416)") {
+    val sql = """SELECT o.order_id, p.name, s.destination
+                |FROM orders AS o
+                |LEFT JOIN products AS p ON o.product_id = p.id
+                |LEFT JOIN shipments AS s ON o.order_id = s.order_id
+                |ORDER BY o.order_id""".stripMargin
+    assert(rows(ctx.executeRowFilter("user_A", sql)) == Seq(
+      Seq(10001, null, "Shanghai"),
+      Seq(10002, "hammer", "Shanghai")))
+  }
+
+  test("row filter reaches inside FROM-subquery (RewriteRowFilterTest:307)") {
+    val sql = """SELECT order_id, region FROM
+                |  (SELECT * FROM orders WHERE order_status = FALSE) AS t
+                |ORDER BY order_id""".stripMargin
+    assert(rows(ctx.executeRowFilter("user_A", sql)) ==
+      Seq(Seq(10001, "beijing"), Seq(10002, "beijing")))
+  }
+
+  test("data mask: user_A sees MASK-ed customer_name (ExecuteDataMaskTest)") {
+    assert(rows(ctx.executeDataMask("user_A", baseSql)) == Seq(
+      Seq(10001, "Xxxx", 102, "beijing"),
+      Seq(10002, "Xxxxx", 105, "beijing"),
+      Seq(10003, "Xxxxxx", 106, "hangzhou"),
+      Seq(10004, "Xxxx", 103, "hangzhou"),
+      Seq(10005, "Xxxxxx", 104, "shanghai"),
+      Seq(10006, "Xxxx", 103, "shanghai")))
+  }
+
+  test("data mask: user_B sees MASK_SHOW_FIRST_4 (ExecuteDataMaskTest)") {
+    assert(rows(ctx.executeDataMask("user_B", baseSql)) == Seq(
+      Seq(10001, "Jack", 102, "beijing"),
+      Seq(10002, "Sallx", 105, "beijing"),
+      Seq(10003, "Edwaxx", 106, "hangzhou"),
+      Seq(10004, "John", 103, "hangzhou"),
+      Seq(10005, "Edwaxx", 104, "shanghai"),
+      Seq(10006, "Jack", 103, "shanghai")))
+  }
+
+  test("data mask through SELECT * star expansion") {
+    val got = ctx.executeDataMask("user_A", "SELECT * FROM orders ORDER BY order_id", 1).head
+    assert(got.length == 7)
+    assert(got.getString(2) == "Xxxx") // customer_name masked, other cols intact
+    assert(got.getInt(0) == 10001)
+    assert(got.getDecimal(4) == new java.math.BigDecimal("50.50000"))
+  }
+
+  test("data mask on both sides of a join with table aliases (RewriteDataMaskTest:164)") {
+    val sql = """SELECT o.order_id, o.customer_name, p.name
+                |FROM orders AS o LEFT JOIN products AS p ON o.product_id = p.id
+                |ORDER BY o.order_id""".stripMargin
+    val got = rows(ctx.executeDataMask("user_A", sql))
+    // MASK_SHOW_LAST_4 on products.name: 'car battery' -> 'xxx xxxtery'
+    // (otherChar -1 retains the space), 'hammer' -> 'xxmmer'
+    assert(got.head == Seq(10001, "Xxxx", "xxx xxxtery"))
+    assert(got(1) == Seq(10002, "Xxxxx", "xxmmer"))
+  }
+
+  test("data mask reaches inside FROM-subquery (RewriteDataMaskTest:216)") {
+    val sql = """SELECT customer_name FROM
+                |  (SELECT * FROM orders WHERE region = 'beijing') AS t
+                |ORDER BY customer_name""".stripMargin
+    assert(rows(ctx.executeDataMask("user_A", sql)) == Seq(Seq("Xxxx"), Seq("Xxxxx")))
+  }
+
+  test("mixed: user_A filter + mask (MixedExecuteTest:76)") {
+    assert(rows(ctx.mixedExecute("user_A", baseSql, 2)) == Seq(
+      Seq(10001, "Xxxx", 102, "beijing"),
+      Seq(10002, "Xxxxx", 105, "beijing")))
+  }
+
+  test("mixed: user_B filter + mask_show_first_4 (MixedExecuteTest:98)") {
+    assert(rows(ctx.mixedExecute("user_B", baseSql)) == Seq(
+      Seq(10003, "Edwaxx", 106, "hangzhou"),
+      Seq(10004, "John", 103, "hangzhou")))
+  }
+
+  test("mixed composition quirk: row filter evaluates over MASKED values") {
+    // user_C filters customer_name = 'Xxxx' (a masked value). The reference's
+    // fixed order puts the filter outside the mask subquery, so it matches all
+    // rows whose MASKED name is 'Xxxx' — both Jacks AND John (all 4-letter
+    // capitalized names collide post-mask). SURVEY §3 EP2 /
+    // MixedRewriteTest.java:101-134.
+    assert(rows(ctx.mixedExecute("user_C", baseSql)) == Seq(
+      Seq(10001, "Xxxx", 102, "beijing"),
+      Seq(10004, "Xxxx", 103, "hangzhou"),
+      Seq(10006, "Xxxx", 103, "shanghai")))
+  }
+
+  test("MASK_NULL nullifies, MASK_NONE passes through") {
+    val c = ctx
+    c.policyManager.addPolicy(DataMaskPolicy("user_N", CAT, DB, "orders", "customer_name", "MASK_NULL"))
+    c.policyManager.addPolicy(DataMaskPolicy("user_N", CAT, DB, "orders", "region", "MASK_NONE"))
+    val got = rows(c.executeDataMask("user_N", baseSql, 1))
+    assert(got == Seq(Seq(10001, null, 102, "beijing")))
+  }
+
+  test("INSERT INTO ... SELECT applies the rewrite inside the insert body") {
+    val c = ctx
+    spark.sql("DROP TABLE IF EXISTS order_sink")
+    // a previously-failed run can leave the managed location behind
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("spark-warehouse/order_sink"))
+    spark.sql("""CREATE TABLE order_sink (order_id INT, customer_name STRING, region STRING)
+                | USING parquet""".stripMargin)
+    c.mixedExecute("user_A",
+      "INSERT INTO order_sink SELECT order_id, customer_name, region FROM orders")
+    val sunk = spark.table("order_sink").orderBy("order_id").collect().map(_.toSeq).toSeq
+    assert(sunk == Seq(
+      Seq(10001, "Xxxx", "beijing"),
+      Seq(10002, "Xxxxx", "beijing")))
+    spark.sql("DROP TABLE IF EXISTS order_sink")
+  }
+
+  test("getTable returns the catalog schema (CommonTest.testGetTable)") {
+    val schema = ctx.getTable("orders")
+    assert(schema.fieldNames.toSeq == Seq(
+      "order_id", "order_date", "customer_name", "product_id", "price", "order_status", "region"))
+    assert(schema("price").dataType == DecimalType(10, 5))
+  }
+
+  test("multi-statement input is rejected (ParserImplExtension.java:74)") {
+    intercept[Exception](ctx.parseSql("SELECT 1; SELECT 2"))
+  }
+
+  test("no policies -> plans untouched for unknown user") {
+    assert(rows(ctx.mixedExecute("nobody", baseSql)).size == 6)
+  }
+}
