@@ -62,7 +62,9 @@ trait SecurityRuleSupport {
     */
   protected def isBaseTable(p: LogicalPlan): Boolean = p match {
     case _: View => true
-    case _: LeafNode => true
+    // `resolved` keeps parse-stage UnresolvedRelation (also a leaf) from
+    // matching when the rules run inside the analyzer's fixed point.
+    case l: LeafNode => l.resolved
     case _ => false
   }
 

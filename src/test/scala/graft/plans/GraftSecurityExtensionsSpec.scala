@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import org.apache.spark.sql.SparkSession
+
+/** Auto-enforcement: raw spark.sql on a session built with the extensions is
+  * policy-checked for the conf'd user.
+  */
+class GraftSecurityExtensionsSpec extends SparkFunSuite {
+
+  test("raw spark.sql is filtered and masked for the session user") {
+    spark // force shared context up first
+    // getOrCreate returns the active session, ignoring extensions — clear it
+    // so a sibling session (same SparkContext) is created with ours.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sec = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftSecurityExtensions)
+      .getOrCreate()
+    try {
+      assert(sec ne spark)
+      import sec.implicits._
+      Seq((1, "Jack", "beijing"), (2, "Sally", "hangzhou"))
+        .toDF("id", "customer_name", "region")
+        .createOrReplaceTempView("sec_orders")
+
+      GraftSecurityExtensions.policies.addPolicy(
+        RowFilterPolicy("ext_user", "spark_catalog", "default", "sec_orders", "region = 'beijing'"))
+      GraftSecurityExtensions.policies.addPolicy(
+        DataMaskPolicy("ext_user", "spark_catalog", "default", "sec_orders", "customer_name", "MASK"))
+
+      // no user set -> untouched
+      assert(sec.sql("SELECT * FROM sec_orders").count() == 2)
+
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_user")
+      val got = sec.sql("SELECT id, customer_name, region FROM sec_orders").collect()
+      assert(got.map(_.toSeq).toSeq == Seq(Seq(1, "Xxxx", "beijing")))
+
+      // repeated analysis of the same view stays idempotent (single filter)
+      val again = sec.sql("SELECT customer_name FROM sec_orders WHERE id = 1").collect()
+      assert(again.map(_.getString(0)).toSeq == Seq("Xxxx"))
+
+      sec.conf.unset(GraftSecurityExtensions.UserKey)
+      assert(sec.sql("SELECT * FROM sec_orders").count() == 2)
+    } finally {
+      sec.conf.unset(GraftSecurityExtensions.UserKey)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
