@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: a mixed row-filter + mask query through the security layer on
+    * sf0.001 (SURVEY §7.2's minimum slice, on the synthetic corpus).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.load(spark, dir, "customer")
+    val ctx = new SecurityContext(spark)
+    ctx.policyManager.addPolicy(RowFilterPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_mktsegment = 'BUILDING'"))
+    ctx.policyManager.addPolicy(DataMaskPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_name", "MASK_SHOW_FIRST_4"))
+    ctx.dfMixed("analyst",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SecurityQueries.queries ++ SqlSurfaceQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    SecurityQueries.oracles ++ SqlSurfaceQueries.oracles
 }

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.SecurityContext
+import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Tables {
+  /** Read one testdata table. events.parquet carries TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects — read nanos as long and convert to
+    * micros precision (DuckDB keeps ns; all our bucketing is >= 1s so the
+    * truncation is oracle-safe).
+    */
+  def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case None => raw
+    }
+  }
+
+  /** Register the named testdata tables as temp views for `dir`. */
+  def load(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Security-plane queries for the driver's correctness gate: each runs a
+  * policy rewrite through [[SecurityContext]] and has a DuckDB oracle that
+  * states the *rewritten* semantics in plain SQL.
+  *
+  * Determinism rules: every query ORDER BYs a unique key; double aggregates
+  * go through DECIMAL casts (exact, order-independent).
+  */
+object SecurityQueries {
+
+  private val USER = "analyst"
+  private val CAT = "spark_catalog"
+  private val DB = "default"
+
+  private def ctx(spark: SparkSession, dir: String, tables: String*)(
+      policies: SecurityContext => Unit): SecurityContext = {
+    Tables.load(spark, dir, tables: _*)
+    val c = new SecurityContext(spark)
+    policies(c)
+    c
+  }
+
+  private def rls(c: SecurityContext, table: String, cond: String): Unit =
+    c.policyManager.addPolicy(RowFilterPolicy(USER, CAT, DB, table, cond))
+  private def mask(c: SecurityContext, table: String, col: String, t: String): Unit =
+    c.policyManager.addPolicy(DataMaskPolicy(USER, CAT, DB, table, col, t))
+
+  // DuckDB equivalent of Hive mask() defaults on a string column
+  private def duckMask(col: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($col,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sec_rls_basic" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => rls(c, "customer", "c_mktsegment = 'BUILDING'"))
+      c.dfRowFilter(USER,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+    "sec_rls_join" -> ((s, dir) => {
+      val c = ctx(s, dir, "orders", "customer", "nation") { c =>
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+        rls(c, "orders", "o_orderstatus = 'F'")
+        rls(c, "nation", "n_regionkey = 1")
+      }
+      c.dfRowFilter(USER,
+        """SELECT o.o_orderkey, c.c_name, n.n_name
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+    "sec_rls_agg" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => rls(c, "customer", "c_nationkey < 10"))
+      c.dfRowFilter(USER,
+        """SELECT c_mktsegment, count(*) AS cnt,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+    "sec_rls_subquery" -> ((s, dir) => {
+      val c = ctx(s, dir, "orders")(c => rls(c, "orders", "o_orderstatus = 'F'"))
+      c.dfRowFilter(USER,
+        """SELECT t.o_orderkey, t.o_totalprice FROM
+          |  (SELECT * FROM orders WHERE o_totalprice > 300000.0) t
+          |ORDER BY t.o_orderkey""".stripMargin)
+    }),
+    "sec_mask_basic" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => mask(c, "customer", "c_name", "MASK"))
+      c.dfDataMask(USER, "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mask_show_first4" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => mask(c, "customer", "c_name", "MASK_SHOW_FIRST_4"))
+      c.dfDataMask(USER, "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mask_show_last4" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => mask(c, "customer", "c_name", "MASK_SHOW_LAST_4"))
+      c.dfDataMask(USER, "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mask_hash" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => mask(c, "customer", "c_name", "MASK_HASH"))
+      c.dfDataMask(USER, "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mask_null" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer")(c => mask(c, "customer", "c_acctbal", "MASK_NULL"))
+      c.dfDataMask(USER, "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mask_date_year" -> ((s, dir) => {
+      val c = ctx(s, dir, "orders")(c => mask(c, "orders", "o_orderdate", "MASK_DATE_SHOW_YEAR"))
+      c.dfDataMask(USER, "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey")
+    }),
+    "sec_mixed" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+        mask(c, "customer", "c_name", "MASK_SHOW_FIRST_4")
+      }
+      c.dfMixed(USER,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+    "sec_mixed_masked_filter" -> ((s, dir) => {
+      // the composition quirk: the row filter evaluates over MASKED values
+      val c = ctx(s, dir, "customer") { c =>
+        rls(c, "customer", "c_mktsegment = 'XXXXXXXX'")
+        mask(c, "customer", "c_mktsegment", "MASK")
+      }
+      c.dfMixed(USER, "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sec_rls_basic" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "sec_rls_join" ->
+      """SELECT o.o_orderkey, c.c_name, n.n_name
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F' AND n.n_regionkey = 1
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "sec_rls_agg" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_nationkey < 10
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sec_rls_subquery" ->
+      """SELECT t.o_orderkey, t.o_totalprice FROM
+        |  (SELECT * FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'F') t
+        |ORDER BY t.o_orderkey""".stripMargin,
+    "sec_mask_basic" ->
+      s"""SELECT c_custkey, ${duckMask("c_name")} AS c_name
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sec_mask_show_first4" ->
+      """SELECT c_custkey,
+        |       substr(c_name,1,4) || regexp_replace(substr(c_name,5),'[A-Za-z0-9]','x','g') AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sec_mask_show_last4" ->
+      """SELECT c_custkey,
+        |       CASE WHEN length(c_name) <= 4 THEN c_name
+        |            ELSE regexp_replace(substr(c_name,1,length(c_name)-4),'[A-Za-z0-9]','x','g')
+        |                 || substr(c_name,length(c_name)-3) END AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sec_mask_hash" ->
+      """SELECT c_custkey, sha256(c_name) AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sec_mask_null" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sec_mask_date_year" ->
+      """SELECT o_orderkey,
+        |       CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS TIMESTAMP) AS o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sec_mixed" ->
+      """SELECT c_custkey,
+        |       substr(c_name,1,4) || regexp_replace(substr(c_name,5),'[A-Za-z0-9]','x','g') AS c_name,
+        |       c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "sec_mixed_masked_filter" ->
+      s"""SELECT c_custkey, ${duckMask("c_mktsegment")} AS c_mktsegment
+         |FROM customer
+         |WHERE ${duckMask("c_mktsegment")} = 'XXXXXXXX'
+         |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plane-B queries: the SQL surface the reference's rewritten queries require
+  * the engine to execute (SURVEY §2.B) — scans, projections, predicates,
+  * multi-way joins, FROM-subqueries, aggregation, limit. Implemented with the
+  * DataFrame API (Catalyst-declarative: pushdown, pruning, broadcast for
+  * free); oracles are the same semantics in DuckDB SQL.
+  */
+object SqlSurfaceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped flagship aggregate: partial aggregation map-side, one
+    // shuffle on the (tiny) group key; exact DECIMAL arithmetic.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // predicate mix: =, >, OR, AND, string/decimal literals; pushed to scan
+    "q_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
+          col("l_quantity") > 30.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic corpus —
+        // sort on the full projection for a deterministic oracle compare
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity"))
+    }),
+    // 3-way join: fact-to-dim joins; dims are broadcast (no shuffle of orders)
+    "q_join3" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // LEFT JOIN keeping unmatched left rows (null-safe deterministic order)
+    "q_left_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      customer
+        .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+    // aggregation over a FROM-subquery (derived table)
+    "q_subquery_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+      s.sql(
+        """SELECT t.o_orderstatus, count(*) AS cnt,
+          |       CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
+          |GROUP BY t.o_orderstatus ORDER BY t.o_orderstatus""".stripMargin)
+    }),
+    // time-bucketed aggregation over the events stream table (batch form of
+    // the 1-hour tumbling window; same bucketing as the streaming path)
+    "q_events_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          timestamp_seconds(floor(unix_timestamp(col("ts")) / 3600) * 3600).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+    // top-N with unique tiebreak (LocalLimit pushed below the final sort)
+    "q_topn" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity > 30.0
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""".stripMargin,
+    "q_join3" ->
+      """SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_left_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey ASC, o.o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_subquery_agg" ->
+      """SELECT t.o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY t.o_orderstatus ORDER BY t.o_orderstatus""".stripMargin,
+    "q_events_bucket" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket,
+        |       event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q_topn" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin
+  )
+}
