@@ -24,11 +24,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SecurityQueries.queries ++ SqlSurfaceQueries.queries
+    SecurityQueries.queries ++ SqlSurfaceQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    SecurityQueries.oracles ++ SqlSurfaceQueries.oracles
+    SecurityQueries.oracles ++ SqlSurfaceQueries.oracles ++ PipelineQueries.oracles
 }

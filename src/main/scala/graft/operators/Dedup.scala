@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are expressed with built-in Catalyst expressions (incl.
+  * higher-order array functions) — no UDFs — and are partition-parallel with
+  * no driver materialization:
+  *
+  *  - exact dedup: one shuffle on a 128-bit content hash (never shuffles the
+  *    raw text bytes).
+  *  - MinHash+LSH: per-row signature computation (map-side, embarrassingly
+  *    parallel), one explode+shuffle on (band, bandHash), bucket-capped
+  *    self-join (the cap bounds the quadratic pair blowup on skewed/common
+  *    buckets — at 100 TB a popular boilerplate bucket would otherwise
+  *    produce billions of pairs), then an exact-Jaccard verify on the
+  *    candidate pairs only.
+  *  - SimHash: single map pass for the 64-bit sketch; near-dup candidates by
+  *    chunk banding (Hamming <= h guarantees an equal chunk among h+1),
+  *    verified with bit_count(xor).
+  *  - exact n-gram Jaccard / embedding cosine: quadratic WITHIN blocking keys
+  *    only (language, length band, label ...); the blocked cross join is the
+  *    honest small-scale verifier, LSH above is the scale path.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the named text column (whole trimmed text if
+    * shorter). Takes a column NAME: the expression is assembled as SQL text
+    * (higher-order functions with derived seeds), and splicing arbitrary
+    * Column objects cannot round-trip through SQL in Spark 4.
+    */
+  def shingles(textCol: String, n: Int = 3): Column = {
+    val c = s"split(lower(trim($textCol)), '\\\\s+')"
+    expr(s"transform(sequence(0, greatest(size($c) - $n, 0)), i -> concat_ws(' ', slice($c, i + 1, $n)))")
+  }
+
+  /** k-wide MinHash signature over the named shingle-array column. */
+  def minhashSignature(shCol: String, k: Int): Column =
+    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($shCol, s -> xxhash64(i, s))))")
+
+  /** Exact dedup: one surviving (minimum) id per distinct key. Grouping is on
+    * a 128-bit md5 of the key, so the shuffle carries 16 bytes per row
+    * instead of the document body.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(keyCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard
+    * over the same shingle sets; pairs below `threshold` are dropped.
+    *
+    * numHashes = bands * rowsPerBand. Recall tradeoff: P(candidate) =
+    * 1 - (1 - j^r)^b for true Jaccard j.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 100,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol), col(textCol))
+      .withColumn("sh", array_distinct(shingles(textCol, shingleSize)))
+      .withColumn("sig", minhashSignature("sh", k))
+      .select(col(idCol), col("sh"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), j -> xxhash64(j, slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "band_hash")))
+
+    // cap pathological buckets (boilerplate shingle collisions) — skew guard
+    val buckets = withSig
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = buckets.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the word multiset of `text` — one map pass, no
+    * shuffle: per word, each of the 64 bits of xxhash64(word) votes +1/-1;
+    * sign of the vote sum becomes the sketch bit.
+    */
+  def simhash64(textCol: String): Column = {
+    val c = s"split(lower(trim($textCol)), '\\\\s+')"
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, 63), i ->
+         |    CASE WHEN aggregate($c, 0L, (acc, w) ->
+         |      acc + CASE WHEN (shiftrightunsigned(xxhash64(w), i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |    THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, x) -> acc | x)""".stripMargin)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * chunk banding over (maxHamming + 1) chunks and verified with
+    * bit_count(a XOR b).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sk = df.select(col(idCol), simhash64(textCol).as("simhash"))
+      .select(col(idCol), col("simhash"), posexplode(
+        expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1})"))
+        .as(Seq("chunk", "chunk_val")))
+    val a = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact pairwise word-set Jaccard within blocking keys (quadratic within a
+    * block — the honest verifier; LSH is the scale path).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val withSet = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("wset"): _*)
+    val a = withSet.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("wset").as("set_a"): _*)
+    val b = withSet.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("wset").as("set_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact pairwise cosine similarity within a blocking key over an
+    * Array[Float] embedding column.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val v = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"): _*)
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val a = v.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("v").as("va") :+ col("norm").as("na"): _*)
+    val b = v.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("v").as("vb") :+ col("norm").as("nb"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed partition-parallel.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic STUB (`FakeCodec`) — the Spark-side plumbing is real and
+  * tested: schema shape, per-partition batched processing (the Scala
+  * equivalent of mapInPandas), frame sampling via explode, and
+  * feature-vector output ready for [[Similarity]].
+  *
+  * Scale notes: binary payloads ride in the row; decode runs where the data
+  * lives (mapPartitions — one task per input split, no shuffle); metadata
+  * predicates (format/width/...) are plain columns, so Catalyst prunes and
+  * pushes them without touching payload bytes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB for a real media decoder (libjpeg/ffmpeg/...). Deterministic: the
+    * "decoded" feature vector is a 16-bin normalized byte histogram. A real
+    * deployment swaps this object behind the same signature.
+    */
+  object FakeCodec {
+    val FeatureDim = 16
+    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](FeatureDim)
+      if (payload == null || payload.isEmpty) return bins
+      payload.foreach(b => bins((b & 0xff) >> 4) += 1f)
+      val n = payload.length.toFloat
+      bins.map(_ / n)
+    }
+    /** STUB frame extraction: fixed-size byte windows standing in for video
+      * frame decode.
+      */
+    def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.isEmpty) Seq.empty
+      else payload.grouped(every).toSeq
+    }
+  }
+
+  /** Attach a synthetic media payload derived from a text column — stands in
+    * for reading real image bytes; keeps everything deterministic.
+    */
+  def withFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("fake/rgb8").as("format"),
+      (length(col(textCol)) % 64 + 1).cast("int").as("width"),
+      lit(16).as("height"),
+      (length(col(textCol)) / 32 + 1).cast("int").as("n_frames"))
+
+  /** Batched per-partition decode — the Scala analog of mapInPandas: one
+    * decoder instantiation per partition, rows streamed through it, feature
+    * vectors out. No shuffle; runs at input-split parallelism.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // per-partition codec setup would go here (native handles, sessions...)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx),
+          if (payload == null) 0 else payload.length,
+          FakeCodec.decodeFeatures(payload).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame (video -> frames).
+    * Explode happens on executors; frames inherit metadata columns.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    val frames = udf((p: Array[Byte]) => FakeCodec.sampleFrames(p, frameBytes))
+    media
+      .select(col("media_id"), col("format"),
+        posexplode(frames(col("payload"))).as(Seq("frame_no", "frame")))
+  }
+}

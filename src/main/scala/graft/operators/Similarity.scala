@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Scale design: the query set is broadcast (it is small by definition), the
+  * corpus is never collected or re-shuffled for scoring. Exact brute force
+  * runs as a two-phase top-k: per-input-partition top-k (shuffle carries only
+  * k rows per (query, partition)) then a final top-k per query — the same
+  * shape works for a 1000-executor scan of 100 TB of vectors. The LSH variant
+  * prunes the scan with deterministic random-hyperplane buckets (signature
+  * from xxhash64-derived hyperplanes, so results are reproducible without a
+  * stored model); multi-probe over 1-bit flips trades recall for scan width.
+  */
+object Similarity {
+
+  /** Cosine similarity of two Array[Float]/Array[Double] columns (exact,
+    * computed in double).
+    */
+  def cosine(ca: String, cb: String): Column = {
+    expr(
+      s"""aggregate(zip_with($ca, $cb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)
+         | / (sqrt(aggregate($ca, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+         |    * sqrt(aggregate($cb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin)
+  }
+
+  /** Exact brute-force top-k: for each row of (small) `queries`, the k
+    * corpus rows with highest cosine. Output: query_id, vec_id, cosine, rank.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries)) // cartesian with broadcast queries: one corpus scan
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        cosine(vecCol, queryVecCol).as("cosine"))
+      .withColumn("part", spark_partition_id())
+    // phase 1: local top-k per (query, input partition)
+    val w1 = Window.partitionBy(col("query_id"), col("part"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val partial = scored.withColumn("rn", row_number().over(w1)).filter(col("rn") <= k)
+    // phase 2: global top-k per query over the k*numPartitions survivors
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane LSH bucket of a vector: bit i is the
+    * sign of dot(v, r_i) where r_i(d) is derived from xxhash64(i, d) mapped
+    * to [-1, 1]. No fitted model to store or broadcast.
+    */
+  def lshBucket(v: String, nBits: Int): Column = {
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${nBits - 1}), i ->
+         |    CASE WHEN aggregate(
+         |      zip_with($v, sequence(0, size($v) - 1),
+         |        (x, d) -> cast(x as double) * (cast(xxhash64(i, d) as double) / 9.223372036854776E18)),
+         |      0D, (acc, x) -> acc + x) > 0D
+         |    THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, x) -> acc | x)""".stripMargin)
+  }
+
+  /** LSH-pruned top-k: score only corpus rows whose bucket matches the
+    * query's bucket or any 1-bit-flip neighbor (multi-probe). Same output
+    * shape as bruteForceTopK; recall < 1 by construction.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      nBits: Int = 12): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(vecCol, nBits))
+    val probes = queries
+      .withColumn("qbucket", lshBucket(queryVecCol, nBits))
+      .select(col(queryIdCol), col(queryVecCol), explode(
+        expr(s"array_union(array(qbucket), transform(sequence(0, ${nBits - 1}), i -> qbucket ^ shiftleft(1L, i)))"))
+        .as("bucket"))
+    val scored = bucketed
+      .join(broadcast(probes), "bucket")
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        cosine(vecCol, queryVecCol).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-based heuristic), quality scoring, token counting, document
+  * fingerprinting. Pure column expressions — map-side, codegen-friendly, no
+  * shuffles, no UDFs; they compose freely with the security layer and scale
+  * linearly with the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces and single punctuation marks counted
+    * separately (a cheap, deterministic proxy for subword tokenizers).
+    */
+  def bpeishTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+
+  private val StopWords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "on",
+    "for", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Count of stopword tokens (lowercased whitespace tokens). */
+  def stopwordCount(textCol: String): Column = {
+    val words = s"split(lower(trim($textCol)), '\\\\s+')"
+    val list = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"size(filter($words, w -> array_contains($list, w)))")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents, a sane
+    * mean token length and the presence of (a few) stopwords; punishes
+    * punctuation soup. The components are exposed by `qualityColumns` so the
+    * score is auditable.
+    */
+  def qualityScore(textCol: String): Column = {
+    val text = col(textCol)
+    val nChars = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val meanTokLen = nChars / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = stopwordCount(textCol).cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio * lit(2.0), lit(1.0))
+    round((lenScore * 0.4 + tokLenScore * 0.3 + stopScore * 0.3) * (lit(1.0) - punctPenalty), 6)
+  }
+
+  /** Marker-based language ID: CJK codepoints => zh, else the first language
+    * whose marker words appear, else en. Deterministic and expressible in
+    * plain SQL (the oracle replicates it verbatim).
+    */
+  def langId(text: Column): Column = {
+    def hasWord(ws: Seq[String]): Column =
+      lower(text).rlike(ws.mkString("\\b(", "|", ")\\b"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasWord(Seq("der", "die", "und", "nicht", "ist")), "de")
+      .when(hasWord(Seq("le", "les", "et", "est", "une")), "fr")
+      .when(hasWord(Seq("el", "los", "las", "es", "una")), "es")
+      .otherwise("en")
+  }
+
+  /** Stable 128-bit document fingerprint over whitespace-normalized,
+    * lowercased text. Grouping/joining on this instead of the body keeps
+    * shuffles narrow at scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup, similarity, text analysis,
+  * multimodal, streaming) over the documents/embeddings/events tables.
+  * DuckDB oracles where the semantics are SQL-expressible; the
+  * hash-sketch-based operators (minhash/simhash/LSH — xxhash64 has no DuckDB
+  * equivalent) are deterministic and get rows-only checks plus ScalaTest
+  * coverage with planted duplicates.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+
+  /** documents unioned with an offset copy of itself: plants exact
+    * duplicates so the sketch-based dedup paths provably find pairs on any
+    * corpus.
+    */
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        docs(s, dir).withColumn("len_band", expr("CAST(n_chars DIV 100 AS INT)")),
+        "doc_id", "text", Seq("lang", "len_band"), threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_cosine" -> ((s, dir) => {
+      // plant exact duplicates (offset ids) so near-dup pairs provably exist
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val doubled = e.unionAll(e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding"), col("label")))
+      Dedup.cosinePairs(doubled, "vec_id", "embedding", Seq("label"), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount("text").as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount("text").as("n_stop"),
+        TextAnalysis.qualityScore("text").as("score"))
+        .orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), length(col("payload")).as("n_bytes"))
+        .orderBy(col("media_id"))),
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
+        .orderBy(col("media_id"))
+    }),
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames_sampled"), sum(length(col("frame"))).as("total_bytes"))
+        .orderBy(col("media_id"))
+    }),
+    "stream_window_agg" -> ((s, dir) => {
+      val res = StreamOps.runToMemory(s,
+        StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out")
+      res.orderBy(col("bucket"), col("event_type"))
+    })
+  )
+
+  private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val duckStop =
+    "['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','by','at','it','this','that']"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    "dedup_jaccard" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS band,
+         |         list_distinct($duckWords) AS wset
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.wset, b.wset))), 6) AS jaccard
+         |FROM w a JOIN w b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cosine
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, len($duckWords) AS n_tokens,
+         |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS DOUBLE) AS nc,
+         |         CAST(len($duckWords) AS DOUBLE) AS nt,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS np,
+         |         CAST(len(list_filter($duckWords, w -> list_contains($duckStop, w))) AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(nc AS INT) AS n_chars_m, CAST(nt AS INT) AS n_tokens,
+         |       CAST(np AS INT) AS n_punct, CAST(ns AS INT) AS n_stop,
+         |       round((least(nc / 200.0, 1.0) * 0.4
+         |              + (CASE WHEN nc / greatest(nt, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |              + least(ns / greatest(nt, 1.0) * 5.0, 1.0) * 0.3)
+         |             * (1.0 - least(np / greatest(nc, 1.0) * 2.0, 1.0)), 6) AS score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN regexp_matches(lower(text), '\b(der|die|und|nicht|ist)\b') THEN 'de'
+        |       WHEN regexp_matches(lower(text), '\b(le|les|et|est|une)\b') THEN 'fr'
+        |       WHEN regexp_matches(lower(text), '\b(el|los|las|es|una)\b') THEN 'es'
+        |       ELSE 'en' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
+        |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
+        |       CAST(length(text) // 32 + 1 AS INT) AS n_frames,
+        |       octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames_sampled,
+        |       octet_length(encode(text)) AS total_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket,
+        |       event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming parity (SURVEY §7: the reference executes everything
+  * on a streaming engine; our rules and operators are plan-level and
+  * mode-agnostic). `readStream` -> windowed agg -> memory sink with a
+  * synchronous drain gives deterministic results a DuckDB oracle can check —
+  * the streaming analog of the reference's fetchRows
+  * (SecurityContext.java:235-242).
+  */
+object StreamOps {
+
+  /** Streaming read of the events table (nanos timestamps normalized to
+    * micros, same as the batch loader).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // readStream wants a directory; glob-filter to the events file only
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** 1-hour tumbling-window counts/sums per event type (native streaming
+    * window; same buckets as the batch q_events_bucket query).
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("total"))
+
+  /** Run a (complete-mode) streaming aggregation to a memory sink, drain all
+    * available input synchronously, and return the result table.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about database engines and query optimizers"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val survivors = Dedup.exact(docs, "text", "doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 deduped into 1
+  }
+
+  test("minhash-LSH finds exact and near duplicates, with exact jaccard verify") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc untouched
+  }
+
+  test("simhash: identical texts collide, near-dups are close, distinct far") {
+    val sk = docs.select(col("doc_id"), Dedup.simhash64("text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk(1L) == sk(4L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(2L)) <= 8)
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) > 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+
+  test("exact jaccard pairs respect blocking and threshold") {
+    val blocked = docs.withColumn("block", lit(1))
+    val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private def vecs: DataFrame = Seq(
+    (1L, Array(1f, 0f, 0f, 0f), 0),
+    (2L, Array(0.99f, 0.1f, 0f, 0f), 0), // ~same direction as 1
+    (3L, Array(0f, 1f, 0f, 0f), 0),
+    (4L, Array(1f, 0f, 0f, 0f), 1) // same as 1 but other block
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine near-dup pairs within blocks") {
+    val pairs = Dedup.cosinePairs(vecs, "vec_id", "embedding", Seq("label"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 4 blocked away, 3 orthogonal
+  }
+
+  test("brute-force top-k ranks by exact cosine with deterministic tiebreak") {
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L)) // cosine 1.0, 1.0 (tie -> id), 0.995
+  }
+
+  test("LSH top-k returns a subset ranked identically to brute force on hits") {
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = Similarity.lshTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 4, nBits = 4)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(got.contains(1L) && got(1L) > 0.999) // query always finds itself
+  }
+
+  test("text analysis columns") {
+    val r = Seq((1L, "The quick brown fox, it jumps! Over 42 lazy dogs."))
+      .toDF("doc_id", "text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("tok"),
+        TextAnalysis.bpeishTokenCount("text").as("bpe"),
+        TextAnalysis.punctCount(col("text")).as("punct"),
+        TextAnalysis.stopwordCount("text").as("stop"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().head
+    assert(r.getAs[Int]("tok") == 10)
+    assert(r.getAs[Int]("punct") == 3) // comma, bang, final period
+    assert(r.getAs[Int]("stop") == 2) // the, it ("over" is not in the stop list)
+    assert(r.getAs[String]("fp").length == 32)
+  }
+
+  test("langId marker heuristic") {
+    val got = Seq(
+      (1L, "der hund und die katze ist hier"),
+      (2L, "le chat et le chien est une merveille"),
+      (3L, "el perro y los gatos es una maravilla"),
+      (4L, "the dog and the cat are here"),
+      (5L, "你好世界")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en", 5L -> "zh"))
+  }
+
+  test("multimodal: fake media plumbing, batched decode, frame sampling") {
+    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "format", "width", "height", "n_frames"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 5)
+    val text1 = docs.filter($"doc_id" === 1L).select("text").as[String].head()
+    val bytes1 = text1.getBytes("UTF-8").length
+    val f1 = feats.find(_.getLong(0) == 1L).get
+    assert(f1.getInt(1) == bytes1) // payload bytes == utf8 length of text
+    val fv = f1.getSeq[Float](2)
+    assert(fv.length == Multimodal.FakeCodec.FeatureDim)
+    assert(math.abs(fv.sum - 1f) < 1e-5) // normalized histogram
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16)
+    val n = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(n(1L) == math.ceil(bytes1 / 16.0).toLong)
+  }
+
+  test("operators compose with the security layer (masked text dedups differently)") {
+    // Masked fingerprints: policy-masked content yields different dedup keys,
+    // proving the ops run downstream of the security projection.
+    import graft.policy.DataMaskPolicy
+    docs.createOrReplaceTempView("op_docs")
+    val ctx = new graft.SecurityContext(spark)
+    ctx.policyManager.addPolicy(DataMaskPolicy(
+      "u", "spark_catalog", "default", "op_docs", "text", "MASK_HASH"))
+    val masked = ctx.dfDataMask("u", "SELECT doc_id, text FROM op_docs")
+    val survivors = Dedup.exact(masked, "text", "doc_id").count()
+    assert(survivors == 4) // same dedup structure, over hashed values
+  }
+}

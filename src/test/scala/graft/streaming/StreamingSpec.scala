@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming parity: the reference runs everything on a streaming engine
+  * (SecurityContext.java:106-108); our rules are plan-level and apply
+  * unchanged to streaming DataFrames.
+  */
+class StreamingSpec extends SparkFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed aggregation over the events stream drains to memory") {
+    val res = StreamOps.runToMemory(spark,
+      StreamOps.hourlyTypeCounts(StreamOps.eventsStream(spark, dir)), "t_stream_agg")
+    assert(res.count() > 0)
+    // buckets align to the hour
+    assert(res.filter(expr("minute(bucket) != 0 OR second(bucket) != 0")).count() == 0)
+  }
+
+  test("security rules rewrite streaming plans (filter + mask on a stream)") {
+    val events = StreamOps.eventsStream(spark, dir)
+    events.createOrReplaceTempView("events_stream")
+    val ctx = new graft.SecurityContext(spark)
+    ctx.policyManager.addPolicy(RowFilterPolicy(
+      "u", "spark_catalog", "default", "events_stream", "event_type = 'purchase'"))
+    ctx.policyManager.addPolicy(DataMaskPolicy(
+      "u", "spark_catalog", "default", "events_stream", "props", "MASK_HASH"))
+    val secured = ctx.dfMixed("u", "SELECT event_id, event_type, props FROM events_stream")
+    assert(secured.isStreaming)
+    val q = secured.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_sec").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("t_stream_sec")
+    assert(out.count() > 0)
+    assert(out.filter(col("event_type") =!= "purchase").count() == 0)
+    // props masked to sha256 hex
+    assert(out.filter(!col("props").rlike("^[0-9a-f]{64}$")).count() == 0)
+  }
+}
