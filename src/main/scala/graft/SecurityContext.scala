@@ -24,6 +24,7 @@ final class SecurityContext(
     defaultDatabase: String = "default"
 ) {
   MaskFunctions.register(spark)
+  graft.functions.VectorFunctions.register(spark)
 
   private val scope = TableScope(defaultCatalog, defaultDatabase)
 

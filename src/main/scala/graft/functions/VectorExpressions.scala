@@ -1,0 +1,318 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketch/vector hot loops.
+  *
+  * The higher-order-function formulations (aggregate/transform/zip_with) are
+  * correct but interpret a closure per array element — a 64-hash MinHash over
+  * 50 shingles costs ~3200 lambda evaluations per row. These expressions do
+  * the same work in one tight JVM loop per row. They use CodegenFallback:
+  * the per-row virtual-call overhead is negligible against the per-row loop,
+  * so they don't meaningfully break whole-stage codegen economics, and every
+  * input/output is a plain Catalyst array — no UDF boxing.
+  *
+  * Measured effect (sf0.1, local[32]): dedup_simhash 20s -> sub-second-class,
+  * dedup_jaccard 17s -> ~1s, see BENCH notes.
+  */
+object VectorOps {
+
+  /** splitmix64 finalizer-style mix of a base hash with a seed lane. */
+  @inline def mix(h: Long, lane: Int): Long = {
+    var z = h ^ (0x9E3779B97F4A7C15L * (lane + 1))
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** k-lane MinHash signature from per-shingle base hashes. */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val m = mix(h, j)
+        if (m < out(j)) out(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash from per-token base hashes (bit-vote sign). */
+  def simhash64(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Jaccard similarity of two SORTED string arrays (merge-count). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Jaccard similarity of two SORTED long arrays — primitive merge, no
+    * string materialization per pair.
+    */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val (x, y) = (a.getLong(i), b.getLong(j))
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Dot product of two float arrays, accumulated in double. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Dot product of two double arrays. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Sorted distinct hashes of word n-gram shingles, in one pass: lowercase,
+    * whitespace-split, xxh64 each word once, then each shingle hash is a mix
+    * chain over n consecutive word hashes — no n-gram strings are ever
+    * built. n = 1 gives the word-set hashes used for set Jaccard.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.toLowerCase.trim.split("\\s+")
+    val wh = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val u = UTF8String.fromString(tokens(i))
+      wh(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    val m = math.max(tokens.length - n + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var c = wh(i)
+      var j = 1
+      while (j < n && i + j < wh.length) { c = mix(c ^ wh(i + j), j); j += 1 }
+      out(i) = c
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Random-hyperplane LSH bucket: bit i = sign of dot(v, r_i), hyperplane
+    * components r_i(d) derived from mix(d, i) mapped to [-1, 1] — fully
+    * deterministic, no fitted model.
+    */
+  def lshBucket(v: ArrayData, nBits: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * (mix(d.toLong, i).toDouble / 9.223372036854776e18)
+        d += 1
+      }
+      if (acc > 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.simhash64(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "graft_simhash64"
+}
+
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  private def isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+         (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard_sorted expects two array<string> or two array<bigint>, got " +
+        s"${a.catalogString} and ${b.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isLong) VectorOps.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_jaccard_sorted"
+}
+
+/** Dot product over array<float> or array<double> (both sides must match). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_dot expects two array<float> or two array<double>, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorOps.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_vec_dot"
+}
+
+/** Sorted distinct word-n-gram shingle hashes of a string, single pass. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Deterministic random-hyperplane LSH bucket over array<float>/<double>. */
+case class LshBucket(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects array<float> or array<double>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.lshBucket(v.asInstanceOf[ArrayData], nBits, isFloat)
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "graft_lsh_bucket"
+}
+
+/** Registration for SQL/expr access (same pattern as MaskFunctions). */
+object VectorFunctions {
+  private def intLit(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_minhash_sig",
+      args => MinHashSig(args.head, intLit(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_simhash64",
+      args => SimHash64(args.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_jaccard_sorted",
+      args => JaccardSorted(args.head, args(1)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_vec_dot",
+      args => VecDot(args.head, args(1)), "scala_udf")
+    r.createOrReplaceTempFunction("graft_lsh_bucket",
+      args => LshBucket(args.head, intLit(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_shingle_hashes",
+      args => ShingleHashes(args.head, intLit(args(1))), "scala_udf")
+  }
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -31,14 +32,19 @@ object Dedup {
     * (higher-order functions with derived seeds), and splicing arbitrary
     * Column objects cannot round-trip through SQL in Spark 4.
     */
-  def shingles(textCol: String, n: Int = 3): Column = {
+  def shingles(textCol: String, n: Int = 3): Column = expr(shingleSql(textCol, n))
+
+  private[operators] def shingleSql(textCol: String, n: Int): String = {
     val c = s"split(lower(trim($textCol)), '\\\\s+')"
-    expr(s"transform(sequence(0, greatest(size($c) - $n, 0)), i -> concat_ws(' ', slice($c, i + 1, $n)))")
+    s"transform(sequence(0, greatest(size($c) - $n, 0)), i -> concat_ws(' ', slice($c, i + 1, $n)))"
   }
 
-  /** k-wide MinHash signature over the named shingle-array column. */
+  /** k-wide MinHash signature over a shingle array: one xxhash64 per shingle,
+    * then k splitmix lanes folded in a tight loop (graft_minhash_sig custom
+    * expression — the HOF formulation costs k interpreted lambda passes).
+    */
   def minhashSignature(shCol: String, k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($shCol, s -> xxhash64(i, s))))")
+    expr(s"graft_minhash_sig(transform($shCol, s -> xxhash64(s)), $k)")
 
   /** Exact dedup: one surviving (minimum) id per distinct key. Grouping is on
     * a 128-bit md5 of the key, so the shuffle carries 16 bytes per row
@@ -64,31 +70,41 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucket: Int = 100,
       threshold: Double = 0.7): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
     val k = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol), col(textCol))
-      .withColumn("sh", array_distinct(shingles(textCol, shingleSize)))
-      .withColumn("sig", minhashSignature("sh", k))
-      .select(col(idCol), col("sh"), posexplode(
+    // single-pass shingle hashing (graft_shingle_hashes): all downstream work
+    // (signature, exact-jaccard verify) runs on sorted primitive long arrays;
+    // no n-gram strings are materialized anywhere
+    val sets = df
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+
+    // Band rows carry only (id, band, band_hash) — the shingle arrays never
+    // ride through the LSH shuffles.
+    val bandRows = sets
+      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k)"))
+      .select(col(idCol), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), j -> xxhash64(j, slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
 
     // cap pathological buckets (boilerplate shingle collisions) — skew guard
-    val buckets = withSig
+    val buckets = bandRows
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
 
-    val a = buckets.select(col("band"), col("band_hash"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("band_hash"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    // candidate id pairs, deduped BEFORE the (expensive) exact verify so a
+    // pair colliding in many bands is verified once
+    val candidates = buckets.alias("a")
+      .join(buckets.alias("b"), Seq("band", "band_hash"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .distinct()
+
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("graft_jaccard_sorted(sh_a, sh_b)").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -96,16 +112,8 @@ object Dedup {
     * shuffle: per word, each of the 64 bits of xxhash64(word) votes +1/-1;
     * sign of the vote sum becomes the sketch bit.
     */
-  def simhash64(textCol: String): Column = {
-    val c = s"split(lower(trim($textCol)), '\\\\s+')"
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, 63), i ->
-         |    CASE WHEN aggregate($c, 0L, (acc, w) ->
-         |      acc + CASE WHEN (shiftrightunsigned(xxhash64(w), i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-         |    THEN shiftleft(1L, i) ELSE 0L END),
-         |  0L, (acc, x) -> acc | x)""".stripMargin)
-  }
+  def simhash64(textCol: String): Column =
+    expr(s"graft_simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), w -> xxhash64(w)))")
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * chunk banding over (maxHamming + 1) chunks and verified with
@@ -115,6 +123,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    VectorFunctions.register(df.sparkSession)
     val sk = df.select(col(idCol), simhash64(textCol).as("simhash"))
       .select(col(idCol), col("simhash"), posexplode(
         expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1})"))
@@ -134,16 +143,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    // word sets as sorted 64-bit hash arrays: single-pass, primitive merges
     val withSet = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("wset"): _*)
+        expr(s"graft_shingle_hashes($textCol, 1)").as("wset"): _*)
     val a = withSet.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("wset").as("set_a"): _*)
     val b = withSet.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("wset").as("set_b"): _*)
-    a.join(b, blockCols)
+    // broadcast the probe side: block keys are low-cardinality, so a
+    // sort-merge join would shuffle every word-set array; at sizes beyond
+    // broadcast, bucket both sides on the block key instead
+    a.join(broadcast(b), blockCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+        expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -152,17 +165,16 @@ object Dedup {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
     val v = df.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        expr(s"transform($vecCol, x -> cast(x as double))").as("v"): _*)
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      (col(idCol) +: blockCols.map(col)) :+ col(vecCol).as("v"): _*)
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
     val a = v.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("v").as("va") :+ col("norm").as("na"): _*)
     val b = v.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("v").as("vb") :+ col("norm").as("nb"): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("na") * col("nb"))).as("cosine"))
+        (expr("graft_vec_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

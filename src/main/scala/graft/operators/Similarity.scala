@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,18 +22,15 @@ object Similarity {
   /** Cosine similarity of two Array[Float]/Array[Double] columns (exact,
     * computed in double).
     */
-  def cosine(ca: String, cb: String): Column = {
-    expr(
-      s"""aggregate(zip_with($ca, $cb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)
-         | / (sqrt(aggregate($ca, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
-         |    * sqrt(aggregate($cb, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))""".stripMargin)
-  }
+  def cosine(ca: String, cb: String): Column =
+    expr(s"graft_vec_dot($ca, $cb) / (sqrt(graft_vec_dot($ca, $ca)) * sqrt(graft_vec_dot($cb, $cb)))")
 
   /** Exact brute-force top-k: for each row of (small) `queries`, the k
     * corpus rows with highest cosine. Output: query_id, vec_id, cosine, rank.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val scored = corpus
       .join(broadcast(queries)) // cartesian with broadcast queries: one corpus scan
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
@@ -53,17 +51,8 @@ object Similarity {
     * sign of dot(v, r_i) where r_i(d) is derived from xxhash64(i, d) mapped
     * to [-1, 1]. No fitted model to store or broadcast.
     */
-  def lshBucket(v: String, nBits: Int): Column = {
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${nBits - 1}), i ->
-         |    CASE WHEN aggregate(
-         |      zip_with($v, sequence(0, size($v) - 1),
-         |        (x, d) -> cast(x as double) * (cast(xxhash64(i, d) as double) / 9.223372036854776E18)),
-         |      0D, (acc, x) -> acc + x) > 0D
-         |    THEN shiftleft(1L, i) ELSE 0L END),
-         |  0L, (acc, x) -> acc | x)""".stripMargin)
-  }
+  def lshBucket(v: String, nBits: Int): Column =
+    expr(s"graft_lsh_bucket($v, $nBits)")
 
   /** LSH-pruned top-k: score only corpus rows whose bucket matches the
     * query's bucket or any 1-bit-flip neighbor (multi-probe). Same output
@@ -72,6 +61,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
       nBits: Int = 12): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val bucketed = corpus.withColumn("bucket", lshBucket(vecCol, nBits))
     val probes = queries
       .withColumn("qbucket", lshBucket(queryVecCol, nBits))

@@ -11,6 +11,7 @@ object Tables {
     * truncation is oracle-safe).
     */
   def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     raw.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {

@@ -16,6 +16,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(s)
     s
   }
 }
