@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization of an event stream.
+  *
+  * Batch form: two window passes per user partition (lag to detect gaps,
+  * running sum to number sessions) — one shuffle on the user key, linear in
+  * events; session boundaries use second-truncated epochs so batch results
+  * are engine-portable for the oracle.
+  *
+  * Streaming form: KeyValueGroupedDataset.flatMapGroupsWithState with an
+  * explicit open-session state per user — the Structured Streaming analog of
+  * Flink's keyed session state; closed sessions are emitted per micro-batch.
+  */
+object Sessionize {
+
+  /** Assign per-user session sequence numbers: a new session starts when the
+    * gap since the previous event exceeds `gapSeconds`.
+    */
+  def assign(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val te = unix_timestamp(col(tsCol))
+    val prev = lag(te, 1).over(byUser)
+    events
+      .withColumn("_te", te)
+      .withColumn("_is_new",
+        when(prev.isNull || (te - prev) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_is_new")
+  }
+
+  /** Batch session summary: (user, session_seq, n_events, start, end). */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    assign(events, userCol, tsCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("_te")).as("session_start"),
+        max(col("_te")).as("session_end"))
+      .orderBy(col(userCol), col("session_seq"))
+
+  case class SessionEvent(userId: Long, epochSec: Long)
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class ClosedSession(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
+
+  /** Streaming sessionizer: keeps one open session per user in group state,
+    * closes it when an incoming event exceeds the gap. The trailing open
+    * session stays in state (a production deployment adds an event-time
+    * timeout to flush it; a wall-clock timeout here would make synchronous
+    * test drains wait out the gap in real time).
+    */
+  def streamingSessions(spark: SparkSession, events: DataFrame, userCol: String,
+      tsCol: String, gapSeconds: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val typed = events
+      .select(col(userCol).cast("long").as("userId"),
+        unix_timestamp(col(tsCol)).as("epochSec"))
+      .as[SessionEvent]
+
+    def fn(userId: Long, evs: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = evs.map(_.epochSec).toArray.sorted
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.end <= gapSeconds =>
+            cur = Some(OpenSession(s.start, t, s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(userId, s.start, s.end, s.n)
+            cur = Some(OpenSession(t, t, 1))
+          case None =>
+            cur = Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+}

@@ -44,9 +44,33 @@ final case class DataMaskType(
 }
 
 object DataMaskType {
-  /** Built-in registry (semantics of the reference's data_mask_types.json;
-    * re-authored, not copied). The transformer strings are SQL calls into the
-    * mask function family registered by [[graft.functions.MaskFunctions]].
+  /** Load a mask-type registry from a classpath JSON resource (mirrors the
+    * reference's PolicyManager.java:41-58 loading data_mask_types.json);
+    * parsed with json4s, which ships in the Spark jars.
+    */
+  def loadResource(resource: String = "/graft_mask_types.json"): Seq[DataMaskType] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val stream = getClass.getResourceAsStream(resource)
+    require(stream != null, s"mask-type resource $resource not found on classpath")
+    val src = scala.io.Source.fromInputStream(stream, "UTF-8")
+    val json = try JsonMethods.parse(src.mkString) finally src.close()
+    for (JObject(fields) <- json.asInstanceOf[JArray].arr.map(_.asInstanceOf[JObject]))
+      yield {
+        val m = fields.toMap
+        DataMaskType(
+          itemId = m("itemId") match { case JInt(i) => i.toInt; case _ => -1 },
+          name = m("name") match { case JString(s) => s; case _ => "" },
+          label = m.get("label").collect { case JString(s) => s }.getOrElse(""),
+          description = m.get("description").collect { case JString(s) => s }.getOrElse(""),
+          transformer = m.get("transformer").collect { case JString(s) => s })
+      }
+  }
+
+  /** Built-in registry (same entries as the JSON resource, authored in code
+    * so the library works without resource loading). The transformer strings
+    * are SQL calls into the mask function family registered by
+    * [[graft.functions.MaskFunctions]].
     */
   val builtin: Seq[DataMaskType] = Seq(
     DataMaskType(1, "MASK", "Redact",

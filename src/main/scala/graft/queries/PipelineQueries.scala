@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +108,8 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames_sampled"), sum(length(col("frame"))).as("total_bytes"))
         .orderBy(col("media_id"))
     }),
+    "events_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out")
@@ -189,6 +191,20 @@ object PipelineQueries {
         |       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames_sampled,
         |       octet_length(encode(text)) AS total_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket,
         |       event_type, count(*) AS cnt,

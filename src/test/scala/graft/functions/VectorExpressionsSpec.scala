@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkFunSuite
+
+class VectorExpressionsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def one(q: String): Any = {
+    VectorFunctions.register(spark)
+    spark.sql(q).collect().head.get(0)
+  }
+
+  test("graft_jaccard_sorted on strings and longs") {
+    assert(one("select graft_jaccard_sorted(array('a','b','c'), array('b','c','d'))") == 0.5)
+    assert(one("select graft_jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L))") == 0.5)
+    assert(one("select graft_jaccard_sorted(array('a'), array('a'))") == 1.0)
+    assert(one("select graft_jaccard_sorted(array('a'), array('b'))") == 0.0)
+    assert(one("select graft_jaccard_sorted(cast(array() as array<string>), cast(array() as array<string>))") == 1.0)
+    assert(one("select graft_jaccard_sorted(cast(null as array<string>), array('a'))") == null)
+  }
+
+  test("graft_vec_dot float and double, null propagation") {
+    assert(one("select graft_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float)))") == 11.0)
+    assert(one("select graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))") == 11.0)
+    assert(one("select graft_vec_dot(cast(null as array<double>), array(1.0D))") == null)
+  }
+
+  test("graft_vec_dot rejects mismatched types at analysis") {
+    VectorFunctions.register(spark)
+    intercept[Exception](
+      spark.sql("select graft_vec_dot(array('a'), array('b'))").collect())
+  }
+
+  test("graft_shingle_hashes: sorted, distinct, deterministic, n=1 word sets") {
+    val a = one("select graft_shingle_hashes('the cat sat on the mat', 1)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(a.length == 5) // 'the' deduped
+    assert(a == a.sorted)
+    val b = one("select graft_shingle_hashes('THE CAT sat on the MAT', 1)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(a == b) // lowercasing
+    val tri = one("select graft_shingle_hashes('a b c d', 3)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(tri.length == 2) // (a b c), (b c d)
+    val short = one("select graft_shingle_hashes('a b', 3)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(short.length == 1) // shorter than n -> single shingle
+  }
+
+  test("graft_minhash_sig width and identical-input stability") {
+    val s1 = one("select graft_minhash_sig(graft_shingle_hashes('x y z w v', 2), 32)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    val s2 = one("select graft_minhash_sig(graft_shingle_hashes('x y z w v', 2), 32)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(s1.length == 32 && s1 == s2)
+  }
+
+  test("graft_simhash64 empty-ish inputs do not crash") {
+    assert(one("select graft_simhash64(cast(array() as array<bigint>))") == 0L)
+  }
+
+  test("graft_lsh_bucket is stable and within bit range") {
+    val b = one("select graft_lsh_bucket(array(cast(0.5 as float), cast(-0.25 as float)), 8)")
+      .asInstanceOf[Long]
+    assert(b >= 0L && b < 256L)
+    assert(one("select graft_lsh_bucket(array(cast(0.5 as float), cast(-0.25 as float)), 8)") == b)
+  }
+
+  test("mask-type registry JSON resource matches the built-in registry") {
+    val fromJson = graft.policy.DataMaskType.loadResource()
+    assert(fromJson == graft.policy.DataMaskType.builtin)
+  }
+}

@@ -21,6 +21,27 @@ class StreamingSpec extends SparkFunSuite {
     assert(res.filter(expr("minute(bucket) != 0 OR second(bucket) != 0")).count() == 0)
   }
 
+  test("stateful streaming sessionization closes sessions on gaps") {
+    import spark.implicits._
+    val events = StreamOps.eventsStream(spark, dir)
+    val sessions = graft.operators.Sessionize
+      .streamingSessions(spark, events, "user_id", "ts", gapSeconds = 1800)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("t_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("t_sessions")
+    assert(closed.count() > 0)
+    // closed streaming sessions are a subset of the batch sessionization
+    val batch = graft.operators.Sessionize.sessions(
+      graft.queries.Tables.df(spark, dir, "events"), "user_id", "ts", 1800)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = closed
+      .select($"userId", $"sessionStart", $"sessionEnd", $"nEvents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.subsetOf(batch))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
