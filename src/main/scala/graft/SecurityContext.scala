@@ -56,6 +56,18 @@ final class SecurityContext(
     analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered))
   }
 
+  // --- rewrite-to-SQL API (best-effort text, for diffing/goldens; the
+  // reference returns SQL strings, SecurityContext.java:126-167) ---
+
+  def rewriteRowFilterSql(user: String, sql: String): String =
+    graft.plans.SqlRenderer.toSql(rewriteRowFilter(user, sql))
+
+  def rewriteDataMaskSql(user: String, sql: String): String =
+    graft.plans.SqlRenderer.toSql(rewriteDataMask(user, sql))
+
+  def mixedRewriteSql(user: String, sql: String): String =
+    graft.plans.SqlRenderer.toSql(mixedRewrite(user, sql))
+
   // --- DataFrame API ---
 
   def dfRowFilter(user: String, sql: String): DataFrame =

@@ -259,4 +259,19 @@ class SecurityContextSpec extends SparkFunSuite {
   test("no policies -> plans untouched for unknown user") {
     assert(rows(ctx.mixedExecute("nobody", baseSql)).size == 6)
   }
+
+  test("rewrite-to-SQL renderer shows injected filter and mask (golden-style)") {
+    val sql = "SELECT order_id, customer_name FROM orders"
+    val rf = ctx.rewriteRowFilterSql("user_A", sql)
+    // reference golden shape: SELECT ... FROM orders WHERE region = 'beijing'
+    assert(rf.contains("SELECT order_id, customer_name FROM"))
+    assert(rf.contains("WHERE (region = 'beijing')") || rf.contains("WHERE region = 'beijing'"))
+    val dm = ctx.rewriteDataMaskSql("user_A", sql)
+    // reference golden shape: mask subquery with CAST(mask(col) AS type) AS col
+    assert(dm.toLowerCase.contains("mask(") && dm.toLowerCase.contains("cast("))
+    assert(dm.contains("AS customer_name"))
+    val mx = ctx.mixedRewriteSql("user_A", sql)
+    assert(mx.toLowerCase.contains("mask(") &&
+      (mx.contains("region = 'beijing'") || mx.contains("(region = 'beijing')")))
+  }
 }
