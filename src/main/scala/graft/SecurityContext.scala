@@ -34,6 +34,12 @@ final class SecurityContext(
   def parseSql(sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
 
+  /** Parse a scalar/boolean expression fragment (reference parseExpression,
+    * ParserImplExtension.java:54-58).
+    */
+  def parseExpression(sql: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+
   private def analyzed(plan: LogicalPlan): LogicalPlan =
     spark.sessionState.executePlan(plan).analyzed
 

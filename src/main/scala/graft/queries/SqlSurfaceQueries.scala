@@ -83,6 +83,17 @@ object SqlSurfaceQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("bucket"), col("event_type"))
     }),
+    // semi-structured: JSON props parsed with from_json into a typed struct
+    // (schema-on-read; the parse is codegen'd, no UDF)
+    "q_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_total"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    }),
     // top-N with unique tiebreak (LocalLimit pushed below the final sort)
     "q_topn" -> ((s, dir) => {
       t(s, dir, "events")
@@ -132,6 +143,12 @@ object SqlSurfaceQueries {
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+        |       min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+        |       max(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topn" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin
