@@ -108,6 +108,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames_sampled"), sum(length(col("frame"))).as("total_bytes"))
         .orderBy(col("media_id"))
     }),
+    // end-to-end preprocess composition: language ID + quality score ->
+    // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
+    // per-document features. One declarative plan: Catalyst fuses the
+    // map-side ops; the only shuffle is the dedup group-by on the 128-bit
+    // fingerprint.
+    "pipeline_preprocess" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d.select(
+        col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore("text").as("score"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val gated = scored.filter(col("score") >= 0.5)
+      val survivors = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(survivors, Seq("fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang_pred"), col("score"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -191,6 +210,32 @@ object PipelineQueries {
         |       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames_sampled,
         |       octet_length(encode(text)) AS total_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "pipeline_preprocess" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |              WHEN regexp_matches(lower(text), '\\b(der|die|und|nicht|ist)\\b') THEN 'de'
+         |              WHEN regexp_matches(lower(text), '\\b(le|les|et|est|une)\\b') THEN 'fr'
+         |              WHEN regexp_matches(lower(text), '\\b(el|los|las|es|una)\\b') THEN 'es'
+         |              ELSE 'en' END AS lang_pred,
+         |         CAST(length(text) AS DOUBLE) AS nc,
+         |         CAST(len($duckWords) AS DOUBLE) AS nt,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS np,
+         |         CAST(len(list_filter($duckWords, w -> list_contains($duckStop, w))) AS DOUBLE) AS ns,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang_pred, CAST(nt AS INT) AS n_tokens, fp,
+         |         round((least(nc / 200.0, 1.0) * 0.4
+         |                + (CASE WHEN nc / greatest(nt, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |                + least(ns / greatest(nt, 1.0) * 5.0, 1.0) * 0.3)
+         |               * (1.0 - least(np / greatest(nc, 1.0) * 2.0, 1.0)), 6) AS score
+         |  FROM t),
+         |g AS (SELECT * FROM q WHERE score >= 0.5),
+         |s AS (SELECT fp, min(doc_id) AS doc_id FROM g GROUP BY fp)
+         |SELECT g.doc_id, g.lang_pred, g.score, g.n_tokens
+         |FROM g JOIN s ON g.fp = s.fp AND g.doc_id = s.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,

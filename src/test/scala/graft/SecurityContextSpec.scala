@@ -260,6 +260,50 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(rows(ctx.mixedExecute("nobody", baseSql)).size == 6)
   }
 
+  test("policies apply to persistent catalog tables (3-part qualified names)") {
+    val c = ctx
+    spark.sql("DROP TABLE IF EXISTS cat_orders")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("spark-warehouse/cat_orders"))
+    spark.sql("CREATE TABLE cat_orders (order_id INT, customer_name STRING, region STRING) USING parquet")
+    spark.sql("INSERT INTO cat_orders VALUES (1, 'Jack', 'beijing'), (2, 'Sally', 'hangzhou')")
+    // policy keyed on the table's real catalog+db, not the context defaults
+    c.policyManager.addPolicy(RowFilterPolicy(
+      "cat_user", "spark_catalog", "default", "cat_orders", "region = 'beijing'"))
+    c.policyManager.addPolicy(DataMaskPolicy(
+      "cat_user", "spark_catalog", "default", "cat_orders", "customer_name", "MASK"))
+    val got = rows(c.mixedExecute("cat_user",
+      "SELECT order_id, customer_name, region FROM spark_catalog.default.cat_orders ORDER BY order_id"))
+    assert(got == Seq(Seq(1, "Xxxx", "beijing")))
+    // bare name resolves through the session catalog too
+    val bare = rows(c.mixedExecute("cat_user",
+      "SELECT order_id, customer_name, region FROM cat_orders ORDER BY order_id"))
+    assert(bare == Seq(Seq(1, "Xxxx", "beijing")))
+    spark.sql("DROP TABLE IF EXISTS cat_orders")
+  }
+
+  test("rules pass through UNION, window functions, EXISTS without breaking") {
+    val c = ctx
+    // UNION of a policied and non-policied scan: filter+mask apply per branch
+    val u = rows(c.mixedExecute("user_A",
+      """SELECT customer_name, region FROM orders WHERE region = 'beijing'
+        |UNION ALL
+        |SELECT customer_name, region FROM orders
+        |ORDER BY customer_name, region""".stripMargin, 20))
+    assert(u.size == 4) // 2 (filtered branch) + 2 (filtered branch again)
+    assert(u.forall(r => r.head.toString.startsWith("X")))
+    // window function over a filtered scan
+    val w = rows(c.executeRowFilter("user_A",
+      """SELECT order_id, row_number() OVER (ORDER BY order_id) AS rn
+        |FROM orders ORDER BY order_id""".stripMargin))
+    assert(w.map(_.map(_.toString)) == Seq(Seq("10001", "1"), Seq("10002", "2")))
+    // EXISTS subquery against a policied table
+    val e = rows(c.executeRowFilter("user_A",
+      """SELECT order_id FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM shipments s WHERE s.order_id = o.order_id)
+        |ORDER BY order_id""".stripMargin))
+    assert(e == Seq(Seq(10001), Seq(10002)))
+  }
+
   test("rewrite-to-SQL renderer shows injected filter and mask (golden-style)") {
     val sql = "SELECT order_id, customer_name FROM orders"
     val rf = ctx.rewriteRowFilterSql("user_A", sql)
