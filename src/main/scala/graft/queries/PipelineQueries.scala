@@ -131,7 +131,8 @@ object PipelineQueries {
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
-        StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out")
+        StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
+        statePartitions = Some(8))
       res.orderBy(col("bucket"), col("event_type"))
     })
   )

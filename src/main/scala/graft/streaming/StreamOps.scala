@@ -38,14 +38,25 @@ object StreamOps {
 
   /** Run a (complete-mode) streaming aggregation to a memory sink, drain all
     * available input synchronously, and return the result table.
+    *
+    * `statePartitions` sizes the streaming state store (fixed at first
+    * start): size it to the aggregate's key cardinality, not the batch scan
+    * default — 32 state-store instances for a few thousand groups cost ~2x
+    * per-batch overhead on this corpus.
     */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val q = streamed.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = streamed.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 }

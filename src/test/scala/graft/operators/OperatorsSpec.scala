@@ -123,6 +123,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(n(1L) == math.ceil(bytes1 / 16.0).toLong)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    // one hot key (90% of rows) + a long tail
+    val big = (1 to 2000).map(i => (if (i % 10 != 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (20L, "cold"), (999999L, "unmatched"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "row_id", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 8)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+    // left join keeps unmatched big rows exactly once
+    val plainLeft = big.join(small, Seq("k"), "left_outer").count()
+    val saltedLeft = SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", 8, "left_outer").count()
+    assert(saltedLeft == plainLeft)
+  }
+
   test("operators compose with the security layer (masked text dedups differently)") {
     // Masked fingerprints: policy-masked content yields different dedup keys,
     // proving the ops run downstream of the security projection.
