@@ -32,9 +32,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm the JVM/classloaders/parquet footer caches on a tiny query, so
+    // warm the JVM/classloaders/parquet footer caches and the streaming
+    // machinery (state store, micro-batch planner) on tiny inputs, so
     // per-query numbers measure the engine, not first-call JIT
     once("sec_rls_basic")
+    try graft.streaming.StreamOps.runToMemory(spark,
+      graft.streaming.StreamOps.hourlyTypeCounts(
+        graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
+      "bench_stream_warmup", statePartitions = Some(2))
+    catch { case e: Throwable => System.err.println(s"[bench] stream warmup: ${e.getMessage}") }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> once(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -21,6 +21,17 @@ class StreamingSpec extends SparkFunSuite {
     assert(res.filter(expr("minute(bucket) != 0 OR second(bucket) != 0")).count() == 0)
   }
 
+  test("streaming dedup drops duplicate keys with watermark-bounded state") {
+    val events = StreamOps.eventsStream(spark, dir)
+      .withColumn("dup_key", expr("event_id % 100")) // force duplicates
+    val deduped = StreamOps.streamingDedup(
+      events.select(col("dup_key"), col("ts")), Seq("dup_key"), "ts", "90 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("t_stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("t_stream_dedup").count() == 100)
+  }
+
   test("stateful streaming sessionization closes sessions on gaps") {
     import spark.implicits._
     val events = StreamOps.eventsStream(spark, dir)
