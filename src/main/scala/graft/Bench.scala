@@ -36,9 +36,15 @@ object Bench {
     // machinery (state store, micro-batch planner) on tiny inputs, so
     // per-query numbers measure the engine, not first-call JIT
     once("sec_rls_basic")
+    // prefer the sibling sf0.001 dir for a cheap stream warmup; fall back to
+    // the bench dir itself so the warmup never silently no-ops
+    val warmDir = {
+      val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (tiny.isDirectory) tiny.getPath else sfDir
+    }
     try graft.streaming.StreamOps.runToMemory(spark,
       graft.streaming.StreamOps.hourlyTypeCounts(
-        graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")),
+        graft.streaming.StreamOps.eventsStream(spark, warmDir)),
       "bench_stream_warmup", statePartitions = Some(2))
     catch { case e: Throwable => System.err.println(s"[bench] stream warmup: ${e.getMessage}") }
 

@@ -36,14 +36,15 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("total"))
 
-  /** Streaming exact-dedup: drop duplicate keys across micro-batches with
-    * watermark-bounded state — the streaming analog of
-    * [[graft.operators.Dedup.exact]].
+  /** Streaming dedup: drop duplicate keys across micro-batches with
+    * watermark-bounded state. Unlike [[graft.operators.Dedup.exact]] (which
+    * deterministically keeps min(id) per key), the surviving row per key is
+    * the first one processed — streaming cannot see later duplicates when it
+    * emits, so only key-level (not row-level) determinism holds.
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
   /** Run a (complete-mode) streaming aggregation to a memory sink, drain all
     * available input synchronously, and return the result table.
