@@ -111,7 +111,13 @@ final case class RowFilterRule(
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (postAnalysis) plan.transformUp(pf) else plan.resolveOperatorsUp(pf)
+    // transformUpWithSubqueries also reaches plans inside EXISTS/IN/scalar
+    // subquery expressions — a policied table referenced there must be
+    // filtered too. (In extension mode the analyzer's nested subquery
+    // resolution re-enters the injected rules, so resolveOperatorsUp on the
+    // outer plan suffices.)
+    if (postAnalysis) plan.transformUpWithSubqueries(pf)
+    else plan.resolveOperatorsUp(pf)
 }
 
 /** Injects masking projections for `user` (reference:
@@ -206,8 +212,14 @@ final case class DataMaskRule(
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformUpWithNewOutput {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // mask tables referenced inside subquery expressions (EXISTS/IN/scalar)
+    // first — transformUpWithNewOutput does not descend into them
+    val withSubqueries = plan.transformAllExpressions {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(apply(s.plan))
+    }
+    withSubqueries.transformUpWithNewOutput {
       case sa @ SubqueryAlias(id, child) =>
         val (cat, db, table) = tableParts(id)
         injectUnderFilters(child, cat, db, table) match {
@@ -215,4 +227,5 @@ final case class DataMaskRule(
           case None => (sa, Nil)
         }
     }
+  }
 }

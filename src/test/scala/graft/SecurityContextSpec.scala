@@ -304,6 +304,37 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(e == Seq(Seq(10001), Seq(10002)))
   }
 
+  test("row filter reaches tables inside EXISTS/IN subquery expressions") {
+    val c = ctx
+    // user_S sees only Shanghai-bound shipments; order 10003's shipment goes
+    // to Hangzhou, so the EXISTS must not match it.
+    c.policyManager.addPolicy(RowFilterPolicy(
+      "user_S", CAT, DB, "shipments", "destination = 'Shanghai'"))
+    val e = rows(c.executeRowFilter("user_S",
+      """SELECT order_id FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM shipments s WHERE s.order_id = o.order_id)
+        |ORDER BY order_id""".stripMargin))
+    assert(e == Seq(Seq(10001), Seq(10002))) // without the fix: 10003 leaks
+    val in = rows(c.executeRowFilter("user_S",
+      """SELECT order_id FROM orders
+        |WHERE order_id IN (SELECT order_id FROM shipments)
+        |ORDER BY order_id""".stripMargin))
+    assert(in == Seq(Seq(10001), Seq(10002)))
+  }
+
+  test("mask reaches tables inside scalar subqueries") {
+    val got = ctx.executeDataMask("user_A",
+      "SELECT (SELECT max(customer_name) FROM orders) AS m").head.getString(0)
+    assert(got == "Xxxxxx") // max over MASKED names, not raw ones
+  }
+
+  test("policies apply through CTEs (WITH clause)") {
+    val got = rows(ctx.mixedExecute("user_A",
+      """WITH t AS (SELECT * FROM orders)
+        |SELECT order_id, customer_name FROM t ORDER BY order_id""".stripMargin))
+    assert(got == Seq(Seq(10001, "Xxxx"), Seq(10002, "Xxxxx")))
+  }
+
   test("rewrite-to-SQL renderer shows injected filter and mask (golden-style)") {
     val sql = "SELECT order_id, customer_name FROM orders"
     val rf = ctx.rewriteRowFilterSql("user_A", sql)

@@ -42,6 +42,19 @@ class GraftSecurityExtensionsSpec extends SparkFunSuite {
       val again = sec.sql("SELECT customer_name FROM sec_orders WHERE id = 1").collect()
       assert(again.map(_.getString(0)).toSeq == Seq("Xxxx"))
 
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_user")
+      // policied table inside an EXISTS must be filtered in extension mode
+      // too; the OUTER table here has no policy, so any leak is visible
+      Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("sec_outer")
+      Seq((1, "x"), (2, "y")).toDF("id", "tag").createOrReplaceTempView("sec_refs")
+      GraftSecurityExtensions.policies.addPolicy(
+        RowFilterPolicy("ext_user", "spark_catalog", "default", "sec_refs", "id = 1"))
+      val ex = sec.sql(
+        """SELECT id FROM sec_outer o
+          |WHERE EXISTS (SELECT 1 FROM sec_refs r WHERE r.id = o.id)""".stripMargin)
+        .collect().map(_.getInt(0)).toSeq
+      assert(ex == Seq(1)) // id=2 matches sec_refs raw data but not the policy
+
       sec.conf.unset(GraftSecurityExtensions.UserKey)
       assert(sec.sql("SELECT * FROM sec_orders").count() == 2)
     } finally {
