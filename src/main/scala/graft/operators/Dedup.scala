@@ -160,6 +160,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: assigns every id the
+    * minimum id reachable through the pair graph, turning pairwise matches
+    * into dedup groups (keep the representative, drop the rest).
+    *
+    * Iterative label propagation: each round joins labels across edges and
+    * takes the min; converges in O(log(diameter)) rounds — dup clusters are
+    * shallow (near-clique), so a handful of shuffles total. All joins are
+    * key-partitioned; nothing is collected to the driver.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list (both directions), plus self-loops to keep
+    // singletons of the pair set
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label for dst = min label among its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      val viaEdges = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping: also adopt the label of one's label — turns linear
+      // chain propagation into logarithmic convergence
+      val parents = viaEdges.select(col("id").as("label"), col("label").as("plabel"))
+      val next = viaEdges.join(parents, Seq("label"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+      i += 1
+    }
+    labels
+  }
+
   /** Exact pairwise cosine similarity within a blocking key over an
     * Array[Float] embedding column.
     */

@@ -322,6 +322,15 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(in == Seq(Seq(10001), Seq(10002)))
   }
 
+  test("policies apply to both sides of a self-join") {
+    val got = rows(ctx.mixedExecute("user_A",
+      """SELECT a.order_id, a.customer_name, b.customer_name AS other_name
+        |FROM orders a JOIN orders b ON a.region = b.region AND a.order_id < b.order_id
+        |ORDER BY a.order_id""".stripMargin))
+    // beijing rows only (both sides filtered), both name columns masked
+    assert(got == Seq(Seq(10001, "Xxxx", "Xxxxx")))
+  }
+
   test("mask reaches tables inside scalar subqueries") {
     val got = ctx.executeDataMask("user_A",
       "SELECT (SELECT max(customer_name) FROM orders) AS m").head.getString(0)

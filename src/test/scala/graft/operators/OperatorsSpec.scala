@@ -123,6 +123,27 @@ class OperatorsSpec extends SparkFunSuite {
     assert(n(1L) == math.ceil(bytes1 / 16.0).toLong)
   }
 
+  test("connected components collapse pair chains into dedup groups") {
+    // chain 1-2-3, pair 10-11, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    // long chain needs multiple propagation rounds
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val chainLabels = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(chainLabels(_) == 1L))
+  }
+
+  test("minhash pairs + components yields exact-dup groups on planted corpus") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.95)
+    val labels = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(labels(4L) == 1L) // exact dup of doc 1
+  }
+
   test("salted join equals the plain join on skewed data") {
     // one hot key (90% of rows) + a long tail
     val big = (1 to 2000).map(i => (if (i % 10 != 0) 1L else i.toLong, i.toLong))
