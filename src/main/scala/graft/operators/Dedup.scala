@@ -172,9 +172,12 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edge list (both directions), plus self-loops to keep
     // singletons of the pair set
+    // materialize the edge list once — its lineage may be a whole LSH
+    // pipeline, which must not be recomputed every iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
@@ -194,9 +197,11 @@ object Dedup {
       val next = viaEdges.join(parents, Seq("label"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+      // checkpoint BEFORE the convergence action so `next` is computed once
+      val nextCk = next.localCheckpoint(eager = true)
+      converged = nextCk.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
-      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+      labels = nextCk
       i += 1
     }
     labels

@@ -61,10 +61,15 @@ trait SecurityRuleSupport {
     * the reference's visitor (RowFilterVisitor.java:71-79).
     */
   protected def isBaseTable(p: LogicalPlan): Boolean = p match {
-    case _: View => true
-    // `resolved` keeps parse-stage UnresolvedRelation (also a leaf) from
-    // matching when the rules run inside the analyzer's fixed point.
-    case l: LeafNode => l.resolved
+    case _: View => true // temp/SQL views (resolved by construction)
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+    case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+    case l: LeafNode if l.nodeName.contains("StreamingRelation") => l.resolved
+    // NOT a plain LeafNode match: `(VALUES ...) AS t` puts a LocalRelation
+    // under the alias, and an inline alias must never collide with a policy
+    // on a real table of the same name. Unresolved relations (also leaves)
+    // must not match while the rules run inside the analyzer's fixed point.
     case _ => false
   }
 

@@ -36,6 +36,11 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_groups" -> ((s, dir) =>
+      // pairs -> connected components -> (id, representative) assignment
+      Dedup.components(
+        Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9))
+        .orderBy(col("id"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
         docs(s, dir).withColumn("len_band", expr("CAST(n_chars DIV 100 AS INT)")),

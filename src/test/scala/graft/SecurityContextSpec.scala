@@ -322,6 +322,14 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(in == Seq(Seq(10001), Seq(10002)))
   }
 
+  test("inline VALUES aliased as a policied table name is not policied") {
+    // a derived alias is not the catalog table `orders`; the policy must not
+    // fire (it would otherwise fail analysis: no `region` column here)
+    val got = rows(ctx.executeRowFilter("user_A",
+      "SELECT a, b FROM (VALUES (1, 2), (3, 4)) AS orders(a, b) ORDER BY a"))
+    assert(got == Seq(Seq(1, 2), Seq(3, 4)))
+  }
+
   test("policies apply to both sides of a self-join") {
     val got = rows(ctx.mixedExecute("user_A",
       """SELECT a.order_id, a.customer_name, b.customer_name AS other_name

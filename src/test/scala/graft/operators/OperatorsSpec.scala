@@ -123,6 +123,17 @@ class OperatorsSpec extends SparkFunSuite {
     assert(n(1L) == math.ceil(bytes1 / 16.0).toLong)
   }
 
+  test("dedup operators tolerate null and empty text") {
+    val messy = Seq((1L, "some real text here"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "some real text here")).toDF("doc_id", "text")
+    assert(Dedup.exact(messy.na.drop(Seq("text")), "text", "doc_id").count() == 2)
+    val pairs = Dedup.minhashDedup(messy, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 4L))) // null/empty rows neither crash nor match
+    assert(Dedup.simhashPairs(messy, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 4L)))
+  }
+
   test("connected components collapse pair chains into dedup groups") {
     // chain 1-2-3, pair 10-11, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
