@@ -31,10 +31,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val scored = corpus
-      .join(broadcast(queries)) // cartesian with broadcast queries: one corpus scan
+    // norms precomputed per row (not per pair): one dot per scored pair
+    val c = corpus.withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+    val q = queries.withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+    val scored = c
+      .join(broadcast(q)) // cartesian with broadcast queries: one corpus scan
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
-        cosine(vecCol, queryVecCol).as("cosine"))
+        (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))
+          .as("cosine"))
       .withColumn("part", spark_partition_id())
     // phase 1: local top-k per (query, input partition)
     val w1 = Window.partitionBy(col("query_id"), col("part"))
@@ -62,16 +66,20 @@ object Similarity {
       vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
       nBits: Int = 12): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val bucketed = corpus.withColumn("bucket", lshBucket(vecCol, nBits))
+    val bucketed = corpus
+      .withColumn("bucket", lshBucket(vecCol, nBits))
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
     val probes = queries
       .withColumn("qbucket", lshBucket(queryVecCol, nBits))
-      .select(col(queryIdCol), col(queryVecCol), explode(
+      .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+      .select(col(queryIdCol), col(queryVecCol), col("_qnorm"), explode(
         expr(s"array_union(array(qbucket), transform(sequence(0, ${nBits - 1}), i -> qbucket ^ shiftleft(1L, i)))"))
         .as("bucket"))
     val scored = bucketed
       .join(broadcast(probes), "bucket")
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
-        cosine(vecCol, queryVecCol).as("cosine"))
+        (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
