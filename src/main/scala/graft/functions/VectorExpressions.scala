@@ -157,20 +157,38 @@ object VectorOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
-  /** Random-hyperplane LSH bucket: bit i = sign of dot(v, r_i), hyperplane
-    * components r_i(d) derived from mix(d, i) mapped to [-1, 1] — fully
-    * deterministic, no fitted model.
+  /** Hyperplane components for nBits planes over dim dimensions, flattened
+    * [bit * dim + d]: r_i(d) = mix(d, i) mapped to [-1, 1] — deterministic,
+    * no fitted model. Computed once per (nBits, dim), not per row.
     */
-  def lshBucket(v: ArrayData, nBits: Int, isFloat: Boolean): Long = {
+  def lshPlanes(nBits: Int, dim: Int): Array[Double] = {
+    val planes = new Array[Double](nBits * dim)
+    var i = 0
+    while (i < nBits) {
+      var d = 0
+      while (d < dim) {
+        planes(i * dim + d) = mix(d.toLong, i).toDouble / 9.223372036854776e18
+        d += 1
+      }
+      i += 1
+    }
+    planes
+  }
+
+  /** Random-hyperplane LSH bucket: bit i = sign of dot(v, r_i) with
+    * precomputed `planes` (lshPlanes(nBits, v.numElements)).
+    */
+  def lshBucket(v: ArrayData, nBits: Int, planes: Array[Double], isFloat: Boolean): Long = {
     val n = v.numElements()
     var bucket = 0L
     var i = 0
     while (i < nBits) {
       var acc = 0.0
+      val off = i * n
       var d = 0
       while (d < n) {
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        acc += x * (mix(d.toLong, i).toDouble / 9.223372036854776e18)
+        acc += x * planes(off + d)
         d += 1
       }
       if (acc > 0) bucket |= (1L << i)
@@ -286,10 +304,80 @@ case class LshBucket(child: Expression, nBits: Int)
         s"graft_lsh_bucket expects array<float> or array<double>, got ${other.catalogString}")
     }
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    VectorOps.lshBucket(v.asInstanceOf[ArrayData], nBits, isFloat)
+  // hyperplanes cached per (nBits, dim) — rebuilt only if the vector width
+  // changes (rebuilt per executor after serialization, once)
+  @transient private var planes: Array[Double] = _
+  @transient private var planesDim: Int = -1
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    if (planes == null || planesDim != dim) {
+      planes = VectorOps.lshPlanes(nBits, dim)
+      planesDim = dim
+    }
+    VectorOps.lshBucket(arr, nBits, planes, isFloat)
+  }
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
   override def prettyName: String = "graft_lsh_bucket"
+}
+
+/** Indices of the `n` nearest coarse-quantizer centroids (IVF cells) for a
+  * vector, by dot product against pre-NORMALIZED centroids (|v| is constant
+  * across candidates, so dot order == cosine order). Centroids ride inside
+  * the expression (driver-built, serialized once per task, not per row) —
+  * they are bounded (nlist x dim doubles) by construction.
+  */
+case class IvfCells(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_cells expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val fl = isFloat
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(dim, cent.length)
+      var acc = 0.0
+      var d = 0
+      while (d < m) {
+        acc += (if (fl) arr.getFloat(d).toDouble else arr.getDouble(d)) * cent(d)
+        d += 1
+      }
+      scores(c) = acc
+      c += 1
+    }
+    // n passes of argmax over nlist scores (n and nlist are both small)
+    val picks = math.min(n, centroids.length)
+    val out = new Array[Int](picks)
+    var p = 0
+    while (p < picks) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < scores.length) {
+        if (scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      out(p) = best
+      scores(best) = Double.NegativeInfinity
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCells = copy(child = c)
+  override def prettyName: String = "graft_ivf_cells"
 }
 
 /** Registration for SQL/expr access (same pattern as MaskFunctions). */

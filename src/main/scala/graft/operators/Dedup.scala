@@ -75,8 +75,12 @@ object Dedup {
     // single-pass shingle hashing (graft_shingle_hashes): all downstream work
     // (signature, exact-jaccard verify) runs on sorted primitive long arrays;
     // no n-gram strings are materialized anywhere
+    // checkpoint: `sets` feeds the banding pass AND both sides of the verify
+    // join — without it the shingle-hash scan (the expensive map work) runs
+    // three times
     val sets = df
       .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .localCheckpoint(eager = false)
 
     // Band rows carry only (id, band, band_hash) — the shingle arrays never
     // ride through the LSH shuffles.
@@ -123,10 +127,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the naive mask is 0
+    // for maxHamming = 0 — every row would land in one bucket (full n^2 join)
+    val chunkMask = if (width >= 64) -1L else (1L << width) - 1
     VectorFunctions.register(df.sparkSession)
     val sk = df.select(col(idCol), simhash64(textCol).as("simhash"))
       .select(col(idCol), col("simhash"), posexplode(
-        expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1})"))
+        expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & $chunkMask)"))
         .as(Seq("chunk", "chunk_val")))
     val a = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
@@ -181,6 +188,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
+    // labels only ever decrease (least of current and candidates), so the
+    // label sum is a convergence fingerprint: unchanged sum == fixed point.
+    // One cheap aggregate per round replaces a full labels-vs-labels join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
+    var curSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -199,8 +213,9 @@ object Dedup {
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
       // checkpoint BEFORE the convergence action so `next` is computed once
       val nextCk = next.localCheckpoint(eager = true)
-      converged = nextCk.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(nextCk)
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels = nextCk
       i += 1
     }
@@ -216,6 +231,9 @@ object Dedup {
     val v = df.select(
       (col(idCol) +: blockCols.map(col)) :+ col(vecCol).as("v"): _*)
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      // zero vectors have no direction: cosine would be 0/0 = NaN, and Spark
+      // sorts NaN above every double, so they'd pass any >= threshold filter
+      .filter(col("norm") > 0)
     val a = v.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("v").as("va") :+ col("norm").as("na"): _*)
     val b = v.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("v").as("vb") :+ col("norm").as("nb"): _*)
     a.join(b, blockCols)

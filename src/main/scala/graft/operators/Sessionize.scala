@@ -71,7 +71,10 @@ object Sessionize {
       sorted.foreach { t =>
         cur match {
           case Some(s) if t - s.end <= gapSeconds =>
-            cur = Some(OpenSession(s.start, t, s.n + 1))
+            // max: a late (cross-batch out-of-order) event must not move the
+            // session end backwards — that would both corrupt this session's
+            // boundary and mis-split the next one
+            cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
           case Some(s) =>
             closed += ClosedSession(userId, s.start, s.end, s.n)
             cur = Some(OpenSession(t, t, 1))

@@ -31,9 +31,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    // norms precomputed per row (not per pair): one dot per scored pair
+    // norms precomputed per row (not per pair): one dot per scored pair.
+    // Zero-norm vectors are dropped: cosine would be 0/0 = NaN, which Spark
+    // sorts ABOVE every real double — a single all-zero corpus row would
+    // otherwise rank #1 for every query.
     val c = corpus.withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0)
     val q = queries.withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+      .filter(col("_qnorm") > 0)
     val scored = c
       .join(broadcast(q)) // cartesian with broadcast queries: one corpus scan
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
@@ -58,6 +63,59 @@ object Similarity {
   def lshBucket(v: String, nBits: Int): Column =
     expr(s"graft_lsh_bucket($v, $nBits)")
 
+  /** IVF-pruned top-k: a coarse quantizer of `nlist` centroids partitions the
+    * corpus into cells; each query scores only the rows in its `nprobe`
+    * nearest cells. Same output shape as bruteForceTopK; recall < 1 by
+    * construction (raise nprobe to trade scan width for recall).
+    *
+    * Centroids are a deterministic hash-ordered sample of the corpus itself
+    * (no iterative k-means fit, no model to store): a bounded nlist-row
+    * collect builds the quantizer once on the driver; it then ships inside
+    * the IvfCells expression. Cell assignment is one map pass over the
+    * corpus; at 100 TB the assigned corpus would be written bucketed by
+    * `_cell` so repeated query batches prune at the scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+      .filter(_.exists(_ != 0.0))
+    require(centroids.nonEmpty, "ivfTopK: corpus has no non-zero vectors to seed centroids")
+
+    def cells(vc: String, n: Int) =
+      columnOf(graft.functions.IvfCells(expressionOf(col(vc)), centroids, n))
+
+    val c = corpus
+      .withColumn("_cell", element_at(cells(vecCol, 1), 1))
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
+    val probes = queries
+      .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+      .filter(col("_qnorm") > 0)
+      .select(col(queryIdCol), col(queryVecCol), col("_qnorm"),
+        explode(cells(queryVecCol, nprobe)).as("_cell"))
+    val scored = c
+      .join(broadcast(probes), "_cell")
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   /** LSH-pruned top-k: score only corpus rows whose bucket matches the
     * query's bucket or any 1-bit-flip neighbor (multi-probe). Same output
     * shape as bruteForceTopK; recall < 1 by construction.
@@ -69,9 +127,11 @@ object Similarity {
     val bucketed = corpus
       .withColumn("bucket", lshBucket(vecCol, nBits))
       .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
     val probes = queries
       .withColumn("qbucket", lshBucket(queryVecCol, nBits))
       .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+      .filter(col("_qnorm") > 0)
       .select(col(queryIdCol), col(queryVecCol), col("_qnorm"), explode(
         expr(s"array_union(array(qbucket), transform(sequence(0, ${nBits - 1}), i -> qbucket ^ shiftleft(1L, i)))"))
         .as("bucket"))

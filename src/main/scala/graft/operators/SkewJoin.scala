@@ -24,6 +24,12 @@ object SkewJoin {
       saltFactor: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // the small side is replicated saltFactor times, so any join type that
+    // preserves unmatched small-side rows would emit them saltFactor times
+    val bigPreserving = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(bigPreserving.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val salted = big.withColumn("_graft_salt",
       pmod(xxhash64(col(bigUniqueCol)), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("_graft_salt",

@@ -67,8 +67,11 @@ object GraftSecurityExtensions {
       spark.conf.get(CatalogKey, "spark_catalog"),
       spark.conf.get(DatabaseKey, "default"))
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: this process-wide set must not pin sessions (and their whole
+  // sessionState) against garbage collection in long-lived multi-session apps
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private def ensureFunctions(spark: SparkSession): Unit =
     if (registered.add(spark)) MaskFunctions.register(spark)

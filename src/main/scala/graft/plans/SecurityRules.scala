@@ -136,8 +136,7 @@ final case class DataMaskRule(
     spark: SparkSession,
     user: String,
     policies: PolicyManager,
-    override val scope: TableScope,
-    postAnalysis: Boolean = true
+    override val scope: TableScope
 ) extends Rule[LogicalPlan] with SecurityRuleSupport {
 
   /** Resolve a parsed transformer template against the scan's output. The

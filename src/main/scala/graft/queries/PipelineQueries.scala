@@ -64,6 +64,14 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 5)

@@ -281,6 +281,42 @@ class SecurityContextSpec extends SparkFunSuite {
     spark.sql("DROP TABLE IF EXISTS cat_orders")
   }
 
+  test("injected row filter pushes into the parquet scan; mask prunes columns") {
+    // the 100 TB argument, checked at the physical plan: the injected policy
+    // predicate must reach PushedFilters of the parquet scan, and the
+    // full-width mask Project must not defeat column pruning
+    graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val c2 = new SecurityContext(spark)
+    c2.policyManager.addPolicy(RowFilterPolicy(
+      "u", "spark_catalog", "default", "customer", "c_mktsegment = 'BUILDING'"))
+    c2.policyManager.addPolicy(DataMaskPolicy(
+      "u", "spark_catalog", "default", "customer", "c_name", "MASK"))
+    val physical = c2.dfMixed("u", "SELECT c_custkey, c_name FROM customer")
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("c_mktsegment"),
+      s"policy predicate not pushed to the scan:\n$physical")
+    assert(!physical.contains("c_comment"),
+      s"unreferenced column not pruned from the scan:\n$physical")
+  }
+
+  test("policies apply to temp views whose stored plan is derived (Project over source)") {
+    // a temp view registered from a transformed DataFrame (e.g. the events
+    // view with its ts-normalizing withColumn) resolves to a View whose child
+    // is a Project, not a bare relation — enforcement must not silently skip
+    // it (that would be a security bypass, not an error)
+    import org.apache.spark.sql.functions.col
+    spark.table("orders").withColumn("price_x2", col("price") * 2)
+      .createOrReplaceTempView("orders_derived")
+    val c2 = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c2.policyManager.addPolicy(RowFilterPolicy("u", CAT, DB, "orders_derived", "region = 'beijing'"))
+    c2.policyManager.addPolicy(DataMaskPolicy("u", CAT, DB, "orders_derived", "customer_name", "MASK"))
+    val got = rows(c2.mixedExecute("u",
+      "SELECT order_id, customer_name, region FROM orders_derived ORDER BY order_id"))
+    assert(got == Seq(
+      Seq(10001, "Xxxx", "beijing"),
+      Seq(10002, "Xxxxx", "beijing")))
+  }
+
   test("rules pass through UNION, window functions, EXISTS without breaking") {
     val c = ctx
     // UNION of a policied and non-policied scan: filter+mask apply per branch

@@ -172,6 +172,59 @@ class OperatorsSpec extends SparkFunSuite {
     assert(saltedLeft == plainLeft)
   }
 
+  test("IVF top-k: full probe equals brute force; pruned probe still finds self") {
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // nprobe == nlist probes every cell -> identical ranking to brute force
+    val full = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 4, nlist = 2, nprobe = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 4)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+    // pruned probe: the query's own cell is always probed first
+    val pruned = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 2, nlist = 2, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.contains(1L))
+  }
+
+  test("zero-norm vectors never rank or pair (NaN-cosine guard)") {
+    val withZero = vecs.union(Seq((9L, Array(0f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
+    val q = withZero.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // cosine(zero, q) = 0/0 = NaN sorts above every real double — without the
+    // guard the zero vector would take rank 1
+    val top = Similarity.bruteForceTopK(withZero, q, "vec_id", "embedding", "query_id", "qv", 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!top.contains(9L))
+    // a zero-norm query has no direction: no rows, not NaN ranks
+    val zq = withZero.filter($"vec_id" === 9L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    assert(Similarity.bruteForceTopK(withZero, zq, "vec_id", "embedding", "query_id", "qv", 3).isEmpty)
+    assert(Similarity.lshTopK(withZero, q, "vec_id", "embedding", "query_id", "qv", 5, 4)
+      .filter($"vec_id" === 9L).isEmpty)
+    val pairs = Dedup.cosinePairs(withZero, "vec_id", "embedding", Seq("label"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("salted join rejects join types that preserve unmatched small-side rows") {
+    val df = Seq((1L, 1L)).toDF("k", "row_id")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("k"), "row_id", 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, Seq("k"), "row_id", 4, "right_outer")
+    }
+  }
+
+  test("simhash pairs at maxHamming = 0 returns exactly the identical-sketch pairs") {
+    // regression: (1L << 64) wraps to 1 in Scala, so the naive chunk mask was
+    // 0 — one bucket for the whole corpus (full cross join)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+    assert(pairs.filter($"hamming" =!= 0).isEmpty)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 4L)))
+  }
+
   test("operators compose with the security layer (masked text dedups differently)") {
     // Masked fingerprints: policy-masked content yields different dedup keys,
     // proving the ops run downstream of the security projection.

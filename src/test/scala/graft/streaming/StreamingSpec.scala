@@ -53,6 +53,31 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.subsetOf(batch))
   }
 
+  test("late cross-batch event does not regress the open session's end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"))
+    val sessions = graft.operators.Sessionize
+      .streamingSessions(spark, events, "user_id", "ts", gapSeconds = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("t_late_sessions").start()
+    try {
+      mem.addData((1L, 100L), (1L, 1000L)); q.processAllAvailable()
+      mem.addData((1L, 500L)); q.processAllAvailable() // late, inside session
+      mem.addData((1L, 1600L)); q.processAllAvailable() // 1600-1000 <= gap: same session
+      mem.addData((1L, 5000L)); q.processAllAvailable() // closes it
+    } finally q.stop()
+    val closed = spark.table("t_late_sessions")
+      .select($"userId", $"sessionStart", $"sessionEnd", $"nEvents")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // without end = max(end, t) the late 500 regressed end to 500 and 1600
+    // wrongly opened a second session
+    assert(closed == Seq((1L, 100L, 1600L, 4L)))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
