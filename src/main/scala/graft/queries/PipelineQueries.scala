@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,6 +63,20 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "asof_join" -> ((s, dir) => {
+      // point-in-time: each click joined to the user's latest purchase at or
+      // before it (second-truncated epochs for cross-engine determinism)
+      val e = Tables.df(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("te"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_timestamp(col("ts")).as("pe"))
+        .agg(max(col("value")).as("pvalue"))
+      AsofJoin.backward(clicks, purchases, Seq("user_id"), "te", "pe", Seq("pe", "pvalue"))
+        .select(col("event_id"), col("user_id"), col("te"),
+          col("pe").as("asof_te"), col("pvalue"))
+        .orderBy(col("event_id"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -170,6 +184,14 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pe, max(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.te, p.pe AS asof_te, p.pvalue
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.te >= p.pe
+        |ORDER BY c.event_id""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -220,10 +242,12 @@ object PipelineQueries {
         |       octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frames" ->
+      // empty payloads yield no frames (posexplode of an empty list drops the
+      // row on the Spark side), so the oracle excludes them too
       """SELECT doc_id AS media_id,
         |       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames_sampled,
         |       octet_length(encode(text)) AS total_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -172,6 +172,20 @@ class OperatorsSpec extends SparkFunSuite {
     assert(saltedLeft == plainLeft)
   }
 
+  test("as-of join attaches the latest right row at or before each left ts") {
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L), (4L, 30L, 10L))
+      .toDF("id", "k", "t")
+    val snaps = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 60L, "c"))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.backward(clicks, snaps, Seq("k"), "t", "t", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("a"), // equal ts matches (inclusive)
+      2L -> Some("b"), // latest of the two earlier snapshots
+      3L -> None, // right row is in the future
+      4L -> None)) // key never seen on the right
+  }
+
   test("IVF top-k: full probe equals brute force; pruned probe still finds self") {
     val q = vecs.filter($"vec_id" === 1L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
