@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,6 +77,21 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"), col("te"),
           col("pe").as("asof_te"), col("pvalue"))
         .orderBy(col("event_id"))
+    }),
+    "range_join" -> ((s, dir) => {
+      // clicks within one hour after any purchase by the same user —
+      // bucketized interval join, never a nested-loop
+      val e = Tables.df(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("te"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("win_start"))
+        .distinct()
+        .withColumn("win_end", col("win_start") + 3599L)
+      RangeJoin.pointInInterval(clicks, windows, Seq("user_id"),
+          "te", "win_start", "win_end", bucketWidth = 3600L)
+        .select(col("event_id"), col("user_id"), col("te"), col("win_start"))
+        .orderBy(col("event_id"), col("win_start"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -184,6 +199,15 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "range_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS win_start
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.te, p.win_start
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |            AND c.te >= p.win_start AND c.te <= p.win_start + 3599
+        |ORDER BY c.event_id, p.win_start""".stripMargin,
     "asof_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
         |           FROM events WHERE event_type = 'click'),

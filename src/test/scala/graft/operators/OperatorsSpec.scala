@@ -186,6 +186,19 @@ class OperatorsSpec extends SparkFunSuite {
       4L -> None)) // key never seen on the right
   }
 
+  test("range join matches points inside inclusive intervals across bucket boundaries") {
+    val pts = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 100L), (4L, 20L, 25L), (5L, 10L, 30L))
+      .toDF("id", "k", "t")
+    val ivs = Seq((10L, 0L, 30L, "w1"), (10L, 24L, 26L, "w2"), (20L, 90L, 99L, "w3"))
+      .toDF("k", "s", "e", "w")
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "t", "s", "e", bucketWidth = 10L)
+      .select($"id", $"w").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "w1"), // mid-interval
+      (2L, "w1"), (2L, "w2"), // overlapping intervals both match
+      (5L, "w1"))) // end boundary is inclusive; 3 (outside) and 4 (wrong range) drop
+  }
+
   test("IVF top-k: full probe equals brute force; pruned probe still finds self") {
     val q = vecs.filter($"vec_id" === 1L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
