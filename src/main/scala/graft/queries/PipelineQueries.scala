@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,15 @@ object PipelineQueries {
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
         .orderBy(col("doc_id"))),
+    "sample_split" -> ((s, dir) =>
+      Sampling.hashSplit(docs(s, dir), "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("split"))),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedTake(docs(s, dir), Seq("lang"), "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -228,6 +237,19 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sample_split" ->
+      """SELECT lang,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |                  row_number() OVER (PARTITION BY lang
+        |                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len($duckWords) AS n_tokens,
          |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish

@@ -186,6 +186,21 @@ class OperatorsSpec extends SparkFunSuite {
       4L -> None)) // key never seen on the right
   }
 
+  test("hash split is deterministic; stratified take caps every group at k") {
+    val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val split = Sampling.hashSplit(ids, "doc_id")
+    assert(split.collect().toSet == Sampling.hashSplit(ids, "doc_id").collect().toSet)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(counts.values.sum == 500L)
+    val taken = Sampling.stratifiedTake(ids, Seq("lang"), "doc_id", 10)
+    val perGroup = taken.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perGroup == Map("en" -> 10L, "de" -> 10L))
+    assert(Sampling.stratifiedTake(ids, Seq("lang"), "doc_id", 10)
+      .collect().toSet == taken.collect().toSet)
+  }
+
   test("range join matches points inside inclusive intervals across bucket boundaries") {
     val pts = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 100L), (4L, 20L, 25L), (5L, 10L, 30L))
       .toDF("id", "k", "t")
