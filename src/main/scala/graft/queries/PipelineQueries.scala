@@ -122,6 +122,15 @@ object PipelineQueries {
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
         .orderBy(col("doc_id"))),
+    "text_stats" -> ((s, dir) =>
+      // per-language corpus profile; percentile() is Spark's exact
+      // linear-interpolation percentile, matching DuckDB's quantile_cont
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          expr("round(percentile(n_chars, 0.5), 6)").as("p50_chars"),
+          expr("round(percentile(n_chars, 0.95), 6)").as("p95_chars"))
+        .orderBy(col("lang"))),
     "sample_split" -> ((s, dir) =>
       Sampling.hashSplit(docs(s, dir), "doc_id")
         .groupBy(col("lang"), col("split"))
@@ -237,6 +246,12 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_split" ->
       """SELECT lang,
         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
