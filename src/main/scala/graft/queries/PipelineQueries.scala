@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,8 @@ object PipelineQueries {
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
         .orderBy(col("doc_id"))),
+    "text_vocab" -> ((s, dir) =>
+      Vocab.topNgrams(docs(s, dir), "text", n = 1, k = 100)),
     "text_stats" -> ((s, dir) =>
       // per-language corpus profile; percentile() is Spark's exact
       // linear-interpolation percentile, matching DuckDB's quantile_cont
@@ -246,6 +248,11 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_vocab" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS ngram
+        |           FROM documents)
+        |SELECT ngram, count(*) AS cnt FROM w WHERE length(ngram) > 0
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(n_chars), 6) AS avg_chars,

@@ -186,6 +186,15 @@ class OperatorsSpec extends SparkFunSuite {
       4L -> None)) // key never seen on the right
   }
 
+  test("vocab top n-grams by count and doc frequency with deterministic ties") {
+    val words = Vocab.topNgrams(docs, "text", 1, 5).as[(String, Long)].collect()
+    assert(words.head == ("the", 9L)) // 3x in each of docs 1, 2, 4
+    assert(words.map(_._2).toSeq == words.map(_._2).sortBy(-_).toSeq)
+    val bigrams = Vocab.topNgramsByDocFreq(docs, "text", 2, 3).as[(String, Long)].collect()
+    // every bigram of the shared sentence has doc_freq 3; tie breaks on term
+    assert(bigrams.head == ("brown fox", 3L))
+  }
+
   test("hash split is deterministic; stratified take caps every group at k") {
     val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
     val split = Sampling.hashSplit(ids, "doc_id")
