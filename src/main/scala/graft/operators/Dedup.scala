@@ -185,6 +185,17 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
+    // size the iterative shuffles to the (materialized) edge count: each
+    // round is several shuffle stages, and fixed per-partition overhead
+    // dominates when the dup graph is much smaller than the corpus — the
+    // session default is sized for the corpus scan, not this graph
+    val spark = pairs.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(shuffleKey)
+    val parts = math.max(1, math.min(savedParts.toInt,
+      (edges.count() / 500000L).toInt + 1))
+    spark.conf.set(shuffleKey, parts.toString)
+    try { // labels computed AND checkpointed under the reduced setting
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
@@ -220,6 +231,7 @@ object Dedup {
       i += 1
     }
     labels
+    } finally spark.conf.set(shuffleKey, savedParts)
   }
 
   /** Exact pairwise cosine similarity within a blocking key over an
