@@ -190,15 +190,17 @@ object Dedup {
     // dominates when the dup graph is much smaller than the corpus — the
     // session default is sized for the corpus scan, not this graph
     val spark = pairs.sparkSession
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.get(shuffleKey)
-    val parts = math.max(1, math.min(savedParts.toInt,
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
       (edges.count() / 500000L).toInt + 1))
-    spark.conf.set(shuffleKey, parts.toString)
-    try { // labels computed AND checkpointed under the reduced setting
+    // everything inside is checkpointed, so no plan escapes the scope lazily
+    graft.SparkUtil.withShufflePartitions(spark, parts) {
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
+      // the initial labelSum action materializes this; round 1's joins then
+      // read the cache instead of re-running the edges aggregate
+      .localCheckpoint(eager = false)
     // labels only ever decrease (least of current and candidates), so the
     // label sum is a convergence fingerprint: unchanged sum == fixed point.
     // One cheap aggregate per round replaces a full labels-vs-labels join.
@@ -213,9 +215,13 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      // lazy checkpoint: viaEdges appears twice in next's plan (directly and
+      // through the parents self-join) — cache it on first materialization
+      // instead of computing its two joins twice
       val viaEdges = labels.join(viaNeighbors, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
       // pointer jumping: also adopt the label of one's label — turns linear
       // chain propagation into logarithmic convergence
       val parents = viaEdges.select(col("id").as("label"), col("label").as("plabel"))
@@ -231,7 +237,7 @@ object Dedup {
       i += 1
     }
     labels
-    } finally spark.conf.set(shuffleKey, savedParts)
+    }
   }
 
   /** Exact pairwise cosine similarity within a blocking key over an

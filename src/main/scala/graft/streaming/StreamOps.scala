@@ -56,17 +56,18 @@ object StreamOps {
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       statePartitions: Option[Int] = None): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    def drain(): Unit = {
       val q = streamed.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
         .queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, saved)
+    }
+    statePartitions match {
+      case Some(n) => graft.SparkUtil.withShufflePartitions(spark, n)(drain())
+      case None => drain()
+    }
     spark.table(name)
   }
 }
