@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  /** Unigrams are a plain codegen'd split; only n >= 2 needs the
+    * higher-order shingle assembly (interpreted lambda per element).
+    */
+  private def ngrams(textCol: String, n: Int) =
+    if (n == 1) expr(s"split(lower(trim($textCol)), '\\\\s+')")
+    else Dedup.shingles(textCol, n)
+
   /** Top-k n-grams by occurrence count. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(Dedup.shingles(textCol, n)).as("ngram"))
+    df.select(explode(ngrams(textCol, n)).as("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
@@ -28,7 +35,7 @@ object Vocab {
     * array_distinct before the explode keeps the dedup map-side).
     */
   def topNgramsByDocFreq(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(array_distinct(Dedup.shingles(textCol, n))).as("ngram"))
+    df.select(explode(array_distinct(ngrams(textCol, n))).as("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram").asc)
