@@ -121,6 +121,23 @@ object VectorOps {
     acc
   }
 
+  /** Per-token xxh64 (seed 42, matching Spark's xxhash64 function) of the
+    * lowercased whitespace tokens — multiset order preserved (SimHash needs
+    * duplicate votes; contrast shingleHashes, which sorts and dedupes).
+    */
+  def wordHashes(text: UTF8String): ArrayData = {
+    val tokens = text.toString.toLowerCase.trim.split("\\s+")
+    val out = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val u = UTF8String.fromString(tokens(i))
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sorted distinct hashes of word n-gram shingles, in one pass: lowercase,
     * whitespace-split, xxh64 each word once, then each shingle hash is a mix
     * chain over n consecutive word hashes — no n-gram strings are ever
@@ -289,6 +306,21 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Multiset word-token hashes of a string (for SimHash votes), single pass. */
+case class WordHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_hashes expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.wordHashes(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): WordHashes = copy(child = c)
+  override def prettyName: String = "graft_word_hashes"
+}
+
 /** Deterministic random-hyperplane LSH bucket over array<float>/<double>. */
 case class LshBucket(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
@@ -402,5 +434,7 @@ object VectorFunctions {
       args => LshBucket(args.head, intLit(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_shingle_hashes",
       args => ShingleHashes(args.head, intLit(args(1))), "scala_udf")
+    r.createOrReplaceTempFunction("graft_word_hashes",
+      args => WordHashes(args.head), "scala_udf")
   }
 }

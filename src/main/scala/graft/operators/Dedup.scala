@@ -114,10 +114,12 @@ object Dedup {
 
   /** 64-bit SimHash over the word multiset of `text` — one map pass, no
     * shuffle: per word, each of the 64 bits of xxhash64(word) votes +1/-1;
-    * sign of the vote sum becomes the sketch bit.
+    * sign of the vote sum becomes the sketch bit. Tokenize + hash run in one
+    * tight loop (graft_word_hashes) — the HOF formulation interprets a
+    * lambda per token.
     */
   def simhash64(textCol: String): Column =
-    expr(s"graft_simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), w -> xxhash64(w)))")
+    expr(s"graft_simhash64(graft_word_hashes($textCol))")
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * chunk banding over (maxHamming + 1) chunks and verified with
