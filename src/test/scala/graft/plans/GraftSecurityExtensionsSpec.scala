@@ -55,6 +55,14 @@ class GraftSecurityExtensionsSpec extends SparkFunSuite {
         .collect().map(_.getInt(0)).toSeq
       assert(ex == Seq(1)) // id=2 matches sec_refs raw data but not the policy
 
+      // switching users re-evaluates policies per query — no plan leaks
+      // from the previous user's analysis
+      GraftSecurityExtensions.policies.addPolicy(
+        RowFilterPolicy("ext_user_b", "spark_catalog", "default", "sec_orders", "region = 'hangzhou'"))
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_user_b")
+      val gotB = sec.sql("SELECT id, customer_name, region FROM sec_orders").collect()
+      assert(gotB.map(_.toSeq).toSeq == Seq(Seq(2, "Sally", "hangzhou"))) // no mask policy for B
+
       sec.conf.unset(GraftSecurityExtensions.UserKey)
       assert(sec.sql("SELECT * FROM sec_orders").count() == 2)
     } finally {
