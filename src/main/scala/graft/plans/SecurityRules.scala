@@ -54,6 +54,46 @@ final case class TableScope(catalog: String, database: String)
 
 trait SecurityRuleSupport {
   def scope: TableScope
+  def spark: SparkSession
+
+  /** V1 leaf commands (CTAS, save, insert-into-dir, ...) embed their query as
+    * an innerChild, NOT a child — tree traversals never see it, so without
+    * explicit recursion a `CREATE TABLE ... AS SELECT policied_table` would
+    * persist unfiltered, unmasked data. Rebuild the known command types with
+    * a rewritten query; for an UNKNOWN leaf that still embeds logical plans
+    * over policied tables, fail closed: an error beats a silent bypass.
+    */
+  protected def applyToEmbeddedQuery(plan: LogicalPlan,
+      rewrite: LogicalPlan => LogicalPlan,
+      isPolicied: (String, String, String) => Boolean): Option[LogicalPlan] = {
+    import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, InsertIntoDataSourceDirCommand}
+    import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, SaveIntoDataSourceCommand}
+    // these command constructors assert query.resolved, and the row-filter
+    // rule leaves injected conditions unresolved — re-analyze before rebuild
+    def rw(q: LogicalPlan): LogicalPlan = {
+      val r = rewrite(q)
+      if (r.resolved) r else spark.sessionState.executePlan(r).analyzed
+    }
+    plan match {
+      case c: CreateDataSourceTableAsSelectCommand => Some(c.copy(query = rw(c.query)))
+      case c: InsertIntoDataSourceCommand => Some(c.copy(query = rw(c.query)))
+      case c: SaveIntoDataSourceCommand => Some(c.copy(query = rw(c.query)))
+      case c: InsertIntoDataSourceDirCommand => Some(c.copy(query = rw(c.query)))
+      case leaf if leaf.children.isEmpty =>
+        val policied = leaf.innerChildren.collect { case p: LogicalPlan => p }
+          .flatMap(_.collect {
+            case SubqueryAlias(id, child) if isBaseTable(child) =>
+              tableParts(id)
+          })
+          .filter((isPolicied.apply _).tupled)
+        if (policied.nonEmpty) throw new UnsupportedOperationException(
+          s"${leaf.nodeName} embeds a query over policied table(s) " +
+            s"${policied.map(_._3).distinct.mkString(", ")} that the security " +
+            "rules cannot rewrite — refusing to execute it unenforced")
+        None
+      case _ => None
+    }
+  }
 
   /** A scan of a named table: the alias directly over a leaf relation or a
     * (temp) view. Derived tables have Project/Filter/... children and are
@@ -115,14 +155,19 @@ final case class RowFilterRule(
       }
   }
 
+  private def hasRowFilter(cat: String, db: String, table: String): Boolean =
+    policies.rowFilterConditions(user, cat, db, table).nonEmpty
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    // transformUpWithSubqueries also reaches plans inside EXISTS/IN/scalar
-    // subquery expressions — a policied table referenced there must be
-    // filtered too. (In extension mode the analyzer's nested subquery
-    // resolution re-enters the injected rules, so resolveOperatorsUp on the
-    // outer plan suffices.)
-    if (postAnalysis) plan.transformUpWithSubqueries(pf)
-    else plan.resolveOperatorsUp(pf)
+    applyToEmbeddedQuery(plan, apply, hasRowFilter).getOrElse {
+      // transformUpWithSubqueries also reaches plans inside EXISTS/IN/scalar
+      // subquery expressions — a policied table referenced there must be
+      // filtered too. (In extension mode the analyzer's nested subquery
+      // resolution re-enters the injected rules, so resolveOperatorsUp on the
+      // outer plan suffices.)
+      if (postAnalysis) plan.transformUpWithSubqueries(pf)
+      else plan.resolveOperatorsUp(pf)
+    }
 }
 
 /** Injects masking projections for `user` (reference:
@@ -216,7 +261,15 @@ final case class DataMaskRule(
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  private def hasMask(cat: String, db: String, table: String): Boolean =
+    policies.dataMaskPolicies.exists(p =>
+      p.username.equalsIgnoreCase(user) && p.catalogName.equalsIgnoreCase(cat) &&
+        p.database.equalsIgnoreCase(db) && p.tableName.equalsIgnoreCase(table))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    applyToEmbeddedQuery(plan, apply, hasMask).getOrElse(applyToTree(plan))
+
+  private def applyToTree(plan: LogicalPlan): LogicalPlan = {
     // mask tables referenced inside subquery expressions (EXISTS/IN/scalar)
     // first — transformUpWithNewOutput does not descend into them
     val withSubqueries = plan.transformAllExpressions {

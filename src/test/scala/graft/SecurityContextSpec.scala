@@ -245,6 +245,20 @@ class SecurityContextSpec extends SparkFunSuite {
     spark.sql("DROP TABLE IF EXISTS order_sink")
   }
 
+  test("CREATE TABLE AS SELECT applies the rewrite inside the query") {
+    ctx.execute("DROP TABLE IF EXISTS ctas_orders")
+    ctx.mixedExecute("user_A",
+      "CREATE TABLE ctas_orders USING parquet AS SELECT order_id, customer_name, region FROM orders")
+    try {
+      // the PERSISTED data is already filtered and masked — a reader with no
+      // policies cannot recover what user_A was not allowed to see
+      val persisted = spark.table("ctas_orders").orderBy("order_id").collect()
+      assert(persisted.map(_.toSeq).toSeq == Seq(
+        Seq(10001, "Xxxx", "beijing"),
+        Seq(10002, "Xxxxx", "beijing")))
+    } finally ctx.execute("DROP TABLE IF EXISTS ctas_orders")
+  }
+
   test("getTable returns the catalog schema (CommonTest.testGetTable)") {
     val schema = ctx.getTable("orders")
     assert(schema.fieldNames.toSeq == Seq(
