@@ -259,6 +259,16 @@ class SecurityContextSpec extends SparkFunSuite {
     } finally ctx.execute("DROP TABLE IF EXISTS ctas_orders")
   }
 
+  test("INSERT OVERWRITE DIRECTORY applies the rewrite (leaf command path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iod").toString
+    ctx.mixedExecute("user_A",
+      s"INSERT OVERWRITE DIRECTORY '$dir' USING parquet SELECT order_id, customer_name, region FROM orders")
+    val persisted = spark.read.parquet(dir).orderBy("order_id").collect()
+    assert(persisted.map(_.toSeq).toSeq == Seq(
+      Seq(10001, "Xxxx", "beijing"),
+      Seq(10002, "Xxxxx", "beijing")))
+  }
+
   test("getTable returns the catalog schema (CommonTest.testGetTable)") {
     val schema = ctx.getTable("orders")
     assert(schema.fieldNames.toSeq == Seq(
