@@ -323,6 +323,30 @@ class SecurityContextSpec extends SparkFunSuite {
       s"unreferenced column not pruned from the scan:\n$physical")
   }
 
+  test("policies on base tables apply through persistent SQL views (no view bypass)") {
+    val c = ctx
+    spark.sql("DROP VIEW IF EXISTS pv_view")
+    spark.sql("DROP TABLE IF EXISTS pv_orders")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("spark-warehouse/pv_orders"))
+    spark.sql("CREATE TABLE pv_orders (order_id INT, customer_name STRING, region STRING) USING parquet")
+    spark.sql("INSERT INTO pv_orders VALUES (1, 'Jack', 'beijing'), (2, 'Sally', 'hangzhou')")
+    spark.sql("CREATE VIEW pv_view AS SELECT * FROM pv_orders")
+    c.policyManager.addPolicy(RowFilterPolicy(
+      "pv_user", "spark_catalog", "default", "pv_orders", "region = 'beijing'"))
+    c.policyManager.addPolicy(DataMaskPolicy(
+      "pv_user", "spark_catalog", "default", "pv_orders", "customer_name", "MASK"))
+    try {
+      // querying the VIEW must still enforce the BASE table's policies —
+      // the classic view-indirection ACL hole
+      val got = rows(c.mixedExecute("pv_user",
+        "SELECT order_id, customer_name, region FROM pv_view ORDER BY order_id"))
+      assert(got == Seq(Seq(1, "Xxxx", "beijing")))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS pv_view")
+      spark.sql("DROP TABLE IF EXISTS pv_orders")
+    }
+  }
+
   test("policies apply to temp views whose stored plan is derived (Project over source)") {
     // a temp view registered from a transformed DataFrame (e.g. the events
     // view with its ts-normalizing withColumn) resolves to a View whose child
