@@ -55,6 +55,17 @@ class GraftSecurityExtensionsSpec extends SparkFunSuite {
         .collect().map(_.getInt(0)).toSeq
       assert(ex == Seq(1)) // id=2 matches sec_refs raw data but not the policy
 
+      // CTAS in extension mode: the leaf command's embedded query must be
+      // rewritten too — the persisted table proves it
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_user")
+      sec.sql("DROP TABLE IF EXISTS ext_ctas")
+      sec.sql("CREATE TABLE ext_ctas USING parquet AS SELECT id, customer_name, region FROM sec_orders")
+      sec.conf.unset(GraftSecurityExtensions.UserKey) // read the raw persisted data
+      try {
+        val ctas = sec.sql("SELECT * FROM ext_ctas").collect().map(_.toSeq).toSeq
+        assert(ctas == Seq(Seq(1, "Xxxx", "beijing")))
+      } finally sec.sql("DROP TABLE IF EXISTS ext_ctas")
+
       // switching users re-evaluates policies per query — no plan leaks
       // from the previous user's analysis
       GraftSecurityExtensions.policies.addPolicy(
