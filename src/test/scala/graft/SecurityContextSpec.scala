@@ -245,6 +245,18 @@ class SecurityContextSpec extends SparkFunSuite {
     spark.sql("DROP TABLE IF EXISTS order_sink")
   }
 
+  test("GROUP BY and joins over a masked column operate on masked values") {
+    // 'Jack' and 'John' both mask to 'Xxxx'-shaped values: Jack→Xxxx,
+    // John→Xxxx — groups must form on the MASKED value, proving aggregation
+    // runs downstream of the mask projection (no raw-value leak via counts)
+    val got = rows(ctx.executeDataMask("user_A",
+      "SELECT customer_name, count(*) AS cnt FROM orders GROUP BY customer_name ORDER BY customer_name"))
+    assert(got == Seq(
+      Seq("Xxxx", 3), // Jack(2) + John(1) collapse into one masked group
+      Seq("Xxxxx", 1), // Sally
+      Seq("Xxxxxx", 2))) // Edward x2
+  }
+
   test("CREATE TABLE AS SELECT applies the rewrite inside the query") {
     ctx.execute("DROP TABLE IF EXISTS ctas_orders")
     ctx.mixedExecute("user_A",
