@@ -21,11 +21,20 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, idCol: String,
       trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame = {
-    require(trainHexUpper < valHexUpper, "train threshold must sort below val threshold")
+    // md5() emits lowercase hex; normalize and validate the thresholds so an
+    // uppercase "CC" can't lexically sort below every digest and send all
+    // rows to 'test'.
+    val train = trainHexUpper.toLowerCase
+    val value = valHexUpper.toLowerCase
+    require(train.length == 2 && train.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"train threshold must be two hex chars, got '$trainHexUpper'")
+    require(value.length == 2 && value.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"val threshold must be two hex chars, got '$valHexUpper'")
+    require(train < value, "train threshold must sort below val threshold")
     val prefix = substring(md5(col(idCol).cast("string")), 1, 2)
     df.withColumn("split",
-      when(prefix < trainHexUpper, "train")
-        .when(prefix < valHexUpper, "val")
+      when(prefix < train, "train")
+        .when(prefix < value, "val")
         .otherwise("test"))
   }
 

@@ -18,10 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
-  /** Assign per-user session sequence numbers: a new session starts when the
-    * gap since the previous event exceeds `gapSeconds`.
+  /** assign() plus the second-truncated epoch helper column `_te`, for
+    * internal consumers (sessions) that aggregate over it.
     */
-  def assign(events: DataFrame, userCol: String, tsCol: String,
+  private def assignWithEpoch(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val te = unix_timestamp(col(tsCol))
@@ -35,10 +35,18 @@ object Sessionize {
       .drop("_is_new")
   }
 
+  /** Assign per-user session sequence numbers: a new session starts when the
+    * gap since the previous event exceeds `gapSeconds`. Output schema is the
+    * input schema plus `session_seq` — no internal helper columns leak.
+    */
+  def assign(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    assignWithEpoch(events, userCol, tsCol, gapSeconds).drop("_te")
+
   /** Batch session summary: (user, session_seq, n_events, start, end). */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame =
-    assign(events, userCol, tsCol, gapSeconds)
+    assignWithEpoch(events, userCol, tsCol, gapSeconds)
       .groupBy(col(userCol), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         min(col("_te")).as("session_start"),

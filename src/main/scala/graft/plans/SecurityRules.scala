@@ -197,8 +197,18 @@ final case class DataMaskRule(
           throw new IllegalArgumentException(
             s"mask transformer references unknown column ${u.name}"))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-        spark.sessionState.catalog.lookupFunction(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.last), f.arguments)
+        // Keep any database/catalog qualifier in a custom transformer: a
+        // template calling db.fn(col) must not silently resolve to the
+        // unqualified fn.
+        val fid = f.nameParts match {
+          case Seq(fn) => org.apache.spark.sql.catalyst.FunctionIdentifier(fn)
+          case Seq(db, fn) => org.apache.spark.sql.catalyst.FunctionIdentifier(fn, Some(db))
+          case Seq(cat, db, fn) =>
+            org.apache.spark.sql.catalyst.FunctionIdentifier(fn, Some(db), Some(cat))
+          case other => throw new IllegalArgumentException(
+            s"mask transformer function name too deeply qualified: ${other.mkString(".")}")
+        }
+        spark.sessionState.catalog.lookupFunction(fid, f.arguments)
     }
   }
 

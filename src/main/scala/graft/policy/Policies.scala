@@ -114,12 +114,23 @@ final class PolicyManager {
   private def eq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
 
   def addPolicy(p: RowFilterPolicy): Boolean = synchronized { rowFilters += p; true }
+  // Removal matches with the same case-insensitive comparison as the lookups
+  // (rowFilterConditions/dataMaskType): a policy added as ('Analyst', 'CUSTOMER',
+  // ...) enforces case-insensitively, so it must be removable that way too.
   def removePolicy(p: RowFilterPolicy): Boolean = synchronized {
-    val i = rowFilters.indexOf(p); if (i >= 0) { rowFilters.remove(i); true } else false
+    val i = rowFilters.indexWhere(q =>
+      eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
+        eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
+        q.condition == p.condition)
+    if (i >= 0) { rowFilters.remove(i); true } else false
   }
   def addPolicy(p: DataMaskPolicy): Boolean = synchronized { dataMasks += p; true }
   def removePolicy(p: DataMaskPolicy): Boolean = synchronized {
-    val i = dataMasks.indexOf(p); if (i >= 0) { dataMasks.remove(i); true } else false
+    val i = dataMasks.indexWhere(q =>
+      eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
+        eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
+        eq(q.columnName, p.columnName) && eq(q.maskType, p.maskType))
+    if (i >= 0) { dataMasks.remove(i); true } else false
   }
   def registerMaskType(t: DataMaskType): Unit = synchronized { maskTypes += t }
 

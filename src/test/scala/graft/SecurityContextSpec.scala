@@ -229,6 +229,20 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(got == Seq(Seq(10001, null, 102, "beijing")))
   }
 
+  test("CUSTOM transformer: unqualified function resolves; bogus qualifier fails loudly") {
+    val c = ctx
+    c.policyManager.registerMaskType(graft.policy.DataMaskType(
+      100, "MASK_UPPER", "Uppercase", "test custom transformer", Some("upper({col})")))
+    c.policyManager.addPolicy(DataMaskPolicy("user_Q", CAT, DB, "orders", "customer_name", "MASK_UPPER"))
+    assert(rows(c.executeDataMask("user_Q", baseSql, 1)) ==
+      Seq(Seq(10001, "JACK", 102, "beijing")))
+    // a db-qualified name must NOT silently resolve to the bare temp function
+    c.policyManager.registerMaskType(graft.policy.DataMaskType(
+      101, "MASK_QUALIFIED", "", "", Some("nosuchdb.mask_hash({col})")))
+    c.policyManager.addPolicy(DataMaskPolicy("user_Q2", CAT, DB, "orders", "customer_name", "MASK_QUALIFIED"))
+    intercept[Exception](c.executeDataMask("user_Q2", baseSql, 1))
+  }
+
   test("INSERT INTO ... SELECT applies the rewrite inside the insert body") {
     val c = ctx
     spark.sql("DROP TABLE IF EXISTS order_sink")

@@ -210,6 +210,22 @@ class OperatorsSpec extends SparkFunSuite {
       .collect().toSet == taken.collect().toSet)
   }
 
+  test("hash split normalizes uppercase thresholds and rejects non-hex ones") {
+    val ids = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val lower = Sampling.hashSplit(ids, "doc_id").collect().toSet
+    val upper = Sampling.hashSplit(ids, "doc_id", "CC", "E6").collect().toSet
+    assert(lower == upper) // 'CC' must not lexically sort below every digest
+    intercept[IllegalArgumentException](Sampling.hashSplit(ids, "doc_id", "zz", "e6"))
+    intercept[IllegalArgumentException](Sampling.hashSplit(ids, "doc_id", "c", "e6"))
+  }
+
+  test("sessionize assign adds only session_seq to the input schema") {
+    val evs = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"))
+      .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
+    val out = Sessionize.assign(evs, "user_id", "ts", 1800L)
+    assert(out.columns.toSeq == evs.columns.toSeq :+ "session_seq")
+  }
+
   test("range join matches points inside inclusive intervals across bucket boundaries") {
     val pts = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 100L), (4L, 20L, 25L), (5L, 10L, 30L))
       .toDF("id", "k", "t")

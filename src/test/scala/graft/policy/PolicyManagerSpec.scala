@@ -48,4 +48,15 @@ class PolicyManagerSpec extends AnyFunSuite {
     assert(m.rowFilterConditions("user_A", "hive", "default", "orders").isEmpty)
     assert(!m.removePolicy(p))
   }
+
+  test("removePolicy matches identifiers case-insensitively, like lookups") {
+    val m = mgr
+    assert(m.removePolicy(RowFilterPolicy("USER_A", "Hive", "Default", "ORDERS", "region = 'beijing'")))
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders").isEmpty)
+    assert(m.removePolicy(DataMaskPolicy("User_B", "HIVE", "default", "Orders", "CUSTOMER_NAME", "mask_show_first_4")))
+    assert(m.dataMaskType("user_B", "hive", "default", "orders", "customer_name").isEmpty)
+    // the condition text itself is NOT an identifier: it stays case-sensitive
+    assert(!m.removePolicy(RowFilterPolicy("user_B", "hive", "default", "orders", "REGION = 'hangzhou'")))
+    assert(m.rowFilterConditions("user_B", "hive", "default", "orders").nonEmpty)
+  }
 }
