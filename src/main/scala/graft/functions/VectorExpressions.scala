@@ -157,7 +157,10 @@ object VectorOps {
     val out = new Array[Long](m)
     i = 0
     while (i < m) {
-      var c = wh(i)
+      // mix the first word hash before chaining: starting from the raw hash
+      // would make `c ^ wh(i+1)` commutative in the first two words, so
+      // word-transposed shingles ("a b c" vs "b a c") would collide
+      var c = mix(wh(i), 0)
       var j = 1
       while (j < n && i + j < wh.length) { c = mix(c ^ wh(i + j), j); j += 1 }
       out(i) = c

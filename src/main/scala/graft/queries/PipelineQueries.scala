@@ -203,9 +203,87 @@ object PipelineQueries {
   private val duckStop =
     "['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','by','at','it','this','that']"
 
+  /** Distinct word-3-gram shingle sets of the planted corpus, as shingle
+    * STRINGS — xxhash64 has no DuckDB equivalent, but distinct-set sizes are
+    * hash-invariant (collision-free whp), so set-count jaccard matches.
+    */
+  private val duckShingles =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents),
+      |w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(ws) >= 3
+      |           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+      |           ELSE [array_to_string(ws, ' ')] END) AS s
+      |  FROM w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    // LSH recall at threshold 0.9 with 16x4 banding is 1 - (1-j^4)^16 >=
+    // 1 - 4e-8, so the candidate set equals the full >= 0.9 pair set and the
+    // exact-jaccard verify makes the whole output SQL-expressible.
+    "dedup_minhash" -> (duckShingles + """
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin),
+    // connected components over the same pair set: transitive closure by
+    // recursive CTE, label = min reachable id
+    "dedup_groups" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    // double-cast lists + explicit dot/norm arithmetic replicate Spark's
+    // float-to-double accumulation bit-exactly, so the >= threshold cut
+    // selects identical pairs
+    "dedup_cosine" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE)), label FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
+        |  WHERE sqrt(list_dot_product(v, v)) > 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // FakeCodec's 16-bin byte histogram: bins 0 and 7 cover pure-ASCII char
+    // ranges (UTF-8 continuation/lead bytes land in bins >= 8), and FLOAT
+    // casts replicate the float32 normalization exactly
+    "mm_features" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         len(regexp_extract_all(text, '[\x{00}-\x{0F}]')) AS c0,
+        |         len(regexp_extract_all(text, '[\x{70}-\x{7F}]')) AS c7
+        |  FROM documents)
+        |SELECT media_id, n_bytes,
+        |       CASE WHEN n_bytes = 0 THEN 0.0
+        |            ELSE round(CAST(CAST(c0 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 6) END AS f0,
+        |       CASE WHEN n_bytes = 0 THEN 0.0
+        |            ELSE round(CAST(CAST(c7 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 6) END AS f7
+        |FROM t ORDER BY media_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang, n_chars // 100 AS band,

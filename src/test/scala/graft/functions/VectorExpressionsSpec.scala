@@ -47,6 +47,21 @@ class VectorExpressionsSpec extends SparkFunSuite {
     assert(short.length == 1) // shorter than n -> single shingle
   }
 
+  test("graft_shingle_hashes: word-transposed shingles do not collide") {
+    // regression: a chain seeded with the raw first-word hash made the first
+    // XOR commutative, so 'a b c' and 'b a c' hashed identically
+    val ab = one("select graft_shingle_hashes('a b c', 3)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    val ba = one("select graft_shingle_hashes('b a c', 3)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(ab != ba)
+    // a doc containing both orderings keeps both distinct shingles
+    val both = one("select graft_shingle_hashes('x y q q x y q q y x q q', 3)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    // shingles: x y q, y q q, q q x, q x y, x y q, y q q, q q y, q y x, y x q, x q q
+    assert(both.length == 8) // 10 shingles, 8 distinct ('x y q', 'y q q' repeat)
+  }
+
   test("graft_minhash_sig width and identical-input stability") {
     val s1 = one("select graft_minhash_sig(graft_shingle_hashes('x y z w v', 2), 32)")
       .asInstanceOf[scala.collection.Seq[Long]]
