@@ -197,8 +197,12 @@ object Dedup {
       (edges.count() / 500000L).toInt + 1))
     // everything inside is checkpointed, so no plan escapes the scope lazily
     graft.SparkUtil.withShufflePartitions(spark, parts) {
+    // seed labels with min(self, neighbors) — the (dst, src) projection folds
+    // the first neighbor-min round into the same initial aggregate, so
+    // pair-shaped clusters (the overwhelmingly common dup shape) are already
+    // labeled and the loop below only runs its confirming round
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .unionAll(edges.select(col("dst").as("id"), col("src").as("label")))
       .groupBy("id").agg(min("label").as("label"))
       // the initial labelSum action materializes this; round 1's joins then
       // read the cache instead of re-running the edges aggregate

@@ -172,21 +172,26 @@ object PipelineQueries {
     }),
     // end-to-end preprocess composition: language ID + quality score ->
     // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
-    // per-document features. One declarative plan: Catalyst fuses the
-    // map-side ops; the only shuffle is the dedup group-by on the 128-bit
-    // fingerprint.
+    // per-document features. One declarative plan with ONE pass over the
+    // text: min_by keeps the surviving row's features in the same
+    // aggregation, so the regex-heavy projection is computed once and the
+    // only shuffle is the group-by on the 128-bit fingerprint (a
+    // survivors-join formulation would recompute the projection for the
+    // probe side and add a second shuffle).
     "pipeline_preprocess" -> ((s, dir) => {
       val d = docs(s, dir)
       val scored = d.select(
-        col("doc_id"), col("text"),
+        col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
         TextAnalysis.qualityScore("text").as("score"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
-      val gated = scored.filter(col("score") >= 0.5)
-      val survivors = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      gated.join(survivors, Seq("fp", "doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang_pred"), col("score"), col("n_tokens"))
+      scored.filter(col("score") >= 0.5)
+        .groupBy(col("fp"))
+        .agg(min_by(
+          struct(col("doc_id"), col("lang_pred"), col("score"), col("n_tokens")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.lang_pred"), col("r.score"), col("r.n_tokens"))
         .orderBy(col("doc_id"))
     }),
     "events_sessionize" -> ((s, dir) =>
