@@ -75,4 +75,24 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII patterns redacted by [[redactPii]], applied in order. Kept in the
+    * RE2-compatible regex subset so the same patterns run in other engines
+    * (the DuckDB oracle uses them verbatim). Order matters: cards before
+    * phones (a 16-digit card is phone-shaped), emails before bare domains.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b(?:\\d[ -]?){15}\\d\\b" -> "[CARD]",
+    "\\b\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3,4}[ -]?\\d{3,4}\\b" -> "[PHONE]",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "[IP]")
+
+  /** Redact common PII (emails, card numbers, phone-shaped digit runs, IPv4)
+    * with typed placeholders — the pipeline-side complement of the policy
+    * mask layer: masking policies protect governed columns, this scrubs
+    * free-text bodies before training. Chained regexp_replace: map-side,
+    * codegen'd, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
 }

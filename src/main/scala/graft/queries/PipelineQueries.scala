@@ -150,6 +150,10 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+    "text_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))),
     "mm_meta" -> ((s, dir) =>
       Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
         .select(col("media_id"), col("format"), col("width"), col("height"),
@@ -385,6 +389,15 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same RE2-subset patterns as TextAnalysis.PiiPatterns, same order
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(?:\d[ -]?){15}\d\b', '[CARD]', 'g'),
+        |    '\b\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,

@@ -100,6 +100,42 @@ object SqlSurfaceQueries {
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("value").desc, col("event_id").asc)
         .limit(100)
+    }),
+    // window functions: per-nation top-3 customers by exact revenue — one
+    // shuffle for the per-customer aggregate, one for the rank partition
+    "q_window_rank" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("revenue"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    }),
+    // grouping sets: ROLLUP subtotals + grand total in one pass (partial
+    // aggregation still map-side; one shuffle)
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    // set operations: symmetric difference of two customer populations via
+    // UNION / INTERSECT / EXCEPT (all shuffle on the full row as the key)
+    "q_setops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val big = orders.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"))
+      urgent.union(big).except(urgent.intersect(big))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -151,6 +187,31 @@ object SqlSurfaceQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topn" ->
       """SELECT event_id, user_id, value FROM events
-        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "q_window_rank" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c.c_nationkey, c.c_custkey, rev.revenue,
+        |         row_number() OVER (PARTITION BY c.c_nationkey
+        |                            ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rk
+        |  FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey)
+        |SELECT c_nationkey, rk, c_custkey, revenue
+        |FROM r WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM (SELECT o_custkey FROM urgent UNION ALL SELECT o_custkey FROM big)
+        |  EXCEPT
+        |  (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM big)
+        |) ORDER BY o_custkey""".stripMargin
   )
 }

@@ -219,6 +219,18 @@ class OperatorsSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "doc_id", "c", "e6"))
   }
 
+  test("PII redaction replaces emails, cards, phones and IPs with typed tags") {
+    val df = Seq(
+      (1L, "contact john.doe@example.com or +1 555-123-4567"),
+      (2L, "card 4111 1111 1111 1111 seen from 192.168.1.100"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact [EMAIL] or +[PHONE]")
+    assert(out(2L) == "card [CARD] seen from [IP]")
+    assert(out(3L) == "no pii here at all")
+  }
+
   test("sessionize assign adds only session_seq to the input schema") {
     val evs = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"))
       .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
