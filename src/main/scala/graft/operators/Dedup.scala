@@ -90,11 +90,14 @@ object Dedup {
         expr(s"transform(sequence(0, ${bands - 1}), j -> xxhash64(j, slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band", "band_hash")))
 
-    // cap pathological buckets (boilerplate shingle collisions) — skew guard
+    // cap pathological buckets (boilerplate shingle collisions) — skew guard.
+    // lazy checkpoint: `buckets` is both sides of the self-join below, and
+    // without it the banding explode + count window run twice
     val buckets = bandRows
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
+      .localCheckpoint(eager = false)
 
     // candidate id pairs, deduped BEFORE the (expensive) exact verify so a
     // pair colliding in many bands is verified once

@@ -44,15 +44,14 @@ object Similarity {
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
         (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))
           .as("cosine"))
-      .withColumn("part", spark_partition_id())
-    // phase 1: local top-k per (query, input partition)
-    val w1 = Window.partitionBy(col("query_id"), col("part"))
+    // one rank window per query: Spark's WindowGroupLimit rewrites the
+    // rank-<=k filter into a map-side top-k BEFORE the exchange, so the
+    // shuffle carries only k rows per (query, input partition) — the
+    // two-phase partial-top-k formulation is built into the optimizer
+    // (verify with .explain: Sort+WindowGroupLimit below the Exchange)
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    val partial = scored.withColumn("rn", row_number().over(w1)).filter(col("rn") <= k)
-    // phase 2: global top-k per query over the k*numPartitions survivors
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
