@@ -62,6 +62,16 @@ final class SecurityContext(
     analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered))
   }
 
+  /** Ranger-style composition (the divergence switch of SURVEY §7.3): row
+    * filters evaluate over RAW column values; masking applies to the output
+    * only. Use when a policy filters on a column that is also masked and the
+    * reference's filter-sees-masked-values quirk is not wanted.
+    */
+  def mixedRewriteRawFilter(user: String, sql: String): LogicalPlan = {
+    val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    analyzed(DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true)(filtered))
+  }
+
   // --- rewrite-to-SQL API (best-effort text, for diffing/goldens; the
   // reference returns SQL strings, SecurityContext.java:126-167) ---
 
@@ -85,6 +95,9 @@ final class SecurityContext(
   def dfMixed(user: String, sql: String): DataFrame =
     GraftSqlShims.ofRows(spark, mixedRewrite(user, sql))
 
+  def dfMixedRawFilter(user: String, sql: String): DataFrame =
+    GraftSqlShims.ofRows(spark, mixedRewriteRawFilter(user, sql))
+
   // --- execute API (reference SecurityContext.java:190-242) ---
 
   val DefaultFetchSize = 10
@@ -102,6 +115,9 @@ final class SecurityContext(
 
   def mixedExecute(user: String, sql: String, size: Int = DefaultFetchSize): Seq[Row] =
     fetch(dfMixed(user, sql), size)
+
+  def mixedExecuteRawFilter(user: String, sql: String, size: Int = DefaultFetchSize): Seq[Row] =
+    fetch(dfMixedRawFilter(user, sql), size)
 
   /** fetch-N without collecting the full result (SecurityContext.java:235-242
     * iterates; here `limit` is planned, so only N rows cross the driver

@@ -181,7 +181,14 @@ final case class DataMaskRule(
     spark: SparkSession,
     user: String,
     policies: PolicyManager,
-    override val scope: TableScope
+    override val scope: TableScope,
+    /** false (default): reference semantics — injected row filters sit above
+      * the mask and evaluate over MASKED values (SecurityContext.java:154-167).
+      * true: Ranger-style composition — the masked Project wraps the injected
+      * filter chain, so row filters evaluate over RAW values and only the
+      * query's output is masked (the divergence switch of SURVEY §7.3).
+      */
+    filterOnRaw: Boolean = false
 ) extends Rule[LogicalPlan] with SecurityRuleSupport {
 
   /** Resolve a parsed transformer template against the scan's output. The
@@ -254,6 +261,17 @@ final case class DataMaskRule(
     */
   private def injectUnderFilters(p: LogicalPlan, cat: String, db: String,
       table: String): Option[(LogicalPlan, Seq[(Attribute, Attribute)])] = p match {
+    case f: Filter if filterOnRaw =>
+      // Ranger-style: wrap the whole (injected) filter chain in the masked
+      // Project. The filters below keep their raw attribute references; only
+      // operators above see the masked, fresh-exprId output. Filter.output ==
+      // scan output, so maskedProject builds directly over the chain.
+      def bottomIsBase(q: LogicalPlan): Boolean = q match {
+        case g: Filter => bottomIsBase(g.child)
+        case pr: Project if pr.getTagValue(SecurityTags.MaskApplied).contains(true) => false
+        case b => isBaseTable(b)
+      }
+      if (bottomIsBase(f)) maskedProject(f, cat, db, table) else None
     case f: Filter =>
       injectUnderFilters(f.child, cat, db, table).map { case (nc, mapping) =>
         val remapped = f.condition.transform {

@@ -229,6 +229,25 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(got == Seq(Seq(10001, null, 102, "beijing")))
   }
 
+  test("raw-filter composition: row filter sees RAW values, output still masked") {
+    val c = ctx
+    c.policyManager.addPolicy(RowFilterPolicy("user_R", CAT, DB, "orders", "customer_name = 'Jack'"))
+    c.policyManager.addPolicy(DataMaskPolicy("user_R", CAT, DB, "orders", "customer_name", "MASK"))
+    // reference order: the filter evaluates the MASKED name — 'Jack' never
+    // matches a masked value, so the result is empty
+    assert(rows(c.mixedExecute("user_R", baseSql)).isEmpty)
+    // Ranger-style order: the filter matches the two raw Jacks; the output
+    // column is still masked
+    assert(rows(c.mixedExecuteRawFilter("user_R", baseSql)) == Seq(
+      Seq(10001, "Xxxx", 102, "beijing"),
+      Seq(10006, "Xxxx", 103, "shanghai")))
+    // idempotency: re-applying the raw-order rewrite plan leaves it unchanged
+    val once = c.mixedRewriteRawFilter("user_R", baseSql)
+    val twice = graft.plans.DataMaskRule(spark, "user_R", c.policyManager,
+      graft.plans.TableScope(CAT, DB), filterOnRaw = true)(once)
+    assert(twice.sameResult(once))
+  }
+
   test("CUSTOM transformer: unqualified function resolves; bogus qualifier fails loudly") {
     val c = ctx
     c.policyManager.registerMaskType(graft.policy.DataMaskType(
