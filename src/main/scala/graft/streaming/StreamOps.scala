@@ -46,8 +46,32 @@ object StreamOps {
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
-  /** Run a (complete-mode) streaming aggregation to a memory sink, drain all
-    * available input synchronously, and return the result table.
+  /** Stream-stream interval join: every left event joined to right events of
+    * the same key with rightTs in [leftTs - upper, leftTs - lower] (backward
+    * window). Watermarks on BOTH sides bound the join state — Spark retains
+    * each side only until the other's watermark passes the interval, so state
+    * is O(rate x window), not O(stream length). Both sides shuffle on the
+    * key; at 100 TB/day this is the same key-partitioned discipline as the
+    * batch RangeJoin, with watermark-driven cleanup instead of buckets.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    require(lowerSec <= upperSec, "interval lower bound must not exceed upper bound")
+    val l = left.withWatermark(leftTs, watermark)
+    // prefix ALL right columns: the common case is a self-join of two filters
+    // of the same stream, where every unprefixed name would be ambiguous
+    val r = right.toDF(right.columns.map("_r_" + _): _*)
+      .withWatermark("_r_" + rightTs, watermark)
+    val keyCond = keys.map(k => col(k) === col("_r_" + k)).reduce(_ && _)
+    val range = col(leftTs) >= col("_r_" + rightTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+      col(leftTs) <= col("_r_" + rightTs) + expr(s"INTERVAL $upperSec SECONDS")
+    l.join(r, keyCond && range)
+  }
+
+  /** Run a streaming query to a memory sink, drain all available input
+    * synchronously, and return the result table. Complete mode for
+    * aggregations (default); Append for stream-stream joins.
     *
     * `statePartitions` sizes the streaming state store (fixed at first
     * start): size it to the aggregate's key cardinality, not the batch scan
@@ -55,10 +79,11 @@ object StreamOps {
     * per-batch overhead on this corpus.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     def drain(): Unit = {
       val q = streamed.writeStream
-        .outputMode(OutputMode.Complete())
+        .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .start()

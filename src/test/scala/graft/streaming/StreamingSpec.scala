@@ -21,6 +21,35 @@ class StreamingSpec extends SparkFunSuite {
     assert(res.filter(expr("minute(bucket) != 0 OR second(bucket) != 0")).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    val events = StreamOps.eventsStream(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val joined = StreamOps.streamIntervalJoin(
+      clicks, purchases, Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 3599)
+      .select(col("event_id"), col("user_id"), col("_r_ts"))
+    val got = StreamOps.runToMemory(spark, joined, "t_stream_ivj",
+      outputMode = OutputMode.Append())
+      .select(col("event_id"), unix_timestamp(col("_r_ts")).as("pts"))
+      .as[(Long, Long)].collect().toSet
+
+    // batch truth on the same files: clicks within [purchase, purchase+3599]
+    val be = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val bc = be.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("cts"))
+    val bp = be.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_timestamp(col("ts")).as("pts"))
+    val want = bc.join(bp, col("user_id") === col("pu") &&
+        col("cts") >= col("pts") && col("cts") <= col("pts") + 3599)
+      .select(col("event_id"), col("pts")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys with watermark-bounded state") {
     val events = StreamOps.eventsStream(spark, dir)
       .withColumn("dup_key", expr("event_id % 100")) // force duplicates
