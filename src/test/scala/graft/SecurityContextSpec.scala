@@ -481,6 +481,32 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(got == Seq(Seq(10001, "Xxxx"), Seq(10002, "Xxxxx")))
   }
 
+  test("policies apply under LATERAL VIEW explode") {
+    val got = rows(ctx.mixedExecute("user_A",
+      """SELECT order_id, customer_name, w
+        |FROM orders LATERAL VIEW explode(split(region, 'j')) t AS w
+        |ORDER BY order_id, w""".stripMargin))
+    // beijing rows only, exploded over the generated column, names masked
+    assert(got == Seq(
+      Seq(10001, "Xxxx", "bei"), Seq(10001, "Xxxx", "ing"),
+      Seq(10002, "Xxxxx", "bei"), Seq(10002, "Xxxxx", "ing")))
+  }
+
+  test("policies apply under PIVOT") {
+    val got = rows(ctx.mixedExecute("user_A",
+      """SELECT * FROM (SELECT region, customer_name FROM orders)
+        |PIVOT (count(*) FOR region IN ('beijing', 'hangzhou'))
+        |ORDER BY customer_name""".stripMargin))
+    // only beijing rows survive the filter; grouping keys are MASKED names
+    assert(got == Seq(Seq("Xxxx", 1, null), Seq("Xxxxx", 1, null)))
+  }
+
+  test("policies apply under DISTINCT") {
+    val got = rows(ctx.mixedExecute("user_A",
+      "SELECT DISTINCT customer_name FROM orders ORDER BY customer_name"))
+    assert(got == Seq(Seq("Xxxx"), Seq("Xxxxx")))
+  }
+
   test("rewrite-to-SQL renderer shows injected filter and mask (golden-style)") {
     val sql = "SELECT order_id, customer_name FROM orders"
     val rf = ctx.rewriteRowFilterSql("user_A", sql)
