@@ -309,6 +309,31 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — canonical composition
+  * so visually-identical strings (e.g. 'é' as U+00E9 vs 'e'+U+0301) hash,
+  * dedup and join identically. Map-side scalar; DuckDB's nfc_normalize is
+  * the cross-engine oracle.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // isNormalized is a cheap scan; ASCII and already-composed text (the
+    // overwhelmingly common case) skips the allocation entirely
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "graft_nfc"
+}
+
 /** Multiset word-token hashes of a string (for SimHash votes), single pass. */
 case class WordHashes(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -439,5 +464,7 @@ object VectorFunctions {
       args => ShingleHashes(args.head, intLit(args(1))), "scala_udf")
     r.createOrReplaceTempFunction("graft_word_hashes",
       args => WordHashes(args.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_nfc",
+      args => NfcNormalize(args.head), "scala_udf")
   }
 }

@@ -76,6 +76,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Canonical text normalization for dedup/join keys: Unicode NFC (via the
+    * graft_nfc expression, so 'é' composed and decomposed compare equal),
+    * trimmed, inner whitespace collapsed. Map-side; DuckDB's nfc_normalize
+    * oracles it.
+    */
+  def normalize(textCol: String): Column =
+    regexp_replace(trim(expr(s"graft_nfc($textCol)")), "\\s+", " ")
+
   /** PII patterns redacted by [[redactPii]], applied in order. Kept in the
     * RE2-compatible regex subset so the same patterns run in other engines
     * (the DuckDB oracle uses them verbatim). Order matters: cards before

@@ -154,6 +154,12 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    "text_normalize" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.normalize("text").as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
     "mm_meta" -> ((s, dir) =>
       Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
         .select(col("media_id"), col("format"), col("width"), col("height"),
@@ -389,6 +395,10 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g') AS normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
     // same RE2-subset patterns as TextAnalysis.PiiPatterns, same order
     "text_redact" ->

@@ -231,6 +231,18 @@ class OperatorsSpec extends SparkFunSuite {
     assert(out(3L) == "no pii here at all")
   }
 
+  test("NFC normalization makes composed and decomposed text identical") {
+    val composed = "café x" // é as U+00E9
+    val decomposed = "café   x" // e + combining acute, messy spacing
+    val df = Seq((1L, composed), (2L, decomposed)).toDF("id", "text")
+    val out = df.select(TextAnalysis.normalize("text").as("n")).as[String].collect()
+    assert(out.toSet == Set("café x"))
+    // normalized fingerprints collide -> dedup treats them as duplicates
+    val fps = df.select(TextAnalysis.fingerprint(TextAnalysis.normalize("text")).as("f"))
+      .as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
   test("sessionize assign adds only session_seq to the input schema") {
     val evs = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"))
       .toDF("user_id", "ts").withColumn("ts", to_timestamp($"ts"))
