@@ -154,7 +154,12 @@ final class PolicyManager {
       case p if eq(p.username, user) && eq(p.catalogName, catalog) &&
         eq(p.database, db) && eq(p.tableName, table) &&
         eq(p.columnName, column) => p.maskType
-    }.flatMap(getMaskType)
+    }.map { name =>
+      // fail closed: a policy naming an unregistered mask type must never
+      // degrade to passthrough — that would silently expose the column
+      getMaskType(name).getOrElse(throw new IllegalStateException(
+        s"mask policy on $catalog.$db.$table.$column references unregistered mask type '$name'"))
+    }
   }
 
   def getMaskType(name: String): Option[DataMaskType] = synchronized {

@@ -49,6 +49,14 @@ class PolicyManagerSpec extends AnyFunSuite {
     assert(!m.removePolicy(p))
   }
 
+  test("a policy with an unregistered mask type fails closed, not unmasked") {
+    val m = mgr
+    m.addPolicy(DataMaskPolicy("user_X", "hive", "default", "orders", "customer_name", "MASK_NO_SUCH_TYPE"))
+    val e = intercept[IllegalStateException](
+      m.dataMaskType("user_X", "hive", "default", "orders", "customer_name"))
+    assert(e.getMessage.contains("MASK_NO_SUCH_TYPE"))
+  }
+
   test("removePolicy matches identifiers case-insensitively, like lookups") {
     val m = mgr
     assert(m.removePolicy(RowFilterPolicy("USER_A", "Hive", "Default", "ORDERS", "region = 'beijing'")))
