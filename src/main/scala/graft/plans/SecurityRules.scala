@@ -147,7 +147,14 @@ final case class RowFilterRule(
         case Seq() => sa
         case conds =>
           val cond = conds
-            .map(c => spark.sessionState.sqlParser.parseExpression(c))
+            .map { c =>
+              try spark.sessionState.sqlParser.parseExpression(c)
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"row-filter policy for user '$user' on $cat.$db.$table has " +
+                    s"an unparseable condition: $c", e)
+              }
+            }
             .reduceLeft[Expression](And(_, _))
           val filter = Filter(cond, child)
           filter.setTagValue(SecurityTags.RowFilterApplied, true)

@@ -165,4 +165,50 @@ final class PolicyManager {
   def getMaskType(name: String): Option[DataMaskType] = synchronized {
     maskTypes.find(t => eq(t.name, name))
   }
+
+  /** Export every policy as one JSON document — the admin-tooling round trip
+    * a Ranger-style external policy service would use.
+    */
+  def exportJson(): String = synchronized {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json =
+      ("rowFilters" -> rowFilters.toList.map(p =>
+        ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
+          ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
+          ("condition" -> p.condition))) ~
+      ("dataMasks" -> dataMasks.toList.map(p =>
+        ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
+          ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
+          ("columnName" -> p.columnName) ~ ("maskType" -> p.maskType)))
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** Load policies from [[exportJson]] output, appending to the store.
+    * Unknown fields are ignored; missing required fields fail loudly.
+    */
+  def importJson(json: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(json)
+    def str(v: JValue, field: String): String = v \ field match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(s"policy JSON missing field '$field'")
+    }
+    val rfs = (root \ "rowFilters") match {
+      case JArray(items) => items.map(v => RowFilterPolicy(
+        str(v, "username"), str(v, "catalogName"), str(v, "database"),
+        str(v, "tableName"), str(v, "condition")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"rowFilters must be an array, got $other")
+    }
+    val dms = (root \ "dataMasks") match {
+      case JArray(items) => items.map(v => DataMaskPolicy(
+        str(v, "username"), str(v, "catalogName"), str(v, "database"),
+        str(v, "tableName"), str(v, "columnName"), str(v, "maskType")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"dataMasks must be an array, got $other")
+    }
+    synchronized { rowFilters ++= rfs; dataMasks ++= dms }
+  }
 }

@@ -49,6 +49,16 @@ class PolicyManagerSpec extends AnyFunSuite {
     assert(!m.removePolicy(p))
   }
 
+  test("policies round-trip through JSON export/import") {
+    val m = mgr
+    val m2 = new PolicyManager
+    m2.importJson(m.exportJson())
+    assert(m2.rowFilterPolicies == m.rowFilterPolicies)
+    assert(m2.dataMaskPolicies == m.dataMaskPolicies)
+    intercept[IllegalArgumentException](m2.importJson("""{"rowFilters":[{"username":"x"}]}"""))
+    m2.importJson("{}") // both sections optional
+  }
+
   test("a policy with an unregistered mask type fails closed, not unmasked") {
     val m = mgr
     m.addPolicy(DataMaskPolicy("user_X", "hive", "default", "orders", "customer_name", "MASK_NO_SUCH_TYPE"))
