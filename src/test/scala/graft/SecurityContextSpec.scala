@@ -197,6 +197,19 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(rows(ctx.executeDataMask("user_A", sql)) == Seq(Seq("Xxxx"), Seq("Xxxxx")))
   }
 
+  test("data mask across a three-way join (RewriteDataMaskTest:294)") {
+    val sql = """SELECT o.order_id, o.customer_name, p.name, s.destination
+                |FROM orders AS o
+                |LEFT JOIN products AS p ON o.product_id = p.id
+                |LEFT JOIN shipments AS s ON o.order_id = s.order_id
+                |WHERE o.order_id = 10001
+                |ORDER BY o.order_id""".stripMargin
+    // user_A masks orders.customer_name (MASK) and products.name
+    // (MASK_SHOW_LAST_4) — both sides of the join chain masked independently
+    assert(rows(ctx.executeDataMask("user_A", sql)) ==
+      Seq(Seq(10001, "Xxxx", "xxx xxxtery", "Shanghai"))) // 'car battery', last 4 shown
+  }
+
   test("mixed: user_A filter + mask (MixedExecuteTest:76)") {
     assert(rows(ctx.mixedExecute("user_A", baseSql, 2)) == Seq(
       Seq(10001, "Xxxx", 102, "beijing"),
@@ -276,6 +289,20 @@ class SecurityContextSpec extends SparkFunSuite {
       Seq(10001, "Xxxx", "beijing"),
       Seq(10002, "Xxxxx", "beijing")))
     spark.sql("DROP TABLE IF EXISTS order_sink")
+  }
+
+  test("INSERT INTO ... SELECT over a FROM-subquery rewrites the inner select (RewriteRowFilterTest:511)") {
+    val c = ctx
+    spark.sql("DROP TABLE IF EXISTS order_sink2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("spark-warehouse/order_sink2"))
+    spark.sql("CREATE TABLE order_sink2 (order_id INT, region STRING) USING parquet")
+    c.executeRowFilter("user_A",
+      """INSERT INTO order_sink2
+        |SELECT order_id, region FROM
+        |  (SELECT * FROM orders WHERE order_status = FALSE) AS t""".stripMargin)
+    val sunk = spark.table("order_sink2").orderBy("order_id").collect().map(_.toSeq).toSeq
+    assert(sunk == Seq(Seq(10001, "beijing"), Seq(10002, "beijing")))
+    spark.sql("DROP TABLE IF EXISTS order_sink2")
   }
 
   test("GROUP BY and joins over a masked column operate on masked values") {
