@@ -249,6 +249,36 @@ object Dedup {
     }
   }
 
+  /** LSH-bucketed cosine near-dup pairs — the scale path for embedding
+    * dedup: random-hyperplane buckets (graft_lsh_bucket) replace the
+    * quadratic within-block join of [[cosinePairs]]; only same-bucket pairs
+    * are scored, then verified with the exact cosine. Recall < 1 by
+    * construction (a near-dup pair can straddle a hyperplane); raise recall
+    * by lowering nBits or probing 1-bit-flip neighbor buckets. Planted exact
+    * duplicates always share a bucket, so the planted-dup tests are exact.
+    */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 12, maxBucket: Int = 200): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      .filter(col("norm") > 0) // zero vectors: no direction (see cosinePairs)
+      .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nBits)"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket) // skew guard, as in minhashDedup
+      .localCheckpoint(eager = false) // both sides of the self-join below
+    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_vec_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // no distinct needed: each id lives in exactly one bucket (single hash
+      // table), so a pair can only form once
+  }
+
   /** Exact pairwise cosine similarity within a blocking key over an
     * Array[Float] embedding column.
     */

@@ -56,6 +56,17 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dedup_cosine_lsh" -> ((s, dir) => {
+      // the scale path: LSH buckets instead of block-quadratic pairing;
+      // rows-only check (bucket membership is xxhash-derived, not
+      // SQL-expressible) — planted-dup recall pinned in OperatorsSpec
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionAll(e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")))
+      Dedup.cosineLshPairs(doubled, "vec_id", "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "ann_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -211,6 +222,22 @@ object PipelineQueries {
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
         statePartitions = Some(8))
       res.orderBy(col("bucket"), col("event_type"))
+    }),
+    // the reference's core scenario on Spark: a STREAMING query through the
+    // security layer — row filter + hash mask applied to the plan before the
+    // stream starts, drained append-mode to memory
+    "sec_stream_mask" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      StreamOps.eventsStream(s, dir).createOrReplaceTempView("events_stream_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_q", "event_type = 'purchase'"))
+      ctx.policyManager.addPolicy(graft.policy.DataMaskPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_q", "props", "MASK_HASH"))
+      val secured = ctx.dfMixed("stream_user",
+        "SELECT event_id, user_id, props FROM events_stream_q")
+      StreamOps.runToMemory(s, secured, "sec_stream_mask_out",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("event_id"))
     })
   )
 
@@ -466,6 +493,10 @@ object PipelineQueries {
       """SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket,
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // mask_hash = lower(sha2(col, 256)); DuckDB's sha256() is lowercase hex
+    "sec_stream_mask" ->
+      """SELECT event_id, user_id, sha256(props) AS props
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
 }

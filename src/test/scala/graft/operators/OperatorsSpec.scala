@@ -60,6 +60,18 @@ class OperatorsSpec extends SparkFunSuite {
     assert(pairs == Set((1L, 2L))) // 4 blocked away, 3 orthogonal
   }
 
+  test("LSH cosine pairs find identical vectors and never emit below-threshold pairs") {
+    // identical vectors share a bucket by construction (same hyperplane
+    // signs), so exact duplicates are always recalled
+    val got = Dedup.cosineLshPairs(vecs, "vec_id", "embedding", threshold = 0.9, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L))) // identical pair, found without any blocking key
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L)) // orthogonal never verified in
+    // the exact verify bounds precision at 1.0 regardless of bucketing
+    val all = Dedup.cosineLshPairs(vecs, "vec_id", "embedding", threshold = 0.0, nBits = 2)
+    assert(all.filter($"cosine" > 1.000001).isEmpty)
+  }
+
   test("brute-force top-k ranks by exact cosine with deterministic tiebreak") {
     val q = vecs.filter($"vec_id" === 1L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
