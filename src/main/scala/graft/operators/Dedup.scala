@@ -254,8 +254,13 @@ object Dedup {
     * quadratic within-block join of [[cosinePairs]]; only same-bucket pairs
     * are scored, then verified with the exact cosine. Recall < 1 by
     * construction (a near-dup pair can straddle a hyperplane); raise recall
-    * by lowering nBits or probing 1-bit-flip neighbor buckets. Planted exact
-    * duplicates always share a bucket, so the planted-dup tests are exact.
+    * by lowering nBits or probing 1-bit-flip neighbor buckets.
+    *
+    * Skew guard: an oversized bucket keeps its first `maxBucket` members
+    * (ordered by id) rather than being dropped wholesale — a giant duplicate
+    * cluster is still detected through the pairs among the retained members;
+    * members beyond the cap are not linked (unlike minhashDedup, whose
+    * independent bands can recover a pair dropped from one bucket).
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 12, maxBucket: Int = 200): DataFrame = {
@@ -264,9 +269,11 @@ object Dedup {
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
       .filter(col("norm") > 0) // zero vectors: no direction (see cosinePairs)
       .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nBits)"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket) // skew guard, as in minhashDedup
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+          .orderBy(col(idCol))))
+      .filter(col("_rk") <= maxBucket)
+      .drop("_rk")
       .localCheckpoint(eager = false) // both sides of the self-join below
     val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb"))

@@ -26,9 +26,12 @@ object Sampling {
     // rows to 'test'.
     val train = trainHexUpper.toLowerCase
     val value = valHexUpper.toLowerCase
-    require(train.length == 2 && train.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+    // ASCII range check, not isDigit: Unicode digits (e.g. U+0663) would pass
+    // isDigit yet sort above every hex digest, re-creating the mis-split
+    def hex(c: Char) = ('0' to '9').contains(c) || ('a' to 'f').contains(c)
+    require(train.length == 2 && train.forall(hex),
       s"train threshold must be two hex chars, got '$trainHexUpper'")
-    require(value.length == 2 && value.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+    require(value.length == 2 && value.forall(hex),
       s"val threshold must be two hex chars, got '$valHexUpper'")
     require(train < value, "train threshold must sort below val threshold")
     val prefix = substring(md5(col(idCol).cast("string")), 1, 2)

@@ -81,8 +81,14 @@ object TextAnalysis {
     * trimmed, inner whitespace collapsed. Map-side; DuckDB's nfc_normalize
     * oracles it.
     */
-  def normalize(textCol: String): Column =
-    regexp_replace(trim(expr(s"graft_nfc($textCol)")), "\\s+", " ")
+  def normalize(textCol: String): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    // build the expression directly — no dependence on VectorFunctions
+    // having been registered in this session (graft_nfc stays available for
+    // SQL-text callers)
+    val nfc = columnOf(graft.functions.NfcNormalize(expressionOf(col(textCol))))
+    regexp_replace(trim(nfc), "\\s+", " ")
+  }
 
   /** PII patterns redacted by [[redactPii]], applied in order. Kept in the
     * RE2-compatible regex subset so the same patterns run in other engines
@@ -91,7 +97,10 @@ object TextAnalysis {
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
-    "\\b(?:\\d[ -]?){15}\\d\\b" -> "[CARD]",
+    // 15-19 digits: covers Amex (15), Visa/MC (16) and UnionPay/Visa (19);
+    // a fixed 16 would let 15/19-digit cards fall through to the phone
+    // pattern and leak their trailing digits
+    "\\b(?:\\d[ -]?){14,18}\\d\\b" -> "[CARD]",
     "\\b\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3,4}[ -]?\\d{3,4}\\b" -> "[PHONE]",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "[IP]")
 

@@ -29,8 +29,13 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
+    // maxBucket is effectively uncapped here: the DuckDB oracle is a full
+    // pairwise join that cannot model the cap, so the gate must not depend
+    // on corpus-specific bucket sizes (the default cap stays for operator
+    // users; banding recall stays the only approximation, >= 1-4e-8 at 0.9)
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9)
+      Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
+          maxBucket = 1000000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -38,8 +43,10 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_groups" -> ((s, dir) =>
       // pairs -> connected components -> (id, representative) assignment
+      // (maxBucket uncapped for oracle parity, as in dedup_minhash)
       Dedup.components(
-        Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9))
+        Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
+          maxBucket = 1000000))
         .orderBy(col("id"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
@@ -432,7 +439,7 @@ object PipelineQueries {
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b(?:\d[ -]?){15}\d\b', '[CARD]', 'g'),
+        |    '\b(?:\d[ -]?){14,18}\d\b', '[CARD]', 'g'),
         |    '\b\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b', '[PHONE]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,

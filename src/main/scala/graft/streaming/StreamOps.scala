@@ -84,19 +84,20 @@ object StreamOps {
     def drain(): Unit = {
       // a synchronous drain doesn't need the trailing empty micro-batch that
       // event-time cleanup would use — skipping it saves a full batch round
-      // trip per run (results are unaffected: all data batches still run)
+      // trip per run (results are unaffected: all data batches still run).
+      // The restore is its own finally so a throw from start()/stop() cannot
+      // leave the session conf mutated.
       val key = "spark.sql.streaming.noDataMicroBatches.enabled"
       val saved = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      val q = streamed.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        spark.conf.set(key, saved)
-      }
+      try {
+        spark.conf.set(key, "false")
+        val q = streamed.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, saved)
     }
     statePartitions match {
       case Some(n) => graft.SparkUtil.withShufflePartitions(spark, n)(drain())

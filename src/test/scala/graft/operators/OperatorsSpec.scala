@@ -235,12 +235,16 @@ class OperatorsSpec extends SparkFunSuite {
     val df = Seq(
       (1L, "contact john.doe@example.com or +1 555-123-4567"),
       (2L, "card 4111 1111 1111 1111 seen from 192.168.1.100"),
-      (3L, "no pii here at all")).toDF("id", "text")
+      (3L, "no pii here at all"),
+      (4L, "amex 3782 822463 10005 and long 6212 3456 7890 1234 567")).toDF("id", "text")
     val out = df.select($"id", TextAnalysis.redactPii($"text").as("r"))
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "contact [EMAIL] or +[PHONE]")
     assert(out(2L) == "card [CARD] seen from [IP]")
     assert(out(3L) == "no pii here at all")
+    // 15-digit amex and 19-digit cards must not half-leak through the
+    // phone pattern
+    assert(out(4L) == "amex [CARD] and long [CARD]")
   }
 
   test("NFC normalization makes composed and decomposed text identical") {
