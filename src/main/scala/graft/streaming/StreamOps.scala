@@ -19,11 +19,19 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // readStream wants a directory; glob-filter to the events file only
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    // FileStreamSource requires a DIRECTORY basePath: driver testdata ships
+    // events.parquet as a single file (glob-filter its parent), while scaled
+    // copies from graft.tools.ScaleUp write it as a directory of part files
+    // (stream it directly)
+    val path = new java.io.File(s"$dir/events.parquet")
+    val raw =
+      if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else raw
   }
 
   /** 1-hour tumbling-window counts/sums per event type (native streaming
