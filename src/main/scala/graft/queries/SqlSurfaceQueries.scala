@@ -126,6 +126,15 @@ object SqlSurfaceQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
+    // anti join: customers with no orders (null-aware NOT EXISTS shape;
+    // broadcast the aggregated key set when small, AQE decides)
+    "q_anti_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
     // set operations: symmetric difference of two customer populations via
     // UNION / INTERSECT / EXCEPT (all shuffle on the full row as the key)
     "q_setops" -> ((s, dir) => {
@@ -205,6 +214,10 @@ object SqlSurfaceQueries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_setops" ->
       """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
