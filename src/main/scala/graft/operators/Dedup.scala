@@ -91,13 +91,19 @@ object Dedup {
         .as(Seq("band", "band_hash")))
 
     // cap pathological buckets (boilerplate shingle collisions) — skew guard.
-    // lazy checkpoint: `buckets` is both sides of the self-join below, and
-    // without it the banding explode + count window run twice
-    val buckets = bandRows
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .localCheckpoint(eager = false)
+    // Skipped entirely when the cap is effectively off (oracle-gated runs):
+    // the count window costs an exchange + sort that a tautological filter
+    // would still pay. lazy checkpoint: `buckets` is both sides of the
+    // self-join below, and without it the banding explode (+ window) runs
+    // twice
+    val capped =
+      if (maxBucket >= Int.MaxValue) bandRows
+      else bandRows
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    val buckets = capped.localCheckpoint(eager = false)
 
     // candidate id pairs, deduped BEFORE the (expensive) exact verify so a
     // pair colliding in many bands is verified once

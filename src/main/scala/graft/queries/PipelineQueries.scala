@@ -35,7 +35,7 @@ object PipelineQueries {
     // users; banding recall stays the only approximation, >= 1-4e-8 at 0.9)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
-          maxBucket = 1000000)
+          maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -46,7 +46,7 @@ object PipelineQueries {
       // (maxBucket uncapped for oracle parity, as in dedup_minhash)
       Dedup.components(
         Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
-          maxBucket = 1000000))
+          maxBucket = Int.MaxValue))
         .orderBy(col("id"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
