@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data pipelines: assign every document a
+  * (shard, pack_id, pack_pos) so downstream batch assembly can concatenate
+  * documents into fixed-token-budget training sequences without a second
+  * pass over the text.
+  *
+  * Scale design: documents are sharded by `id % shards`, so packing is
+  * embarrassingly parallel across shards — ONE shuffle on the shard key,
+  * then a per-shard running sum (rows-unbounded-preceding window, O(n)
+  * streaming evaluation, no buffering). A single global ordering would
+  * serialize the corpus through one partition; the shard count is the
+  * parallelism knob (thousands at 100 TB). Assignment is deterministic in
+  * the id order — identical across runs, retries and engines, which is what
+  * makes it DuckDB-oracle-able.
+  */
+object Packing {
+
+  /** Greedy-by-offset packing: within a shard, documents are laid end to end
+    * in id order and a document belongs to the pack its FIRST token lands in
+    * (`pack_id = floor(tokens_before / budget)`). A document longer than the
+    * remaining pack space spills into the next pack rather than being
+    * reordered — packing never changes document order, so data order stays
+    * reproducible. `pack_pos` is the token offset of the document inside its
+    * pack.
+    */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("_before",
+        sum(col(tokenCol)).over(w).cast("long") - col(tokenCol).cast("long"))
+      .withColumn("pack_id", floor(col("_before") / lit(budget.toDouble)))
+      .withColumn("pack_pos", (col("_before") - col("pack_id") * budget).cast("long"))
+      .drop("_before")
+  }
+}

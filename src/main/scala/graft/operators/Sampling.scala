@@ -41,6 +41,36 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic weighted downsampling for domain mixing: keep a row with
+    * probability `weights(key)` (1.0 for keys not in the map), decided by the
+    * first four hex chars of md5(id) — 65,536 buckets, so realized rates are
+    * within ~1/65536 of the target. Pure map-side (no shuffle, no rand()):
+    * the keep/drop decision for a row never changes across runs, retries or
+    * engines, and adding data never resamples existing rows — the standard
+    * requirement for reproducible corpus mixes.
+    */
+  def weightedKeep(df: DataFrame, idCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0, 1], got $weights")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
+    // lexical compare of the lowercase hex prefix against a 4-hex-digit
+    // threshold == numeric compare; weight 1.0 needs a sentinel above every
+    // hex string ('g' > 'f' at the first char), since "10000" sorts BELOW
+    // "ffff" lexically
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(1.0))) {
+      case (acc, (k, w)) => when(col(keyCol) === k, hexThreshold(w)).otherwise(acc)
+    }
+    df.filter(prefix < threshold)
+  }
+
+  /** 4-hex-digit keep threshold for a weight (see weightedKeep); "g" for 1.0. */
+  private[operators] def hexThreshold(w: Double): String = {
+    val buckets = math.round(w * 65536.0)
+    if (buckets >= 65536L) "g" else f"$buckets%04x"
+  }
+
   /** Deterministic stratified take: at most k rows per group, chosen by
     * md5(id) order — a reproducible "reservoir" any engine replays
     * identically. Balances skewed groups (languages, sources, labels)

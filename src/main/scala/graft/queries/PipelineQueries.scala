@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -222,6 +222,24 @@ object PipelineQueries {
         .select(col("r.doc_id"), col("r.lang_pred"), col("r.score"), col("r.n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // sequence packing: documents -> (shard, pack, offset) assignment against
+    // a fixed token budget; one shuffle on the shard key, per-shard running
+    // sums (the shard count is the parallelism knob at 100 TB)
+    "pipeline_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+    // domain mixing: deterministic per-language downsampling toward target
+    // mixture weights — pure map-side, md5-keyed (no rand()), reproducible
+    // across runs/engines, never resamples existing rows when data grows
+    "pipeline_mix" -> ((s, dir) =>
+      Sampling.weightedKeep(docs(s, dir),
+          "doc_id", "lang",
+          Map("en" -> 1.0, "zh" -> 0.75, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.125))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -482,6 +500,23 @@ object PipelineQueries {
          |SELECT g.doc_id, g.lang_pred, g.score, g.n_tokens
          |FROM g JOIN s ON g.fp = s.fp AND g.doc_id = s.doc_id
          |ORDER BY g.doc_id""".stripMargin,
+    "pipeline_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($duckWords) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+         |             sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+         |               - n_tokens AS tokens_before
+         |      FROM t)
+         |SELECT doc_id, n_tokens, shard,
+         |       CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id,
+         |       CAST(tokens_before
+         |            - CAST(floor(tokens_before / 2048.0) AS BIGINT) * 2048 AS BIGINT) AS pack_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "pipeline_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      CASE lang WHEN 'en' THEN 'g' WHEN 'zh' THEN 'c000' WHEN 'de' THEN '8000'
+        |                WHEN 'fr' THEN '4000' WHEN 'es' THEN '2000' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,

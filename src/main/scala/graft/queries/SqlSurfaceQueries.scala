@@ -135,6 +135,15 @@ object SqlSurfaceQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
+    // semi join: orders whose customer is in a segment (EXISTS shape) —
+    // probe side never duplicates rows, build side broadcast when small
+    "q_semi_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      orders.join(building, orders("o_custkey") === building("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     // set operations: symmetric difference of two customer populations via
     // UNION / INTERSECT / EXCEPT (all shuffle on the full row as the key)
     "q_setops" -> ((s, dir) => {
@@ -218,6 +227,11 @@ object SqlSurfaceQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_setops" ->
       """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
