@@ -143,10 +143,18 @@ object MaskFunctions {
   /** Register the family in the session's FunctionRegistry so they resolve in
     * SQL text and in policy transformer templates.
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+  // sessions already registered — "mask" must REPLACE the narrower builtin
+  // (a functionExists check would see the builtin and skip), but replacing it
+  // on every call logs a "function replaced" warning per call. Weak keys: the
+  // guard must not pin a stopped session in memory.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        registry.createOrReplaceTempFunction(name, b, "scala_udf")
+      }
     }
-  }
 }

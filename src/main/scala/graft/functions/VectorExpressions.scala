@@ -450,21 +450,19 @@ object VectorFunctions {
 
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("graft_minhash_sig",
-      args => MinHashSig(args.head, intLit(args(1))), "scala_udf")
-    r.createOrReplaceTempFunction("graft_simhash64",
-      args => SimHash64(args.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_jaccard_sorted",
-      args => JaccardSorted(args.head, args(1)), "scala_udf")
-    r.createOrReplaceTempFunction("graft_vec_dot",
-      args => VecDot(args.head, args(1)), "scala_udf")
-    r.createOrReplaceTempFunction("graft_lsh_bucket",
-      args => LshBucket(args.head, intLit(args(1))), "scala_udf")
-    r.createOrReplaceTempFunction("graft_shingle_hashes",
-      args => ShingleHashes(args.head, intLit(args(1))), "scala_udf")
-    r.createOrReplaceTempFunction("graft_word_hashes",
-      args => WordHashes(args.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_nfc",
-      args => NfcNormalize(args.head), "scala_udf")
+    // skip names that are already registered: register() runs on every
+    // operator call (cheap), and createOrReplaceTempFunction logs a
+    // "function replaced" warning per call that would bury real warnings
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!r.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        r.createOrReplaceTempFunction(name, builder, "scala_udf")
+    reg("graft_minhash_sig", args => MinHashSig(args.head, intLit(args(1))))
+    reg("graft_simhash64", args => SimHash64(args.head))
+    reg("graft_jaccard_sorted", args => JaccardSorted(args.head, args(1)))
+    reg("graft_vec_dot", args => VecDot(args.head, args(1)))
+    reg("graft_lsh_bucket", args => LshBucket(args.head, intLit(args(1))))
+    reg("graft_shingle_hashes", args => ShingleHashes(args.head, intLit(args(1))))
+    reg("graft_word_hashes", args => WordHashes(args.head))
+    reg("graft_nfc", args => NfcNormalize(args.head))
   }
 }

@@ -133,9 +133,16 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * chunk banding over (maxHamming + 1) chunks and verified with
     * bit_count(a XOR b).
+    *
+    * Skew guard: `maxBucket` caps the (chunk, chunk_val) bucket size, like
+    * [[minhashDedup]] — a degenerate corpus (many empty/near-empty docs with
+    * identical sketch chunks) would otherwise produce a quadratic bucket.
+    * Because a dropped bucket's pair can still surface through any of the
+    * other maxHamming chunks, capping one bucket does not sever a near-dup
+    * cluster outright. Pass Int.MaxValue to disable (exact-recall runs).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     // NB: Scala's 1L << 64 wraps to 1 (shift mod 64), so the naive mask is 0
@@ -146,14 +153,27 @@ object Dedup {
       .select(col(idCol), col("simhash"), posexplode(
         expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & $chunkMask)"))
         .as(Seq("chunk", "chunk_val")))
-    val a = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = sk.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    // cap pathological buckets; skip the count window entirely when the cap
+    // is off (same pattern as minhashDedup). lazy checkpoint: both sides of
+    // the self-join read this, so the sketch pass (+ window) runs once
+    val capped =
+      if (maxBucket >= Int.MaxValue) sk
+      else sk
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    val buckets = capped.localCheckpoint(eager = false)
+    val a = buckets.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = buckets.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the distinct: failing pairs never enter the
+      // distinct's exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact pairwise word-set Jaccard within blocking keys (quadratic within a
@@ -168,10 +188,24 @@ object Dedup {
         expr(s"graft_shingle_hashes($textCol, 1)").as("wset"): _*)
     val a = withSet.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("wset").as("set_a"): _*)
     val b = withSet.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("wset").as("set_b"): _*)
-    // broadcast the probe side: block keys are low-cardinality, so a
-    // sort-merge join would shuffle every word-set array; at sizes beyond
-    // broadcast, bucket both sides on the block key instead
-    a.join(broadcast(b), blockCols)
+    // broadcast the probe side while it fits (block keys are low-cardinality,
+    // so a sort-merge join would shuffle every word-set array); beyond the
+    // broadcast threshold, degrade to a co-partitioned shuffle join on the
+    // block key instead of OOMing the driver. The plan-stat estimate is the
+    // same signal Spark's own broadcast planning uses.
+    val spark = df.sparkSession
+    val bcastLimit = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      .stripSuffix("b").stripSuffix("B") match {
+        case t if t.toLowerCase.endsWith("k") => t.dropRight(1).toLong << 10
+        case t if t.toLowerCase.endsWith("m") => t.dropRight(1).toLong << 20
+        case t if t.toLowerCase.endsWith("g") => t.dropRight(1).toLong << 30
+        case t => t.toLong
+      }
+    val fitsBroadcast = bcastLimit > 0 &&
+      withSet.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastLimit
+    val joined = if (fitsBroadcast) a.join(broadcast(b), blockCols)
+      else a.join(b, blockCols)
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
@@ -271,16 +305,21 @@ object Dedup {
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 12, maxBucket: Int = 200): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    val v = df.select(col(idCol), col(vecCol).as("v"))
+    val base = df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
       .filter(col("norm") > 0) // zero vectors: no direction (see cosinePairs)
       .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nBits)"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-          .orderBy(col(idCol))))
-      .filter(col("_rk") <= maxBucket)
-      .drop("_rk")
-      .localCheckpoint(eager = false) // both sides of the self-join below
+    // skip the rank window when the cap is off (exact-recall oracle runs) —
+    // same pattern as minhashDedup/simhashPairs
+    val capped =
+      if (maxBucket >= Int.MaxValue) base
+      else base
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+            .orderBy(col(idCol))))
+        .filter(col("_rk") <= maxBucket)
+        .drop("_rk")
+    val v = capped.localCheckpoint(eager = false) // both sides of the self-join below
     val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, "bucket")

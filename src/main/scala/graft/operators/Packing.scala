@@ -32,7 +32,11 @@ object Packing {
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shard count must be positive, got $shards")
+    // explicit ROWS frame: the default for an ordered window is RANGE, under
+    // which tied ids would share one cumulative sum (and lose the O(n)
+    // streaming evaluation)
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
       .withColumn("_before",
         sum(col(tokenCol)).over(w).cast("long") - col(tokenCol).cast("long"))

@@ -65,9 +65,13 @@ object Sampling {
     df.filter(prefix < threshold)
   }
 
-  /** 4-hex-digit keep threshold for a weight (see weightedKeep); "g" for 1.0. */
+  /** 4-hex-digit keep threshold for a weight (see weightedKeep); "g" for 1.0.
+    * A nonzero weight always keeps at least one of the 65,536 buckets —
+    * rounding a tiny weight (e.g. 1e-6) to zero would silently drop every
+    * row of that key even though the weight validated as nonzero.
+    */
   private[operators] def hexThreshold(w: Double): String = {
-    val buckets = math.round(w * 65536.0)
+    val buckets = if (w > 0.0) math.max(1L, math.round(w * 65536.0)) else 0L
     if (buckets >= 65536L) "g" else f"$buckets%04x"
   }
 

@@ -26,6 +26,32 @@ object PipelineQueries {
     d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
+  /** Exact cosine of two vector columns recomputed with BUILT-IN higher-order
+    * functions only — deliberately independent of the custom graft_vec_dot
+    * expression, so the *_check queries cross-verify the hot-loop against
+    * Spark's own implementation. aggregate() folds left-to-right in index
+    * order, the same accumulation order as the custom loop, so the doubles
+    * are bit-identical.
+    */
+  private def hofCosine(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  /** 64-bit SimHash recomputed from a precomputed `_wh` word-hash column with
+    * built-in HOFs (see [[hofCosine]] — same independence rationale; the
+    * word hashes themselves come from built-in split/lower/trim/xxhash64,
+    * which VectorOps.wordHashes mirrors bit-for-bit).
+    */
+  private val hofSimhash = expr(
+    """aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+      |  IF(aggregate(_wh, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+      |     shiftleft(1L, b), 0L))""".stripMargin)
+
+  private val builtinWordHashes =
+    expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
@@ -39,8 +65,38 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2)
+      // maxBucket uncapped for deterministic rows, as in dedup_minhash
+      Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2,
+          maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))),
+    // precision + recall gate for the sketch path, fully DuckDB-oracled:
+    // branch 1 — planted recall: identical texts have identical sketches, so
+    // every chunk collides and every planted (d, d+1e6) pair MUST be emitted
+    // at hamming 0 (an exact, SQL-expressible recall floor of 1.0);
+    // branch 2 (expected EMPTY) — precision: both sketches of every emitted
+    // pair recomputed with built-in HOFs (split/xxhash64/aggregate, no custom
+    // expressions), any hamming disagreement or above-threshold pair is a
+    // false positive. The union hash-matching the planted set proves both.
+    "dedup_simhash_check" -> ((s, dir) => {
+      val p = planted(s, dir)
+      val pairs = Dedup.simhashPairs(p, "doc_id", "text", maxHamming = 2,
+        maxBucket = Int.MaxValue).localCheckpoint(eager = false) // 3 consumers
+      val plantedPairs = pairs
+        .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val ref = p.join(ids, "doc_id")
+        .withColumn("_wh", builtinWordHashes)
+        .withColumn("ref_sh", hofSimhash)
+        .select(col("doc_id"), col("ref_sh"))
+      val bad = pairs
+        .join(ref.select(col("doc_id").as("id_a"), col("ref_sh").as("ra")), "id_a")
+        .join(ref.select(col("doc_id").as("id_b"), col("ref_sh").as("rb")), "id_b")
+        .filter(expr("bit_count(ra ^ rb)") =!= col("hamming") || col("hamming") > 2)
+        .select(col("id_a"), col("id_b"), lit(-1).as("hamming"))
+      plantedPairs.unionAll(bad).orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_groups" -> ((s, dir) =>
       // pairs -> connected components -> (id, representative) assignment
       // (maxBucket uncapped for oracle parity, as in dedup_minhash)
@@ -73,6 +129,28 @@ object PipelineQueries {
       Dedup.cosineLshPairs(doubled, "vec_id", "embedding", threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // precision + recall gate for the cosine-LSH path (see dedup_simhash_check
+    // for the two-branch scheme): planted recall is exact because identical
+    // vectors share every hyperplane bucket; the empty FP branch re-scores
+    // each emitted pair with built-in HOFs against the same 0.9 threshold.
+    // maxBucket uncapped so the recall floor is unconditional.
+    "dedup_cosine_lsh_check" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionAll(e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")))
+      val pairs = Dedup.cosineLshPairs(doubled, "vec_id", "embedding",
+        threshold = 0.9, maxBucket = Int.MaxValue).localCheckpoint(eager = false)
+      val planted = pairs
+        .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      val va = doubled.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val vb = doubled.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val fp = pairs.join(va, "id_a").join(vb, "id_b")
+        .withColumn("ref_cosine", hofCosine("ea", "eb"))
+        .filter(col("ref_cosine") < 0.9 || abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("id_a"), col("id_b"), lit(-1.0).as("cosine"))
+      planted.unionAll(fp).orderBy(col("id_a"), col("id_b"))
     }),
     "ann_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -126,6 +204,48 @@ object PipelineQueries {
       Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // self-recall + precision gate for LSH top-k: each query IS a corpus row
+    // and a vector always shares its own bucket, so rank 1 must be the query
+    // itself at cosine 1.0 (DuckDB-expressible); the empty branch re-scores
+    // every emitted neighbor with built-in HOFs (see dedup_simhash_check).
+    "ann_lsh_topk_check" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val out = Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false)
+      val self = out.filter(col("rank") === 1)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
+      self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
+    }),
+    // same two-branch gate for the IVF path: the corpus row of a query vector
+    // is assigned to its top-1 centroid cell, and the query probes its
+    // nprobe >= 1 nearest cells (which include that top-1), so self-recall at
+    // rank 1 is unconditional.
+    "ann_ivf_topk_check" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val out = Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false)
+      val self = out.filter(col("rank") === 1)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
+      self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
     }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -291,6 +411,32 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    // the *_check queries emit (planted-recall rows) UNION (false-positive
+    // rows, provably empty): the oracle is exactly the planted/self set, so a
+    // hash match simultaneously proves recall = 1.0 on planted duplicates AND
+    // zero false positives / metric disagreements (any FP row would break the
+    // hash; any missed planted pair would break the row count)
+    "dedup_simhash_check" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+        |FROM documents ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cosine_lsh_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_topk_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, rank, vec_id""".stripMargin,
+    "ann_ivf_topk_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, rank, vec_id""".stripMargin,
     // LSH recall at threshold 0.9 with 16x4 banding is 1 - (1-j^4)^16 >=
     // 1 - 4e-8, so the candidate set equals the full >= 0.9 pair set and the
     // exact-jaccard verify makes the whole output SQL-expressible.

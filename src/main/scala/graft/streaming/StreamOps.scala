@@ -85,10 +85,20 @@ object StreamOps {
     * start): size it to the aggregate's key cardinality, not the batch scan
     * default — 32 state-store instances for a few thousand groups cost ~2x
     * per-batch overhead on this corpus.
+    *
+    * `allowNoDataBatches` MUST be true for plans whose final results only
+    * emit on a trailing no-data micro-batch: Append-mode event-time
+    * aggregations and event-time state timeouts (e.g.
+    * [[graft.operators.Sessionize.streamingSessionsEventTime]]) finalize
+    * when the watermark advances past them, which happens one batch AFTER
+    * the last data batch. The default (false) skips that trailing batch —
+    * correct and faster for Complete-mode aggregations and plain Append
+    * joins/projections, silently wrong for the watermark-finalized shapes.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       statePartitions: Option[Int] = None,
-      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+      outputMode: OutputMode = OutputMode.Complete(),
+      allowNoDataBatches: Boolean = false): DataFrame = {
     def drain(): Unit = {
       // a synchronous drain doesn't need the trailing empty micro-batch that
       // event-time cleanup would use — skipping it saves a full batch round
@@ -98,7 +108,7 @@ object StreamOps {
       val key = "spark.sql.streaming.noDataMicroBatches.enabled"
       val saved = spark.conf.get(key)
       try {
-        spark.conf.set(key, "false")
+        spark.conf.set(key, allowNoDataBatches.toString)
         val q = streamed.writeStream
           .outputMode(outputMode)
           .format("memory")
