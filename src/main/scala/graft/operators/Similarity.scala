@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,11 +74,13 @@ object Similarity {
     * corpus; at 100 TB the assigned corpus would be written bucketed by
     * `_cell` so repeated query batches prune at the scan.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
-      nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
-    VectorFunctions.register(corpus.sparkSession)
+  /** Deterministic hash-ordered centroid sample of the corpus (normalized,
+    * zero vectors dropped) — the coarse quantizer shared by [[ivfTopK]] and
+    * the bucketed-storage path. The only collect in the library: bounded at
+    * nlist rows by construction.
+    */
+  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = {
     val centroids = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -90,10 +92,23 @@ object Similarity {
         if (n > 0) v.map(_ / n) else v
       }
       .filter(_.exists(_ != 0.0))
-    require(centroids.nonEmpty, "ivfTopK: corpus has no non-zero vectors to seed centroids")
+    require(centroids.nonEmpty, "IVF: corpus has no non-zero vectors to seed centroids")
+    centroids
+  }
 
-    def cells(vc: String, n: Int) =
-      columnOf(graft.functions.IvfCells(expressionOf(col(vc)), centroids, n))
+  /** Column of the n nearest cell ids for a vector column, given centroids. */
+  private def cellsCol(vc: String, centroids: Array[Array[Double]], n: Int) = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.IvfCells(expressionOf(col(vc)), centroids, n))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids = seedCentroids(corpus, idCol, vecCol, nlist)
+
+    def cells(vc: String, n: Int) = cellsCol(vc, centroids, n)
 
     val c = corpus
       .withColumn("_cell", element_at(cells(vecCol, 1), 1))
@@ -105,6 +120,65 @@ object Similarity {
       .select(col(queryIdCol), col(queryVecCol), col("_qnorm"),
         explode(cells(queryVecCol, nprobe)).as("_cell"))
     val scored = c
+      .join(broadcast(probes), "_cell")
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** Materialize the IVF index as storage: the corpus with its `_cell`
+    * assignment and precomputed norm, written as a table BUCKETED by `_cell`,
+    * plus a `<table>_centroids` side table holding the quantizer. This is the
+    * 100 TB ANN deployment shape: assignment and norms are paid once at write
+    * time, and every later query batch reads only its probed cells' buckets
+    * (bucket pruning at the file scan — see [[ivfTopKFromBucketed]]), i.e.
+    * ~nprobe/nlist of the data instead of a full corpus scan per batch.
+    */
+  def ivfWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      vecCol: String, nlist: Int = 64, numBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = seedCentroids(corpus, idCol, vecCol, nlist)
+    // persist the quantizer next to the data — query-time probes must be
+    // assigned with the SAME centroids the cells were built with
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_centroids")
+    val assigned = corpus
+      .withColumn("_cell", element_at(cellsCol(vecCol, centroids, 1), 1))
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
+    graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"), numBuckets)
+  }
+
+  /** IVF top-k against a table written by [[ivfWriteBucketed]]: probe cells
+    * are resolved to a LITERAL id set (bounded by nlist — the same bounded
+    * driver-side class as the centroid seed), so the `_cell IN (...)` filter
+    * prunes whole buckets at the scan. Output shape matches [[ivfTopK]].
+    */
+  def ivfTopKFromBucketed(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int = 8): DataFrame = {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val centroids = spark.table(s"${table}_centroids")
+      .orderBy(col("cell"))
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val probes = queries
+      .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
+      .filter(col("_qnorm") > 0)
+      .select(col(queryIdCol), col(queryVecCol), col("_qnorm"),
+        explode(cellsCol(queryVecCol, centroids, nprobe)).as("_cell"))
+    val cellIds = probes.select(col("_cell")).distinct().as[Int].collect().toSeq
+    val scored = spark.table(table)
+      .filter(col("_cell").isin(cellIds: _*)) // bucket pruning happens here
       .join(broadcast(probes), "_cell")
       .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
         (expr(s"graft_vec_dot($vecCol, $queryVecCol)") / (col("_cnorm") * col("_qnorm")))

@@ -39,6 +39,26 @@ object VerifyDrive {
     println("== rewritten plan ==")
     println(ctx.mixedRewrite("analyst",
       "SELECT c_custkey, c_name, c_mktsegment FROM customer").treeString)
+    println("== bucketed IVF over real embeddings parquet ==")
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS vd_ivf")
+    spark.sql("DROP TABLE IF EXISTS vd_ivf_centroids")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.ivfWriteBucketed(emb, "vd_ivf", "vec_id", "embedding",
+      nlist = 16, numBuckets = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val topk = graft.operators.Similarity.ivfTopKFromBucketed(spark, "vd_ivf", queries,
+      "vec_id", "embedding", "query_id", "qv", k = 3, nprobe = 4)
+    topk.show(false)
+    val plan = topk.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    println(s"bucket pruning: ${sel.map(_.matched).getOrElse("NOT FOUND — PROBLEM")}")
+    val self = topk.filter(col("rank") === 1).select("query_id", "vec_id")
+      .collect().map(r => r.getLong(0) == r.getLong(1))
+    println(s"self-top1 recall: ${self.count(identity)}/${self.length}")
+    spark.sql("DROP TABLE IF EXISTS vd_ivf")
+    spark.sql("DROP TABLE IF EXISTS vd_ivf_centroids")
     // probes
     for (bad <- Seq(
       "select mask('a','b','c','d','e','f')", // 6 args: unsupported count

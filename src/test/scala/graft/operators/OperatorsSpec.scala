@@ -332,6 +332,91 @@ class OperatorsSpec extends SparkFunSuite {
     assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 4L)))
   }
 
+  test("simhash bucket cap bounds degenerate identical-chunk corpora") {
+    // 100 identical docs: every (chunk, chunk_val) bucket holds all 100 rows.
+    // Uncapped that is the full quadratic pair set; capped, the oversized
+    // buckets are dropped wholesale and the pair count stays bounded.
+    val degen = spark.range(100).select(col("id").as("doc_id"),
+      lit("spam spam spam").as("text"))
+    val capped = Dedup.simhashPairs(degen, "doc_id", "text", maxHamming = 2,
+      maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashPairs(degen, "doc_id", "text", maxHamming = 2,
+      maxBucket = Int.MaxValue)
+    assert(uncapped.count() == 100L * 99 / 2)
+  }
+
+  test("jaccard pairs degrade to a shuffle join when broadcast is unavailable") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val blocked = docs.withColumn("block", lit(1))
+    try {
+      spark.conf.set(key, "-1")
+      val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
+      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 4L))) // same result through the fallback join
+      assert(!pairs.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    } finally spark.conf.set(key, saved)
+    // with the default threshold the small block side broadcasts again
+    val p2 = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
+    p2.collect()
+    assert(p2.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
+  test("weighted keep never rounds a nonzero weight to an empty keep set") {
+    assert(Sampling.hexThreshold(1e-6) == "0001") // not "0000"
+    assert(Sampling.hexThreshold(0.0) == "0000")
+    assert(Sampling.hexThreshold(1.0) == "g")
+  }
+
+  test("packing uses a ROWS frame: tied ids get distinct offsets") {
+    val tied = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packByBudget(tied, "doc_id", "n_tokens", budget = 15L, shards = 1)
+    // RANGE framing would give all three rows the same cumulative sum; ROWS
+    // gives offsets 0/10/20 -> packs 0/0/1
+    val packs = packed.select("pack_id").as[Long].collect().sorted.toSeq
+    assert(packs == Seq(0L, 0L, 1L))
+  }
+
+  test("bucketed IVF: scan prunes to probed cells; full probe equals brute force") {
+    // a deterministic spread of 64 vectors in 4 dims (enough cell diversity)
+    val corpus = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    spark.sql("DROP TABLE IF EXISTS ivf_test_t")
+    spark.sql("DROP TABLE IF EXISTS ivf_test_t_centroids")
+    try {
+      Similarity.ivfWriteBucketed(corpus, "ivf_test_t", "vec_id", "embedding",
+        nlist = 8, numBuckets = 8)
+      // pruned probe: the scan must read strictly fewer buckets than exist
+      val pruned = Similarity.ivfTopKFromBucketed(spark, "ivf_test_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 2)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"expected bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+      // self is always found: the query's own cell is its top-1 probe
+      val byQuery = pruned.filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      assert((0L to 2L).forall(q => byQuery(q) == q))
+      // full probe == brute force (same scoring, same deterministic tiebreak)
+      val full = Similarity.ivfTopKFromBucketed(spark, "ivf_test_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      assert(full == brute)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_test_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_test_t_centroids")
+    }
+  }
+
   test("operators compose with the security layer (masked text dedups differently)") {
     // Masked fingerprints: policy-masked content yields different dedup keys,
     // proving the ops run downstream of the security projection.
