@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * explicit open-session state per user — the Structured Streaming analog of
   * Flink's keyed session state; closed sessions are emitted per micro-batch.
   */
-object Sessionize {
+object Sessionize extends Serializable {
 
   /** assign() plus the second-truncated epoch helper column `_te`, for
     * internal consumers (sessions) that aggregate over it.
@@ -54,14 +54,45 @@ object Sessionize {
       .orderBy(col(userCol), col("session_seq"))
 
   case class SessionEvent(userId: Long, epochSec: Long)
+  /** [[SessionEvent]] plus the watermarked event-time column — the analyzer
+    * requires an event-time attribute in the grouped input's schema for
+    * EventTimeTimeout, and watermark metadata lives on the column itself.
+    */
+  case class SessionEventT(userId: Long, epochSec: Long, ets: java.sql.Timestamp)
   case class OpenSession(start: Long, end: Long, n: Long)
   case class ClosedSession(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
 
+  /** Fold a sorted batch of event times into the per-user session state:
+    * returns the sessions closed by gap during this batch and the surviving
+    * open session. Shared by both streaming variants.
+    */
+  private def foldSessions(userId: Long, sorted: Array[Long],
+      init: Option[OpenSession], gapSeconds: Long)
+      : (Seq[ClosedSession], Option[OpenSession]) = {
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = init
+    sorted.foreach { t =>
+      cur match {
+        case Some(s) if t - s.end <= gapSeconds =>
+          // max: a late (cross-batch out-of-order) event must not move the
+          // session end backwards — that would both corrupt this session's
+          // boundary and mis-split the next one
+          cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+        case Some(s) =>
+          closed += ClosedSession(userId, s.start, s.end, s.n)
+          cur = Some(OpenSession(t, t, 1))
+        case None =>
+          cur = Some(OpenSession(t, t, 1))
+      }
+    }
+    (closed.result(), cur)
+  }
+
   /** Streaming sessionizer: keeps one open session per user in group state,
     * closes it when an incoming event exceeds the gap. The trailing open
-    * session stays in state (a production deployment adds an event-time
-    * timeout to flush it; a wall-clock timeout here would make synchronous
-    * test drains wait out the gap in real time).
+    * session stays in state (a wall-clock timeout here would make synchronous
+    * test drains wait out the gap in real time); use
+    * [[streamingSessionsFlushed]] when trailing sessions must be emitted.
     */
   def streamingSessions(spark: SparkSession, events: DataFrame, userCol: String,
       tsCol: String, gapSeconds: Long): Dataset[ClosedSession] = {
@@ -73,28 +104,60 @@ object Sessionize {
 
     def fn(userId: Long, evs: Iterator[SessionEvent],
         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      val sorted = evs.map(_.epochSec).toArray.sorted
-      val closed = Seq.newBuilder[ClosedSession]
-      var cur = state.getOption
-      sorted.foreach { t =>
-        cur match {
-          case Some(s) if t - s.end <= gapSeconds =>
-            // max: a late (cross-batch out-of-order) event must not move the
-            // session end backwards — that would both corrupt this session's
-            // boundary and mis-split the next one
-            cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-          case Some(s) =>
-            closed += ClosedSession(userId, s.start, s.end, s.n)
-            cur = Some(OpenSession(t, t, 1))
-          case None =>
-            cur = Some(OpenSession(t, t, 1))
-        }
-      }
+      val (closed, cur) =
+        foldSessions(userId, evs.map(_.epochSec).toArray.sorted, state.getOption, gapSeconds)
       cur.foreach(state.update)
-      closed.result().iterator
+      closed.iterator
     }
 
     typed.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming sessionizer that ALSO flushes trailing sessions: an event-time
+    * timeout closes each user's open session once the watermark passes
+    * `session_end + gapSeconds`. As the watermark advances past every open
+    * session, output converges to the batch [[sessions]] result — state is
+    * bounded by (open sessions × users), freed at timeout.
+    *
+    * `watermarkDelay` is the out-of-orderness bound: events later than it are
+    * dropped by the watermark, so pick it >= the source's real disorder.
+    */
+  def streamingSessionsFlushed(spark: SparkSession, events: DataFrame,
+      userCol: String, tsCol: String, gapSeconds: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val typed = events
+      .withColumn("_ets", col(tsCol).cast("timestamp"))
+      .withWatermark("_ets", watermarkDelay)
+      .select(col(userCol).cast("long").as("userId"),
+        unix_timestamp(col("_ets")).as("epochSec"),
+        col("_ets").as("ets")) // carries the watermark metadata through
+      .as[SessionEventT]
+
+    def fn(userId: Long, evs: Iterator[SessionEventT],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, s.start, s.end, s.n))
+      } else {
+        val (closed, cur) =
+          foldSessions(userId, evs.map(_.epochSec).toArray.sorted, state.getOption, gapSeconds)
+        cur.foreach { s =>
+          state.update(s)
+          // flush once the watermark passes the gap after the session end;
+          // clamp above the current watermark — setTimeoutTimestamp rejects
+          // timestamps the watermark has already passed (a late session must
+          // still get a valid next-batch flush, not an exception)
+          state.setTimeoutTimestamp(math.max(
+            (s.end + gapSeconds) * 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+        }
+        closed.iterator
+      }
+    }
+
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 }

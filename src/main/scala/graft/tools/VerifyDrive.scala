@@ -59,6 +59,28 @@ object VerifyDrive {
     println(s"self-top1 recall: ${self.count(identity)}/${self.length}")
     spark.sql("DROP TABLE IF EXISTS vd_ivf")
     spark.sql("DROP TABLE IF EXISTS vd_ivf_centroids")
+    println("== watermark-flushed streaming sessionization over real events parquet ==")
+    import org.apache.spark.sql.functions.expr
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    // file stream over the same parquet; one batch, then the watermark sits at
+    // max(ts): sessions ending > gap before it flush with no further data
+    val evStream = graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")
+    val flushed = graft.operators.Sessionize.streamingSessionsFlushed(
+      spark, evStream, "user_id", "ts", gapSeconds = 1800)
+    val fq = flushed.writeStream.outputMode("append")
+      .format("memory").queryName("vd_flushed").start()
+    try fq.processAllAvailable() finally fq.stop()
+    val streamedN = spark.table("vd_flushed").count()
+    val batchSessions = graft.operators.Sessionize.sessions(ev, "user_id", "ts", 1800)
+    val batchN = batchSessions.count()
+    val wmax = ev.agg(org.apache.spark.sql.functions.max(expr("unix_timestamp(ts)")))
+      .head().getLong(0)
+    val flushableN = batchSessions.filter(col("session_end") + 1800 < wmax).count()
+    println(s"streamed=$streamedN batch=$batchN flushable(batch sessions ending >gap before max ts)=$flushableN")
+    assert(streamedN >= flushableN && streamedN <= batchN,
+      s"flushed count $streamedN outside [$flushableN, $batchN]")
     // probes
     for (bad <- Seq(
       "select mask('a','b','c','d','e','f')", // 6 args: unsupported count

@@ -107,6 +107,41 @@ class StreamingSpec extends SparkFunSuite {
     assert(closed == Seq((1L, 100L, 1600L, 4L)))
   }
 
+  test("event-time timeout flushes trailing sessions to batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"))
+    val sessions = graft.operators.Sessionize
+      .streamingSessionsFlushed(spark, events, "user_id", "ts", gapSeconds = 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("t_flushed_sessions").start()
+    val data = Seq((1L, 100L), (1L, 200L), (2L, 150L), (1L, 2000L))
+    try {
+      mem.addData(data.take(3): _*); q.processAllAvailable()
+      mem.addData(data(3)); q.processAllAvailable() // gap-closes user 1's first
+      // sentinel far past every open session's end + gap: the watermark
+      // advance flushes users 1 and 2 with NO further events for them
+      mem.addData((9L, 100000L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_flushed_sessions")
+      .filter($"userId" =!= 9L)
+      .select($"userId", $"sessionStart", $"sessionEnd", $"nEvents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Sessionize.sessions(
+      data.toDF("user_id", "epoch")
+        .select(col("user_id"), timestamp_seconds(col("epoch")).as("ts")),
+      "user_id", "ts", 1000)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // trailing sessions (user 1 @ 2000, user 2 @ 150) included — full parity,
+    // not the closed-only subset streamingSessions gives
+    assert(streamed == batch)
+    assert(batch.contains((1L, 2000L, 2000L, 1L)) && batch.contains((2L, 150L, 150L, 1L)))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
