@@ -41,6 +41,19 @@ import org.apache.spark.sql.types.Metadata
   * sits directly above the scan, so Catalyst pushes predicates into the
   * Parquet reader and prunes masked-but-unreferenced columns — at 100 TB the
   * security layer adds zero extra shuffles or passes.
+  *
+  * ENFORCEMENT BOUNDARY (pinned by GraftSecurityExtensionsSpec's adversarial
+  * tests): policies attach to catalog table identifiers, exactly like the
+  * reference (and Ranger/Hive). Inside that boundary, enforcement covers any
+  * reference to the table — joins, subqueries, EXISTS, UNION legs, CTAS/INSERT
+  * bodies — and new queries stay enforced even when a scan is answered from a
+  * cache populated before the policy existed (the injected nodes sit above the
+  * matched cache subtree). Outside it: a direct `spark.read.parquet(path)` of
+  * the table's files never passes through a catalog identifier and is NOT
+  * rewritten, and a DataFrame handle cached before a policy was added keeps
+  * serving its materialized raw rows. Both are storage/lifecycle concerns the
+  * engine cannot see — deployments must pair table policies with storage ACLs
+  * denying raw-path access, the same split Ranger documents for Hive.
   */
 object SecurityTags {
   val RowFilterApplied: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.rowFilterApplied")

@@ -82,4 +82,76 @@ class GraftSecurityExtensionsSpec extends SparkFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("adversarial bypass surfaces: path read, pre-policy cache, mixed union") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sec = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftSecurityExtensions)
+      .getOrCreate()
+    val loc = java.nio.file.Files.createTempDirectory("graft_bypass").toString
+    try {
+      import sec.implicits._
+
+      // (a) catalog reads are policied; a DIRECT PATH read of the same files
+      // is NOT — policies attach to table identifiers, not storage. This is
+      // the documented boundary (same as Ranger/Hive column security):
+      // storage-level ACLs must deny raw access to enforced tables' files.
+      Seq((1, "Jack", "beijing"), (2, "Sally", "hangzhou"))
+        .toDF("id", "customer_name", "region")
+        .write.mode("overwrite").parquet(loc)
+      sec.sql("DROP TABLE IF EXISTS bypass_t")
+      sec.sql(s"CREATE TABLE bypass_t (id INT, customer_name STRING, region STRING) USING parquet LOCATION '$loc'")
+      GraftSecurityExtensions.policies.addPolicy(
+        RowFilterPolicy("ext_adv", "spark_catalog", "default", "bypass_t", "region = 'beijing'"))
+      GraftSecurityExtensions.policies.addPolicy(
+        DataMaskPolicy("ext_adv", "spark_catalog", "default", "bypass_t", "customer_name", "MASK"))
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_adv")
+      val viaCatalog = sec.sql("SELECT * FROM bypass_t").collect().map(_.toSeq).toSeq
+      assert(viaCatalog == Seq(Seq(1, "Xxxx", "beijing")))
+      val viaPath = sec.read.parquet(loc)
+      assert(viaPath.count() == 2) // bypass pinned: full raw data
+      assert(viaPath.filter($"customer_name" === "Sally").count() == 1) // unmasked
+
+      // (b) a DataFrame cached BEFORE the policy keeps serving raw data to
+      // its holder — but the cache must NOT hijack new catalog queries: the
+      // injected filter/mask sit above the scan subtree, so the policied
+      // query stays filtered even when the scan is answered from the cache.
+      sec.conf.unset(GraftSecurityExtensions.UserKey)
+      Seq((1, "Jack", "beijing"), (2, "Sally", "hangzhou"))
+        .toDF("id", "customer_name", "region")
+        .createOrReplaceTempView("cache_t")
+      val cached = sec.table("cache_t").cache()
+      assert(cached.count() == 2) // materialize pre-policy
+      GraftSecurityExtensions.policies.addPolicy(
+        RowFilterPolicy("ext_adv", "spark_catalog", "default", "cache_t", "region = 'beijing'"))
+      GraftSecurityExtensions.policies.addPolicy(
+        DataMaskPolicy("ext_adv", "spark_catalog", "default", "cache_t", "customer_name", "MASK"))
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_adv")
+      val fresh = sec.sql("SELECT * FROM cache_t").collect().map(_.toSeq).toSeq
+      assert(fresh == Seq(Seq(1, "Xxxx", "beijing"))) // no cache hijack
+      assert(cached.count() == 2) // pre-policy handle bypass pinned
+      cached.unpersist()
+
+      // (c) UNION of policied + unpolicied: each leg enforced independently —
+      // the unpolicied leg must not inherit the filter, the policied leg must
+      // not escape through the set operation.
+      Seq((10, "Open", "shanghai")).toDF("id", "customer_name", "region")
+        .createOrReplaceTempView("open_t")
+      val un = sec.sql(
+        """SELECT id, customer_name, region FROM bypass_t
+          |UNION ALL
+          |SELECT id, customer_name, region FROM open_t""".stripMargin)
+        .collect().map(_.toSeq).toSet
+      assert(un == Set(Seq(1, "Xxxx", "beijing"), Seq(10, "Open", "shanghai")))
+    } finally {
+      sec.conf.unset(GraftSecurityExtensions.UserKey)
+      sec.sql("DROP TABLE IF EXISTS bypass_t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
