@@ -112,4 +112,47 @@ object TextAnalysis {
     */
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Lowercased whitespace words of a text column, empties dropped. */
+  def wordsOf(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  /** Word n-grams joined by single spaces; empty array when the text has
+    * fewer than `n` words. (The short-text guard matters: Spark's `sequence`
+    * DESCENDS when stop < start, which would fabricate grams.) Pure HOFs —
+    * map-side, no explode, no shuffle.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
+    val ws = wordsOf(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of non-empty lines that are repeats of an earlier line
+    * (Gopher-style repetition signal). `1 - distinct/total` over the line
+    * multiset — all-HOF, so it costs one map-side pass, not an explode +
+    * re-group per document.
+    */
+  def dupLineFrac(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) > 0,
+      round(lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram — the
+    * second Gopher repetition signal (catches within-line loops that
+    * [[dupLineFrac]] misses). 0 when the text has fewer than `n` words.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
 }

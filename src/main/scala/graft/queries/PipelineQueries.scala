@@ -292,6 +292,22 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.dupLineFrac(col("text")).as("dup_line_frac"),
+        TextAnalysis.dupNgramFrac(col("text"), 5).as("dup_5gram_frac"))
+        .orderBy(col("doc_id"))),
+    // benchmark decontamination: docs with doc_id % 17 = 0 stand in for the
+    // eval suite; every other doc is reported with its distinct shared
+    // 5-gram count against that suite
+    "text_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.report(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
     "text_normalize" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       docs(s, dir).select(col("doc_id"),
@@ -607,6 +623,40 @@ object PipelineQueries {
         |    '\b\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b', '[PHONE]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // grams: 1-based inclusive slices w[i:i+n-1]; range(1, len-(n-2)) yields
+    // starts 1..len-n+1 and is empty (not descending) for short texts
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |                     l -> l != '') AS lines,
+         |         [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+         |  FROM (SELECT doc_id, text, $duckWords AS w FROM documents))
+         |SELECT doc_id,
+         |       CASE WHEN len(lines) > 0
+         |            THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+         |            ELSE 0.0 END AS dup_line_frac,
+         |       CASE WHEN len(grams) > 0
+         |            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |            ELSE 0.0 END AS dup_5gram_frac
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_decontam" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+         |  FROM (SELECT doc_id, $duckWords AS w FROM documents)),
+         |bench AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+         |doc_grams AS (
+         |  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g WHERE doc_id % 17 <> 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(h.n_overlap, 0) AS n_overlap,
+         |       coalesce(h.n_overlap, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
         |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
