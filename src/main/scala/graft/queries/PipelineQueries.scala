@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Contamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
