@@ -48,7 +48,12 @@ object Bench {
       "bench_stream_warmup", statePartitions = Some(2))
     catch { case e: Throwable => System.err.println(s"[bench] stream warmup: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> once(n))
+    // optional comma-separated query filter for local iteration; unset (the
+    // driver's mode) runs the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> once(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

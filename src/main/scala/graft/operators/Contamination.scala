@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * never shuffled: one map-side pass builds grams per doc (HOFs, no UDF),
   * the broadcast hash join keeps only hits, and the per-doc aggregate
   * shuffles just the hit set (<< corpus). The final left join attaching
-  * zero-counts to clean docs broadcasts the aggregated hits for the same
-  * reason.
+  * zero-counts to clean docs is a plain join: `hits` has one row per
+  * contaminated doc, which is unbounded on a dirty corpus, so AQE decides
+  * at runtime whether it is small enough to broadcast.
   */
 object Contamination {
 
@@ -35,7 +36,7 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
     docs.select(col(idCol))
-      .join(broadcast(hits), Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))

@@ -117,42 +117,66 @@ object TextAnalysis {
   def wordsOf(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
 
+  /** Let-binding for column expressions: evaluates `value` exactly once per
+    * row and hands it to `body` as a cheap lambda-bound reference (a
+    * single-element `transform`). Needed because Catalyst's subexpression
+    * elimination does not cross `when()` branches or HOF lambda bodies, and
+    * ProjectCollapsing re-inlines intermediate columns — so an expensive
+    * array expression referenced N times (or inside a per-element lambda) is
+    * otherwise re-evaluated N times (or once per element).
+    */
+  private def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Word n-grams joined by single spaces; empty array when the text has
     * fewer than `n` words. (The short-text guard matters: Spark's `sequence`
     * DESCENDS when stop < start, which would fabricate grams.) Pure HOFs —
-    * map-side, no explode, no shuffle.
+    * map-side, no explode, no shuffle. The words array is let-bound so the
+    * split/lower/filter pipeline runs once per row, not once per gram.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
-    val ws = wordsOf(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - lit(n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    bindOnce(wordsOf(text)) { ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - lit(n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
   }
 
-  /** Fraction of non-empty lines that are repeats of an earlier line
-    * (Gopher-style repetition signal). `1 - distinct/total` over the line
-    * multiset — all-HOF, so it costs one map-side pass, not an explode +
-    * re-group per document.
+  /** `1 - distinct/total` over an array, rounded to 6 places; 0.0 for an
+    * empty array. Single evaluation of `arr` and a single O(g log g) pass:
+    * sort, then one fold counting elements and boundaries (positions where
+    * the value differs from its predecessor). The naive
+    * `size(array_distinct(a)) / size(a)` form references the array three
+    * times and re-evaluates it each time (see [[bindOnce]]).
     */
-  def dupLineFrac(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
-    when(size(lines) > 0,
-      round(lit(1.0) - size(array_distinct(lines)).cast("double")
-        / size(lines).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+  private def dupFrac(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("tot"), lit(0).as("dst")),
+      (acc, x) => struct(
+        x.as("prev"),
+        (acc.getField("tot") + lit(1)).as("tot"),
+        (acc.getField("dst") +
+          when(acc.getField("prev").isNull || x =!= acc.getField("prev"), 1)
+            .otherwise(0)).as("dst")),
+      acc => when(acc.getField("tot") > 0,
+        round(lit(1.0) - acc.getField("dst").cast("double")
+          / acc.getField("tot").cast("double"), 6))
+        .otherwise(lit(0.0)))
+
+  /** Fraction of non-empty lines that are repeats of an earlier line
+    * (Gopher-style repetition signal). One map-side pass — no explode, no
+    * shuffle, and the line array is evaluated exactly once per row.
+    */
+  def dupLineFrac(text: Column): Column =
+    dupFrac(filter(transform(split(text, "\n"), l => trim(l)), l => l =!= ""))
 
   /** Fraction of word n-grams that are repeats of an earlier n-gram — the
     * second Gopher repetition signal (catches within-line loops that
     * [[dupLineFrac]] misses). 0 when the text has fewer than `n` words.
     */
-  def dupNgramFrac(text: Column, n: Int): Column = {
-    val grams = wordNgrams(text, n)
-    when(size(grams) > 0,
-      round(lit(1.0) - size(array_distinct(grams)).cast("double")
-        / size(grams).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+  def dupNgramFrac(text: Column, n: Int): Column =
+    dupFrac(wordNgrams(text, n))
 }

@@ -45,9 +45,18 @@ object PipelineQueries {
     * which VectorOps.wordHashes mirrors bit-for-bit).
     */
   private val hofSimhash = expr(
-    """aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
-      |  IF(aggregate(_wh, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-      |     shiftleft(1L, b), 0L))""".stripMargin)
+    // _wh is let-bound via a single-element transform so the word-hash array
+    // is evaluated ONCE per row: without the binding, ProjectCollapsing
+    // inlines _wh's transform(split(...)) into the inner aggregate and the
+    // split+xxhash64 pipeline re-runs once per bit (64x), which made this
+    // the most expensive expression in the bench. The bound per-bit form
+    // (64 integer-accumulator passes over the array) also beats a
+    // single-pass 64-counter-array accumulator ~2x, because the latter
+    // allocates a fresh 64-int array per word.
+    """element_at(transform(array(_wh), wh ->
+      |  aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+      |    IF(aggregate(wh, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+      |       shiftleft(1L, b), 0L))), 1)""".stripMargin)
 
   private val builtinWordHashes =
     expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))")
@@ -90,6 +99,7 @@ object PipelineQueries {
         .withColumn("_wh", builtinWordHashes)
         .withColumn("ref_sh", hofSimhash)
         .select(col("doc_id"), col("ref_sh"))
+        .localCheckpoint(eager = false) // joined twice below (ra and rb)
       val bad = pairs
         .join(ref.select(col("doc_id").as("id_a"), col("ref_sh").as("ra")), "id_a")
         .join(ref.select(col("doc_id").as("id_b"), col("ref_sh").as("rb")), "id_b")

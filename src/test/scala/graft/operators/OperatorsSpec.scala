@@ -417,6 +417,49 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("repetition fractions: 1 - distinct/total, 0 on empty or short text") {
+    val df = Seq(
+      (1L, "spam eggs\nspam eggs\nham\n\nspam eggs"), // 4 non-empty lines, 2 distinct
+      (2L, "a b a b a b"), // 2-grams: [a b, b a, a b, b a, a b] -> 2 distinct of 5
+      (3L, "one two"), // fewer than 3 words -> no 3-grams
+      (4L, "")).toDF("doc_id", "text")
+    val byId = df.select($"doc_id",
+      TextAnalysis.dupLineFrac($"text").as("dl"),
+      TextAnalysis.dupNgramFrac($"text", 2).as("d2"),
+      TextAnalysis.dupNgramFrac($"text", 3).as("d3"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byId(1L)._1 == 0.5) // 2 repeats of 4 lines
+    assert(byId(2L)._2 == 0.6) // 1 - 2/5
+    assert(byId(3L)._3 == 0.0) // short text guard
+    assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
+  }
+
+  test("decontamination counts distinct shared n-grams; hits join is not hint-broadcast") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "nothing in common with any eval suite at all here folks"),
+      // shares exactly the 5-grams "the secret benchmark answer is" and
+      // "secret benchmark answer is forty" (twice -> still distinct-counted once)
+      (2L, "x the secret benchmark answer is forty z secret benchmark answer is forty y"),
+      (3L, "short")).toDF("doc_id", "text")
+    val rep = Contamination.report(corpus, bench, "doc_id", "text", n = 5)
+    val got = rep.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> ((0L, false)), 2L -> ((2L, true)), 3L -> ((0L, false))))
+    // with auto-broadcast and AQE off, the only BroadcastExchange left must be
+    // the explicit bench-gram hint: the hits side (unbounded on a dirty
+    // corpus) must stay a plain join for AQE to size at runtime
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val (t0, a0) = (spark.conf.get(thresholdKey), spark.conf.get(aqeKey))
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      val plan = Contamination.report(corpus, bench, "doc_id", "text", n = 5)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastExchange".r.findAllIn(plan).size == 1, plan)
+    } finally { spark.conf.set(thresholdKey, t0); spark.conf.set(aqeKey, a0) }
+  }
+
   test("operators compose with the security layer (masked text dedups differently)") {
     // Masked fingerprints: policy-masked content yields different dedup keys,
     // proving the ops run downstream of the security projection.
