@@ -89,7 +89,7 @@ object StreamOps {
     * `allowNoDataBatches` MUST be true for plans whose final results only
     * emit on a trailing no-data micro-batch: Append-mode event-time
     * aggregations and event-time state timeouts (e.g.
-    * [[graft.operators.Sessionize.streamingSessionsEventTime]]) finalize
+    * [[graft.operators.Sessionize.streamingSessionsFlushed]]) finalize
     * when the watermark advances past them, which happens one batch AFTER
     * the last data batch. The default (false) skips that trailing batch —
     * correct and faster for Complete-mode aggregations and plain Append
