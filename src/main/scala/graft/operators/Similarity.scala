@@ -138,10 +138,26 @@ object Similarity {
     * (bucket pruning at the file scan — see [[ivfTopKFromBucketed]]), i.e.
     * ~nprobe/nlist of the data instead of a full corpus scan per batch.
     */
+  /** Drop `table` and clear its leftover warehouse location. With an
+    * in-memory catalog (a fresh session, no persistent metastore) a managed
+    * table written by an earlier JVM is unknown to the catalog but its
+    * directory survives, and `SaveMode.Overwrite` then fails with
+    * LOCATION_ALREADY_EXISTS — so an orphaned location must be deleted too.
+    */
+  private def dropForOverwrite(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.split("\\.").last)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def ivfWriteBucketed(corpus: DataFrame, table: String, idCol: String,
       vecCol: String, nlist: Int = 64, numBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
+    dropForOverwrite(spark, table)
+    dropForOverwrite(spark, s"${table}_centroids")
     val centroids = seedCentroids(corpus, idCol, vecCol, nlist)
     // persist the quantizer next to the data — query-time probes must be
     // assigned with the SAME centroids the cells were built with

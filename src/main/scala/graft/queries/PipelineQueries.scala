@@ -257,6 +257,30 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
       self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
     }),
+    // the flagship 100 TB ANN deployment shape under the same two-branch
+    // gate: build the bucketed index (cell assignment + norms paid at write
+    // time, corpus bucketed by _cell) then answer from storage with bucket
+    // pruning at the scan. Timing this query deliberately includes the index
+    // write — it IS the amortized path's cost model.
+    "ann_ivf_bucketed_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfWriteBucketed(e, "graft_ivf_gate", "vec_id", "embedding")
+      val out = Similarity.ivfTopKFromBucketed(s, "graft_ivf_gate", q,
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false)
+      val self = out.filter(col("rank") === 1)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
+      self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -458,6 +482,13 @@ object PipelineQueries {
         |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
         |ORDER BY query_id, rank, vec_id""".stripMargin,
     "ann_ivf_topk_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, rank, vec_id""".stripMargin,
+    // same self-recall/precision invariant through the bucketed-storage path
+    "ann_ivf_bucketed_topk" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 5)
         |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
