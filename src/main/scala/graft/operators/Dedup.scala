@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *  - SimHash: single map pass for the 64-bit sketch; near-dup candidates by
   *    chunk banding (Hamming <= h guarantees an equal chunk among h+1),
   *    verified with bit_count(xor).
-  *  - exact n-gram Jaccard / embedding cosine: quadratic WITHIN blocking keys
-  *    only (language, length band, label ...); the blocked cross join is the
-  *    honest small-scale verifier, LSH above is the scale path.
+  *  - exact word-set Jaccard: frequency-ordered prefix filtering
+  *    (AllPairs/PPJoin) — candidate pairs must share a rare prefix token
+  *    within their block, so work tracks the true near-dup count instead of
+  *    block-size^2; exact-verified, so results equal the naive cross join.
+  *  - exact embedding cosine: quadratic WITHIN blocking keys only (label
+  *    ...); the blocked cross join is the honest small-scale verifier, the
+  *    cosine-LSH path above is the scale path.
   */
 object Dedup {
 
@@ -176,37 +180,65 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise word-set Jaccard within blocking keys (quadratic within a
-    * block — the honest verifier; LSH is the scale path).
+  /** Exact pairwise word-set Jaccard within blocking keys, found by
+    * frequency-ordered PREFIX FILTERING (the AllPairs/PPJoin family) instead
+    * of a quadratic within-block cross join, then verified with the exact
+    * set Jaccard — output is identical to the naive formulation.
+    *
+    * Principle: order every word set by ascending global document frequency
+    * (rarest first, ties by hash). For J(A,B) >= t, the overlap c satisfies
+    * c >= t/(1+t) * (|A|+|B|); with symmetric prefixes of length
+    * |s| - ceil(t/(1+t)*|s|) + 1 the elements of A∩B outside either prefix
+    * number < c, so every qualifying pair shares at least one PREFIX token.
+    * Candidates therefore come from a join on (block, prefix-token) — and
+    * because prefixes hold each document's RAREST tokens, ubiquitous tokens
+    * (stopwords) never generate candidates. Dissimilar documents that merely
+    * share common words are never even paired, which is what turns the
+    * within-block quadratic into near-linear work: at 10x the corpus the
+    * candidate count grows with the true near-dup count, not with
+    * block-size^2.
+    *
+    * Every stage is a linear shuffle of (hash, count) shaped rows — the word
+    * arrays themselves ride a shuffle only for the final verify of actual
+    * candidates.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     VectorFunctions.register(df.sparkSession)
-    // word sets as sorted 64-bit hash arrays: single-pass, primitive merges
+    // word sets as sorted 64-bit hash arrays: single-pass, primitive merges.
+    // checkpointed: feeds the frequency aggregate, the prefix explode and
+    // both sides of the verify join
     val withSet = df.select(
       (col(idCol) +: blockCols.map(col)) :+
         expr(s"graft_shingle_hashes($textCol, 1)").as("wset"): _*)
-    val a = withSet.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col("wset").as("set_a"): _*)
-    val b = withSet.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col("wset").as("set_b"): _*)
-    // broadcast the probe side while it fits (block keys are low-cardinality,
-    // so a sort-merge join would shuffle every word-set array); beyond the
-    // broadcast threshold, degrade to a co-partitioned shuffle join on the
-    // block key instead of OOMing the driver. The plan-stat estimate is the
-    // same signal Spark's own broadcast planning uses.
-    val spark = df.sparkSession
-    val bcastLimit = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      .stripSuffix("b").stripSuffix("B") match {
-        case t if t.toLowerCase.endsWith("k") => t.dropRight(1).toLong << 10
-        case t if t.toLowerCase.endsWith("m") => t.dropRight(1).toLong << 20
-        case t if t.toLowerCase.endsWith("g") => t.dropRight(1).toLong << 30
-        case t => t.toLong
-      }
-    val fitsBroadcast = bcastLimit > 0 &&
-      withSet.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastLimit
-    val joined = if (fitsBroadcast) a.join(broadcast(b), blockCols)
-      else a.join(b, blockCols)
-    joined
+      .localCheckpoint(eager = false)
+    // global document frequency per token hash — rarity is a global notion
+    val freq = withSet.select(explode(col("wset")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val u = threshold / (1.0 + threshold)
+    // rank each document's tokens rarest-first and keep the prefix
+    val ranked = withSet
+      .select((col(idCol) +: blockCols.map(col)) :+
+        size(col("wset")).as("sz") :+ explode(col("wset")).as("tok"): _*)
+      .join(freq, "tok")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("tok_df"), col("tok"))))
+      .filter(col("_rk") <= col("sz") - ceil(lit(u) * col("sz")).cast("int") + 1)
+      .select(blockCols.map(col) :+ col(idCol) :+ col("tok"): _*)
+      .localCheckpoint(eager = false) // both sides of the candidate self-join
+    val a = ranked.select(blockCols.map(col) :+ col("tok") :+ col(idCol).as("id_a"): _*)
+    val b = ranked.select(blockCols.map(col) :+ col("tok") :+ col(idCol).as("id_b"): _*)
+    // deduped BEFORE the expensive exact verify (same pattern as minhash)
+    val candidates = a.join(b, blockCols :+ "tok")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(withSet.select(col(idCol).as("id_a"), col("wset").as("set_a")), "id_a")
+      .join(withSet.select(col(idCol).as("id_b"), col("wset").as("set_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
       .filter(col("jaccard") >= threshold)

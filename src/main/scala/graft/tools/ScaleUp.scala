@@ -10,8 +10,18 @@ import org.apache.spark.sql.functions._
   * Volume tables are replicated with per-copy KEY OFFSETS so join fan-in,
   * group cardinality and per-user event density stay constant — the honest
   * scaling shape (10x rows, 10x groups), not 10x duplicates of every key.
-  * documents/embeddings are copied unscaled: their dedup queries' outputs are
-  * tied to the corpus's duplicate structure, which replication would square.
+  *
+  * documents/embeddings need more than offsets: plain replication would
+  * SQUARE the duplicate structure (every copy of a text pairs with every
+  * other copy, so pair queries grow quadratically instead of linearly).
+  * Instead each copy's content is made disjoint while preserving its
+  * statistics: texts get a per-copy vowel permutation (word/line/char counts
+  * and within-copy duplicate structure unchanged, cross-copy shingles
+  * disjoint), embeddings get a per-copy circular component shift (norms and
+  * within-copy geometry unchanged, cross-copy cosine ~0) and label offsets
+  * (block count scales, block size constant). 10x rows, 10x dup groups,
+  * constant group size — honest linear growth for every pipeline operator.
+  *
   * Dimension tables (nation/region/part/supplier) stay as-is.
   */
 object ScaleUp {
@@ -39,11 +49,47 @@ object ScaleUp {
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
+    // rotating letter permutation (10 distinct rotations for up to 10
+    // copies): copy 0 is the identity, later copies remap texts so no
+    // shingle survives across copies while every per-copy statistic
+    // (lengths, token counts, duplicate structure) is preserved
+    def scaledDocs(): DataFrame = {
+      val base = Tables.df(spark, src, "documents")
+      val alpha = "aeioubcdfg"
+      (0 until n).map { c =>
+        val r = c % alpha.length
+        val to = alpha.substring(r) + alpha.substring(0, r)
+        base
+          .withColumn("doc_id", col("doc_id") + lit(c * K))
+          .withColumn("text", translate(col("text"),
+            alpha + alpha.toUpperCase, to + to.toUpperCase))
+      }.reduce(_ unionAll _)
+    }
+
+    // circular component shift: norms and within-copy angles unchanged,
+    // cross-copy cosine decorrelated so LSH buckets don't fill 10x deep
+    def scaledEmbs(): DataFrame = {
+      val base = Tables.df(spark, src, "embeddings")
+      val dim = base.selectExpr("size(embedding)").first().getInt(0)
+      (0 until n).map { c =>
+        val shift = c % dim
+        val shifted = if (shift == 0) col("embedding")
+          else concat(slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), 1, shift))
+        base
+          .withColumn("vec_id", col("vec_id") + lit(c * K))
+          .withColumn("label", col("label") + lit(c * 1000))
+          .withColumn("embedding", shifted)
+      }.reduce(_ unionAll _)
+    }
+
     write(scaled("lineitem", Seq("l_orderkey")), "lineitem")
     write(scaled("orders", Seq("o_orderkey", "o_custkey")), "orders")
     write(scaled("customer", Seq("c_custkey")), "customer")
     write(scaled("events", Seq("event_id", "user_id")), "events")
-    Seq("nation", "region", "part", "supplier", "documents", "embeddings")
+    write(scaledDocs(), "documents")
+    write(scaledEmbs(), "embeddings")
+    Seq("nation", "region", "part", "supplier")
       .foreach(t => write(Tables.df(spark, src, t), t))
     spark.stop()
   }

@@ -346,21 +346,35 @@ class OperatorsSpec extends SparkFunSuite {
     assert(uncapped.count() == 100L * 99 / 2)
   }
 
-  test("jaccard pairs degrade to a shuffle join when broadcast is unavailable") {
+  test("jaccard prefix filtering equals the naive cross join and prunes candidates") {
+    val blocked = docs.withColumn("block", lit(1))
+    // oracle: the naive quadratic formulation, computed inline
+    def naive(t: Double): Set[(Long, Long, Double)] = {
+      val sets = blocked.select($"doc_id",
+        expr("graft_shingle_hashes(text, 1)").as("s"))
+        .as[(Long, Array[Long])].collect().toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        ja = {
+          val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+          sa.intersect(sb).size.toDouble / sa.union(sb).size
+        } if ja >= t
+      } yield (a, b, ja)).toSet
+    }
+    for (t <- Seq(0.3, 0.6, 0.8, 1.0)) {
+      val got = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == naive(t), s"threshold $t")
+    }
+    // results survive broadcast being unavailable (no hidden driver-side dependence)
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(key)
-    val blocked = docs.withColumn("block", lit(1))
     try {
       spark.conf.set(key, "-1")
-      val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
-      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
-      assert(got.contains((1L, 4L))) // same result through the fallback join
-      assert(!pairs.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      val got = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == naive(0.8).map(p => (p._1, p._2)))
     } finally spark.conf.set(key, saved)
-    // with the default threshold the small block side broadcasts again
-    val p2 = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), 0.8)
-    p2.collect()
-    assert(p2.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
   }
 
   test("weighted keep never rounds a nonzero weight to an empty keep set") {
