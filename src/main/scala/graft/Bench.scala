@@ -29,7 +29,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timed section): the finished query's
+      // localCheckpoint blocks are unreferenced now, but the ContextCleaner
+      // only drops them after a GC notices — without this, block-manager
+      // pressure from earlier queries' checkpoints distorts later timings at
+      // larger scale factors
+      System.gc()
+      t
     }
 
     // warm the JVM/classloaders/parquet footer caches and the streaming

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BinaryType, DateType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The Hive mask scalar-function family with character-exact semantics
   * (goldens: /root/reference/src/test/java/com/hw/security/flink/common/CommonTest.java:78-93,
@@ -24,10 +25,17 @@ import org.apache.spark.sql.types.{BinaryType, DateType, IntegerType, StringType
   *   - mask_show_last_n(s, n=4, ...): mask all but the last n chars.
   *   - mask_hash(s): lowercase sha256 hex digest.
   *
-  * Divergence from Hive (documented): the `numberChar` argument applies only
-  * to numeric-typed inputs in Hive; the reference exercises strings and dates
-  * only, so numeric-input masking is not implemented and `numberChar` is
-  * accepted-and-ignored.
+  * Numeric inputs (Hive's `numberChar` behavior, unexercised by the
+  * reference's own tests): for integral-typed inputs every digit in the
+  * masked region is replaced by `numberChar` (a single digit, default '1';
+  * Hive falls back to 1 for non-digit values), the sign is preserved, digit
+  * count is preserved, and the ORIGINAL numeric type is returned (a masked
+  * BIGINT stays a BIGINT). The n window of the *_n variants counts digits,
+  * not characters — the sign does not occupy a position. An all-9s mask of a
+  * 19-digit long can exceed Long.MaxValue; the TRY-mode cast back yields
+  * NULL rather than a wrapped or throwing result. `numberChar` on STRING
+  * inputs is accepted-and-ignored exactly as in Hive (digits in strings use
+  * the `digit` char argument instead).
   */
 object MaskFunctions {
 
@@ -71,6 +79,38 @@ object MaskFunctions {
   private def lastNStart(s: Expression, n: Expression): Expression =
     Greatest(Seq(Add(Subtract(Length(s), n), Literal(1)), Literal(1)))
 
+  private def isIntegral(e: Expression): Boolean = e.resolved && (e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  })
+
+  /** Hive numberChar: a single digit; anything else falls back to '1'. */
+  private def numberCharOf(e: Option[Expression]): String = e match {
+    case Some(lit) if lit.resolved && lit.foldable =>
+      lit.eval() match {
+        case i: Int if i >= 0 && i <= 9 => i.toString
+        case l: Long if l >= 0 && l <= 9 => l.toString
+        case u: UTF8String if u.numChars == 1 && u.toString.head.isDigit => u.toString
+        case _ => "1"
+      }
+    case _ => "1"
+  }
+
+  /** Digit-wise mask of an integral value: `f(digits, len, nc)` rewrites the
+    * unsigned decimal digit string, the sign is re-attached, and the result
+    * casts back to the input type in TRY mode (an all-9s 19-digit long can
+    * overflow — NULL beats a wrapped value under a masking policy).
+    */
+  private def numericMask(n: Expression, ncStr: String)(
+      f: (Expression, Expression, Expression) => Expression): Expression = {
+    val str = Cast(n, StringType)
+    val neg = StartsWith(str, Literal("-"))
+    val d = If(neg, Substring(str, Literal(2), MaxLen), str)
+    val masked = f(d, Length(d), Literal(ncStr))
+    val signed = If(neg, Concat(Seq(Literal("-"), masked)), masked)
+    Cast(signed, n.dataType, None, EvalMode.TRY)
+  }
+
   def maskBuilder(args: Seq[Expression]): Expression = args match {
     // date variant: mask(col, u, l, d, o, num, day, month, year)
     case Seq(c, _, _, _, _, _, dayE, monthE, yearE) =>
@@ -81,50 +121,80 @@ object MaskFunctions {
       val m = if (month == -1) Month(col) else Literal(month + 1) // Hive month arg is 0-based
       val d = if (day == -1) DayOfMonth(col) else Literal(day)
       MakeDate(y, m, d)
-    case s +: chars if chars.length <= 4 =>
-      maskCore(Cast(s, StringType), chars)
+    case s +: chars if chars.length <= 5 && isIntegral(s) =>
+      numericMask(s, numberCharOf(chars.lift(4)))((_, len, nc) => StringRepeat(nc, len))
+    case s +: chars if chars.length <= 5 =>
+      maskCore(Cast(s, StringType), chars) // numberChar (5th) ignored for strings, as in Hive
     case _ => throw new IllegalArgumentException(
-      s"mask expects 1-5 or 9 arguments, got ${args.length}")
+      s"mask expects 1-6 or 9 arguments, got ${args.length}")
   }
 
   /** mask_first_n: mask chars [1..n], retain the rest. */
   def maskFirstN(args: Seq[Expression]): Expression = {
-    val s = Cast(args.head, StringType)
     val n = args.lift(1).getOrElse(Literal(4))
     val chars = args.drop(2)
-    Concat(Seq(
-      maskCore(Substring(s, Literal(1), n), chars),
-      Substring(s, Add(n, Literal(1)), MaxLen)))
+    if (isIntegral(args.head))
+      numericMask(args.head, numberCharOf(chars.lift(4))) { (d, len, nc) =>
+        Concat(Seq(StringRepeat(nc, Least(Seq(n, len))),
+          Substring(d, Add(n, Literal(1)), MaxLen)))
+      }
+    else {
+      val s = Cast(args.head, StringType)
+      Concat(Seq(
+        maskCore(Substring(s, Literal(1), n), chars),
+        Substring(s, Add(n, Literal(1)), MaxLen)))
+    }
   }
 
   /** mask_last_n: retain chars [1..len-n], mask the rest. */
   def maskLastN(args: Seq[Expression]): Expression = {
-    val s = Cast(args.head, StringType)
     val n = args.lift(1).getOrElse(Literal(4))
     val chars = args.drop(2)
-    Concat(Seq(
-      Substring(s, Literal(1), Subtract(Length(s), n)),
-      maskCore(Substring(s, lastNStart(s, n), MaxLen), chars)))
+    if (isIntegral(args.head))
+      numericMask(args.head, numberCharOf(chars.lift(4))) { (d, len, nc) =>
+        Concat(Seq(Substring(d, Literal(1), Subtract(len, n)),
+          StringRepeat(nc, Least(Seq(n, len)))))
+      }
+    else {
+      val s = Cast(args.head, StringType)
+      Concat(Seq(
+        Substring(s, Literal(1), Subtract(Length(s), n)),
+        maskCore(Substring(s, lastNStart(s, n), MaxLen), chars)))
+    }
   }
 
   /** mask_show_first_n: retain chars [1..n], mask the rest. */
   def maskShowFirstN(args: Seq[Expression]): Expression = {
-    val s = Cast(args.head, StringType)
     val n = args.lift(1).getOrElse(Literal(4))
     val chars = args.drop(2)
-    Concat(Seq(
-      Substring(s, Literal(1), n),
-      maskCore(Substring(s, Add(n, Literal(1)), MaxLen), chars)))
+    if (isIntegral(args.head))
+      numericMask(args.head, numberCharOf(chars.lift(4))) { (d, len, nc) =>
+        Concat(Seq(Substring(d, Literal(1), n),
+          StringRepeat(nc, Greatest(Seq(Subtract(len, n), Literal(0))))))
+      }
+    else {
+      val s = Cast(args.head, StringType)
+      Concat(Seq(
+        Substring(s, Literal(1), n),
+        maskCore(Substring(s, Add(n, Literal(1)), MaxLen), chars)))
+    }
   }
 
   /** mask_show_last_n: mask chars [1..len-n], retain the rest. */
   def maskShowLastN(args: Seq[Expression]): Expression = {
-    val s = Cast(args.head, StringType)
     val n = args.lift(1).getOrElse(Literal(4))
     val chars = args.drop(2)
-    Concat(Seq(
-      maskCore(Substring(s, Literal(1), Subtract(Length(s), n)), chars),
-      Substring(s, lastNStart(s, n), MaxLen)))
+    if (isIntegral(args.head))
+      numericMask(args.head, numberCharOf(chars.lift(4))) { (d, len, nc) =>
+        Concat(Seq(StringRepeat(nc, Greatest(Seq(Subtract(len, n), Literal(0)))),
+          Substring(d, lastNStart(d, n), MaxLen)))
+      }
+    else {
+      val s = Cast(args.head, StringType)
+      Concat(Seq(
+        maskCore(Substring(s, Literal(1), Subtract(Length(s), n)), chars),
+        Substring(s, lastNStart(s, n), MaxLen)))
+    }
   }
 
   /** mask_hash: lowercase sha256 hex (CommonTest.java:84-85). */

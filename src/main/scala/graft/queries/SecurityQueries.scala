@@ -113,6 +113,16 @@ object SecurityQueries {
       val c = ctx(s, dir, "orders")(c => mask(c, "orders", "o_orderdate", "MASK_DATE_SHOW_YEAR"))
       c.dfDataMask(USER, "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey")
     }),
+    // numeric-input masking (Hive numberChar semantics): digits replaced,
+    // sign/digit count/original type preserved — BIGINT stays BIGINT
+    "sec_mask_numeric" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        mask(c, "customer", "c_custkey", "MASK_SHOW_LAST_4")
+        mask(c, "customer", "c_nationkey", "MASK")
+      }
+      c.dfDataMask(USER,
+        "SELECT c_custkey, c_nationkey, c_name FROM customer ORDER BY c_name")
+    }),
     "sec_mixed" -> ((s, dir) => {
       val c = ctx(s, dir, "customer") { c =>
         rls(c, "customer", "c_mktsegment = 'BUILDING'")
@@ -174,6 +184,15 @@ object SecurityQueries {
       """SELECT o_orderkey,
         |       CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS TIMESTAMP) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sec_mask_numeric" ->
+      """SELECT CASE WHEN length(CAST(c_custkey AS VARCHAR)) <= 4 THEN c_custkey
+        |            ELSE CAST(repeat('1', length(CAST(c_custkey AS VARCHAR)) - 4)
+        |                      || substr(CAST(c_custkey AS VARCHAR),
+        |                                length(CAST(c_custkey AS VARCHAR)) - 3) AS BIGINT)
+        |       END AS c_custkey,
+        |       CAST(repeat('1', length(CAST(c_nationkey AS VARCHAR))) AS INTEGER) AS c_nationkey,
+        |       c_name
+        |FROM customer ORDER BY c_name""".stripMargin,
     "sec_mixed" ->
       """SELECT c_custkey,
         |       substr(c_name,1,4) || regexp_replace(substr(c_name,5),'[A-Za-z0-9]','x','g') AS c_name,

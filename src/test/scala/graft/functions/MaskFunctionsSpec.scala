@@ -59,6 +59,30 @@ class MaskFunctionsSpec extends SparkFunSuite {
     assert(sql1("select mask_hash(cast(null as string))") == null)
   }
 
+  test("numeric inputs: digits replaced by numberChar, sign and type preserved") {
+    // full mask: every digit -> numberChar (default 1)
+    assert(sql1("select mask(12345)") == 11111)
+    assert(sql1("select mask(cast(-987 as int))") == -111)
+    assert(sql1("select mask(12345, 'x', 'x', 'x', -1, '7')") == 77777)
+    // the n window counts digits; sign does not occupy a position
+    assert(sql1("select mask_first_n(12345, 2)") == 11345)
+    assert(sql1("select mask_last_n(12345, 2)") == 12311)
+    assert(sql1("select mask_show_first_n(12345, 2)") == 12111)
+    assert(sql1("select mask_show_last_n(12345, 2)") == 11145)
+    assert(sql1("select mask_show_last_n(-12345, 2)") == -11145)
+    // original type is preserved (bigint stays bigint, tinyint stays tinyint)
+    assert(sql1("select mask(cast(123456789012 as bigint))") == 111111111111L)
+    assert(sql1("select mask(cast(42 as tinyint))") == 11.toByte)
+    // n >= digit count masks everything / shows everything, digit count kept
+    assert(sql1("select mask_first_n(99, 5)") == 11)
+    assert(sql1("select mask_show_first_n(99, 5)") == 99)
+    // non-digit numberChar falls back to 1 (Hive behavior)
+    assert(sql1("select mask(555, 'x', 'x', 'x', -1, 'z')") == 111)
+    // overflow on cast-back yields NULL, not a wrapped value: 19 nines > Long.Max
+    assert(sql1(s"select mask(${Long.MaxValue}, 'x', 'x', 'x', -1, '9')") == null)
+    assert(sql1("select mask(cast(null as int))") == null)
+  }
+
   test("date variant MASK_DATE_SHOW_YEAR keeps year, resets month/day") {
     assert(sql1("select mask(date'2020-07-30', 'x', 'x', 'x', -1, '1', 1, 0, -1)")
       .toString == "2020-01-01")
