@@ -30,11 +30,12 @@ object Bench {
           return -1.0
       }
       val t = (System.nanoTime() - t0) / 1e9
-      // between queries (outside the timed section): the finished query's
-      // localCheckpoint blocks are unreferenced now, but the ContextCleaner
-      // only drops them after a GC notices — without this, block-manager
-      // pressure from earlier queries' checkpoints distorts later timings at
-      // larger scale factors
+      // between queries (outside the timed section): drop the finished
+      // query's localCheckpoint blocks explicitly — the ContextCleaner only
+      // reclaims them after a GC notices the dead references, and pending
+      // blocks distort later timings at larger scale factors (dedup_groups
+      // measured 3x slower in-suite than solo before this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       t
     }
