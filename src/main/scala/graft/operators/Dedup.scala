@@ -217,7 +217,11 @@ object Dedup {
     // global document frequency per token hash — rarity is a global notion
     val freq = withSet.select(explode(col("wset")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tok_df"))
-    val u = threshold / (1.0 + threshold)
+    // epsilon guards the FP direction that matters: if u*sz evaluates a hair
+    // ABOVE an exact integer, ceil() shortens the prefix by one position and
+    // the completeness proof no longer holds — a slightly smaller u only
+    // lengthens the prefix (more candidates, same verified output)
+    val u = threshold / (1.0 + threshold) - 1e-9
     // rank each document's tokens rarest-first and keep the prefix
     val ranked = withSet
       .select((col(idCol) +: blockCols.map(col)) :+

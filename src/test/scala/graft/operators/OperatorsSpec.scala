@@ -377,6 +377,42 @@ class OperatorsSpec extends SparkFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("jaccard prefix filtering: randomized equivalence with the naive join") {
+    // seeded random corpora with heavy word reuse, so near-dup structure and
+    // ceil-boundary set sizes both occur; every (corpus, threshold) must
+    // reproduce the naive quadratic result exactly
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val corpora = (0 until 3).map { _ =>
+      (0 until 30).map { id =>
+        val base = (0 until 3 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        // half the docs are light mutations of an earlier doc's text
+        (id.toLong, base.mkString(" "))
+      }
+    }.map { docsSeq =>
+      val mutated = docsSeq.map { case (id, text) =>
+        if (id % 2 == 1) {
+          val src = docsSeq((id / 2).toInt)._2.split(" ")
+          val drop = rnd.nextInt(math.max(src.length / 3, 1))
+          (id, src.drop(drop).mkString(" "))
+        } else (id, text)
+      }
+      mutated.toDF("doc_id", "text").withColumn("block", lit(1))
+    }
+    for ((df, ci) <- corpora.zipWithIndex; t <- Seq(0.25, 0.5, 0.6, 0.75, 1.0)) {
+      val sets = df.select($"doc_id", expr("graft_shingle_hashes(text, 1)").as("s"))
+        .as[(Long, Array[Long])].collect().toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        sa = sets(a).toSet; sb = sets(b).toSet
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (a, b)).toSet
+      val got = Dedup.jaccardPairs(df, "doc_id", "text", Seq("block"), t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"corpus $ci threshold $t")
+    }
+  }
+
   test("weighted keep never rounds a nonzero weight to an empty keep set") {
     assert(Sampling.hexThreshold(1e-6) == "0001") // not "0000"
     assert(Sampling.hexThreshold(0.0) == "0000")
