@@ -45,6 +45,13 @@ class OperatorsSpec extends SparkFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // identical texts in DIFFERENT blocks must never pair: the candidate
+    // join carries the block key alongside the prefix token
+    val split = docs.withColumn("block", (col("doc_id") % 2).cast("int"))
+    val crossBlock = Dedup.jaccardPairs(split, "doc_id", "text", Seq("block"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!crossBlock.contains((1L, 4L))) // doc 1 block 1, doc 4 block 0
+    assert(crossBlock.contains((2L, 4L))) // both block 0, near-dups
   }
 
   private def vecs: DataFrame = Seq(
