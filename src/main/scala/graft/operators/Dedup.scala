@@ -367,6 +367,49 @@ object Dedup {
       // table), so a pair can only form once
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): a coarse quantizer of `nlist` data-derived centroids
+    * partitions the embedding space into cells; only same-cell pairs are
+    * scored with the exact cosine. The blocking is data-dependent (dense
+    * regions get their own cells) where [[cosineLshPairs]] uses
+    * data-oblivious random hyperplanes — the published trade: better
+    * candidate precision in clustered corpora, recall < 1 for pairs that
+    * straddle a cell boundary (identical vectors always share a cell, so
+    * exact-duplicate recall is 1). Reuses the IVF quantizer from
+    * [[Similarity]]: the only collect is the bounded nlist-row centroid
+    * seed, and cell assignment is one map pass, so the corpus shuffles once
+    * (on `_cell`) for the self-join.
+    *
+    * Skew guard: `maxBucket` caps each cell by keeping its first members in
+    * id order, same semantics as [[cosineLshPairs]].
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, maxBucket: Int = 200): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val centroids = Similarity.seedCentroids(df, idCol, vecCol, nlist)
+    val base = df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
+      .filter(col("norm") > 0) // zero vectors: no direction (see cosinePairs)
+      .withColumn("bucket", element_at(Similarity.cellsCol("v", centroids, 1), 1))
+    val capped =
+      if (maxBucket >= Int.MaxValue) base
+      else base
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+            .orderBy(col(idCol))))
+        .filter(col("_rk") <= maxBucket)
+        .drop("_rk")
+    val v = capped.localCheckpoint(eager = false) // both sides of the self-join
+    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_vec_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // no distinct needed: each id lives in exactly one cell
+  }
+
   /** Exact pairwise cosine similarity within a blocking key over an
     * Array[Float] embedding column.
     */

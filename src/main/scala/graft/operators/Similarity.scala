@@ -79,8 +79,8 @@ object Similarity {
     * the bucketed-storage path. The only collect in the library: bounded at
     * nlist rows by construction.
     */
-  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] = {
+  private[operators] def seedCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): Array[Array[Double]] = {
     val centroids = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -97,7 +97,7 @@ object Similarity {
   }
 
   /** Column of the n nearest cell ids for a vector column, given centroids. */
-  private def cellsCol(vc: String, centroids: Array[Array[Double]], n: Int) = {
+  private[operators] def cellsCol(vc: String, centroids: Array[Array[Double]], n: Int) = {
     import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
     columnOf(graft.functions.IvfCells(expressionOf(col(vc)), centroids, n))
   }

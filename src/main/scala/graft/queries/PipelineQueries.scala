@@ -342,6 +342,35 @@ object PipelineQueries {
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     }),
+    // cross-document boilerplate: 5-grams shared by >= 3 docs (hashGrams
+    // off so the DuckDB oracle can count the same gram strings; the hashed
+    // wire format is asserted equivalent in OperatorsSpec)
+    "text_boilerplate" -> ((s, dir) =>
+      Boilerplate.report(docs(s, dir), "doc_id", "text", n = 5, minDocs = 3)
+        .orderBy(col("doc_id"))),
+    // precision + recall gate for the SemDeDup cell blocking (see
+    // dedup_simhash_check for the two-branch scheme): planted recall is
+    // exact because identical vectors share the argmax cell; the empty FP
+    // branch re-scores each emitted pair with built-in HOFs against the
+    // same 0.9 threshold. maxBucket uncapped so the recall floor is
+    // unconditional.
+    "dedup_semantic_check" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionAll(e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")))
+      val pairs = Dedup.semanticPairs(doubled, "vec_id", "embedding",
+        threshold = 0.9, maxBucket = Int.MaxValue).localCheckpoint(eager = false)
+      val plantedP = pairs
+        .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      val va = doubled.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val vb = doubled.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val fp = pairs.join(va, "id_a").join(vb, "id_b")
+        .withColumn("ref_cosine", hofCosine("ea", "eb"))
+        .filter(col("ref_cosine") < 0.9 || abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("id_a"), col("id_b"), lit(-1.0).as("cosine"))
+      plantedP.unionAll(fp).orderBy(col("id_a"), col("id_b"))
+    }),
     "text_normalize" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       docs(s, dir).select(col("doc_id"),
@@ -698,6 +727,22 @@ object PipelineQueries {
          |       coalesce(h.n_overlap, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
          |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS grams
+         |  FROM (SELECT doc_id, $duckWords AS w FROM documents)),
+         |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |freq AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 3),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_frequent
+         |  FROM dg JOIN freq USING (gram) GROUP BY doc_id)
+         |SELECT g.doc_id, len(g.grams) AS n_grams,
+         |       coalesce(h.n_frequent, 0) AS n_frequent,
+         |       CASE WHEN len(g.grams) > 0
+         |            THEN round(CAST(coalesce(h.n_frequent, 0) AS DOUBLE) / len(g.grams), 6)
+         |            ELSE 0.0 END AS boilerplate_frac
+         |FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
         |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
