@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * deduplicating-training-data line of work).
   *
   * Scale shape: one map-side HOF pass builds distinct grams per doc (no
-  * UDF); the gram-frequency count is a groupBy with map-side partial
+  * UDF), locally checkpointed so neither the self-referencing hit join nor
+  * the n_grams projection re-runs the tokenizer — the cached arrays are the
+  * same order of magnitude as the input text, and the lineage truncation
+  * also keeps the re-read off the source scan; the gram-frequency count is
+  * a groupBy with map-side partial
   * aggregation, so the first shuffle carries combined (gram, count) rows,
   * not the exploded corpus. The hit join then reshuffles the exploded grams
   * once, keyed on gram — deliberately a join rather than a count-over-window
@@ -38,9 +42,20 @@ object Boilerplate {
   def report(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minDocs: Int, hashGrams: Boolean = false): DataFrame = {
     require(minDocs >= 1, s"Boilerplate: minDocs must be >= 1, got $minDocs")
-    val gram = explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
-    val docGrams = docs.select(col(idCol),
-      (if (hashGrams) xxhash64(gram) else gram).as("gram"))
+    // Tokenize + slice once per doc; the checkpoint pins that single HOF
+    // pass so the three consumers below (frequency count, hit probe, n_grams
+    // projection) re-read the cached gram arrays instead of re-deriving them
+    // from text.
+    val perDoc = docs.select(col(idCol),
+      array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("grams"))
+      .localCheckpoint(eager = false)
+    // explode must be the top-level projection expression (a generator can't
+    // nest under xxhash64), so hash in a follow-up select — it collapses
+    // into the same stage
+    val exploded = perDoc.select(col(idCol), explode(col("grams")).as("gram"))
+    val docGrams =
+      if (hashGrams) exploded.select(col(idCol), xxhash64(col("gram")).as("gram"))
+      else exploded
     val frequent = docGrams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs")) // grams are distinct per doc => doc count
@@ -49,10 +64,8 @@ object Boilerplate {
     val hits = docGrams.join(frequent, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_frequent"))
-    docs
-      .select(col(idCol),
-        size(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
-          .cast("long").as("n_grams"))
+    perDoc
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Contamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, Contamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -499,6 +499,15 @@ object PipelineQueries {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
         |FROM documents ORDER BY id_a, id_b""".stripMargin,
     "dedup_cosine_lsh_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+    // identical planted scheme: a doubled corpus where vec_id+1000000 is an
+    // exact copy, so every surviving (non-zero-norm) vector must pair with
+    // its clone at cosine exactly 1.0, and the FP branch contributes no rows
+    "dedup_semantic_check" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
         |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine

@@ -517,6 +517,52 @@ class OperatorsSpec extends SparkFunSuite {
     } finally { spark.conf.set(thresholdKey, t0); spark.conf.set(aqeKey, a0) }
   }
 
+  test("boilerplate report scores shared n-grams and hashGrams is wire-equivalent") {
+    // docs 1, 2, 4 share the 9 leading 5-grams of the fox sentence; the
+    // trailing gram ("...bank today"/"...bank tonight") appears in <3 docs
+    val rep = Boilerplate.report(docs, "doc_id", "text", n = 5, minDocs = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rep.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rep(0) == ((1L, 10L, 9L, 0.9)))
+    assert(rep(1) == ((2L, 10L, 9L, 0.9)))
+    assert(rep(2)._3 == 0L) // unrelated doc: no frequent grams
+    assert(rep(3) == ((4L, 10L, 9L, 0.9))) // exact dup of 1 scores identically
+    assert(rep(4) == ((5L, 0L, 0L, 0.0))) // 4 words < n: zero grams, frac 0.0
+    // hashed wire format changes only what is shuffled, never the counts
+    val hashed = Boilerplate.report(docs, "doc_id", "text", n = 5, minDocs = 3,
+      hashGrams = true).orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(hashed == rep)
+  }
+
+  test("semantic pairs recall planted exact duplicates with cosine 1.0") {
+    // the dedup_semantic_check scheme in miniature: clone every vector at
+    // id+1000000; identical vectors share the argmax cell, so every planted
+    // pair must surface, at cosine exactly 1.0 up to float error
+    val base = vecs.select($"vec_id", $"embedding")
+    val doubled = base.unionAll(base.select(($"vec_id" + 1000000).as("vec_id"),
+      $"embedding"))
+    val got = Dedup.semanticPairs(doubled, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val planted = got.filter(p => p._2 == p._1 + 1000000).map(p => (p._1, p._2)).toSet
+    assert(planted == Set((1L, 1000001L), (2L, 1000002L), (3L, 1000003L), (4L, 1000004L)))
+    assert(got.filter(p => p._2 == p._1 + 1000000).forall(p => math.abs(p._3 - 1.0) < 1e-6))
+    // no false positives: re-score every emitted pair exactly, driver-side
+    val byId = doubled.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(cos(byId(a), byId(b)) - c) < 1e-9, s"pair ($a,$b)")
+      assert(c >= 0.9)
+    }
+  }
+
   test("operators compose with the security layer (masked text dedups differently)") {
     // Masked fingerprints: policy-masked content yields different dedup keys,
     // proving the ops run downstream of the security projection.
