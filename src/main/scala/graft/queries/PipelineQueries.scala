@@ -39,24 +39,35 @@ object PipelineQueries {
     expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
   }
 
-  /** 64-bit SimHash recomputed from a precomputed `_wh` word-hash column with
-    * built-in HOFs (see [[hofCosine]] — same independence rationale; the
-    * word hashes themselves come from built-in split/lower/trim/xxhash64,
-    * which VectorOps.wordHashes mirrors bit-for-bit).
+  /** 64-bit SimHash recomputed from exploded word hashes with built-in
+    * relational operators only (see [[hofCosine]] for the independence
+    * rationale; the word hashes come from built-in split/lower/trim/
+    * xxhash64, which VectorOps.wordHashes mirrors bit-for-bit).
+    *
+    * Shape: the earlier HOF form (64 `aggregate` lambda passes per doc) ran
+    * interpreted — higher-order functions are CodegenFallback — and was the
+    * most expensive expression in the bench (14s at sf0.1). This form
+    * explodes `(doc, word_hash)` rows and computes the 64 per-bit counters
+    * as plain `sum` columns in one hash aggregate: whole-stage codegen end
+    * to end, map-side partial aggregation compresses the shuffle to one
+    * 65-long row per doc per map partition. The sketch folds back with the
+    * identity: the ±1-sum `2*cnt_b - W > 0` is exactly `2*cnt_b > W`, so
+    * tie-at-zero semantics (bit stays 0) are preserved. Docs whose gram
+    * array is empty keep a row via explode_outer and fold to sketch 0L,
+    * matching the HOF aggregate over an empty array.
     */
-  private val hofSimhash = expr(
-    // _wh is let-bound via a single-element transform so the word-hash array
-    // is evaluated ONCE per row: without the binding, ProjectCollapsing
-    // inlines _wh's transform(split(...)) into the inner aggregate and the
-    // split+xxhash64 pipeline re-runs once per bit (64x), which made this
-    // the most expensive expression in the bench. The bound per-bit form
-    // (64 integer-accumulator passes over the array) also beats a
-    // single-pass 64-counter-array accumulator ~2x, because the latter
-    // allocates a fresh 64-int array per word.
-    """element_at(transform(array(_wh), wh ->
-      |  aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
-      |    IF(aggregate(wh, 0, (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-      |       shiftleft(1L, b), 0L))), 1)""".stripMargin)
+  private def refSimhash(docsWithText: DataFrame, idCol: String): DataFrame = {
+    val words = docsWithText
+      .select(col(idCol), explode_outer(builtinWordHashes).as("_h"))
+    val bitCounts = (0 until 64).map(b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L))).as(s"_c$b"))
+    val sketch = (0 until 64).map(b =>
+      when(col(s"_c$b") * 2 > col("_w"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    words.groupBy(col(idCol))
+      .agg(count(col("_h")).as("_w"), bitCounts: _*)
+      .select(col(idCol), sketch.as("ref_sh"))
+  }
 
   private val builtinWordHashes =
     expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))")
@@ -83,9 +94,10 @@ object PipelineQueries {
     // every chunk collides and every planted (d, d+1e6) pair MUST be emitted
     // at hamming 0 (an exact, SQL-expressible recall floor of 1.0);
     // branch 2 (expected EMPTY) — precision: both sketches of every emitted
-    // pair recomputed with built-in HOFs (split/xxhash64/aggregate, no custom
-    // expressions), any hamming disagreement or above-threshold pair is a
-    // false positive. The union hash-matching the planted set proves both.
+    // pair recomputed from built-in functions only (split/xxhash64/explode/
+    // sum, no custom expressions — see refSimhash), any hamming disagreement
+    // or above-threshold pair is a false positive. The union hash-matching
+    // the planted set proves both.
     "dedup_simhash_check" -> ((s, dir) => {
       val p = planted(s, dir)
       val pairs = Dedup.simhashPairs(p, "doc_id", "text", maxHamming = 2,
@@ -95,10 +107,7 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
       val ids = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
-      val ref = p.join(ids, "doc_id")
-        .withColumn("_wh", builtinWordHashes)
-        .withColumn("ref_sh", hofSimhash)
-        .select(col("doc_id"), col("ref_sh"))
+      val ref = refSimhash(p.join(ids, "doc_id"), "doc_id")
         .localCheckpoint(eager = false) // joined twice below (ra and rb)
       val bad = pairs
         .join(ref.select(col("doc_id").as("id_a"), col("ref_sh").as("ra")), "id_a")
