@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *    buckets — at 100 TB a popular boilerplate bucket would otherwise
   *    produce billions of pairs), then an exact-Jaccard verify on the
   *    candidate pairs only.
+  *  - incremental MinHash: the corpus's band rows and shingle sets persist
+  *    as bucketed tables; each increment joins against them with
+  *    batch-sized shuffles only — the corpus is never reshuffled.
   *  - SimHash: single map pass for the 64-bit sketch; near-dup candidates by
   *    chunk banding (Hamming <= h guarantees an equal chunk among h+1),
   *    verified with bit_count(xor).
@@ -75,7 +78,6 @@ object Dedup {
       maxBucket: Int = 100,
       threshold: Double = 0.7): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    val k = bands * rowsPerBand
     // single-pass shingle hashing (graft_shingle_hashes): all downstream work
     // (signature, exact-jaccard verify) runs on sorted primitive long arrays;
     // no n-gram strings are materialized anywhere
@@ -88,11 +90,7 @@ object Dedup {
 
     // Band rows carry only (id, band, band_hash) — the shingle arrays never
     // ride through the LSH shuffles.
-    val bandRows = sets
-      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k)"))
-      .select(col(idCol), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), j -> xxhash64(j, slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
-        .as(Seq("band", "band_hash")))
+    val bandRows = bandRowsOf(sets, idCol, bands, rowsPerBand)
 
     // cap pathological buckets (boilerplate shingle collisions) — skew guard.
     // Skipped entirely when the cap is effectively off (oracle-gated runs):
@@ -121,6 +119,109 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
+        expr("graft_jaccard_sorted(sh_a, sh_b)").as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH band rows (idCol, band, band_hash) of a `(idCol, sh)` shingle-set
+    * frame — the shared banding between [[minhashDedup]] and the persisted
+    * incremental index, so an increment is banded bit-for-bit like the
+    * corpus it probes.
+    */
+  private def bandRowsOf(sets: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    sets
+      .withColumn("sig", expr(s"graft_minhash_sig(sh, $k)"))
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), j -> xxhash64(j, slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** Persist a corpus's MinHash-LSH index as bucketed tables so later
+    * increments dedup against it without ever reshuffling the corpus — the
+    * dedup counterpart of [[Similarity.ivfWriteBucketed]]. Three tables:
+    * `<table>` holds the band rows (idCol, band, band_hash) bucketed and
+    * sorted by (band, band_hash) — the shuffle-free side of the incremental
+    * candidate join; `<table>_sets` holds the sorted shingle-hash arrays
+    * (idCol, sh) bucketed by idCol for the exact-Jaccard verify join;
+    * `<table>_meta` carries the banding parameters, re-read at query time so
+    * an increment can never be banded differently from its index. Build once
+    * over the full corpus; afterwards each daily/hourly batch pays only
+    * batch-sized shuffles (see [[minhashDedupIncremental]]).
+    */
+  def minhashWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, numBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    Seq(table, s"${table}_sets", s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((shingleSize, bands, rowsPerBand))
+      .toDF("shingle_size", "bands", "rows_per_band")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    // checkpoint: the shingle scan (the expensive map work) feeds both tables
+    val sets = corpus
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .localCheckpoint(eager = false)
+    graft.sources.Sources.writeBucketed(
+      bandRowsOf(sets, idCol, bands, rowsPerBand), table,
+      Seq("band", "band_hash"), numBuckets)
+    graft.sources.Sources.writeBucketed(sets, s"${table}_sets", Seq(idCol), numBuckets)
+  }
+
+  /** Dedup an increment against a [[minhashWriteBucketed]] index: emits
+    * `(batch_id, corpus_id, jaccard)` for every batch doc whose exact
+    * shingle Jaccard with a corpus doc reaches `threshold`, discovered
+    * through the same banding the index was built with (parameters come
+    * from `<table>_meta`, not the caller).
+    *
+    * Corpus-shuffle-free by construction: the candidate join reads the band
+    * table pre-bucketed on (band, band_hash), so only the batch side
+    * exchanges; the skew cap counts corpus bucket sizes with a
+    * bucketing-aligned aggregate (again no exchange); and the verify join
+    * reads `<table>_sets` pre-bucketed on idCol. At 100 TB the corpus index
+    * is scanned but never reshuffled — every shuffle in the plan is
+    * O(batch + candidates), which is what makes per-increment dedup against
+    * a full-history corpus affordable.
+    */
+  def minhashDedupIncremental(batch: DataFrame, table: String, idCol: String,
+      textCol: String, maxBucket: Int = 100, threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect().head
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = meta.getAs[Int]("rows_per_band")
+    // checkpoint: feeds the banding pass and the verify join
+    val batchSets = batch
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .localCheckpoint(eager = false)
+    val batchBands = bandRowsOf(batchSets, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    val corpusBands = spark.table(table)
+    val capped =
+      if (maxBucket >= Int.MaxValue) corpusBands
+      else {
+        // groupBy on the bucketing keys: aggregates within buckets, no
+        // exchange; the count join back is bucketed-to-bucketed, also free
+        val smallEnough = corpusBands
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucket)
+          .select(col("band"), col("band_hash"))
+        corpusBands.join(smallEnough, Seq("band", "band_hash"))
+      }
+    val candidates = capped.join(batchBands, Seq("band", "band_hash"))
+      .select(col("batch_id"), col(idCol).as("corpus_id"))
+      .distinct()
+    candidates
+      .join(batchSets.select(col(idCol).as("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(spark.table(s"${table}_sets")
+        .select(col(idCol).as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
         expr("graft_jaccard_sorted(sh_a, sh_b)").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

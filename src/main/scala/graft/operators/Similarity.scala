@@ -144,13 +144,8 @@ object Similarity {
     * directory survives, and `SaveMode.Overwrite` then fails with
     * LOCATION_ALREADY_EXISTS — so an orphaned location must be deleted too.
     */
-  private def dropForOverwrite(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.split("\\.").last)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
+  private def dropForOverwrite(spark: SparkSession, table: String): Unit =
+    graft.sources.Sources.dropForOverwrite(spark, table)
 
   def ivfWriteBucketed(corpus: DataFrame, table: String, idCol: String,
       vecCol: String, nlist: Int = 64, numBuckets: Int = 16): Unit = {

@@ -84,6 +84,20 @@ object PipelineQueries {
           maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+    // incremental dedup against a persisted bucketed LSH index: corpus =
+    // documents, batch = an offset clone of every doc, so each batch doc
+    // must rediscover its original (jaccard 1.0) plus any near-dup originals
+    // >= 0.9. maxBucket uncapped for the oracle, as in dedup_minhash.
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashWriteBucketed(d, "graft_mh_gate", "doc_id", "text")
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.minhashDedupIncremental(batch, "graft_mh_gate", "doc_id", "text",
+          maxBucket = Int.MaxValue, threshold = 0.9)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // maxBucket uncapped for deterministic rows, as in dedup_minhash
       Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2,
@@ -544,6 +558,16 @@ object PipelineQueries {
     // LSH recall at threshold 0.9 with 16x4 banding is 1 - (1-j^4)^16 >=
     // 1 - 4e-8, so the candidate set equals the full >= 0.9 pair set and the
     // exact-jaccard verify makes the whole output SQL-expressible.
+    // the duckShingles base already plants the +1000000 clones: rows with
+    // doc_id >= 1000000 are exactly the Spark query's batch side
+    "dedup_minhash_incr" -> (duckShingles + """
+      |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id >= 1000000 AND b.doc_id < 1000000
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      |ORDER BY batch_id, corpus_id""".stripMargin),
     "dedup_minhash" -> (duckShingles + """
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -62,6 +62,18 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Drop a managed table AND its warehouse directory: SaveMode.Overwrite
+    * alone leaves stale bucket files behind when the table was dropped
+    * through the catalog but not the filesystem.
+    */
+  def dropForOverwrite(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.split("\\.").last)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Bucketed managed table: pre-shuffled on `bucketCols` at write time, so
     * equi-joins and aggregations between tables bucketed the same way plan
     * with NO Exchange. Buckets ~= target parallelism at the data's full scale.

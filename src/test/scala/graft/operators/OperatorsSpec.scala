@@ -517,6 +517,59 @@ class OperatorsSpec extends SparkFunSuite {
     } finally { spark.conf.set(thresholdKey, t0); spark.conf.set(aqeKey, a0) }
   }
 
+  test("incremental minhash dedup probes the bucketed index without reshuffling it") {
+    val tables = Seq("mh_incr_t", "mh_incr_t_sets", "mh_incr_t_meta")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val t0 = spark.conf.get(thresholdKey)
+    try {
+      // broadcast off: the no-reshuffle property must come from bucketing,
+      // not from the test corpus being broadcast-small
+      spark.conf.set(thresholdKey, "-1")
+      Dedup.minhashWriteBucketed(docs, "mh_incr_t", "doc_id", "text", numBuckets = 4)
+      val batch = docs.select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      val out = Dedup.minhashDedupIncremental(batch, "mh_incr_t", "doc_id", "text",
+        maxBucket = Int.MaxValue, threshold = 0.7)
+      val got = out.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      // every batch doc rediscovers its original at jaccard 1.0, and the
+      // cross-set near-dup (batch clone of 1 vs corpus doc 4, equal texts)
+      assert((1L to 5L).forall(i =>
+        got.exists(p => p._1 == i + 1000000 && p._2 == i && math.abs(p._3 - 1.0) < 1e-9)))
+      assert(got.exists(p => p._1 == 1000001L && p._2 == 4L))
+      // exact-verify every emitted pair driver-side; none below threshold
+      val sets = docs.select($"doc_id", expr("graft_shingle_hashes(text, 3)").as("s"))
+        .as[(Long, Array[Long])].collect().toMap
+      def jac(a: Long, b: Long): Double = {
+        val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      got.foreach { case (ba, co, j) =>
+        assert(math.abs(jac(ba - 1000000, co) - j) < 1e-9, s"pair ($ba,$co)")
+        assert(j >= 0.7)
+      }
+      // both index scans (band rows + shingle sets) must read bucketed —
+      // that is the "corpus never reshuffles" plan property
+      val fmt = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("Bucketed: true".r.findAllIn(fmt).size >= 2, fmt)
+      assert(!fmt.contains("Bucketed: false"), fmt)
+      // the capped path adds a corpus-side bucket count: grouping on the
+      // bucketing keys keeps it exchange-free, so the scan count rises to 3
+      val capped = Dedup.minhashDedupIncremental(batch, "mh_incr_t", "doc_id",
+        "text", maxBucket = 100, threshold = 0.7)
+      assert(capped.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet == got.toSet) // cap inert at this size
+      val fmtCapped = capped.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("Bucketed: true".r.findAllIn(fmtCapped).size >= 3, fmtCapped)
+      assert(!fmtCapped.contains("Bucketed: false"), fmtCapped)
+    } finally {
+      spark.conf.set(thresholdKey, t0)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("boilerplate report scores shared n-grams and hashGrams is wire-equivalent") {
     // docs 1, 2, 4 share the 9 leading 5-grams of the fox sentence; the
     // trailing gram ("...bank today"/"...bank tonight") appears in <3 docs
