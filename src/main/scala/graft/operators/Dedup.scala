@@ -158,8 +158,8 @@ object Dedup {
     Seq(table, s"${table}_sets", s"${table}_meta")
       .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
     import spark.implicits._
-    Seq((shingleSize, bands, rowsPerBand))
-      .toDF("shingle_size", "bands", "rows_per_band")
+    Seq((shingleSize, bands, rowsPerBand, numBuckets))
+      .toDF("shingle_size", "bands", "rows_per_band", "num_buckets")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${table}_meta")
     // checkpoint: the shingle scan (the expensive map work) feeds both tables
@@ -187,14 +187,43 @@ object Dedup {
     * O(batch + candidates), which is what makes per-increment dedup against
     * a full-history corpus affordable.
     */
+  /** (shingleSize, bands, rowsPerBand, numBuckets) from `<table>_meta`. */
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int, Int) = {
+    val m = spark.table(s"${table}_meta").collect().head
+    (m.getAs[Int]("shingle_size"), m.getAs[Int]("bands"),
+      m.getAs[Int]("rows_per_band"), m.getAs[Int]("num_buckets"))
+  }
+
+  /** Append new docs to a [[minhashWriteBucketed]] index in place: their
+    * band rows and shingle sets land in the same bucket layout (parameters
+    * from `<table>_meta`), so subsequent [[minhashDedupIncremental]] probes
+    * see them with the same shuffle-free plan. This is what makes streaming
+    * ingest self-deduplicating: each micro-batch's survivors extend the
+    * index the next batch probes.
+    */
+  def minhashAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    VectorFunctions.register(spark)
+    val (shingleSize, bands, rowsPerBand, numBuckets) = readIndexMeta(spark, table)
+    val append = org.apache.spark.sql.SaveMode.Append
+    // checkpoint: the shingle scan feeds both appends
+    val sets = docs
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .localCheckpoint(eager = false)
+    graft.sources.Sources.writeBucketed(
+      bandRowsOf(sets, idCol, bands, rowsPerBand), table,
+      Seq("band", "band_hash"), numBuckets, append)
+    graft.sources.Sources.writeBucketed(sets, s"${table}_sets", Seq(idCol),
+      numBuckets, append)
+  }
+
   def minhashDedupIncremental(batch: DataFrame, table: String, idCol: String,
       textCol: String, maxBucket: Int = 100, threshold: Double = 0.7): DataFrame = {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
-    val meta = spark.table(s"${table}_meta").collect().head
-    val shingleSize = meta.getAs[Int]("shingle_size")
-    val bands = meta.getAs[Int]("bands")
-    val rowsPerBand = meta.getAs[Int]("rows_per_band")
+    val (shingleSize, bands, rowsPerBand, _) = readIndexMeta(spark, table)
     // checkpoint: feeds the banding pass and the verify join
     val batchSets = batch
       .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))

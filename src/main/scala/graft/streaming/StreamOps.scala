@@ -54,6 +54,46 @@ object StreamOps {
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest with incremental near-dup dedup: each micro-batch
+    * probes a persisted [[graft.operators.Dedup.minhashWriteBucketed]]
+    * index, drops rows whose exact shingle Jaccard with an indexed doc
+    * reaches `threshold`, appends the survivors to `sinkTable`, and (when
+    * `extendIndex`) appends their band rows and shingle sets to the index —
+    * so batch N+1 dedups against the original corpus AND every earlier
+    * batch's survivors.
+    *
+    * foreachBatch rather than a stream-static join: the probe is a
+    * multi-join batch plan (banding -> candidates -> distinct -> exact
+    * verify -> anti join) plus bucketed-table appends, which the streaming
+    * planner cannot express natively; per micro-batch it runs exactly the
+    * batch operator, so the scale shape is unchanged — batch-sized shuffles
+    * only, the corpus index scanned but never reshuffled. Two documented
+    * limits: duplicates WITHIN one micro-batch both survive (neither is in
+    * the index yet — pre-clean with [[graft.operators.Dedup.exact]] per
+    * batch if that matters), and a replayed epoch re-appends its survivors
+    * (the parquet sink is not idempotent; exactly-once needs a sink keyed
+    * on (epoch, id)).
+    */
+  def streamingIncrementalDedup(docsStream: DataFrame, indexTable: String,
+      idCol: String, textCol: String, sinkTable: String,
+      maxBucket: Int = 100, threshold: Double = 0.7,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    // explicit function type: foreachBatch's Scala/Java overloads are
+    // ambiguous for a SAM-converted lambda on Scala 2.13
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val dupIds = Dedup.minhashDedupIncremental(batch, indexTable, idCol,
+        textCol, maxBucket, threshold)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = false) // sink append + two index appends
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex) Dedup.minhashAppendToIndex(survivors, indexTable, idCol, textCol)
+    }
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Stream-stream interval join: every left event joined to right events of
     * the same key with rightTs in [leftTs - upper, leftTs - lower] (backward
     * window). Watermarks on BOTH sides bound the join state — Spark retains

@@ -142,6 +142,46 @@ class StreamingSpec extends SparkFunSuite {
     assert(batch.contains((1L, 2000L, 2000L, 1L)) && batch.contains((2L, 150L, 150L, 1L)))
   }
 
+  test("streaming incremental dedup drops indexed dups and self-dedups across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about database engines and query optimizers"))
+      .toDF("doc_id", "text")
+    val tables = Seq("mh_stream_t", "mh_stream_t_sets", "mh_stream_t_meta", "t_incr_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Dedup.minhashWriteBucketed(corpus, "mh_stream_t",
+        "doc_id", "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingIncrementalDedup(stream, "mh_stream_t",
+        "doc_id", "text", "t_incr_sink", maxBucket = Int.MaxValue, threshold = 0.7)
+      try {
+        // batch 1: 101 duplicates corpus doc 1 (dropped); 102 is new (kept,
+        // and appended to the index)
+        mem.addData(
+          (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+          (102L, "a wholly unique report concerning volcanic geology and magma flows"))
+        q.processAllAvailable()
+        // batch 2: 103 duplicates batch 1's SURVIVOR 102 — only the extended
+        // index can know that; 104 is new
+        mem.addData(
+          (103L, "a wholly unique report concerning volcanic geology and magma flows"),
+          (104L, "yet another fresh subject entirely unrelated to anything indexed"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table("t_incr_sink").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(102L, 104L))
+      // the index grew by exactly the survivors (2 corpus + 2 kept)
+      assert(spark.table("mh_stream_t_sets").count() == 4)
+      assert(spark.table("mh_stream_t_sets").select("doc_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 102L, 104L))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
