@@ -168,6 +168,48 @@ object Similarity {
     graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"), numBuckets)
   }
 
+  /** The persisted quantizer of a [[ivfWriteBucketed]] index, cell-ordered.
+    * Bounded at nlist rows by construction — same driver-side class as the
+    * centroid seed collect.
+    */
+  private def readCentroids(spark: SparkSession, table: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.table(s"${table}_centroids")
+      .orderBy(col("cell"))
+      .select(col("centroid")).as[Seq[Double]].collect()
+      .map(_.toArray)
+  }
+
+  /** Append new vectors to a [[ivfWriteBucketed]] index in place: cells are
+    * assigned with the PERSISTED centroids (an increment must never be
+    * quantized differently from the index it lands in) and rows append in the
+    * table's existing bucket layout, so later [[ivfTopKFromBucketed]] probes
+    * see old and new vectors through one pruned scan. The quantizer does not
+    * drift — appended regions of vector space still map onto the original
+    * cells, which trades cell balance for never rebuilding: the 100 TB
+    * rebuild is a choice made from measured cell-size skew, not a tax paid
+    * per increment. `newVecs` must carry the same columns as the corpus the
+    * index was built from.
+    */
+  def ivfAppendToIndex(newVecs: DataFrame, table: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = newVecs.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = readCentroids(spark, table)
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed IVF index"))
+      .numBuckets
+    val assigned = newVecs
+      .withColumn("_cell", element_at(cellsCol(vecCol, centroids, 1), 1))
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
+    graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"),
+      numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** IVF top-k against a table written by [[ivfWriteBucketed]]: probe cells
     * are resolved to a LITERAL id set (bounded by nlist — the same bounded
     * driver-side class as the centroid seed), so the `_cell IN (...)` filter
@@ -178,10 +220,7 @@ object Similarity {
       k: Int, nprobe: Int = 8): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
-    val centroids = spark.table(s"${table}_centroids")
-      .orderBy(col("cell"))
-      .select(col("centroid")).as[Seq[Double]].collect()
-      .map(_.toArray)
+    val centroids = readCentroids(spark, table)
     val probes = queries
       .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
       .filter(col("_qnorm") > 0)

@@ -304,6 +304,35 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
       self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
     }),
+    // index maintenance without rebuild: build the bucketed index from the
+    // even-id half, APPEND the odd half (quantized with the persisted
+    // centroids), then run the same two-branch gate with queries drawn from
+    // BOTH halves — self-recall at rank 1 for an odd query id holds only if
+    // its vector arrived through the append path and landed in its top-1
+    // cell, and the empty branch re-verifies every emitted cosine with
+    // built-in HOFs.
+    "ann_ivf_incr_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfWriteBucketed(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivf_incr_gate", "vec_id", "embedding")
+      Similarity.ivfAppendToIndex(e.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivf_incr_gate", "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val out = Similarity.ivfTopKFromBucketed(s, "graft_ivf_incr_gate", q,
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false)
+      val self = out.filter(col("rank") === 1)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
+      self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -550,6 +579,15 @@ object PipelineQueries {
         |ORDER BY query_id, rank, vec_id""".stripMargin,
     // same self-recall/precision invariant through the bucketed-storage path
     "ann_ivf_bucketed_topk" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, rank, vec_id""".stripMargin,
+    // self-recall through build-then-append: identical invariant — the
+    // emitted set must be exactly the self rows regardless of which half of
+    // the corpus each vector entered through
+    "ann_ivf_incr_topk" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 5)
         |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine

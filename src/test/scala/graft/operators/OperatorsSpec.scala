@@ -474,6 +474,49 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF append: appended vectors are probed through the pruned scan; full probe equals brute force over the union") {
+    val corpus = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    val incr = corpus.filter(col("vec_id") % 2 =!= 0)
+    val queries = corpus.filter(col("vec_id") < 4) // ids 1, 3 arrive via append
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    spark.sql("DROP TABLE IF EXISTS ivf_incr_t")
+    spark.sql("DROP TABLE IF EXISTS ivf_incr_t_centroids")
+    try {
+      Similarity.ivfWriteBucketed(base, "ivf_incr_t", "vec_id", "embedding",
+        nlist = 8, numBuckets = 8)
+      val centroidsBefore = spark.table("ivf_incr_t_centroids").collect().toSet
+      Similarity.ivfAppendToIndex(incr, "ivf_incr_t", "vec_id", "embedding")
+      // the quantizer must not drift on append
+      assert(spark.table("ivf_incr_t_centroids").collect().toSet == centroidsBefore)
+      // pruned probe still prunes, and finds the appended self vectors
+      val pruned = Similarity.ivfTopKFromBucketed(spark, "ivf_incr_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 2)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"expected bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+      val byQuery = pruned.filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      assert((0L to 3L).forall(q => byQuery(q) == q))
+      // full probe over the appended index == brute force over the full corpus
+      val full = Similarity.ivfTopKFromBucketed(spark, "ivf_incr_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      assert(full == brute)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_incr_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_incr_t_centroids")
+    }
+  }
+
   test("repetition fractions: 1 - distinct/total, 0 on empty or short text") {
     val df = Seq(
       (1L, "spam eggs\nspam eggs\nham\n\nspam eggs"), // 4 non-empty lines, 2 distinct
