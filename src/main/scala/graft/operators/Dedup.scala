@@ -62,6 +62,65 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Persist the exact-dedup index: one row per distinct content hash with
+    * its canonical (minimum) id, BUCKETED by the hash. The 128-bit md5 makes
+    * the index collision-free in practice at any corpus size (a 64-bit hash
+    * would not be: 10^12 docs ≈ 3·10^4 birthday collisions), and bucketing
+    * means an increment probes it with batch-sized shuffles only — the index
+    * is scanned pre-clustered, never reshuffled.
+    */
+  def exactWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      keyCol: String, numBuckets: Int = 16): Unit = {
+    graft.sources.Sources.dropForOverwrite(corpus.sparkSession, table)
+    val hashed = corpus
+      .groupBy(md5(col(keyCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("id"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      numBuckets)
+  }
+
+  /** New-batch exact dedup against a [[exactWriteBucketed]] index: returns
+    * the batch rows whose content is NOT already in the corpus, collapsed to
+    * one canonical (minimum-id) row per distinct content within the batch —
+    * the same representative rule as [[exact]]. The anti-join probes the
+    * index in its bucket layout; only the batch side shuffles.
+    */
+  def exactDedupIncremental(batch: DataFrame, table: String, idCol: String,
+      keyCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val cols = batch.columns
+    // min_by over the full row: one hash aggregate collapses within-batch
+    // duplicates and keeps every column of the surviving row
+    val canonical = batch
+      .groupBy(md5(col(keyCol)).as("content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+    canonical
+      .join(spark.table(table), Seq("content_hash"), "left_anti")
+      .select(col("_row.*"))
+  }
+
+  /** Append new content to a [[exactWriteBucketed]] index in place (same
+    * bucket layout), so the next [[exactDedupIncremental]] batch dedups
+    * against the original corpus plus every earlier batch's survivors.
+    * Pass rows already deduped (e.g. the survivors just returned) — appended
+    * hashes are collapsed within `docs` but NOT re-checked against the index.
+    */
+  def exactAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      keyCol: String): Unit = {
+    val spark = docs.sparkSession
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed exact-dedup index"))
+      .numBuckets
+    val hashed = docs
+      .groupBy(md5(col(keyCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("id"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard
     * over the same shingle sets; pairs below `threshold` are dropped.
     *

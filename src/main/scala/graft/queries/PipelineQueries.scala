@@ -98,6 +98,21 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
+    // incremental EXACT dedup against a persisted hash index: the batch
+    // plants (a) raw clones of every doc — must all drop against the corpus,
+    // (b) suffixed variants — new content, must survive, and (c) a second
+    // copy of each variant — must collapse within-batch to the minimum id.
+    "dedup_exact_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.exactWriteBucketed(d, "graft_exact_gate", "doc_id", "text")
+      val variant = concat(col("text"), lit(" graft-new-"), col("doc_id") % 7)
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 2000000).as("doc_id"), variant.as("text")))
+        .unionAll(d.select((col("doc_id") + 3000000).as("doc_id"), variant.as("text")))
+      Dedup.exactDedupIncremental(batch, "graft_exact_gate", "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // maxBucket uncapped for deterministic rows, as in dedup_minhash
       Dedup.simhashPairs(planted(s, dir), "doc_id", "text", maxHamming = 2,
@@ -542,6 +557,22 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    // survivors = within-batch canonical rows whose content the corpus does
+    // not already contain; DuckDB re-derives the same planted batch
+    "dedup_exact_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' graft-new-' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' graft-new-' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM batch GROUP BY text)
+        |SELECT doc_id FROM keep
+        |WHERE text NOT IN (SELECT text FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // the *_check queries emit (planted-recall rows) UNION (false-positive
     // rows, provably empty): the oracle is exactly the planted/self set, so a
     // hash match simultaneously proves recall = 1.0 on planted duplicates AND

@@ -613,6 +613,43 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("incremental exact dedup: corpus clones drop, new content survives, batch dups collapse; index reads bucketed") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val t0 = spark.conf.get(thresholdKey)
+    try {
+      // broadcast off: the no-reshuffle property must come from bucketing
+      spark.conf.set(thresholdKey, "-1")
+      Dedup.exactWriteBucketed(docs, "exact_incr_t", "doc_id", "text",
+        numBuckets = 4)
+      val v2 = concat($"text", lit(" v2")).as("text")
+      val batch = docs.select(($"doc_id" + 100).as("doc_id"), $"text") // clones
+        .unionAll(docs.select(($"doc_id" + 200).as("doc_id"), v2)) // new content
+        .unionAll(docs.select(($"doc_id" + 300).as("doc_id"), v2)) // batch dups
+      val out = Dedup.exactDedupIncremental(batch, "exact_incr_t", "doc_id", "text")
+      // docs 1 and 4 share text, so their v2 variants collide too: the four
+      // surviving canonical ids are 201 (also covering 204/301/304), 202,
+      // 203, 205; every +100 clone drops against the corpus
+      assert(out.select("doc_id").as[Long].collect().toSet ==
+        Set(201L, 202L, 203L, 205L))
+      // survivors keep every batch column, not just the id
+      assert(out.columns.toSeq == Seq("doc_id", "text"))
+      // the index side of the anti-join is read pre-bucketed — never reshuffled
+      val fmt = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.contains("Bucketed: true"), fmt)
+      assert(!fmt.contains("Bucketed: false"), fmt)
+      // after appending the survivors, their content is no longer new
+      Dedup.exactAppendToIndex(out, "exact_incr_t", "doc_id", "text")
+      val batch2 = docs.filter($"doc_id" === 2)
+        .select(lit(999L).as("doc_id"), v2)
+      assert(Dedup.exactDedupIncremental(batch2, "exact_incr_t", "doc_id",
+        "text").isEmpty)
+    } finally {
+      spark.conf.set(thresholdKey, t0)
+      spark.sql("DROP TABLE IF EXISTS exact_incr_t")
+    }
+  }
+
   test("boilerplate report scores shared n-grams and hashGrams is wire-equivalent") {
     // docs 1, 2, 4 share the 9 leading 5-grams of the fox sentence; the
     // trailing gram ("...bank today"/"...bank tonight") appears in <3 docs
