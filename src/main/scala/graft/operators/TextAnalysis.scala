@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID
@@ -179,4 +179,70 @@ object TextAnalysis {
     */
   def dupNgramFrac(text: Column, n: Int): Column =
     dupFrac(wordNgrams(text, n))
+
+  /** The required-stopword list of the Gopher quality rules (Rae et al. 2021
+    * §A1.1): a document must contain at least two of these to pass.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher quality-rule report: per-document metrics plus the
+    * combined `keep` verdict (word count in [minWords, maxWords], mean word
+    * length in [3, 10], symbol-to-word ratio < 0.1, < 90% bullet lines,
+    * < 30% ellipsis lines, > 80% words with an alphabetic character, >= 2
+    * required stopwords).
+    *
+    * Scale shape: everything is a per-row map pass — no shuffle, no UDF. The
+    * word and line arrays feed several metrics each, so the split/trim
+    * projection sits behind a lazy checkpoint (Catalyst's ProjectCollapsing
+    * would otherwise re-inline and re-evaluate the splits per consumer — the
+    * same barrier [[graft.operators.Boilerplate]] uses). `keep` is derived
+    * from the UNROUNDED doubles; the reported fractions are rounded to 6
+    * places for stable cross-engine comparison.
+    */
+  def gopherReport(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    // '…' is one char, '...' removes three per hit — both count one ellipsis
+    val symbols =
+      (length(text) - length(expr(s"replace($textCol, '#', '')"))) +
+      (length(text) - length(expr(s"replace($textCol, '…', '')"))) +
+      (length(text) - length(expr(s"replace($textCol, '...', '')"))) / lit(3)
+    val bound = df.select(col(idCol),
+      wordsOf(text).as("_ws"),
+      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("_ls"),
+      length(regexp_replace(text, "\\s", "")).cast("double").as("_nws"),
+      symbols.cast("double").as("_sym"))
+      .localCheckpoint(eager = false)
+    val nw = size(col("_ws")).cast("double")
+    val nl = size(col("_ls")).cast("double")
+    def overWords(c: Column): Column = when(nw > 0, c / nw).otherwise(lit(0.0))
+    def overLines(c: Column): Column = when(nl > 0, c / nl).otherwise(lit(0.0))
+    val meanWordLen = overWords(col("_nws"))
+    val symbolRatio = overWords(col("_sym"))
+    val bulletFrac = overLines(size(filter(col("_ls"),
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double"))
+    val ellipsisFrac = overLines(size(filter(col("_ls"),
+      l => l.endsWith("...") || l.endsWith("…"))).cast("double"))
+    val alphaFrac = overWords(size(filter(col("_ws"),
+      w => w.rlike("[a-z]"))).cast("double"))
+    val stopHits = size(filter(
+      array(GopherStopWords.map(lit): _*),
+      sw => array_contains(col("_ws"), sw)))
+    bound.select(col(idCol),
+      size(col("_ws")).as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_word_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      (size(col("_ws")).between(minWords, maxWords) &&
+        meanWordLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 &&
+        bulletFrac < 0.9 &&
+        ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 &&
+        stopHits >= 2).as("keep"))
+  }
 }

@@ -393,6 +393,11 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    // the full Gopher quality-rule report over documents: per-doc metrics +
+    // the combined keep verdict, every rule SQL-expressible in DuckDB
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherReport(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.dupLineFrac(col("text")).as("dup_line_frac"),
@@ -821,6 +826,46 @@ object PipelineQueries {
          |            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          |            ELSE 0.0 END AS dup_5gram_frac
          |FROM t ORDER BY doc_id""".stripMargin,
+    // full Gopher rule set replicated verbatim; keep is derived from the
+    // UNROUNDED doubles in both engines (identical IEEE division), the
+    // reported fractions are rounded for stable comparison
+    "text_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS blf,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS elf,
+        |         CASE WHEN len(ws) > 0
+        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |              ELSE 0.0 END AS awf,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(ws, s))) AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |       round(mwl, 6) AS mean_word_len,
+        |       round(swr, 6) AS symbol_word_ratio,
+        |       round(blf, 6) AS bullet_line_frac,
+        |       round(elf, 6) AS ellipsis_line_frac,
+        |       round(awf, 6) AS alpha_word_frac,
+        |       stop_hits,
+        |       (n_words BETWEEN 50 AND 100000 AND mwl >= 3 AND mwl <= 10
+        |        AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
+        |        AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_decontam" ->
       s"""WITH g AS (
          |  SELECT doc_id,

@@ -534,6 +534,30 @@ class OperatorsSpec extends SparkFunSuite {
     assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
   }
 
+  test("gopher report: per-rule metrics and the combined keep verdict") {
+    val good = ("the quick brown fox jumps over that lazy dog with vigor today " * 5).trim
+    val df = Seq(
+      (1L, good), // 60 words, mean len 250/60, stopwords the/that/with
+      (2L, "too short to pass"),
+      (3L, "- one\n- two\n- three\n- four\n- five"), // all bullet lines
+      (4L, "wait for it... more... and more...\nagain..."), // all ellipsis lines
+      (5L, "count # up # again # ok"), // 3 symbols over 7 words
+      (6L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherReport(df, "doc_id", "text").orderBy($"doc_id").collect()
+    assert(m(0).getAs[Int]("n_words") == 60)
+    assert(m(0).getAs[Double]("mean_word_len") == 4.166667)
+    assert(m(0).getAs[Int]("stop_hits") == 3)
+    assert(m(0).getAs[Double]("alpha_word_frac") == 1.0)
+    assert(m(0).getAs[Boolean]("keep"))
+    assert(!m(1).getAs[Boolean]("keep")) // word count floor
+    assert(m(2).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(m(3).getAs[Double]("ellipsis_line_frac") == 1.0)
+    assert(m(4).getAs[Double]("symbol_word_ratio") == 0.428571)
+    assert(m(4).getAs[Double]("alpha_word_frac") == 0.571429) // '#' tokens are not words with a letter
+    assert(m(5).getAs[Int]("n_words") == 0 && !m(5).getAs[Boolean]("keep"))
+    assert(m.forall(r => !r.getAs[Boolean]("keep") || r.getAs[Long]("doc_id") == 1L))
+  }
+
   test("decontamination counts distinct shared n-grams; hits join is not hint-broadcast") {
     val bench = Seq((100L, "the secret benchmark answer is forty two")).toDF("doc_id", "text")
     val corpus = Seq(
