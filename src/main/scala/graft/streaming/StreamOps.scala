@@ -94,6 +94,29 @@ object StreamOps {
     docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming EXACT-dedup ingest over a [[graft.operators.Dedup.exactWriteBucketed]]
+    * index: each micro-batch collapses its own duplicates to the minimum id,
+    * drops rows whose content the index already holds, appends survivors to
+    * the sink and (by default) their hashes back into the index — so batch
+    * N+1 dedups against the original corpus and every earlier batch's
+    * survivors. Unlike [[streamingIncrementalDedup]] the within-micro-batch
+    * duplicate case is handled (the min_by collapse runs before the index
+    * probe). Same replay caveat: the parquet sink is not idempotent.
+    */
+  def streamingExactDedup(docsStream: DataFrame, indexTable: String,
+      idCol: String, keyCol: String, sinkTable: String,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val survivors = Dedup.exactDedupIncremental(batch, indexTable, idCol, keyCol)
+        .localCheckpoint(eager = false) // sink append + index append
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex) Dedup.exactAppendToIndex(survivors, indexTable, idCol, keyCol)
+    }
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Stream-stream interval join: every left event joined to right events of
     * the same key with rightTs in [leftTs - upper, leftTs - lower] (backward
     * window). Watermarks on BOTH sides bound the join state — Spark retains

@@ -182,6 +182,47 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming exact dedup collapses batch dups and extends the hash index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about database engines and query optimizers"))
+      .toDF("doc_id", "text")
+    val tables = Seq("ex_stream_t", "t_ex_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Dedup.exactWriteBucketed(corpus, "ex_stream_t",
+        "doc_id", "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingExactDedup(stream, "ex_stream_t",
+        "doc_id", "text", "t_ex_sink")
+      try {
+        // batch 1: 101 clones corpus doc 1 (dropped); 102 and 103 are the
+        // SAME new content (within-batch collapse keeps only 102)
+        mem.addData(
+          (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+          (102L, "a wholly unique report concerning volcanic geology and magma flows"),
+          (103L, "a wholly unique report concerning volcanic geology and magma flows"))
+        q.processAllAvailable()
+        // batch 2: 104 clones batch 1's survivor 102 — only the extended
+        // index can know that; 105 is new
+        mem.addData(
+          (104L, "a wholly unique report concerning volcanic geology and magma flows"),
+          (105L, "yet another fresh subject entirely unrelated to anything indexed"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table("t_ex_sink").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(102L, 105L))
+      // the index grew by exactly the survivors' hashes
+      assert(spark.table("ex_stream_t").count() == 4)
+      assert(spark.table("ex_stream_t").select("id").as[Long].collect().toSet ==
+        Set(1L, 2L, 102L, 105L))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
