@@ -180,6 +180,45 @@ object TextAnalysis {
   def dupNgramFrac(text: Column, n: Int): Column =
     dupFrac(wordNgrams(text, n))
 
+  /** Token-window document chunking for training prep: each document splits
+    * into chunks of at most `maxTokens` whitespace tokens, consecutive chunks
+    * sharing `overlap` tokens of context (stride = maxTokens - overlap).
+    * Output: one row per chunk with (chunk_id, chunk_text, n_tokens);
+    * chunk_text re-joins tokens with single spaces. Documents with no tokens
+    * produce no chunks; every chunk carries at least one token not in the
+    * previous chunk, so the chunk count is ceil-linear in the token count.
+    *
+    * Map-side + one generator: the words array is let-bound (split runs once
+    * per document), chunk assembly is a per-row transform, and explode is
+    * the only row-multiplying step — no shuffle at any point, so the
+    * operator scales with corpus bytes like any projection.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String, maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"chunk: maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunk: overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    // original-case tokens (unlike wordsOf): chunk text is training payload
+    val words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val chunks = bindOnce(words) { ws =>
+      val nw = size(ws)
+      val nChunks = when(nw === 0, 0)
+        .when(nw <= maxTokens, 1)
+        .otherwise(lit(1) +
+          ceil((nw - lit(maxTokens)).cast("double") / lit(stride)).cast("int"))
+      // sequence DESCENDS when stop < start — guard the empty case explicitly
+      when(nChunks > 0,
+        transform(sequence(lit(0), nChunks - 1), i => struct(
+          i.as("chunk_id"),
+          array_join(slice(ws, i * stride + 1, lit(maxTokens)), " ").as("chunk_text"),
+          least(lit(maxTokens), nw - i * lit(stride)).as("n_tokens"))))
+        .otherwise(array().cast("array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"))
+    }
+    df.select(col(idCol), explode(chunks).as("_c"))
+      .select(col(idCol), col("_c.chunk_id"), col("_c.chunk_text"), col("_c.n_tokens"))
+  }
+
   /** The required-stopword list of the Gopher quality rules (Rae et al. 2021
     * §A1.1): a document must contain at least two of these to pass.
     */

@@ -393,6 +393,12 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    // token-window chunking (50-token chunks, 10-token overlap): the
+    // standard context-window prep step; one generator, no shuffle
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 50, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // the full Gopher quality-rule report over documents: per-doc metrics +
     // the combined keep verdict, every rule SQL-expressible in DuckDB
     "text_gopher" -> ((s, dir) =>
@@ -826,6 +832,24 @@ object PipelineQueries {
          |            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          |            ELSE 0.0 END AS dup_5gram_frac
          |FROM t ORDER BY doc_id""".stripMargin,
+    // chunk grid replicated with list slicing; range(0) yields no rows for
+    // token-less docs, matching Spark's explode of an empty chunk array
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |         CASE WHEN len(ws) = 0 THEN 0
+        |              WHEN len(ws) <= 50 THEN 1
+        |              ELSE 1 + CAST(ceil((len(ws) - 50) / 40.0) AS INT) END AS nchunks
+        |  FROM w),
+        |c AS (SELECT doc_id, nw, ws, unnest(range(nchunks)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |       array_to_string(ws[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text,
+        |       least(50, nw - chunk_id*40) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // full Gopher rule set replicated verbatim; keep is derived from the
     // UNROUNDED doubles in both engines (identical IEEE division), the
     // reported fractions are rounded for stable comparison

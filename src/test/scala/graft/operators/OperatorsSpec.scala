@@ -534,6 +534,34 @@ class OperatorsSpec extends SparkFunSuite {
     assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
   }
 
+  test("chunking: token windows with overlap, short and empty docs") {
+    val df = Seq(
+      (1L, "a b c d e"), // 5 words, mt=4 ov=1 -> [a b c d], [d e]
+      (2L, "one two"), // fits in one chunk
+      (3L, ""), // no tokens -> no chunks
+      (4L, "  x  ")).toDF("doc_id", "text") // whitespace noise, 1 word
+    val got = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c d", 4),
+      (1L, 1, "d e", 2),
+      (2L, 0, "one two", 2),
+      (4L, 0, "x", 1)))
+    // exact cover: concatenating chunks with the overlap removed rebuilds
+    // the token stream for a longer doc
+    val long = Seq((9L, (1 to 103).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(long, "doc_id", "text", maxTokens = 50, overlap = 10)
+      .orderBy($"chunk_id").as[(Long, Int, String, Int)].collect()
+    assert(chunks.length == 3) // 1 + ceil((103-50)/40) = 3
+    val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, t, _), i) =>
+      val ws = t.split(" ").toSeq
+      if (i == 0) ws else ws.drop(10)
+    }
+    assert(rebuilt.toSeq == (1 to 103).map("w" + _))
+    assert(chunks.map(_._4).toSeq == Seq(50, 50, 23))
+  }
+
   test("gopher report: per-rule metrics and the combined keep verdict") {
     val good = ("the quick brown fox jumps over that lazy dog with vigor today " * 5).trim
     val df = Seq(
