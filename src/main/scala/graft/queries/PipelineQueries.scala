@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, Contamination, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -393,6 +393,16 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    // CCNet-style LM quality signal: char-trigram model self-trained on the
+    // corpus, every doc scored by average negative log-prob. The per-gram
+    // quantization (see LanguageModel scaladoc) is what makes the float sum
+    // order-free and hence oracle-able.
+    "text_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = LanguageModel.charTrigramModel(d, "text")
+      LanguageModel.perplexityScore(d, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
     // token-window chunking (50-token chunks, 10-token overlap): the
     // standard context-window prep step; one generator, no shuffle
     "text_chunk" -> ((s, dir) =>
@@ -832,6 +842,29 @@ object PipelineQueries {
          |            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
          |            ELSE 0.0 END AS dup_5gram_frac
          |FROM t ORDER BY doc_id""".stripMargin,
+    // trigram LM replicated end to end: counts are exact integers, each
+    // gram's -ln(c3/c2) quantized to a BIGINT once (model-side), per-doc
+    // sums are integer arithmetic, one final IEEE division — deterministic
+    // in any row order. range(1, n) is empty when n <= 1, covering docs
+    // shorter than 3 chars.
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, length(s) - 1),
+        |                                   i -> substring(s, i, 3))) AS gram
+        |      FROM t),
+        |c3 AS (SELECT gram, count(*) AS c3 FROM g GROUP BY gram),
+        |c2 AS (SELECT substring(gram, 1, 2) AS p2, sum(c3) AS c2 FROM c3 GROUP BY 1),
+        |m AS (SELECT gram,
+        |             -CAST(round(ln(CAST(c3 AS DOUBLE) / c2) * 1000000) AS BIGINT) AS nlp_q
+        |      FROM c3 JOIN c2 ON substring(gram, 1, 2) = p2),
+        |sc AS (SELECT g.doc_id, count(*) AS n_grams, sum(m.nlp_q) AS s
+        |       FROM g JOIN m USING (gram) GROUP BY g.doc_id)
+        |SELECT t.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+        |       CASE WHEN coalesce(sc.n_grams, 0) > 0
+        |            THEN round(CAST(sc.s AS DOUBLE) / (sc.n_grams * 1000000.0), 6)
+        |            ELSE 0.0 END AS avg_nll
+        |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     // chunk grid replicated with list slicing; range(0) yields no rows for
     // token-less docs, matching Spark's explode of an empty chunk array
     "text_chunk" ->

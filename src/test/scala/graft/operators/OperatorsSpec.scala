@@ -534,6 +534,27 @@ class OperatorsSpec extends SparkFunSuite {
     assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
   }
 
+  test("trigram LM: hand-checked model counts, quantized scores, OOV and empty docs") {
+    val corpus = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
+    val model = LanguageModel.charTrigramModel(corpus, "text")
+    val m = model.orderBy($"gram").as[(String, Long, Long, Long)].collect().toSeq
+    // grams: doc1 {aaa, aaa}, doc2 {aaa, aab} -> c3(aaa)=3, c3(aab)=1, c2(aa)=4
+    assert(m == Seq(
+      ("aaa", 3L, 4L, 287682L), // round(-ln(3/4) * 1e6)
+      ("aab", 1L, 4L, 1386294L))) // round(-ln(1/4) * 1e6)
+    val scored = LanguageModel.perplexityScore(
+      Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"), (4L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(scored == Seq(
+      (1L, 2L, 0.287682), // (287682 + 287682) / 2e6
+      (2L, 2L, 0.836988), // (287682 + 1386294) / 2e6
+      (3L, 2L, 20.723266), // two OOV grams at the default 1e-9 cost
+      (4L, 0L, 0.0))) // no trigrams
+    // in-corpus text scores strictly lower than gibberish — the filter signal
+    assert(scored(0)._3 < scored(2)._3 && scored(1)._3 < scored(2)._3)
+  }
+
   test("chunking: token windows with overlap, short and empty docs") {
     val df = Seq(
       (1L, "a b c d e"), // 5 words, mt=4 ov=1 -> [a b c d], [d e]
