@@ -121,6 +121,47 @@ object Dedup {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Exact-substring duplicate pairs: documents sharing at least one run of
+    * `windowTokens` consecutive tokens (the signal behind suffix-array
+    * training-data dedup, Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better" — two docs share a >= w-token substring
+    * iff they share a w-token window). Output (id_a, id_b, n_shared) where
+    * n_shared counts the DISTINCT shared windows — long shared runs score
+    * proportionally higher. Documents shorter than the window fall back to
+    * a whole-text fingerprint (same semantics as [[shingles]]), so short
+    * exact dups are still caught.
+    *
+    * Scale shape: one map pass hashes each doc's distinct windows
+    * (primitive longs — window STRINGS never leave the mapper), one
+    * shuffle on the 64-bit window hash, a bucket-capped self-join (the cap
+    * bounds boilerplate windows shared by thousands of docs, same guard as
+    * [[minhashDedup]]), and a pair-count aggregate. No verify pass: a
+    * false pair needs an xxhash64 collision between two of a corpus's
+    * distinct windows — negligible at any realistic scale, and the DuckDB
+    * oracle (which compares true window strings) would catch it.
+    */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, maxBucket: Int = 100): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    VectorFunctions.register(df.sparkSession)
+    val rows = df
+      .select(col(idCol),
+        explode(expr(s"graft_shingle_hashes($textCol, $windowTokens)")).as("h"))
+    val capped = (
+      if (maxBucket >= Int.MaxValue) rows
+      else rows
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    ).localCheckpoint(eager = false) // both sides of the self-join
+    capped.select(col("h"), col(idCol).as("id_a"))
+      .join(capped.select(col("h"), col(idCol).as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard
     * over the same shingle sets; pairs below `threshold` are dropped.
     *

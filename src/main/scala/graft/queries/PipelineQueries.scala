@@ -98,6 +98,13 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
+    // exact-substring dedup (Lee et al. 2021 signal): pairs sharing >= 1
+    // distinct 50-token window over the planted corpus — every planted
+    // clone must pair with its original sharing ALL its windows
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringPairs(planted(s, dir), "doc_id", "text",
+          windowTokens = 50, maxBucket = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))),
     // incremental EXACT dedup against a persisted hash index: the batch
     // plants (a) raw clones of every doc — must all drop against the corpus,
     // (b) suffixed variants — new content, must survive, and (c) a second
@@ -578,6 +585,26 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    // window strings compared directly (hash-invariant: distinct-window
+    // counts match unless xxhash64 collides, which the hash-match would
+    // expose); same planted base and short-doc fallback as duckShingles
+    "dedup_substring" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) >= 50
+        |           THEN list_transform(range(1, len(ws) - 48), i -> array_to_string(ws[i:i+49], ' '))
+        |           ELSE [array_to_string(ws, ' ')] END) AS s
+        |  FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // survivors = within-batch canonical rows whose content the corpus does
     // not already contain; DuckDB re-derives the same planted batch
     "dedup_exact_incr" ->

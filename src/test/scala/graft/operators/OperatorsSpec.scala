@@ -534,6 +534,25 @@ class OperatorsSpec extends SparkFunSuite {
     assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
   }
 
+  test("substring pairs: shared token windows, short-doc fallback, bucket cap") {
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 shared tokens
+    val df = Seq(
+      (1L, s"one two $run three"),
+      (2L, s"nine eight seven $run"),
+      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+      (4L, "tiny pair"), // < windowTokens: whole-text fallback
+      (5L, "tiny pair")).toDF("doc_id", "text")
+    val got = Dedup.substringPairs(df, "doc_id", "text", windowTokens = 5,
+      maxBucket = Int.MaxValue)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    // a 7-token shared run yields exactly 7-5+1 = 3 shared 5-windows
+    assert(got == Seq((1L, 2L, 3L), (4L, 5L, 1L)))
+    // the skew cap drops windows shared by more docs than the cap allows
+    val capped = Dedup.substringPairs(df, "doc_id", "text", windowTokens = 5,
+      maxBucket = 1).collect()
+    assert(capped.isEmpty)
+  }
+
   test("trigram LM: hand-checked model counts, quantized scores, OOV and empty docs") {
     val corpus = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
     val model = LanguageModel.charTrigramModel(corpus, "text")
