@@ -49,6 +49,13 @@ object Multimodal {
       if (payload == null || payload.isEmpty) Seq.empty
       else payload.grouped(every).toSeq
     }
+    /** STUB nearest-neighbor resize: output byte i samples input byte
+      * floor(i * len / outLen) — the 1-D analog of NN pixel sampling. A real
+      * deployment swaps in an image library behind the same signature.
+      */
+    def resize(payload: Array[Byte], outLen: Int): Array[Byte] =
+      if (payload == null || payload.isEmpty || outLen <= 0) Array.emptyByteArray
+      else Array.tabulate(outLen)(i => payload((i.toLong * payload.length / outLen).toInt))
   }
 
   /** Attach a synthetic media payload derived from a text column — stands in
@@ -82,6 +89,39 @@ object Multimodal {
         Row(r.getLong(idIdx),
           if (payload == null) 0 else payload.length,
           FakeCodec.decodeFeatures(payload).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Batched per-partition resize to a fixed target geometry — same
+    * mapPartitions shape as [[decodeFeatures]] (codec state per partition,
+    * no shuffle). Output keeps the original dimensions alongside the new
+    * ones plus the resized payload; `n_bytes` is the resized byte count
+    * (targetW*targetH for any non-empty payload, 0 otherwise), which is the
+    * metadata the DuckDB oracle can check without decoding bytes.
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, targetW: Int,
+      targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("new_width", IntegerType, nullable = false),
+      StructField("new_height", IntegerType, nullable = false),
+      StructField("resized", BinaryType),
+      StructField("n_bytes", IntegerType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val wIdx = media.schema.fieldIndex("width")
+    val hIdx = media.schema.fieldIndex("height")
+    val outLen = targetW * targetH
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = FakeCodec.resize(r.getAs[Array[Byte]](payloadIdx), outLen)
+        Row(r.getLong(idIdx), r.get(wIdx), r.get(hIdx), targetW, targetH,
+          resized, resized.length)
       }
     }(enc)
   }

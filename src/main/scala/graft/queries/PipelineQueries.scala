@@ -492,6 +492,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frames_sampled"), sum(length(col("frame"))).as("total_bytes"))
         .orderBy(col("media_id"))
     }),
+    // resize plumbing: geometry + byte-count metadata oracled; the resized
+    // bytes themselves are pinned by the nearest-neighbor unit test
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.resizeMedia(s, media, targetW = 32, targetH = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
     // end-to-end preprocess composition: language ID + quality score ->
     // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
     // per-document features. One declarative plan with ONE pass over the
@@ -996,6 +1005,12 @@ object PipelineQueries {
         |       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames_sampled,
         |       octet_length(encode(text)) AS total_bytes
         |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
+        |       32 AS new_width, 8 AS new_height,
+        |       CASE WHEN octet_length(encode(text)) > 0 THEN 256 ELSE 0 END AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH t AS (
          |  SELECT doc_id,

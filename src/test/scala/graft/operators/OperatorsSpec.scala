@@ -534,6 +534,22 @@ class OperatorsSpec extends SparkFunSuite {
     assert(byId(4L) == ((0.0, 0.0, 0.0))) // empty text
   }
 
+  test("media resize: nearest-neighbor byte sampling, geometry metadata, empty payload") {
+    // payload bytes 0..9; resize to 2x2 -> indices floor(i*10/4) = 0,2,5,7
+    assert(Multimodal.FakeCodec.resize(Array.range(0, 10).map(_.toByte), 4).toSeq ==
+      Seq[Byte](0, 2, 5, 7))
+    assert(Multimodal.FakeCodec.resize(Array.emptyByteArray, 4).isEmpty)
+    // upsample repeats source bytes (indices floor(i*2/4) = 0,0,1,1)
+    assert(Multimodal.FakeCodec.resize(Array[Byte](9, 7), 4).toSeq == Seq[Byte](9, 9, 7, 7))
+    val media = Multimodal.withFakeMedia(
+      Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.resizeMedia(spark, media, targetW = 2, targetH = 2)
+      .orderBy($"media_id")
+      .select("media_id", "new_width", "new_height", "n_bytes")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 2, 2, 4), (2L, 2, 2, 0)))
+  }
+
   test("substring pairs: shared token windows, short-doc fallback, bucket cap") {
     val run = "alpha beta gamma delta epsilon zeta eta" // 7 shared tokens
     val df = Seq(
