@@ -29,7 +29,7 @@ object AsofJoin {
     val rPayType = StructType(rightValueCols.map(c => right.schema(c)))
     val lU = left.select(
       keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side") :+
-        struct(left.columns.map(col): _*).as("_lpay") :+
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_lpay") :+
         lit(null).cast(rPayType).as("_rpay"): _*)
     val rU = right.select(
       keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side") :+
@@ -46,6 +46,6 @@ object AsofJoin {
       val name = if (left.columns.contains(c)) c + "_right" else c
       col(s"_asof.`$c`").as(name)
     }
-    matched.select(leftCols ++ rightCols: _*)
+    matched.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 }

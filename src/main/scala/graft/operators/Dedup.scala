@@ -93,7 +93,7 @@ object Dedup {
     // duplicates and keeps every column of the surviving row
     val canonical = batch
       .groupBy(md5(col(keyCol)).as("content_hash"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .agg(min_by(struct(cols.toIndexedSeq.map(col): _*), col(idCol)).as("_row"))
     canonical
       .join(spark.table(table), Seq("content_hash"), "left_anti")
       .select(col("_row.*"))
@@ -520,7 +520,7 @@ object Dedup {
     // label sum is a convergence fingerprint: unchanged sum == fixed point.
     // One cheap aggregate per round replaces a full labels-vs-labels join.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
     var curSum = labelSum(labels)
     var converged = false

@@ -132,7 +132,7 @@ object StreamOps {
     val l = left.withWatermark(leftTs, watermark)
     // prefix ALL right columns: the common case is a self-join of two filters
     // of the same stream, where every unprefixed name would be ambiguous
-    val r = right.toDF(right.columns.map("_r_" + _): _*)
+    val r = right.toDF(right.columns.toIndexedSeq.map("_r_" + _): _*)
       .withWatermark("_r_" + rightTs, watermark)
     val keyCond = keys.map(k => col(k) === col("_r_" + k)).reduce(_ && _)
     val range = col(leftTs) >= col("_r_" + rightTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
