@@ -39,14 +39,11 @@ object LanguageModel {
         .otherwise(array().cast("array<string>"))), 1)
   }
 
-  /** Train the trigram model: one row per distinct trigram with its corpus
-    * count `c3`, its 2-char-prefix total `c2`, and the quantized negative
-    * log conditional probability `nlp_q = round(-ln(c3/c2) * 1e6)`.
+  /** Model rows from an exploded (gram) frame — shared by
+    * [[charTrigramModel]] and [[selfScore]].
     */
-  def charTrigramModel(corpus: DataFrame, textCol: String): DataFrame = {
-    val c3 = corpus
-      .select(explode(charTrigrams(col(textCol))).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("c3"))
+  private def modelFromGrams(grams: DataFrame): DataFrame = {
+    val c3 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
     val c2 = c3
       .groupBy(substring(col("gram"), 1, 2).as("p2"))
       .agg(sum(col("c3")).as("c2"))
@@ -55,15 +52,12 @@ object LanguageModel {
         (-round(log(col("c3") / col("c2")) * 1e6)).cast("long").as("nlp_q"))
   }
 
-  /** Score documents against a [[charTrigramModel]]: per doc, the trigram
-    * count and the average negative log-prob `avg_nll` (0.0 for docs with no
-    * trigrams). Grams absent from the model cost `oovNlpQ` (defaults to ~
-    * -ln(1e-9), i.e. treat unseen grams as 1-in-a-billion). The model side
-    * is broadcast — alphabet-bounded, see the object scaladoc.
+  /** Per-doc aggregation of scored (id, gram) rows — shared by
+    * [[perplexityScore]] and [[selfScore]].
     */
-  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, oovNlpQ: Long = 20723266L): DataFrame = {
-    df.select(col(idCol), explode_outer(charTrigrams(col(textCol))).as("gram"))
+  private def scoreGrams(grams: DataFrame, idCol: String, model: DataFrame,
+      oovNlpQ: Long): DataFrame = {
+    grams
       .join(broadcast(model.select(col("gram"), col("nlp_q"))), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(col("gram")).as("n_grams"),
@@ -72,5 +66,39 @@ object LanguageModel {
         when(col("n_grams") > 0,
           round(col("_s").cast("double") / (col("n_grams") * lit(1e6)), 6))
           .otherwise(lit(0.0)).as("avg_nll"))
+  }
+
+  /** Train the trigram model: one row per distinct trigram with its corpus
+    * count `c3`, its 2-char-prefix total `c2`, and the quantized negative
+    * log conditional probability `nlp_q = round(-ln(c3/c2) * 1e6)`.
+    */
+  def charTrigramModel(corpus: DataFrame, textCol: String): DataFrame =
+    modelFromGrams(corpus.select(explode(charTrigrams(col(textCol))).as("gram")))
+
+  /** Score documents against a [[charTrigramModel]]: per doc, the trigram
+    * count and the average negative log-prob `avg_nll` (0.0 for docs with no
+    * trigrams). Grams absent from the model cost `oovNlpQ` (defaults to ~
+    * -ln(1e-9), i.e. treat unseen grams as 1-in-a-billion). The model side
+    * is broadcast — alphabet-bounded, see the object scaladoc.
+    */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, oovNlpQ: Long = 20723266L): DataFrame =
+    scoreGrams(
+      df.select(col(idCol), explode_outer(charTrigrams(col(textCol))).as("gram")),
+      idCol, model, oovNlpQ)
+
+  /** Score a corpus against a model trained on ITSELF (the common
+    * filter-bootstrap shape): identical results to charTrigramModel +
+    * perplexityScore, but the expensive trigram explode runs ONCE — a lazy
+    * checkpoint feeds both the model counts and the scoring join (Catalyst
+    * would otherwise re-evaluate the HOF per consumer). No OOV parameter:
+    * every gram of the corpus is in its own model by construction.
+    */
+  def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode_outer(charTrigrams(col(textCol))).as("gram"))
+      .localCheckpoint(eager = false) // model build + scoring join
+    scoreGrams(grams, idCol,
+      modelFromGrams(grams.where(col("gram").isNotNull)), oovNlpQ = 0L)
   }
 }

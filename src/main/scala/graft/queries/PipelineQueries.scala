@@ -404,12 +404,9 @@ object PipelineQueries {
     // corpus, every doc scored by average negative log-prob. The per-gram
     // quantization (see LanguageModel scaladoc) is what makes the float sum
     // order-free and hence oracle-able.
-    "text_perplexity" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val model = LanguageModel.charTrigramModel(d, "text")
-      LanguageModel.perplexityScore(d, "doc_id", "text", model)
-        .orderBy(col("doc_id"))
-    }),
+    "text_perplexity" -> ((s, dir) =>
+      LanguageModel.selfScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // token-window chunking (50-token chunks, 10-token overlap): the
     // standard context-window prep step; one generator, no shuffle
     "text_chunk" -> ((s, dir) =>

@@ -588,6 +588,10 @@ class OperatorsSpec extends SparkFunSuite {
       (4L, 0L, 0.0))) // no trigrams
     // in-corpus text scores strictly lower than gibberish — the filter signal
     assert(scored(0)._3 < scored(2)._3 && scored(1)._3 < scored(2)._3)
+    // selfScore (single shared gram pass) equals train-then-score
+    val self = LanguageModel.selfScore(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(self == Seq((1L, 2L, 0.287682), (2L, 2L, 0.836988)))
   }
 
   test("chunking: token windows with overlap, short and empty docs") {
