@@ -240,7 +240,8 @@ object TextAnalysis {
     * places for stable cross-engine comparison.
     */
   def gopherReport(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
     val text = col(textCol)
     // '…' is one char, '...' removes three per hit — both count one ellipsis
     val symbols =
@@ -282,6 +283,6 @@ object TextAnalysis {
         bulletFrac < 0.9 &&
         ellipsisFrac < 0.3 &&
         alphaFrac > 0.8 &&
-        stopHits >= 2).as("keep"))
+        stopHits >= minStopHits).as("keep"))
   }
 }

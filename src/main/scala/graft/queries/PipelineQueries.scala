@@ -540,6 +540,28 @@ object PipelineQueries {
           Map("en" -> 1.0, "zh" -> 0.75, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.125))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+    // the round-5 curation funnel in ONE declarative plan: Gopher rules AND
+    // repetition thresholds gate the corpus, survivors exact-dedup to the
+    // minimum id per fingerprint — the funnel a 100 TB pretraining corpus
+    // actually runs, each stage reusing the oracled operators above
+    "pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rep = d.select(col("doc_id"),
+        TextAnalysis.dupLineFrac(col("text")).as("dlf"),
+        TextAnalysis.dupNgramFrac(col("text"), 5).as("dgf"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // thresholds calibrated to the synthetic corpus (its generator rarely
+      // emits the 8 Gopher stopwords): every stage must actually discriminate
+      TextAnalysis.gopherReport(d, "doc_id", "text",
+          minWords = 30, minStopHits = 1)
+        .join(rep, "doc_id")
+        .filter(col("keep") && col("dlf") < 0.3 && col("dgf") < 0.3)
+        .groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("n_words"), col("dlf")), col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.n_words").as("n_words"),
+          col("r.dlf").as("dup_line_frac"))
+        .orderBy(col("doc_id"))
+    }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -1051,6 +1073,60 @@ object PipelineQueries {
         |      CASE lang WHEN 'en' THEN 'g' WHEN 'zh' THEN 'c000' WHEN 'de' THEN '8000'
         |                WHEN 'fr' THEN '4000' WHEN 'es' THEN '2000' ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+    // the funnel re-assembled from the text_gopher and text_repetition
+    // oracle fragments: keep from unrounded doubles, repetition thresholds
+    // on the ROUNDED fractions (both engines compare the same values), then
+    // min-id per fingerprint among survivors
+    "pipeline_curate" ->
+      s"""WITH gw AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS blf,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS elf,
+        |         CASE WHEN len(ws) > 0
+        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |              ELSE 0.0 END AS awf,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(ws, s))) AS stop_hits
+        |  FROM gw),
+        |rep AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(lines) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |              ELSE 0.0 END AS dlf,
+        |         CASE WHEN len(grams) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |              ELSE 0.0 END AS dgf,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT doc_id, text,
+        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                           l -> l != '') AS lines,
+        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+        |        FROM (SELECT doc_id, text, $duckWords AS w FROM documents))),
+        |keepers AS (
+        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
+        |  FROM gm JOIN rep USING (doc_id)
+        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
+        |surv AS (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp)
+        |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
+        |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,
