@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests for the round-5 text operators: structural invariants that
+  * must hold on ANY input, evaluated in batches (one Spark job per property,
+  * same discipline as MaskPropertiesSpec).
+  */
+class TextPropertiesSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  /** Texts mixing spaces, runs of spaces, and newlines; may be empty. */
+  private val text: Gen[String] = for {
+    n <- Gen.chooseNum(0, 60)
+    ws <- Gen.listOfN(n, word)
+    seps <- Gen.listOfN(n, Gen.frequency(8 -> " ", 1 -> "  ", 1 -> "\n"))
+  } yield ws.zip(seps).map { case (w, s) => w + s }.mkString.trim
+
+  private def sample(n: Int): Seq[String] =
+    Gen.listOfN(n, text).sample.getOrElse(Seq("alpha beta gamma"))
+
+  test("chunk: chunks minus overlap rebuild the token stream; sizes within bounds") {
+    val cases = sample(60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 7, overlap = 3)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq.groupBy(_._1)
+    cases.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val cs = chunks.getOrElse(id, Seq.empty)
+      if (toks.isEmpty) assert(cs.isEmpty)
+      else {
+        // ids are consecutive from 0; every chunk obeys the size bound and
+        // its own n_tokens; stitching with the overlap removed rebuilds the
+        // exact token stream
+        assert(cs.map(_._2) == cs.indices.map(identity))
+        cs.foreach { case (_, _, ctext, n) =>
+          val ctoks = ctext.split(" ").filter(_.nonEmpty)
+          assert(n == ctoks.length && n >= 1 && n <= 7)
+        }
+        val rebuilt = cs.zipWithIndex.flatMap { case ((_, _, ctext, _), i) =>
+          val ws = ctext.split(" ").filter(_.nonEmpty).toSeq
+          if (i == 0) ws else ws.drop(3)
+        }
+        assert(rebuilt == toks, s"doc $id: $t")
+      }
+    }
+  }
+
+  test("gopher report: fractions bounded, word count exact, stop hits bounded") {
+    val cases = sample(80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = TextAnalysis.gopherReport(cases.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    cases.zip(rows).foreach { case ((_, t), r) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Int]("n_words") == toks.length)
+      Seq("symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v for '$t'")
+      }
+      assert(r.getAs[Double]("mean_word_len") >= 0.0)
+      val hits = r.getAs[Int]("stop_hits")
+      assert(hits >= 0 && hits <= TextAnalysis.GopherStopWords.length)
+    }
+  }
+
+  test("LM selfScore: nll non-negative, gram count exact, empty docs zero") {
+    val cases = sample(60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = LanguageModel.selfScore(cases.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    cases.zip(rows).foreach { case ((_, t), (_, nGrams, nll)) =>
+      val s = t.toLowerCase.trim
+      assert(nGrams == math.max(s.length - 2, 0))
+      assert(nll >= 0.0) // -ln(p) of conditional probabilities is never negative
+      if (nGrams == 0) assert(nll == 0.0)
+    }
+  }
+
+  test("substring pairs: planted clones always pair, sharing every window") {
+    val base = sample(25).zipWithIndex.collect {
+      case (t, i) if t.split("\\s+").count(_.nonEmpty) >= 1 => (i.toLong, t)
+    }
+    val planted = base.map { case (id, t) => (id + 1000L, t) }
+    val pairs = Dedup.substringPairs((base ++ planted).toDF("doc_id", "text"),
+      "doc_id", "text", windowTokens = 4, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSeq
+      .map(p => (p._1, p._2) -> p._3).toMap
+    base.foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val expectWindows = math.max(toks.length - 4 + 1, 1) // whole-text fallback
+      val distinctWindows =
+        if (toks.length >= 4) toks.sliding(4).map(_.mkString(" ")).toSet.size
+        else 1
+      assert(pairs.get((id, id + 1000L)).contains(distinctWindows.toLong),
+        s"doc $id ('$t'): expected $distinctWindows shared windows (raw $expectWindows)")
+    }
+  }
+}
