@@ -21,6 +21,26 @@ class SourcesSpec extends SparkFunSuite {
     (1L, "alpha", 0.5), (2L, "beta", 1.5), (3L, "gamma", 2.5)
   ).toDF("id", "name", "score")
 
+  test("clustered write: disjoint per-file key ranges, content preserved") {
+    val dir = tmp("clustered")
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    graft.sources.Sources.writeClustered(df, dir, Seq("id"), files = 4)
+    // every file owns a disjoint id range (that is what lets min/max stats
+    // prune whole files), and nothing was lost or duplicated
+    val perFile = spark.read.parquet(dir)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("id").as("lo"),
+        org.apache.spark.sql.functions.max("id").as("hi"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .collect()
+    assert(perFile.length == 4)
+    val ranges = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) => assert(hi < lo2) }
+    assert(perFile.map(_.getAs[Long]("n")).sum == 1000L)
+    assert(spark.read.parquet(dir).agg(
+      org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 499500L)
+  }
+
   test("csv round-trip with explicit schema") {
     val dir = tmp("graft_csv")
     sample.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
