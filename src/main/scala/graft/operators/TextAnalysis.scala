@@ -136,13 +136,15 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
-    bindOnce(wordsOf(text)) { ws =>
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - lit(n - 1)),
-          i => array_join(slice(ws, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    }
+    bindOnce(wordsOf(text))(ngramsOf(_, n))
   }
+
+  /** N-grams from an already-bound words array (see [[wordNgrams]]). */
+  private def ngramsOf(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** `1 - distinct/total` over an array, rounded to 6 places; 0.0 for an
     * empty array. Single evaluation of `arr` and a single O(g log g) pass:
@@ -239,50 +241,90 @@ object TextAnalysis {
     * from the UNROUNDED doubles; the reported fractions are rounded to 6
     * places for stable cross-engine comparison.
     */
-  def gopherReport(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000,
-      minStopHits: Int = 2): DataFrame = {
+  /** The checkpointed array projection shared by [[gopherReport]] and
+    * [[curate]]: words, trimmed non-empty lines, non-whitespace char count,
+    * symbol count, plus any `extra` columns the caller wants computed in the
+    * SAME single pass over the text.
+    */
+  private def gopherBound(df: DataFrame, idCol: String, textCol: String,
+      extra: Seq[Column]): DataFrame = {
     val text = col(textCol)
     // '…' is one char, '...' removes three per hit — both count one ellipsis
     val symbols =
       (length(text) - length(expr(s"replace($textCol, '#', '')"))) +
       (length(text) - length(expr(s"replace($textCol, '…', '')"))) +
       (length(text) - length(expr(s"replace($textCol, '...', '')"))) / lit(3)
-    val bound = df.select(col(idCol),
-      wordsOf(text).as("_ws"),
-      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("_ls"),
-      length(regexp_replace(text, "\\s", "")).cast("double").as("_nws"),
-      symbols.cast("double").as("_sym"))
+    df.select(col(idCol) +:
+        wordsOf(text).as("_ws") +:
+        filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("_ls") +:
+        length(regexp_replace(text, "\\s", "")).cast("double").as("_nws") +:
+        symbols.cast("double").as("_sym") +: extra: _*)
       .localCheckpoint(eager = false)
-    val nw = size(col("_ws")).cast("double")
-    val nl = size(col("_ls")).cast("double")
-    def overWords(c: Column): Column = when(nw > 0, c / nw).otherwise(lit(0.0))
-    def overLines(c: Column): Column = when(nl > 0, c / nl).otherwise(lit(0.0))
-    val meanWordLen = overWords(col("_nws"))
-    val symbolRatio = overWords(col("_sym"))
-    val bulletFrac = overLines(size(filter(col("_ls"),
+  }
+
+  /** The Gopher metric columns over a [[gopherBound]] frame (unrounded). */
+  private final class GopherMetrics(minWords: Int, maxWords: Int, minStopHits: Int) {
+    private val nw = size(col("_ws")).cast("double")
+    private val nl = size(col("_ls")).cast("double")
+    private def overWords(c: Column) = when(nw > 0, c / nw).otherwise(lit(0.0))
+    private def overLines(c: Column) = when(nl > 0, c / nl).otherwise(lit(0.0))
+    val meanWordLen: Column = overWords(col("_nws"))
+    val symbolRatio: Column = overWords(col("_sym"))
+    val bulletFrac: Column = overLines(size(filter(col("_ls"),
       l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double"))
-    val ellipsisFrac = overLines(size(filter(col("_ls"),
+    val ellipsisFrac: Column = overLines(size(filter(col("_ls"),
       l => l.endsWith("...") || l.endsWith("…"))).cast("double"))
-    val alphaFrac = overWords(size(filter(col("_ws"),
+    val alphaFrac: Column = overWords(size(filter(col("_ws"),
       w => w.rlike("[a-z]"))).cast("double"))
-    val stopHits = size(filter(
+    val stopHits: Column = size(filter(
       array(GopherStopWords.map(lit): _*),
       sw => array_contains(col("_ws"), sw)))
-    bound.select(col(idCol),
-      size(col("_ws")).as("n_words"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(symbolRatio, 6).as("symbol_word_ratio"),
-      round(bulletFrac, 6).as("bullet_line_frac"),
-      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
-      round(alphaFrac, 6).as("alpha_word_frac"),
-      stopHits.as("stop_hits"),
-      (size(col("_ws")).between(minWords, maxWords) &&
+    val keep: Column =
+      size(col("_ws")).between(minWords, maxWords) &&
         meanWordLen.between(3.0, 10.0) &&
         symbolRatio < 0.1 &&
         bulletFrac < 0.9 &&
         ellipsisFrac < 0.3 &&
         alphaFrac > 0.8 &&
-        stopHits >= minStopHits).as("keep"))
+        stopHits >= minStopHits
+  }
+
+  def gopherReport(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val m = new GopherMetrics(minWords, maxWords, minStopHits)
+    gopherBound(df, idCol, textCol, Seq.empty).select(col(idCol),
+      size(col("_ws")).as("n_words"),
+      round(m.meanWordLen, 6).as("mean_word_len"),
+      round(m.symbolRatio, 6).as("symbol_word_ratio"),
+      round(m.bulletFrac, 6).as("bullet_line_frac"),
+      round(m.ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(m.alphaFrac, 6).as("alpha_word_frac"),
+      m.stopHits.as("stop_hits"),
+      m.keep.as("keep"))
+  }
+
+  /** The curation funnel as ONE pass over the text: Gopher rules AND both
+    * repetition fractions gate the corpus, survivors exact-dedup to the
+    * minimum id per fingerprint. Semantically identical to composing
+    * [[gopherReport]] + [[dupLineFrac]]/[[dupNgramFrac]] + a fingerprint
+    * group-by, but the words/lines arrays and the fingerprint are computed
+    * in a single checkpointed projection — at 100 TB that is one scan of the
+    * text instead of two, and the only shuffle is the dedup group-by on the
+    * 128-bit fingerprint. Output: (idCol, n_words, dup_line_frac).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5): DataFrame = {
+    val m = new GopherMetrics(minWords, maxWords, minStopHits)
+    val dlf = dupFrac(col("_ls"))
+    val dgf = dupFrac(ngramsOf(col("_ws"), ngram))
+    gopherBound(df, idCol, textCol, Seq(fingerprint(col(textCol)).as("_fp")))
+      .filter(m.keep && dlf < maxDupLineFrac && dgf < maxDupNgramFrac)
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(col(idCol), size(col("_ws")).as("n_words"),
+        dlf.as("dup_line_frac")), col(idCol)).as("_r"))
+      .select(col(s"_r.$idCol"), col("_r.n_words"), col("_r.dup_line_frac"))
   }
 }

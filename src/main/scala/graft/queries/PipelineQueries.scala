@@ -544,24 +544,12 @@ object PipelineQueries {
     // repetition thresholds gate the corpus, survivors exact-dedup to the
     // minimum id per fingerprint — the funnel a 100 TB pretraining corpus
     // actually runs, each stage reusing the oracled operators above
-    "pipeline_curate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val rep = d.select(col("doc_id"),
-        TextAnalysis.dupLineFrac(col("text")).as("dlf"),
-        TextAnalysis.dupNgramFrac(col("text"), 5).as("dgf"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      // thresholds calibrated to the synthetic corpus (its generator rarely
-      // emits the 8 Gopher stopwords): every stage must actually discriminate
-      TextAnalysis.gopherReport(d, "doc_id", "text",
+    // thresholds calibrated to the synthetic corpus (its generator rarely
+    // emits the 8 Gopher stopwords): every stage must actually discriminate
+    "pipeline_curate" -> ((s, dir) =>
+      TextAnalysis.curate(docs(s, dir), "doc_id", "text",
           minWords = 30, minStopHits = 1)
-        .join(rep, "doc_id")
-        .filter(col("keep") && col("dlf") < 0.3 && col("dgf") < 0.3)
-        .groupBy(col("fp"))
-        .agg(min_by(struct(col("doc_id"), col("n_words"), col("dlf")), col("doc_id")).as("r"))
-        .select(col("r.doc_id"), col("r.n_words").as("n_words"),
-          col("r.dlf").as("dup_line_frac"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
