@@ -83,6 +83,27 @@ class TextPropertiesSpec extends SparkFunSuite {
     }
   }
 
+  test("curate equals the composed gopher + repetition + dedup path") {
+    val cases = sample(80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+    val fused = TextAnalysis.curate(df, "doc_id", "text",
+      minWords = 2, minStopHits = 0, maxDupLineFrac = 0.5, maxDupNgramFrac = 0.5)
+      .orderBy($"doc_id").as[(Long, Int, Double)].collect().toSeq
+    val rep = df.select($"doc_id",
+      TextAnalysis.dupLineFrac($"text").as("dlf"),
+      TextAnalysis.dupNgramFrac($"text", 5).as("dgf"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+    val composed = TextAnalysis.gopherReport(df, "doc_id", "text",
+        minWords = 2, minStopHits = 0)
+      .join(rep, "doc_id")
+      .filter($"keep" && $"dlf" < 0.5 && $"dgf" < 0.5)
+      .groupBy($"fp")
+      .agg(min_by(struct($"doc_id", $"n_words", $"dlf"), $"doc_id").as("r"))
+      .select($"r.doc_id", $"r.n_words", $"r.dlf")
+      .orderBy($"doc_id").as[(Long, Int, Double)].collect().toSeq
+    assert(fused == composed)
+  }
+
   test("substring pairs: planted clones always pair, sharing every window") {
     val base = sample(25).zipWithIndex.collect {
       case (t, i) if t.split("\\s+").count(_.nonEmpty) >= 1 => (i.toLong, t)
