@@ -121,6 +121,48 @@ object Dedup {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Incremental SEMANTIC dedup against a persisted [[Similarity.ivfWriteBucketed]]
+    * index: each new vector is assigned to its argmax cell with the
+    * PERSISTED centroids (same quantizer the corpus was written with), joins
+    * only that cell's corpus rows through the bucket layout, and pairs are
+    * verified with exact cosine against `threshold`. Completes the
+    * incremental-index family on the vector side (exact: md5 index; near-dup
+    * text: minhash LSH index; near-dup vectors: this).
+    *
+    * Same SemDeDup blocking semantics (and recall caveat) as
+    * [[semanticPairs]]: candidates share an argmax cell — identical vectors
+    * always do, near-dups straddling a cell boundary are missed. `maxCell`
+    * bounds skewed cells (the count groups on the bucketing key, so it costs
+    * no exchange). Only batch-sized data shuffles: the corpus index is
+    * scanned pre-bucketed, never reshuffled, never rebuilt.
+    */
+  def semanticDedupIncremental(batch: DataFrame, table: String, idCol: String,
+      vecCol: String, threshold: Double = 0.9, maxCell: Int = 100): DataFrame = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = Similarity.readCentroids(spark, table)
+    val probes = batch
+      .withColumn("_cell", element_at(Similarity.cellsCol(vecCol, centroids, 1), 1))
+      .withColumn("_bnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_bnorm") > 0) // zero-norm guard — see Similarity.bruteForceTopK
+      .select(col("_cell"), col(idCol).as("batch_id"), col(vecCol).as("_bv"),
+        col("_bnorm"))
+    val indexed = spark.table(table)
+    val capped =
+      if (maxCell >= Int.MaxValue) indexed
+      else indexed
+        .withColumn("_cell_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_cell"))))
+        .filter(col("_cell_n") <= maxCell)
+        .drop("_cell_n")
+    capped
+      .join(probes, "_cell")
+      .select(col("batch_id"), col(idCol).as("corpus_id"),
+        (expr(s"graft_vec_dot($vecCol, _bv)") / (col("_cnorm") * col("_bnorm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact-substring duplicate pairs: documents sharing at least one run of
     * `windowTokens` consecutive tokens (the signal behind suffix-array
     * training-data dedup, Lee et al. 2021 "Deduplicating Training Data

@@ -172,7 +172,7 @@ object Similarity {
     * Bounded at nlist rows by construction — same driver-side class as the
     * centroid seed collect.
     */
-  private def readCentroids(spark: SparkSession, table: String): Array[Array[Double]] = {
+  private[operators] def readCentroids(spark: SparkSession, table: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.table(s"${table}_centroids")
       .orderBy(col("cell"))

@@ -98,6 +98,29 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
+    // incremental semantic dedup against the persisted IVF index, under the
+    // planted two-branch gate: every batch clone must rediscover its
+    // original (identical vectors share the argmax cell) at cosine 1.0, and
+    // the empty branch re-verifies every emitted cosine with built-in HOFs
+    "dedup_semantic_incr" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      Similarity.ivfWriteBucketed(e, "graft_sem_incr_gate", "vec_id", "embedding")
+      val batch = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val out = Dedup.semanticDedupIncremental(batch, "graft_sem_incr_gate",
+          "vec_id", "embedding", threshold = 0.9, maxCell = Int.MaxValue)
+        .localCheckpoint(eager = false) // planted + FP branches
+      val planted = out.filter(col("corpus_id") === col("batch_id") - 1000000)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")), "corpus_id")
+        .join(e.select((col("vec_id") + 1000000).as("batch_id"),
+          col("embedding").as("bv")), "batch_id")
+        .withColumn("ref_cosine", hofCosine("cv", "bv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9 || col("cosine") < 0.9)
+        .select(col("batch_id"), col("corpus_id"), lit(-1.0).as("cosine"))
+      planted.unionAll(bad).orderBy(col("batch_id"), col("corpus_id"))
+    }),
     // exact-substring dedup (Lee et al. 2021 signal): pairs sharing >= 1
     // distinct 50-token window over the planted corpus — every planted
     // clone must pair with its original sharing ALL its windows
@@ -601,6 +624,15 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id",
+    // cross-set planted recall through the persisted-index path: the oracle
+    // is exactly the planted clone pairs (see dedup_semantic_check)
+    "dedup_semantic_incr" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id + 1000000 AS batch_id, vec_id AS corpus_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     // window strings compared directly (hash-invariant: distinct-window
     // counts match unless xxhash64 collides, which the hash-match would
     // expose); same planted base and short-doc fallback as duckShingles

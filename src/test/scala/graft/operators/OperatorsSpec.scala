@@ -622,6 +622,40 @@ class OperatorsSpec extends SparkFunSuite {
     assert(chunks.map(_._4).toSeq == Seq(50, 50, 23))
   }
 
+  test("incremental semantic dedup: clones rediscover originals through the bucketed IVF index") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val t0 = spark.conf.get(thresholdKey)
+    val tables = Seq("sem_incr_t", "sem_incr_t_centroids")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      spark.conf.set(thresholdKey, "-1") // bucketing, not broadcast, must carry it
+      val corpus = vecs.select($"vec_id", $"embedding")
+      Similarity.ivfWriteBucketed(corpus, "sem_incr_t", "vec_id", "embedding",
+        nlist = 2, numBuckets = 4)
+      val batch = corpus.select(($"vec_id" + 100).as("vec_id"), $"embedding")
+        .unionAll(Seq((999L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"))
+      val out = Dedup.semanticDedupIncremental(batch, "sem_incr_t", "vec_id",
+        "embedding", threshold = 0.9, maxCell = Int.MaxValue)
+      val got = out.select("batch_id", "corpus_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      // every clone finds its original at cosine ~1.0; the orthogonal new
+      // vector matches nothing
+      (1L to 4L).foreach { i =>
+        assert(got.exists(p => p._1 == i + 100 && p._2 == i && math.abs(p._3 - 1.0) < 1e-6))
+      }
+      assert(!got.exists(_._1 == 999L))
+      assert(got.forall(_._3 >= 0.9))
+      // the corpus index is read pre-bucketed, never reshuffled
+      val fmt = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.contains("Bucketed: true"), fmt)
+      assert(!fmt.contains("Bucketed: false"), fmt)
+    } finally {
+      spark.conf.set(thresholdKey, t0)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("gopher report: per-rule metrics and the combined keep verdict") {
     val good = ("the quick brown fox jumps over that lazy dog with vigor today " * 5).trim
     val df = Seq(
