@@ -108,8 +108,10 @@ object Dedup {
   def exactAppendToIndex(docs: DataFrame, table: String, idCol: String,
       keyCol: String): Unit = {
     val spark = docs.sparkSession
+    // parse, don't wrap: a qualified name like "db.idx" must resolve as a
+    // 2-part identifier (TableIdentifier(raw) would look up "`db.idx`")
     val numBuckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a bucketed exact-dedup index"))
@@ -135,6 +137,15 @@ object Dedup {
     * bounds skewed cells (the count groups on the bucketing key, so it costs
     * no exchange). Only batch-sized data shuffles: the corpus index is
     * scanned pre-bucketed, never reshuffled, never rebuilt.
+    *
+    * RETURN SHAPE: duplicate PAIRS `(batch_id, corpus_id, cosine)` — one row
+    * per (batch vector, corpus vector) at or above `threshold`, like
+    * [[semanticPairs]] — NOT surviving batch rows. This is deliberately
+    * asymmetric with [[exactDedupIncremental]] (which returns survivors):
+    * semantic "duplication" is a scored judgment the caller applies policy
+    * to (drop, keep-best, human review), so the operator reports the
+    * evidence; derive survivors with
+    * `batch.join(pairs.select(batch_id), "left_anti")`.
     */
   def semanticDedupIncremental(batch: DataFrame, table: String, idCol: String,
       vecCol: String, threshold: Double = 0.9, maxCell: Int = 100): DataFrame = {
@@ -150,11 +161,18 @@ object Dedup {
     val indexed = spark.table(table)
     val capped =
       if (maxCell >= Int.MaxValue) indexed
-      else indexed
-        .withColumn("_cell_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("_cell"))))
-        .filter(col("_cell_n") <= maxCell)
-        .drop("_cell_n")
+      else {
+        // groupBy on the bucketing key: aggregates within buckets, no
+        // exchange; the count join back is bucketed-to-bucketed, also free
+        // (same form as minhashDedupIncremental's cap — the window variant
+        // would sort the full index scan per partition)
+        val smallEnough = indexed
+          .groupBy(col("_cell"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxCell)
+          .select(col("_cell"))
+        indexed.join(smallEnough, Seq("_cell"))
+      }
     capped
       .join(probes, "_cell")
       .select(col("batch_id"), col(idCol).as("corpus_id"),
@@ -181,12 +199,18 @@ object Dedup {
     * false pair needs an xxhash64 collision between two of a corpus's
     * distinct windows — negligible at any realistic scale, and the DuckDB
     * oracle (which compares true window strings) would catch it.
+    *
+    * Blank/whitespace-only (and null) documents are dropped up front: the
+    * whole-text fallback would otherwise hash their single empty token and
+    * report every pair of blank docs as sharing a "window" — not a
+    * meaningful shared-substring signal.
     */
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, maxBucket: Int = 100): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     VectorFunctions.register(df.sparkSession)
     val rows = df
+      .filter(trim(col(textCol)) =!= "") // null-safe: null trims to null, drops
       .select(col(idCol),
         explode(expr(s"graft_shingle_hashes($textCol, $windowTokens)")).as("h"))
     val capped = (

@@ -128,11 +128,24 @@ object Multimodal {
 
   /** Frame sampling: one output row per sampled frame (video -> frames).
     * Explode happens on executors; frames inherit metadata columns.
+    *
+    * Unlike the mapPartitions codec paths (which justify imperative code with
+    * per-partition decoder state), fixed-width byte windows are expressible
+    * with built-ins: `substring` slices BinaryType directly, so the frame
+    * array is a codegen-friendly HOF over the payload — no UDF, no serde
+    * round trip. Semantics match [[FakeCodec.sampleFrames]]: null/empty
+    * payloads produce no frames (the empty-array guard matters — `sequence`
+    * DESCENDS when stop < start and would fabricate frame indices).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64): DataFrame = {
-    val frames = udf((p: Array[Byte]) => FakeCodec.sampleFrames(p, frameBytes))
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    val frames = when(coalesce(length(col("payload")), lit(0)) > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
     media
       .select(col("media_id"), col("format"),
-        posexplode(frames(col("payload"))).as(Seq("frame_no", "frame")))
+        posexplode(frames).as(Seq("frame_no", "frame")))
   }
 }

@@ -196,8 +196,10 @@ object Similarity {
     val spark = newVecs.sparkSession
     VectorFunctions.register(spark)
     val centroids = readCentroids(spark, table)
+    // parse, don't wrap: a qualified name like "db.idx" must resolve as a
+    // 2-part identifier (TableIdentifier(raw) would look up "`db.idx`")
     val numBuckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a bucketed IVF index"))

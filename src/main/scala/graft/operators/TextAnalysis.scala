@@ -244,21 +244,23 @@ object TextAnalysis {
   /** The checkpointed array projection shared by [[gopherReport]] and
     * [[curate]]: words, trimmed non-empty lines, non-whitespace char count,
     * symbol count, plus any `extra` columns the caller wants computed in the
-    * SAME single pass over the text.
+    * SAME single pass over the text. `derived` columns may reference the
+    * bound columns (`_ws`, `_ls`, ...) and are materialized BEFORE the
+    * checkpoint — the way for a caller to evaluate an expensive array fold
+    * exactly once and reuse it across several downstream consumers.
     */
   private def gopherBound(df: DataFrame, idCol: String, textCol: String,
-      extra: Seq[Column]): DataFrame = {
+      extra: Seq[Column], derived: Seq[Column] = Seq.empty): DataFrame = {
     val text = col(textCol)
+    def removed(s: String) = length(text) - length(replace(text, lit(s), lit("")))
     // '…' is one char, '...' removes three per hit — both count one ellipsis
-    val symbols =
-      (length(text) - length(expr(s"replace($textCol, '#', '')"))) +
-      (length(text) - length(expr(s"replace($textCol, '…', '')"))) +
-      (length(text) - length(expr(s"replace($textCol, '...', '')"))) / lit(3)
-    df.select(col(idCol) +:
-        wordsOf(text).as("_ws") +:
-        filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("_ls") +:
-        length(regexp_replace(text, "\\s", "")).cast("double").as("_nws") +:
-        symbols.cast("double").as("_sym") +: extra: _*)
+    val symbols = removed("#") + removed("…") + removed("...") / lit(3)
+    val bound = df.select(col(idCol) +:
+      wordsOf(text).as("_ws") +:
+      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("_ls") +:
+      length(regexp_replace(text, "\\s", "")).cast("double").as("_nws") +:
+      symbols.cast("double").as("_sym") +: extra: _*)
+    (if (derived.isEmpty) bound else bound.select(col("*") +: derived: _*))
       .localCheckpoint(eager = false)
   }
 
@@ -318,13 +320,16 @@ object TextAnalysis {
       maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
       ngram: Int = 5): DataFrame = {
     val m = new GopherMetrics(minWords, maxWords, minStopHits)
-    val dlf = dupFrac(col("_ls"))
-    val dgf = dupFrac(ngramsOf(col("_ws"), ngram))
-    gopherBound(df, idCol, textCol, Seq(fingerprint(col(textCol)).as("_fp")))
-      .filter(m.keep && dlf < maxDupLineFrac && dgf < maxDupNgramFrac)
+    // the repetition fractions are O(g log g) array folds: materialized as
+    // checkpointed columns so the filter and the min_by struct below read
+    // the same evaluation instead of re-running the fold per consumer
+    gopherBound(df, idCol, textCol, Seq(fingerprint(col(textCol)).as("_fp")),
+        derived = Seq(dupFrac(col("_ls")).as("_dlf"),
+          dupFrac(ngramsOf(col("_ws"), ngram)).as("_dgf")))
+      .filter(m.keep && col("_dlf") < maxDupLineFrac && col("_dgf") < maxDupNgramFrac)
       .groupBy(col("_fp"))
       .agg(min_by(struct(col(idCol), size(col("_ws")).as("n_words"),
-        dlf.as("dup_line_frac")), col(idCol)).as("_r"))
+        col("_dlf").as("dup_line_frac")), col(idCol)).as("_r"))
       .select(col(s"_r.$idCol"), col("_r.n_words"), col("_r.dup_line_frac"))
   }
 }

@@ -635,14 +635,16 @@ object PipelineQueries {
         |ORDER BY batch_id, corpus_id""".stripMargin,
     // window strings compared directly (hash-invariant: distinct-window
     // counts match unless xxhash64 collides, which the hash-match would
-    // expose); same planted base and short-doc fallback as duckShingles
+    // expose); same planted base and short-doc fallback as duckShingles.
+    // blank docs excluded, mirroring the operator's zero-token filter
     "dedup_substring" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents),
         |w AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM base),
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM base WHERE trim(text) <> ''),
         |sh AS (
         |  SELECT doc_id,
         |         list_distinct(CASE WHEN len(ws) >= 50

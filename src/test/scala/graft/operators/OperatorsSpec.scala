@@ -140,6 +140,16 @@ class OperatorsSpec extends SparkFunSuite {
     val frames = Multimodal.sampleFrames(media, frameBytes = 16)
     val n = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
     assert(n(1L) == math.ceil(bytes1 / 16.0).toLong)
+    // the HOF windows must equal the codec-stub reference byte-for-byte
+    val got = frames.select(col("media_id"), col("frame_no"), col("frame"))
+      .as[(Long, Int, Array[Byte])].collect()
+      .groupBy(_._1).map { case (id, fs) => id -> fs.sortBy(_._2).map(_._3.toSeq).toSeq }
+    val ref = media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect()
+      .map { case (id, p) =>
+        id -> Multimodal.FakeCodec.sampleFrames(p, 16).map(_.toSeq) }
+      .toMap.filter(_._2.nonEmpty)
+    assert(got == ref)
   }
 
   test("dedup operators tolerate null and empty text") {
@@ -555,9 +565,12 @@ class OperatorsSpec extends SparkFunSuite {
     val df = Seq(
       (1L, s"one two $run three"),
       (2L, s"nine eight seven $run"),
-      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+    (3L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
       (4L, "tiny pair"), // < windowTokens: whole-text fallback
-      (5L, "tiny pair")).toDF("doc_id", "text")
+      (5L, "tiny pair"),
+      (6L, ""), // blank/whitespace docs have zero tokens: never paired,
+      (7L, "   \n  "), // not even with each other
+      (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = Dedup.substringPairs(df, "doc_id", "text", windowTokens = 5,
       maxBucket = Int.MaxValue)
       .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
@@ -650,6 +663,18 @@ class OperatorsSpec extends SparkFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(fmt.contains("Bucketed: true"), fmt)
       assert(!fmt.contains("Bucketed: false"), fmt)
+      // with the skew cap ON, the cell count groups on the bucketing key and
+      // joins back bucketed-to-bucketed: both index scans read bucketed and
+      // the corpus side still never exchanges (same form as the minhash
+      // incremental cap)
+      val capped = Dedup.semanticDedupIncremental(batch, "sem_incr_t", "vec_id",
+        "embedding", threshold = 0.9, maxCell = 100)
+      assert(capped.select("batch_id", "corpus_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSet == got.toSet) // cap inert at this size
+      val fmtCapped = capped.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("Bucketed: true".r.findAllIn(fmtCapped).size >= 2, fmtCapped)
+      assert(!fmtCapped.contains("Bucketed: false"), fmtCapped)
     } finally {
       spark.conf.set(thresholdKey, t0)
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
