@@ -253,7 +253,26 @@ object Dedup {
     val sets = df
       .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
       .localCheckpoint(eager = false)
+    minhashDedupFromSets(sets, idCol, bands, rowsPerBand, maxBucket, threshold)
+  }
 
+  /** The text-free core of [[minhashDedup]]: MinHash-LSH candidate discovery
+    * + exact-Jaccard verify over precomputed shingle-hash sets `(idCol, sh)`
+    * (sorted distinct 64-bit hashes, as produced by graft_shingle_hashes).
+    * Reuse this when the shingle scan is shared with other stages — e.g.
+    * [[TextAnalysis.curateFuzzy]] computes the sets in the same single text
+    * pass as its quality metrics. `sets` is consumed by the banding pass AND
+    * both sides of the verify join; pass it checkpointed (or otherwise
+    * cheap to re-evaluate).
+    */
+  def minhashDedupFromSets(
+      sets: DataFrame,
+      idCol: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 100,
+      threshold: Double = 0.7): DataFrame = {
+    VectorFunctions.register(sets.sparkSession)
     // Band rows carry only (id, band, band_hash) — the shingle arrays never
     // ride through the LSH shuffles.
     val bandRows = bandRowsOf(sets, idCol, bands, rowsPerBand)

@@ -212,6 +212,49 @@ object Similarity {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Per-cell row counts of a [[ivfWriteBucketed]] index: (cell, n), one row
+    * per occupied cell. The group-by key IS the bucketing key, so the index
+    * is scanned pre-clustered and aggregated in place — no exchange anywhere
+    * in the plan (asserted by unit test). At 100 TB this reads the index
+    * once and moves at most nlist rows.
+    */
+  def ivfCellCounts(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("_cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cell-occupancy skew report of a [[ivfWriteBucketed]] index — the
+    * measured input to the rebuild decision [[ivfAppendToIndex]] defers
+    * ("rebuild is a choice made from measured cell-size skew, not a tax paid
+    * per increment"). One row: occupied/total cell counts, row count,
+    * min/mean/p99/max cell sizes, and `skew` = max/mean. A healthy index
+    * keeps skew within a small factor of 1; a skew of ~nprobe means probe
+    * cost is dominated by one cell and a re-quantize (fresh
+    * [[ivfWriteBucketed]]) pays for itself.
+    *
+    * Cost shape: the per-cell count aggregates in the bucket layout (no
+    * exchange — see [[ivfCellCounts]]); everything after runs on at most
+    * nlist rows.
+    */
+  def ivfCellStats(spark: SparkSession, table: String): DataFrame = {
+    val counts = ivfCellCounts(spark, table)
+      .agg(
+        count(lit(1)).as("n_cells_used"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_cell"),
+        round(avg(col("n")), 6).as("mean_cell"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99_cell"),
+        max(col("n")).as("max_cell"))
+    val total = spark.table(s"${table}_centroids")
+      .agg(count(lit(1)).as("n_cells_total"))
+    counts.crossJoin(total) // 1 x 1 rows
+      .withColumn("skew",
+        round(col("max_cell") / greatest(col("mean_cell"), lit(1e-12)), 6))
+      .select(col("n_cells_used"), col("n_cells_total"), col("n_rows"),
+        col("min_cell"), col("mean_cell"), col("p99_cell"), col("max_cell"),
+        col("skew"))
+  }
+
   /** IVF top-k against a table written by [[ivfWriteBucketed]]: probe cells
     * are resolved to a LITERAL id set (bounded by nlist — the same bounded
     * driver-side class as the centroid seed), so the `_cell IN (...)` filter
@@ -239,6 +282,30 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** Recall@k of an approximate top-k result against an exact one — THE
+    * number a user tunes nprobe/nBits with: per query,
+    * |approx ∩ exact| / |exact| over the rank <= k rows of both sides
+    * (both in the (query_id, rank, vec_id, cosine) shape of
+    * [[bruteForceTopK]]). Output: (query_id, n_exact, n_hit, recall).
+    *
+    * Spark-side join on (query_id, vec_id): both inputs are k rows per
+    * query, so every shuffle is O(queries x k) — evaluating recall over a
+    * 100 TB index costs one approximate probe plus one exact scan, never a
+    * corpus-sized join.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("_hit"))
+    exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
   }
 
   /** LSH-pruned top-k: score only corpus rows whose bucket matches the

@@ -332,4 +332,57 @@ object TextAnalysis {
         col("_dlf").as("dup_line_frac")), col(idCol)).as("_r"))
       .select(col(s"_r.$idCol"), col("_r.n_words"), col("_r.dup_line_frac"))
   }
+
+  /** [[curate]] plus the near-dup stage every published pretraining funnel
+    * runs after exact dedup (C4, Gopher/MassiveText, RefinedWeb): survivors
+    * of the quality gate + exact dedup flow through MinHash-LSH candidate
+    * discovery, exact-Jaccard verification at `jaccardThreshold`, and
+    * connected components; only each duplicate group's minimum-id
+    * representative survives. Output shape matches [[curate]]:
+    * (idCol, n_words, dup_line_frac).
+    *
+    * Still ONE pass over the text: the shingle-hash arrays ride in the same
+    * checkpointed projection as the Gopher/repetition arrays and the
+    * fingerprint, survive the exact-dedup min_by as a struct field, and feed
+    * the fuzzy stage directly — so the near-dup stage costs banding + verify
+    * shuffles sized to the SURVIVOR set (hashes only on the wire), never a
+    * second corpus scan. Semantically identical to composing curate -> join
+    * text back -> [[Dedup.minhashDedup]] -> [[Dedup.components]] -> drop
+    * non-representatives (asserted by the equivalence property test).
+    */
+  def curateFuzzy(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5, shingleSize: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, maxBucket: Int = 100,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val m = new GopherMetrics(minWords, maxWords, minStopHits)
+    // checkpoint: survivors feed the pair-discovery stage AND the final
+    // representative anti-join
+    val survivors =
+      gopherBound(df, idCol, textCol,
+          Seq(fingerprint(col(textCol)).as("_fp"),
+            expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("_sh")),
+          derived = Seq(dupFrac(col("_ls")).as("_dlf"),
+            dupFrac(ngramsOf(col("_ws"), ngram)).as("_dgf")))
+        .filter(m.keep && col("_dlf") < maxDupLineFrac && col("_dgf") < maxDupNgramFrac)
+        .groupBy(col("_fp"))
+        .agg(min_by(struct(col(idCol), size(col("_ws")).as("n_words"),
+          col("_dlf").as("dup_line_frac"), col("_sh").as("sh")), col(idCol)).as("_r"))
+        .select(col(s"_r.$idCol"), col("_r.n_words"), col("_r.dup_line_frac"),
+          col("_r.sh").as("sh"))
+        .localCheckpoint(eager = false)
+    val pairs = graft.operators.Dedup.minhashDedupFromSets(
+      survivors.select(col(idCol), col("sh")), idCol,
+      bands, rowsPerBand, maxBucket, jaccardThreshold)
+    // components labels every id in the pair graph with its minimum
+    // reachable id; non-representatives (label != id) drop, singletons
+    // (absent from the graph) keep
+    val dropIds = graft.operators.Dedup.components(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    survivors.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("n_words"), col("dup_line_frac"))
+  }
 }

@@ -378,6 +378,80 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
       self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
     }),
+    // THE ANN tuning number: measured recall@10 of the bucketed-IVF probe
+    // against exact brute force on 25 shared queries, joined Spark-side.
+    // Deterministic (hash-seeded centroids) but not SQL-expressible — the
+    // driver records rows-only; the paired _check below is the oracled gate.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfWriteBucketed(e, "graft_ivf_recall_gate", "vec_id", "embedding")
+      val ivf = Similarity.ivfTopKFromBucketed(s, "graft_ivf_recall_gate", q,
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        "query_id", "qv", k = 10)
+      Similarity.recallAtK(ivf, brute, 10).orderBy(col("query_id"))
+    }),
+    // the oracled gate for the recall machinery, on a doubled corpus (clone
+    // = vec_id + 1000000): branch 1 emits one per-query `ok` that is
+    // provably true — the query vector and its planted clone are exact
+    // duplicates, so both live in the probed argmax cell and fill IVF ranks
+    // 1-2 (tiebreak vec_id asc), brute's top-2 are the same two rows, hence
+    // recall@10 >= 0.2 and <= 1 with exactly 10 exact neighbors; branch 2
+    // (expected EMPTY) re-scores every emitted IVF neighbor with built-in
+    // HOFs (see dedup_simhash_check). A hash match proves the joined
+    // recall pipeline reports real overlaps of real cosines.
+    "ann_ivf_recall_check" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionAll(e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")))
+      Similarity.ivfWriteBucketed(doubled, "graft_ivf_recallck_gate", "vec_id",
+        "embedding")
+      val q = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val ivf = Similarity.ivfTopKFromBucketed(s, "graft_ivf_recallck_gate", q,
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false) // facts + recall + FP branch
+      val brute = Similarity.bruteForceTopK(doubled, q, "vec_id", "embedding",
+        "query_id", "qv", k = 10)
+      val rec = Similarity.recallAtK(ivf, brute, 10)
+      val facts = ivf.groupBy(col("query_id")).agg(
+        max(when(col("vec_id") === col("query_id") && col("rank") === 1, 1)
+          .otherwise(0)).as("_self"),
+        max(when(col("vec_id") === col("query_id") + 1000000 && col("rank") === 2, 1)
+          .otherwise(0)).as("_clone"))
+      val ok = facts.join(rec, Seq("query_id"))
+        .select(col("query_id"),
+          (col("_self") === 1 && col("_clone") === 1 && col("n_exact") === 10 &&
+            col("recall") >= 0.2 && col("recall") <= 1.0).as("ok"))
+      val bad = ivf
+        .join(doubled.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), lit(false).as("ok"))
+      ok.unionAll(bad).orderBy(col("query_id"), col("ok"))
+    }),
+    // cell-occupancy skew report over the persisted IVF index — the measured
+    // input to the rebuild decision ivfAppendToIndex defers. Cell ids are
+    // xxhash-derived (not DuckDB-expressible) but the occupancy invariants
+    // are provable and SQL-checkable: counts sum to the non-zero-norm corpus
+    // size, occupied cells number in [1, nlist], every occupied cell holds
+    // >= 1 row, p99 <= max, and max >= n_rows/nlist (pigeonhole). The
+    // emitted row is exactly these facts, so a hash match proves the report
+    // reconciles with the corpus it indexed.
+    "ann_ivf_cellstats" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfWriteBucketed(e, "graft_ivf_stats_gate", "vec_id", "embedding")
+      Similarity.ivfCellStats(s, "graft_ivf_stats_gate")
+        .select(col("n_rows"),
+          col("n_cells_used").between(lit(1), col("n_cells_total")).as("cells_bounded"),
+          (col("min_cell") >= 1).as("min_positive"),
+          (col("p99_cell") <= col("max_cell")).as("p99_bounded"),
+          (col("max_cell").cast("double") >=
+            col("n_rows").cast("double") / col("n_cells_total")).as("max_ge_mean"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -573,6 +647,25 @@ object PipelineQueries {
       TextAnalysis.curate(docs(s, dir), "doc_id", "text",
           minWords = 30, minStopHits = 1)
         .orderBy(col("doc_id"))),
+    // the FULL published funnel (C4/Gopher/RefinedWeb): quality gate +
+    // repetition + exact dedup + MinHash near-dup dedup + connected
+    // components, in one plan with one text scan. Banding uncapped at
+    // threshold 0.9 so the pair set is SQL-expressible (as in
+    // dedup_minhash). The planted base appends a one-word variant of every
+    // doc: fingerprints differ (exact dedup keeps both) but the variant's
+    // shingle set is the original's plus ONE shingle, so jaccard =
+    // |A|/(|A|+1) >= 0.9 for every >= 30-word survivor and the fuzzy stage
+    // must collapse each variant onto its original — which the exact-only
+    // funnel provably cannot do.
+    "pipeline_curate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text")))
+      TextAnalysis.curateFuzzy(base, "doc_id", "text",
+          minWords = 30, minStopHits = 1,
+          maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -694,6 +787,24 @@ object PipelineQueries {
         |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
         |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
         |ORDER BY id_a, id_b""".stripMargin,
+    // every per-query invariant of the recall gate holds by construction
+    // (see the query comment), and the FP branch is empty — the oracle is
+    // one all-true row per non-zero-norm query
+    "ann_ivf_recall_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 25)
+        |SELECT vec_id AS query_id, true AS ok
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, ok""".stripMargin,
+    // the occupancy invariants of the cell-stats report (see the query
+    // comment): every boolean is provably true, n_rows is the non-zero-norm
+    // corpus size
+    "ann_ivf_cellstats" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT count(*) AS n_rows, true AS cells_bounded, true AS min_positive,
+        |       true AS p99_bounded, true AS max_ge_mean
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0""".stripMargin,
     "ann_lsh_topk_check" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 5)
@@ -1149,6 +1260,90 @@ object PipelineQueries {
         |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // the fuzzy funnel re-assembled from the pipeline_curate, duckShingles
+    // and dedup_groups oracle fragments on the planted one-word-variant
+    // base: gates + exact dedup as in pipeline_curate, then shingle-set
+    // jaccard >= 0.9 pairs among survivors, transitive closure by recursive
+    // CTE, and only min-reachable-id representatives (or singletons) kept
+    "pipeline_curate_fuzzy" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftfuzz' FROM documents),
+        |gw AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+        |  FROM base),
+        |gm AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS blf,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS elf,
+        |         CASE WHEN len(ws) > 0
+        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |              ELSE 0.0 END AS awf,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(ws, s))) AS stop_hits
+        |  FROM gw),
+        |rep AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(lines) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |              ELSE 0.0 END AS dlf,
+        |         CASE WHEN len(grams) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |              ELSE 0.0 END AS dgf,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT doc_id, text,
+        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                           l -> l != '') AS lines,
+        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+        |        FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM base))),
+        |keepers AS (
+        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
+        |  FROM gm JOIN rep USING (doc_id)
+        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
+        |surv AS (
+        |  SELECT k.doc_id, k.n_words, k.dlf
+        |  FROM keepers k JOIN (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp) s
+        |    ON k.fp = s.fp AND k.doc_id = s.doc_id),
+        |sh AS (
+        |  SELECT b.doc_id,
+        |         list_distinct(CASE WHEN len(b.ws) >= 3
+        |           THEN list_transform(range(1, len(b.ws) - 1), i -> array_to_string(b.ws[i:i+2], ' '))
+        |           ELSE [array_to_string(b.ws, ' ')] END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM base) b
+        |  JOIN surv USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT surv.doc_id, surv.n_words, surv.dlf AS dup_line_frac
+        |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+        |WHERE labels.id IS NULL OR labels.label = surv.doc_id
+        |ORDER BY surv.doc_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,

@@ -484,6 +484,50 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF cell stats: counts aggregate in the bucket layout with no exchange; skew report tracks appends") {
+    val corpus = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")
+    spark.sql("DROP TABLE IF EXISTS ivf_stats_t")
+    spark.sql("DROP TABLE IF EXISTS ivf_stats_t_centroids")
+    try {
+      Similarity.ivfWriteBucketed(corpus, "ivf_stats_t", "vec_id", "embedding",
+        nlist = 8, numBuckets = 8)
+      val counts = Similarity.ivfCellCounts(spark, "ivf_stats_t")
+      val got = counts.as[(Int, Long)].collect()
+      assert(got.map(_._2).sum == 64 && got.forall(_._2 >= 1))
+      // the whole counts plan is scan + in-place aggregate: zero exchanges
+      val plan = counts.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      val fmt = counts.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.contains("Bucketed: true"), fmt)
+      val s = Similarity.ivfCellStats(spark, "ivf_stats_t").collect().head
+      assert(s.getAs[Long]("n_rows") == 64)
+      assert(s.getAs[Long]("n_cells_total") == 8)
+      val used = s.getAs[Long]("n_cells_used")
+      assert(used >= 1 && used <= 8 && used == got.length)
+      val (minC, maxC) = (s.getAs[Long]("min_cell"), s.getAs[Long]("max_cell"))
+      assert(minC == got.map(_._2).min && maxC == got.map(_._2).max)
+      assert(maxC >= 64 / 8) // pigeonhole: the largest cell is at least the mean
+      assert(s.getAs[Double]("p99_cell") <= maxC && s.getAs[Double]("p99_cell") >= minC)
+      assert(math.abs(s.getAs[Double]("skew")
+        - maxC / s.getAs[Double]("mean_cell")) < 1e-4)
+      // append doubles every cell (same vectors re-quantize identically), so
+      // occupancy doubles but skew is unchanged — the report a rebuild
+      // decision would read after each increment
+      Similarity.ivfAppendToIndex(
+        corpus.selectExpr("vec_id + 100 AS vec_id", "embedding"),
+        "ivf_stats_t", "vec_id", "embedding")
+      val s2 = Similarity.ivfCellStats(spark, "ivf_stats_t").collect().head
+      assert(s2.getAs[Long]("n_rows") == 128)
+      assert(s2.getAs[Long]("max_cell") == 2 * maxC)
+      assert(math.abs(s2.getAs[Double]("skew") - s.getAs[Double]("skew")) < 1e-4)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_stats_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_stats_t_centroids")
+    }
+  }
+
   test("IVF append: appended vectors are probed through the pruned scan; full probe equals brute force over the union") {
     val corpus = spark.range(64).selectExpr("id AS vec_id",
       "transform(sequence(0, 3), d -> CAST(sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")

@@ -104,6 +104,28 @@ class TextPropertiesSpec extends SparkFunSuite {
     assert(fused == composed)
   }
 
+  test("curateFuzzy equals the composed curate -> minhash -> components path") {
+    // plant one-word variants so the fuzzy stage has real work: variants
+    // share all but one shingle with their original (jaccard |A|/(|A|+1))
+    val baseCases = sample(60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val cases = baseCases ++
+      baseCases.map { case (i, t) => (i + 1000L, (t + " zzvariant").trim) }
+    val df = cases.toDF("doc_id", "text")
+    val fused = TextAnalysis.curateFuzzy(df, "doc_id", "text",
+      minWords = 2, minStopHits = 0, maxDupLineFrac = 0.5, maxDupNgramFrac = 0.5,
+      maxBucket = Int.MaxValue, jaccardThreshold = 0.8)
+      .orderBy($"doc_id").as[(Long, Int, Double)].collect().toSeq
+    val surv = TextAnalysis.curate(df, "doc_id", "text",
+      minWords = 2, minStopHits = 0, maxDupLineFrac = 0.5, maxDupNgramFrac = 0.5)
+    val pairs = Dedup.minhashDedup(surv.join(df, Seq("doc_id")), "doc_id", "text",
+      maxBucket = Int.MaxValue, threshold = 0.8)
+    val drop = Dedup.components(pairs).filter($"id" =!= $"label")
+      .select($"id".as("doc_id"))
+    val composed = surv.join(drop, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id").as[(Long, Int, Double)].collect().toSeq
+    assert(fused == composed)
+  }
+
   test("substring pairs: planted clones always pair, sharing every window") {
     val base = sample(25).zipWithIndex.collect {
       case (t, i) if t.split("\\s+").count(_.nonEmpty) >= 1 => (i.toLong, t)
