@@ -117,6 +117,44 @@ object StreamOps {
     docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming SEMANTIC-dedup ingest over a persisted
+    * [[graft.operators.Similarity.ivfWriteBucketed]] IVF index — the vector
+    * member of the self-deduplicating-ingest family (exact: md5 index;
+    * near-dup text: minhash LSH index; near-dup vectors: this). Each
+    * micro-batch probes the index with
+    * [[graft.operators.Dedup.semanticDedupIncremental]] (cells assigned by
+    * the PERSISTED quantizer, batch-sized shuffles only), drops rows whose
+    * exact cosine with an indexed vector reaches `threshold`, appends
+    * survivors to `sinkTable` and (when `extendIndex`) quantizes them into
+    * the index's bucket layout via
+    * [[graft.operators.Similarity.ivfAppendToIndex]] — so batch N+1 dedups
+    * against the original corpus AND every earlier batch's survivors,
+    * while the quantizer never drifts.
+    *
+    * Same documented limits as [[streamingIncrementalDedup]]: near-dups
+    * WITHIN one micro-batch all survive (none is indexed yet), and a
+    * replayed epoch re-appends its survivors. One vector-specific caveat:
+    * zero-norm vectors can never match (no direction), so they reach the
+    * sink but are not appended to the index (the append path drops them).
+    */
+  def streamingSemanticDedup(vecsStream: DataFrame, indexTable: String,
+      idCol: String, vecCol: String, sinkTable: String,
+      threshold: Double = 0.9, maxCell: Int = 100,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, Similarity}
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val dupIds = Dedup.semanticDedupIncremental(batch, indexTable, idCol,
+        vecCol, threshold, maxCell)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = false) // sink append + index append
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex) Similarity.ivfAppendToIndex(survivors, indexTable, idCol, vecCol)
+    }
+    vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Stream-stream interval join: every left event joined to right events of
     * the same key with rightTs in [leftTs - upper, leftTs - lower] (backward
     * window). Watermarks on BOTH sides bound the join state — Spark retains

@@ -223,6 +223,69 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming semantic dedup drops indexed near-dups and extends the IVF index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val tables = Seq("sem_stream_t", "sem_stream_t_centroids", "t_sem_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Similarity.ivfWriteBucketed(corpus, "sem_stream_t",
+        "vec_id", "embedding", nlist = 2, numBuckets = 4)
+      val centroidsBefore = spark.table("sem_stream_t_centroids").collect().toSet
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      val q = StreamOps.streamingSemanticDedup(stream, "sem_stream_t",
+        "vec_id", "embedding", "t_sem_sink", threshold = 0.9,
+        maxCell = Int.MaxValue)
+      try {
+        // batch 1: 101 clones corpus vector 1 (cosine 1.0 -> dropped); 102
+        // is orthogonal to everything indexed (kept, appended to the index)
+        mem.addData((101L, Array(1f, 0f, 0f, 0f)), (102L, Array(0f, 0f, 1f, 0f)))
+        q.processAllAvailable()
+        // batch 2: 103 clones batch 1's SURVIVOR 102 — only the extended
+        // index can know that; 104 is new
+        mem.addData((103L, Array(0f, 0f, 1f, 0f)), (104L, Array(0f, 0f, 0f, 1f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table("t_sem_sink").select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(102L, 104L))
+      // the index grew by exactly the survivors, through the persisted
+      // quantizer (no centroid drift)
+      assert(spark.table("sem_stream_t").select("vec_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 102L, 104L))
+      assert(spark.table("sem_stream_t_centroids").collect().toSet == centroidsBefore)
+      // batch-path parity: the same two batches pushed through the batch
+      // operators against a fresh copy of the original index keep the same
+      // ids (the streaming query is foreachBatch over exactly this plan)
+      val batches = Seq(
+        Seq((101L, Array(1f, 0f, 0f, 0f)), (102L, Array(0f, 0f, 1f, 0f))),
+        Seq((103L, Array(0f, 0f, 1f, 0f)), (104L, Array(0f, 0f, 0f, 1f))))
+      Seq("sem_stream_b", "sem_stream_b_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      try {
+        graft.operators.Similarity.ivfWriteBucketed(corpus, "sem_stream_b",
+          "vec_id", "embedding", nlist = 2, numBuckets = 4)
+        val batchKept = batches.flatMap { b =>
+          val df = b.toDF("vec_id", "embedding")
+          val dupIds = graft.operators.Dedup.semanticDedupIncremental(df,
+            "sem_stream_b", "vec_id", "embedding", threshold = 0.9,
+            maxCell = Int.MaxValue).select(col("batch_id").as("vec_id")).distinct()
+          val survivors = df.join(dupIds, Seq("vec_id"), "left_anti")
+            .localCheckpoint(eager = false)
+          graft.operators.Similarity.ivfAppendToIndex(survivors, "sem_stream_b",
+            "vec_id", "embedding")
+          survivors.select("vec_id").as[Long].collect().toSeq
+        }.toSet
+        assert(batchKept == kept)
+      } finally Seq("sem_stream_b", "sem_stream_b_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("security rules rewrite streaming plans (filter + mask on a stream)") {
     val events = StreamOps.eventsStream(spark, dir)
     events.createOrReplaceTempView("events_stream")
