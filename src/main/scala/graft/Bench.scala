@@ -34,8 +34,13 @@ object Bench {
       // query's localCheckpoint blocks explicitly — the ContextCleaner only
       // reclaims them after a GC notices the dead references, and pending
       // blocks distort later timings at larger scale factors (dedup_groups
-      // measured 3x slower in-suite than solo before this)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // measured 3x slower in-suite than solo before this). BLOCKING
+      // unpersist: with the async form the next query starts while eviction
+      // is still queued, and at sf1 the leftover blocks push the 8g heap to
+      // its ceiling (q1_agg measured 19 s in-suite vs 2.8 s solo before
+      // this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
       t
     }
