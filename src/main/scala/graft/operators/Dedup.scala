@@ -209,10 +209,7 @@ object Dedup {
       windowTokens: Int = 50, maxBucket: Int = 100): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     VectorFunctions.register(df.sparkSession)
-    val rows = df
-      .filter(trim(col(textCol)) =!= "") // null-safe: null trims to null, drops
-      .select(col(idCol),
-        explode(expr(s"graft_shingle_hashes($textCol, $windowTokens)")).as("h"))
+    val rows = windowRows(df, idCol, textCol, windowTokens)
     val capped = (
       if (maxBucket >= Int.MaxValue) rows
       else rows
@@ -226,6 +223,97 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The distinct-window hash rows (idCol, h) behind [[substringPairs]] and
+    * the persisted substring index: one 64-bit xxhash per distinct
+    * `windowTokens`-token window (whole-text fallback below the window
+    * size), blank/null docs dropped — window STRINGS never leave the
+    * mapper.
+    */
+  private def windowRows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    df.filter(trim(col(textCol)) =!= "") // null-safe: null trims to null, drops
+      .select(col(idCol),
+        explode(expr(s"graft_shingle_hashes($textCol, $windowTokens)")).as("h"))
+
+  /** Persist the exact-substring dedup index: every document's DISTINCT
+    * `windowTokens`-token window hashes as (idCol, h) rows BUCKETED by the
+    * hash, plus `<table>_meta` pinning the window size so an increment can
+    * never be windowed differently from the index it probes. The substring
+    * member of the persisted-index family ([[exactWriteBucketed]] /
+    * [[minhashWriteBucketed]] / [[Similarity.ivfWriteBucketed]]): build once
+    * over the corpus, then each batch pays batch-sized shuffles only.
+    */
+  def substringWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      textCol: String, windowTokens: Int = 50, numBuckets: Int = 16): Unit = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    Seq(table, s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((windowTokens, numBuckets)).toDF("window_tokens", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    graft.sources.Sources.writeBucketed(
+      windowRows(corpus, idCol, textCol, windowTokens), table, Seq("h"), numBuckets)
+  }
+
+  /** Shared-substring report of a batch against a [[substringWriteBucketed]]
+    * index: `(batch_id, corpus_id, n_shared)` — one row per (batch doc,
+    * corpus doc) sharing at least one distinct `windowTokens`-token window
+    * (the Lee et al. 2021 signal, incremental form; window size comes from
+    * `<table>_meta`, not the caller). Returns evidence PAIRS like
+    * [[semanticDedupIncremental]]; derive survivors with an anti-join on
+    * batch_id, thresholding n_shared as policy demands.
+    *
+    * Corpus-shuffle-free: the join reads the index pre-bucketed on the
+    * window hash, so only batch-sized rows exchange, and the `maxBucket`
+    * skew cap (boilerplate windows shared by thousands of docs) counts
+    * corpus bucket sizes with a bucketing-aligned groupBy + join-back —
+    * no exchange on the corpus side anywhere in the plan.
+    */
+  def substringDedupIncremental(batch: DataFrame, table: String, idCol: String,
+      textCol: String, maxBucket: Int = 100): DataFrame = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val windowTokens = spark.table(s"${table}_meta").collect().head
+      .getAs[Int]("window_tokens")
+    val batchRows = windowRows(batch, idCol, textCol, windowTokens)
+      .select(col("h"), col(idCol).as("batch_id"))
+    val corpusRows = spark.table(table)
+    val capped =
+      if (maxBucket >= Int.MaxValue) corpusRows
+      else {
+        // groupBy on the bucketing key: aggregates within buckets, no
+        // exchange; the count join back is bucketed-to-bucketed, also free
+        val smallEnough = corpusRows
+          .groupBy(col("h")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucket)
+          .select(col("h"))
+        corpusRows.join(smallEnough, Seq("h"))
+      }
+    capped.select(col("h"), col(idCol).as("corpus_id"))
+      .join(batchRows, "h")
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Append new docs' window hashes to a [[substringWriteBucketed]] index in
+    * place (window size from `<table>_meta`, same bucket layout), so the
+    * next [[substringDedupIncremental]] batch also dedups against every
+    * earlier batch's survivors.
+    */
+  def substringAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    VectorFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect().head
+    graft.sources.Sources.writeBucketed(
+      windowRows(docs, idCol, textCol, meta.getAs[Int]("window_tokens")),
+      table, Seq("h"), meta.getAs[Int]("num_buckets"),
+      org.apache.spark.sql.SaveMode.Append)
   }
 
   /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard

@@ -128,6 +128,20 @@ object PipelineQueries {
       Dedup.substringPairs(planted(s, dir), "doc_id", "text",
           windowTokens = 50, maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))),
+    // incremental substring dedup against the persisted window-hash index:
+    // corpus = documents, batch = offset clones, so every batch doc must
+    // report sharing ALL its windows with its original (plus any corpus doc
+    // its original shares a window with). maxBucket uncapped for the
+    // oracle, as in dedup_minhash.
+    "dedup_substring_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.substringWriteBucketed(d, "graft_ss_gate", "doc_id", "text",
+        windowTokens = 50)
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.substringDedupIncremental(batch, "graft_ss_gate", "doc_id", "text",
+          maxBucket = Int.MaxValue)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     // incremental EXACT dedup against a persisted hash index: the batch
     // plants (a) raw clones of every doc — must all drop against the corpus,
     // (b) suffixed variants — new content, must survive, and (c) a second
@@ -748,6 +762,24 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // batch-vs-corpus bipartite window join (no id_a < id_b: the clone of
+    // doc i must pair with i itself); same window strings and blank-doc
+    // filter as dedup_substring
+    "dedup_substring_incr" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) >= 50
+        |           THEN list_transform(range(1, len(ws) - 48), i -> array_to_string(ws[i:i+49], ' '))
+        |           ELSE [array_to_string(ws, ' ')] END) AS s
+        |  FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+        |SELECT a.doc_id + 1000000 AS batch_id, b.doc_id AS corpus_id,
+        |       count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram
+        |GROUP BY 1, 2 ORDER BY batch_id, corpus_id""".stripMargin,
     // survivors = within-batch canonical rows whose content the corpus does
     // not already contain; DuckDB re-derives the same planted batch
     "dedup_exact_incr" ->

@@ -117,6 +117,34 @@ object StreamOps {
     docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming SUBSTRING-dedup ingest over a persisted
+    * [[graft.operators.Dedup.substringWriteBucketed]] window-hash index:
+    * each micro-batch drops docs sharing at least `minShared` distinct
+    * `windowTokens`-token windows with an indexed doc (the Lee et al. 2021
+    * signal, window size pinned in the index's meta table), appends
+    * survivors to `sinkTable` and (by default) their window hashes back
+    * into the index. Same caveats as [[streamingIncrementalDedup]]:
+    * within-micro-batch duplicates all survive, and replays re-append.
+    */
+  def streamingSubstringDedup(docsStream: DataFrame, indexTable: String,
+      idCol: String, textCol: String, sinkTable: String,
+      maxBucket: Int = 100, minShared: Long = 1,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val dupIds = Dedup.substringDedupIncremental(batch, indexTable, idCol,
+        textCol, maxBucket)
+        .filter(col("n_shared") >= minShared)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = false) // sink append + index append
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex) Dedup.substringAppendToIndex(survivors, indexTable, idCol, textCol)
+    }
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Streaming SEMANTIC-dedup ingest over a persisted
     * [[graft.operators.Similarity.ivfWriteBucketed]] IVF index — the vector
     * member of the self-deduplicating-ingest family (exact: md5 index;

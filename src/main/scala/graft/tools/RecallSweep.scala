@@ -36,6 +36,18 @@ object RecallSweep {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"nprobe=$np%2d  recall@10=$rec%.3f  probe_sec=$sec%.2f")
     }
+    // the LSH analog: fewer hyperplane bits -> wider buckets -> higher
+    // recall, more scanning (multi-probe over 1-bit flips is fixed at nBits
+    // neighbors, so the scanned fraction is ~(nBits+1)/2^nBits)
+    Seq(4, 6, 8, 10, 12).foreach { nb =>
+      val t0 = System.nanoTime()
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        "query_id", "qv", k = 10, nBits = nb)
+      val rec = Similarity.recallAtK(lsh, brute, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"nBits=$nb%2d  recall@10=$rec%.3f  probe_sec=$sec%.2f")
+    }
     spark.stop()
   }
 }

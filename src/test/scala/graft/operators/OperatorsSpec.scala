@@ -828,6 +828,62 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("incremental substring dedup probes the bucketed window index without reshuffling it") {
+    val tables = Seq("ss_incr_t", "ss_incr_t_meta")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val t0 = spark.conf.get(thresholdKey)
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // broadcast off: the no-reshuffle property must come from bucketing
+      spark.conf.set(thresholdKey, "-1")
+      val run = "alpha beta gamma delta epsilon" // one shared 5-token window
+      val corpus = Seq(
+        (1L, s"one two $run"),
+        (2L, "totally different content with no shared windows at all"))
+        .toDF("doc_id", "text")
+      Dedup.substringWriteBucketed(corpus, "ss_incr_t", "doc_id", "text",
+        windowTokens = 5, numBuckets = 4)
+      val batch = Seq(
+        (101L, s"nine eight $run seven"), // shares exactly the run window
+        (102L, "brand new material unrelated to anything indexed"))
+        .toDF("doc_id", "text")
+      val out = Dedup.substringDedupIncremental(batch, "ss_incr_t", "doc_id",
+        "text", maxBucket = Int.MaxValue)
+      val got = out.select("batch_id", "corpus_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((101L, 1L, 1L)))
+      // the corpus index is read pre-bucketed, never reshuffled
+      val fmt = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.contains("Bucketed: true"), fmt)
+      assert(!fmt.contains("Bucketed: false"), fmt)
+      // capped path: the bucket count groups on the bucketing key (second
+      // bucketed scan, still no corpus-side exchange), output unchanged
+      val capped = Dedup.substringDedupIncremental(batch, "ss_incr_t",
+        "doc_id", "text", maxBucket = 100)
+      assert(capped.select("batch_id", "corpus_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet == got)
+      val fmtCapped = capped.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("Bucketed: true".r.findAllIn(fmtCapped).size >= 2, fmtCapped)
+      assert(!fmtCapped.contains("Bucketed: false"), fmtCapped)
+      // append through the pinned window size: a later batch rediscovers
+      // the appended doc's 3 distinct windows (7 tokens, w=5)
+      Dedup.substringAppendToIndex(
+        Seq((102L, "brand new material unrelated to anything indexed"))
+          .toDF("doc_id", "text"), "ss_incr_t", "doc_id", "text")
+      val re = Dedup.substringDedupIncremental(
+        Seq((202L, "brand new material unrelated to anything indexed"))
+          .toDF("doc_id", "text"),
+        "ss_incr_t", "doc_id", "text", maxBucket = Int.MaxValue)
+      assert(re.select("batch_id", "corpus_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet == Set((202L, 102L, 3L)))
+    } finally {
+      spark.conf.set(thresholdKey, t0)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental exact dedup: corpus clones drop, new content survives, batch dups collapse; index reads bucketed") {
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
     val t0 = spark.conf.get(thresholdKey)

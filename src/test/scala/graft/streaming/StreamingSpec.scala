@@ -223,6 +223,45 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming substring dedup drops window-sharing docs and extends the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about database engines and query optimizers"))
+      .toDF("doc_id", "text")
+    val tables = Seq("ss_stream_t", "ss_stream_t_meta", "t_ss_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Dedup.substringWriteBucketed(corpus, "ss_stream_t",
+        "doc_id", "text", windowTokens = 5, numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingSubstringDedup(stream, "ss_stream_t",
+        "doc_id", "text", "t_ss_sink", maxBucket = Int.MaxValue)
+      try {
+        // batch 1: 101 embeds a 5-token window of corpus doc 1 (dropped);
+        // 102 shares nothing (kept, windows appended)
+        mem.addData(
+          (101L, "xx yy the quick brown fox jumps over zz"),
+          (102L, "a wholly unique report concerning volcanic geology and magma flows"))
+        q.processAllAvailable()
+        // batch 2: 103 clones batch 1's SURVIVOR 102 — only the extended
+        // index can know that; 104 is new
+        mem.addData(
+          (103L, "a wholly unique report concerning volcanic geology and magma flows"),
+          (104L, "yet another fresh subject entirely unrelated to anything indexed"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table("t_ss_sink").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(102L, 104L))
+      // the index holds windows for the corpus plus exactly the survivors
+      assert(spark.table("ss_stream_t").select("doc_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 102L, 104L))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming semantic dedup drops indexed near-dups and extends the IVF index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
