@@ -333,6 +333,33 @@ object TextAnalysis {
       .select(col(s"_r.$idCol"), col("_r.n_words"), col("_r.dup_line_frac"))
   }
 
+  /** Per-source curation report — the table a mixture decision is made
+    * from (which provenance buckets to up/down-sample before training):
+    * per source, document count, exact-duplicate fraction (by content
+    * fingerprint), Gopher keep rate, mean quality score and mean word
+    * count. One pass over the text computes every per-doc signal; the only
+    * shuffle is the group-by on the source key (the fingerprint rides it
+    * for the exact distinct count). Score sums go through DECIMAL so the
+    * aggregate is order-free and cross-engine exact.
+    */
+  def sourceReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val m = new GopherMetrics(minWords, maxWords, minStopHits)
+    val n = count(lit(1)).cast("double")
+    gopherBound(df, idCol, textCol,
+        Seq(col(sourceCol), fingerprint(col(textCol)).as("_fp"),
+          qualityScore(textCol).cast("decimal(18,6)").as("_score")))
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(lit(1.0) - countDistinct(col("_fp")).cast("double") / n, 6)
+          .as("dup_frac"),
+        round(sum(m.keep.cast("int")).cast("double") / n, 6).as("keep_frac"),
+        round(sum(col("_score")).cast("double") / n, 6).as("avg_score"),
+        round(sum(size(col("_ws"))).cast("double") / n, 6).as("avg_words"))
+  }
+
   /** [[curate]] plus the near-dup stage every published pretraining funnel
     * runs after exact dedup (C4, Gopher/MassiveText, RefinedWeb): survivors
     * of the quality gate + exact dedup flow through MinHash-LSH candidate

@@ -524,6 +524,13 @@ object PipelineQueries {
       TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
           maxTokens = 50, overlap = 10)
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // per-source curation report: the mixture-decision table (dup rate,
+    // Gopher keep rate, mean quality/length per provenance bucket); one
+    // text pass + one group-by, every signal SQL-expressible
+    "text_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceReport(docs(s, dir), "doc_id", "text", "source",
+          minWords = 30, minStopHits = 1)
+        .orderBy(col("source"))),
     // the full Gopher quality-rule report over documents: per-doc metrics +
     // the combined keep verdict, every rule SQL-expressible in DuckDB
     "text_gopher" -> ((s, dir) =>
@@ -1103,6 +1110,53 @@ object PipelineQueries {
         |       array_to_string(ws[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text,
         |       least(50, nw - chunk_id*40) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // per-source rollup of the text_gopher keep rule (minWords 30, 1 stop
+    // hit), the text_quality score (summed as DECIMAL — order-free), the
+    // fingerprint distinct count and filtered word counts
+    "text_source_report" ->
+      s"""WITH w AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS nt,
+        |         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS np,
+        |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                              x -> list_contains($duckStop, x))) AS DOUBLE) AS ns,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, fp, len(ws) AS n_words,
+        |         (len(ws) BETWEEN 30 AND 100000
+        |          AND (CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END) >= 3
+        |          AND (CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END) <= 10
+        |          AND (CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END) < 0.1
+        |          AND (CASE WHEN len(ls) > 0
+        |               THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |               ELSE 0.0 END) < 0.9
+        |          AND (CASE WHEN len(ls) > 0
+        |               THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |               ELSE 0.0 END) < 0.3
+        |          AND (CASE WHEN len(ws) > 0
+        |               THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |               ELSE 0.0 END) > 0.8
+        |          AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                              s -> list_contains(ws, s))) >= 1) AS keep,
+        |         round((least(nc / 200.0, 1.0) * 0.4
+        |                + (CASE WHEN nc / greatest(nt, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |                + least(ns / greatest(nt, 1.0) * 5.0, 1.0) * 0.3)
+        |               * (1.0 - least(np / greatest(nc, 1.0) * 2.0, 1.0)), 6) AS score
+        |  FROM w)
+        |SELECT source, count(*) AS n_docs,
+        |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac,
+        |       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_frac,
+        |       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_score,
+        |       round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS avg_words
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // full Gopher rule set replicated verbatim; keep is derived from the
     // UNROUNDED doubles in both engines (identical IEEE division), the
     // reported fractions are rounded for stable comparison

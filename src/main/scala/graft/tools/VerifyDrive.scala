@@ -81,9 +81,22 @@ object VerifyDrive {
     println(s"streamed=$streamedN batch=$batchN flushable(batch sessions ending >gap before max ts)=$flushableN")
     assert(streamedN >= flushableN && streamedN <= batchN,
       s"flushed count $streamedN outside [$flushableN, $batchN]")
+    println("== per-source curation report over real documents parquet ==")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = graft.operators.TextAnalysis.sourceReport(
+      docs, "doc_id", "text", "source", minWords = 30, minStopHits = 1)
+    rep.orderBy(col("source")).show(25, false)
+    val repRows = rep.collect()
+    assert(repRows.nonEmpty, "source report empty")
+    assert(repRows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "n_docs does not partition the corpus")
+    assert(repRows.forall { r =>
+      val d = r.getAs[Double]("dup_frac"); val k = r.getAs[Double]("keep_frac")
+      d >= 0 && d <= 1 && k >= 0 && k <= 1
+    }, "fractions out of [0,1]")
     // probes
     for (bad <- Seq(
-      "select mask('a','b','c','d','e','f')", // 6 args: unsupported count
+      "select mask('a','b','c','d','e','f','g')", // 7 args: unsupported count
       "select mask(o_orderdate,'x','x','x',-1,'1',o_orderkey,0,-1) from orders" // non-literal day
     )) {
       try { spark.sql(bad).collect(); println(s"PROBE-NO-ERROR: $bad") }

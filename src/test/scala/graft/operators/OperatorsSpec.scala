@@ -749,6 +749,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(m.forall(r => !r.getAs[Boolean]("keep") || r.getAs[Long]("doc_id") == 1L))
   }
 
+  test("source report aggregates dup/keep/score per provenance bucket") {
+    val good = ("the quick brown fox jumps over that lazy dog with vigor today " * 5).trim
+    val df = Seq(
+      (1L, good, "web"),
+      (2L, good, "web"), // exact dup of 1
+      (3L, "too short", "web"),
+      (4L, "unique tiny", "books")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceReport(df, "doc_id", "text", "source",
+      minWords = 30, minStopHits = 1).orderBy($"source").collect()
+    val (books, web) = (got(0), got(1))
+    assert(web.getAs[String]("source") == "web" && web.getAs[Long]("n_docs") == 3)
+    assert(web.getAs[Double]("dup_frac") == 0.333333) // 2 distinct fingerprints of 3
+    assert(web.getAs[Double]("keep_frac") == 0.666667) // the dup pair passes, "too short" fails
+    assert(books.getAs[Long]("n_docs") == 1)
+    assert(books.getAs[Double]("dup_frac") == 0.0 && books.getAs[Double]("keep_frac") == 0.0)
+    assert(web.getAs[Double]("avg_words") > books.getAs[Double]("avg_words"))
+  }
+
   test("decontamination counts distinct shared n-grams; hits join is not hint-broadcast") {
     val bench = Seq((100L, "the secret benchmark answer is forty two")).toDF("doc_id", "text")
     val corpus = Seq(
