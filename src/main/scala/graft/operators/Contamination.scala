@@ -41,4 +41,42 @@ object Contamination {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Bloom-filter decontamination — the 100 TB fast path. [[report]] already
+    * avoids shuffling the corpus (broadcast hash join on bench grams), but it
+    * still materializes every distinct corpus gram as a join-probe row and
+    * ships the full bench gram STRINGS to every executor. Here the bench side
+    * is collapsed to a constant-size bit set (`DataFrameStatFunctions
+    * .bloomFilter`, ~1.2 MB at one million grams / 0.1% fpp) and the corpus
+    * pass is a pure map: per doc, count distinct grams the filter might
+    * contain. ZERO shuffles, zero joins — the plan is scan → project,
+    * so it composes into any curation funnel for free.
+    *
+    * Guarantee: Bloom filters have no false negatives, so per doc
+    * `n_flagged >= n_overlap` ([[report]]'s exact count) and every exactly
+    * contaminated doc is flagged; `fpp` bounds the per-gram false-positive
+    * rate. The standard deployment is bloom-first at full scale, then the
+    * exact [[report]] on the (tiny) flagged slice — compose the two with a
+    * semi-join on the flagged ids.
+    */
+  def reportBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    val benchGrams = bench
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    // one aggregate over the small side to size the filter honestly; the
+    // builder itself is a treeAggregate of fixed-size bit sets
+    val expected = math.max(benchGrams.count(), 1L)
+    val filter = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bcFilter = spark.sparkContext.broadcast(filter)
+    val nFlagged = udf { grams: Seq[String] =>
+      if (grams == null) 0L else grams.count(bcFilter.value.mightContain).toLong
+    }
+    docs
+      .select(col(idCol),
+        nFlagged(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
+          .as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
 }

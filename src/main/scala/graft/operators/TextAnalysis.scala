@@ -360,6 +360,30 @@ object TextAnalysis {
         round(sum(size(col("_ws"))).cast("double") / n, 6).as("avg_words"))
   }
 
+  /** Sketch-based per-source statistics — the constant-memory form of
+    * [[sourceReport]]'s counting for corpora where exact per-group state
+    * does not fit. `approx_count_distinct` (HyperLogLog++, `rsd` relative
+    * error) replaces the exact distinct-fingerprint count, and
+    * `percentile_approx` (KLL-style quantile sketch, rank error `<= 1 /
+    * accuracy`) replaces exact word-count percentiles. Both sketches are
+    * fixed-size mergeable aggregation buffers: the map side combines
+    * locally and the group-by shuffles only sketch bytes per (partition,
+    * source) — at 100 TB that is KBs per source instead of one shuffle row
+    * per document. Deterministic (both sketches are insertion-order-free),
+    * gated against the exact values by the `_check` companion query.
+    */
+  def sketchStats(df: DataFrame, textCol: String, sourceCol: String,
+      rsd: Double = 0.05, accuracy: Int = 1000): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        fingerprint(col(textCol)).as("_fp"),
+        tokenCount(col(textCol)).as("_nw"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("_fp"), rsd).as("approx_distinct"),
+        percentile_approx(col("_nw"), lit(0.5), lit(accuracy)).as("p50_words"),
+        percentile_approx(col("_nw"), lit(0.95), lit(accuracy)).as("p95_words"))
+
   /** [[curate]] plus the near-dup stage every published pretraining funnel
     * runs after exact dedup (C4, Gopher/MassiveText, RefinedWeb): survivors
     * of the quality gate + exact dedup flow through MinHash-LSH candidate

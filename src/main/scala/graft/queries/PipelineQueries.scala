@@ -490,6 +490,37 @@ object PipelineQueries {
           expr("round(percentile(n_chars, 0.5), 6)").as("p50_chars"),
           expr("round(percentile(n_chars, 0.95), 6)").as("p95_chars"))
         .orderBy(col("lang"))),
+    // constant-memory per-source stats: HLL++ distinct + quantile-sketch
+    // percentiles; the group-by shuffles fixed-size sketch buffers, not one
+    // row per document (rows-only here — sketches have no DuckDB
+    // equivalent; the _check gate below bounds them against exact values)
+    "text_stats_sketch" -> ((s, dir) =>
+      TextAnalysis.sketchStats(docs(s, dir), "text", "source")
+        .orderBy(col("source"))),
+    // gate: HLL distinct within max(2, 20%) of the exact count, each
+    // approx percentile bracketed by generous exact percentiles around its
+    // rank (rank error at accuracy=1000 is 0.1%; the brackets allow 5-10x
+    // that). DuckDB recomputes the expected all-true table.
+    "text_stats_sketch_check" -> ((s, dir) => {
+      val sk = TextAnalysis.sketchStats(docs(s, dir), "text", "source")
+      val exact = docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.fingerprint(col("text")).as("_fp"),
+          TextAnalysis.tokenCount(col("text")).as("_nw"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("_fp")).as("exact_distinct"),
+          expr("percentile(_nw, array(0.40D, 0.60D, 0.90D, 0.98D))").as("_pb"))
+      sk.join(exact, "source")
+        .select(col("source"), col("n_docs"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            greatest(lit(2.0), lit(0.20) * col("exact_distinct")))
+            .as("distinct_ok"),
+          col("p50_words").between(element_at(col("_pb"), 1),
+            element_at(col("_pb"), 2)).as("p50_ok"),
+          col("p95_words").between(element_at(col("_pb"), 3),
+            element_at(col("_pb"), 4)).as("p95_ok"))
+        .orderBy(col("source"))
+    }),
     "sample_split" -> ((s, dir) =>
       Sampling.hashSplit(docs(s, dir), "doc_id")
         .groupBy(col("lang"), col("split"))
@@ -550,6 +581,38 @@ object PipelineQueries {
         d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0),
         "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Bloom-filter decontamination: the bench 5-gram set collapsed to a
+    // broadcast bit set, so the corpus pass is scan -> project with ZERO
+    // shuffles and no join at all (rows-only here; the _check gate below
+    // proves the no-false-negative guarantee against the exact oracle)
+    "text_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.reportBloom(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // recall gate: a Bloom filter cannot miss, so per doc the bloom count
+    // must dominate the exact count. Good rows re-emit the exact report —
+    // which DuckDB recomputes verbatim — and any violation would surface
+    // as an n_overlap=-1 row the oracle doesn't have
+    "text_decontam_bloom_check" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val exact = Contamination.report(corpus, bench, "doc_id", "text", n = 5)
+      val bloom = Contamination.reportBloom(corpus, bench, "doc_id", "text",
+        n = 5)
+      val j = exact.join(bloom.select(col("doc_id"), col("n_flagged")),
+        "doc_id")
+      j.filter(col("n_flagged") >= col("n_overlap"))
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .unionAll(j.filter(col("n_flagged") < col("n_overlap"))
+          .select(col("doc_id"), lit(-1L).as("n_overlap"),
+            lit(false).as("contaminated")))
         .orderBy(col("doc_id"))
     }),
     // cross-document boilerplate: 5-grams shared by >= 3 docs (hashGrams
@@ -1214,6 +1277,31 @@ object PipelineQueries {
          |       coalesce(h.n_overlap, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
          |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // the bloom recall gate must reproduce the exact decontam report
+    // row-for-row (every doc lands in the dominated branch)
+    "text_decontam_bloom_check" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+         |  FROM (SELECT doc_id, $duckWords AS w FROM documents)),
+         |bench AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+         |doc_grams AS (
+         |  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g WHERE doc_id % 17 <> 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(h.n_overlap, 0) AS n_overlap,
+         |       coalesce(h.n_overlap, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+         |LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // every sketch must land inside its tolerance bracket: the expected
+    // table is all-true per source
+    "text_stats_sketch_check" ->
+      """SELECT source, count(*) AS n_docs, true AS distinct_ok,
+        |       true AS p50_ok, true AS p95_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_boilerplate" ->
       s"""WITH g AS (
          |  SELECT doc_id,

@@ -793,6 +793,47 @@ class OperatorsSpec extends SparkFunSuite {
     } finally { spark.conf.set(thresholdKey, t0); spark.conf.set(aqeKey, a0) }
   }
 
+  test("bloom decontamination dominates the exact report and shuffles nothing") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "nothing in common with any eval suite at all here folks"),
+      (2L, "x the secret benchmark answer is forty z secret benchmark answer is forty y"),
+      (3L, "short")).toDF("doc_id", "text")
+    val exact = Contamination.report(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rep = Contamination.reportBloom(corpus, bench, "doc_id", "text", n = 5)
+    val bloom = rep.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // no false negatives: the bloom count dominates per doc, and every
+    // exactly contaminated doc is flagged
+    assert(exact.forall { case (id, n) => bloom(id)._1 >= n })
+    assert(bloom(2L)._2 && bloom(2L)._1 >= 2L)
+    // the corpus pass is a pure map: no Exchange anywhere in the plan
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sketch stats bracket the exact distinct count and percentiles") {
+    val df = (1 to 200).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      // i/2 distinct texts per source, word count grows with i
+      (i.toLong, ("w" + (i / 2) + " ") * (10 + i / 4), src)
+    }.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sketchStats(df, "text", "source")
+      .orderBy($"source").collect()
+    assert(got.map(_.getAs[String]("source")).toSeq == Seq("books", "web"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 100L)
+      // 100 distinct fingerprints per source at rsd=0.05: within 20%
+      val ad = r.getAs[Long]("approx_distinct")
+      assert(ad >= 80L && ad <= 120L, s"approx_distinct $ad")
+      val (p50, p95) = (r.getAs[Int]("p50_words"), r.getAs[Int]("p95_words"))
+      // word counts run 10..60; the medians land mid-range, p95 near top
+      assert(p50 >= 25 && p50 <= 45, s"p50 $p50")
+      assert(p95 > p50 && p95 <= 60, s"p95 $p95")
+    }
+  }
+
   test("incremental minhash dedup probes the bucketed index without reshuffling it") {
     val tables = Seq("mh_incr_t", "mh_incr_t_sets", "mh_incr_t_meta")
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
