@@ -70,6 +70,19 @@ object Multimodal {
       lit(16).as("height"),
       (length(col(textCol)) / 32 + 1).cast("int").as("n_frames"))
 
+  /** Exact media dedup by content hash: one row per distinct payload with
+    * the minimum surviving id and the copy count. The md5 is computed
+    * map-side and the partial aggregate combines before the shuffle, so
+    * payload BYTES never leave the scan — the exchange carries (16-byte
+    * hash, id, count) rows, one per distinct payload per partition,
+    * regardless of media size. The binary-column analog of
+    * [[Dedup.exactDedup]].
+    */
+  def dedupExact(media: DataFrame, idCol: String = "media_id"): DataFrame =
+    media.groupBy(md5(col("payload")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("content_hash"), col("n_copies"))
+
   /** Batched per-partition decode — the Scala analog of mapInPandas: one
     * decoder instantiation per partition, rows streamed through it, feature
     * vectors out. No shuffle; runs at input-split parallelism.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -280,6 +280,23 @@ object PipelineQueries {
           "te", "win_start", "win_end", bucketWidth = 3600L)
         .select(col("event_id"), col("user_id"), col("te"), col("win_start"))
         .orderBy(col("event_id"), col("win_start"))
+    }),
+    "skew_join" -> ((s, dir) => {
+      // 40% of events land on one hot key; the salted join spreads that
+      // key over 8 tasks and its output equals the plain join exactly
+      // (the salt is dropped before the aggregate)
+      val ev = Tables.df(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("hot_id",
+          when(col("user_id") % 5 < 2, lit(7L)).otherwise(col("user_id")))
+      val cust = Tables.df(s, dir, "customer")
+        .select(col("c_custkey").as("hot_id"), col("c_mktsegment"))
+      SkewJoin.saltedJoin(ev, cust, Seq("hot_id"), "event_id", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_value"))
+        .orderBy(col("c_mktsegment"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -655,6 +672,15 @@ object PipelineQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("n_frames"), length(col("payload")).as("n_bytes"))
         .orderBy(col("media_id"))),
+    // binary-content exact dedup: md5 computed in the scan, partial agg
+    // before the shuffle — payload bytes never leave the mapper (planted
+    // duplicates via the offset union, like dedup_exact)
+    "mm_dedup" -> ((s, dir) => {
+      val m = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+      val doubled = m.unionAll(
+        m.withColumn("media_id", col("media_id") + 1000000L))
+      Multimodal.dedupExact(doubled).orderBy(col("keep_id"))
+    }),
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
       Multimodal.decodeFeatures(s, media)
@@ -1027,6 +1053,16 @@ object PipelineQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |            AND c.te >= p.win_start AND c.te <= p.win_start + 3599
         |ORDER BY c.event_id, p.win_start""".stripMargin,
+    // the salted join must be invisible in the result: the oracle is the
+    // PLAIN join over the same planted-hot-key input
+    "skew_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 5 < 2 THEN 7 ELSE user_id END AS hot_id,
+        |                  value
+        |           FROM events)
+        |SELECT c_mktsegment, count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM e JOIN customer ON hot_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "asof_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
         |           FROM events WHERE event_type = 'click'),
@@ -1318,6 +1354,15 @@ object PipelineQueries {
          |            THEN round(CAST(coalesce(h.n_frequent, 0) AS DOUBLE) / len(g.grams), 6)
          |            ELSE 0.0 END AS boilerplate_frac
          |FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+    // payload is the UTF-8 encoding of text, and DuckDB's md5(VARCHAR)
+    // hashes exactly those bytes — same digests as Spark's md5(binary)
+    "mm_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(media_id) AS keep_id, md5(text) AS content_hash,
+        |       count(*) AS n_copies
+        |FROM m GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
         |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,

@@ -834,6 +834,46 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("salted join shuffles on (key, salt) and the hot key spreads over salts") {
+    val big = (1 to 400).map(i => (if (i % 2 == 0) 7L else (i % 20).toLong, i.toLong))
+      .toDF("k", "row_id")
+    val small = (0 to 19).map(k => (k.toLong, s"dim$k")).toDF("k", "label")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val t0 = spark.conf.get(thresholdKey)
+    try {
+      // broadcast off: salting targets shuffle joins; a broadcast join has
+      // no skew problem to begin with
+      spark.conf.set(thresholdKey, "-1")
+      val salted = SkewJoin.saltedJoin(big, small, Seq("k"), "row_id", saltFactor = 8)
+      // the shuffle key includes the salt (so one hot key spans 8 partition
+      // slots), and the salt never reaches the output
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning") && plan.contains("_graft_salt"), plan)
+      assert(!salted.columns.contains("_graft_salt"))
+      // the hot key's rows really take several distinct salt values
+      val saltSpread = big.filter($"k" === 7L)
+        .select(pmod(xxhash64($"row_id"), lit(8)).as("s")).distinct().count()
+      assert(saltSpread >= 4, s"salt spread only $saltSpread of 8")
+    } finally spark.conf.set(thresholdKey, t0)
+  }
+
+  test("media dedup groups identical payloads and never shuffles payload bytes") {
+    val media = Seq(
+      (1L, "same bytes"), (2L, "same bytes"), (3L, "other bytes"))
+      .toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.dedupExact(media).orderBy($"keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+    // the exchange is keyed on the md5 and carries the partial-aggregate
+    // buffer (hash, min, count) — payload bytes stay below the partial
+    // aggregate, which sits under the exchange
+    val plan = Multimodal.dedupExact(media).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(_groupingexpression"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(!plan.substring(0, exchangeIdx).contains("payload"), plan)
+  }
+
   test("incremental minhash dedup probes the bucketed index without reshuffling it") {
     val tables = Seq("mh_incr_t", "mh_incr_t_sets", "mh_incr_t_meta")
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
