@@ -436,4 +436,39 @@ object TextAnalysis {
     survivors.join(dropIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("n_words"), col("dup_line_frac"))
   }
+
+  /** The complete published pretraining funnel: benchmark decontamination,
+    * then quality gating + exact dedup + fuzzy dedup ([[curateFuzzy]]).
+    * Decontamination runs FIRST — it is the cheapest stage by construction
+    * (see below), so running it before the heavier gates shrinks everything
+    * downstream — and in the two-phase shape that deploys at 100 TB:
+    *
+    *  1. [[Contamination.reportBloom]] over the full corpus — scan →
+    *     project, ZERO shuffles; flags a superset of contaminated docs.
+    *  2. [[Contamination.report]] (exact) only on the flagged slice, which
+    *     is benchmark-overlap-sized, not corpus-sized.
+    *  3. Anti-join the confirmed ids (exact-contaminated only — Bloom false
+    *     positives survive) and hand the clean corpus to [[curateFuzzy]].
+    *
+    * Because Bloom filters have no false negatives, flagged ⊇ contaminated
+    * and steps 1-3 return EXACTLY the docs the exact-only pass would — the
+    * DuckDB oracle for the whole funnel composes the exact decontam CTE
+    * with the fuzzy-funnel SQL, and the output hash-matches.
+    */
+  def curateFull(df: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, decontamN: Int = 5, fpp: Double = 0.001,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxBucket: Int = 100, jaccardThreshold: Double = 0.7): DataFrame = {
+    val flaggedIds = Contamination
+      .reportBloom(df, bench, idCol, textCol, decontamN, fpp)
+      .filter(col("contaminated")).select(col(idCol))
+    val candidates = df.join(flaggedIds, Seq(idCol), "left_semi")
+    val confirmedIds = Contamination
+      .report(candidates, bench, idCol, textCol, decontamN)
+      .filter(col("contaminated")).select(col(idCol))
+    val clean = df.join(confirmedIds, Seq(idCol), "left_anti")
+    curateFuzzy(clean, idCol, textCol, minWords = minWords,
+      maxWords = maxWords, minStopHits = minStopHits, maxBucket = maxBucket,
+      jaccardThreshold = jaccardThreshold)
+  }
 }

@@ -857,6 +857,33 @@ class OperatorsSpec extends SparkFunSuite {
     } finally spark.conf.set(thresholdKey, t0)
   }
 
+  test("curateFull drops contaminated, low-quality, exact-dup and near-dup docs") {
+    val a = ("the alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu apple banana cherry dates " +
+      "elder figs grape honey icing jelly kiwi lemon mango")
+    val b = ("the crimson harbor evening window garden silver meadow bridge " +
+      "candle forest ribbon laughter journey village shadow morning copper " +
+      "lantern whisper valley island market thunder saddle timber harvest " +
+      "needle sparrow granite velvet monsoon orchard pebble quiver russet " +
+      "the secret benchmark answer is forty two")
+    val bench = Seq((100L, "x the secret benchmark answer is forty two y"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, a), // clean keeper
+      (2L, a), // exact dup of 1
+      (3L, a + " extratoken"), // near-dup of 1 (shingle jaccard ~0.97)
+      (4L, b), // contaminated: shares 5-grams with the bench doc
+      (5L, "tiny")) // fails the quality gate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.curateFull(corpus, bench, "doc_id", "text",
+      minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+      jaccardThreshold = 0.9)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), out.mkString(","))
+    assert(out.head.getAs[Int]("n_words") == 40)
+  }
+
   test("media dedup groups identical payloads and never shuffles payload bytes") {
     val media = Seq(
       (1L, "same bytes"), (2L, "same bytes"), (3L, "other bytes"))
