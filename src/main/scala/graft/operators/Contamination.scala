@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -60,8 +60,19 @@ object Contamination {
     * semi-join on the flagged ids.
     */
   def reportBloom(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
-    val spark = docs.sparkSession
+      textCol: String, n: Int, fpp: Double = 0.001): DataFrame =
+    docs
+      .select(col(idCol),
+        flaggedGramCount(bench, textCol, n, fpp).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+
+  /** Column counting the doc's distinct n-grams that might be in `bench`,
+    * against a Bloom filter built ONCE (an eager batch action on the small
+    * bench side) and broadcast. Pure map-side — usable on batch AND
+    * streaming DataFrames alike.
+    */
+  private def flaggedGramCount(bench: DataFrame, textCol: String, n: Int,
+      fpp: Double): Column = {
     val benchGrams = bench
       .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
@@ -69,14 +80,29 @@ object Contamination {
     // builder itself is a treeAggregate of fixed-size bit sets
     val expected = math.max(benchGrams.count(), 1L)
     val filter = benchGrams.stat.bloomFilter("gram", expected, fpp)
-    val bcFilter = spark.sparkContext.broadcast(filter)
+    val bcFilter = bench.sparkSession.sparkContext.broadcast(filter)
     val nFlagged = udf { grams: Seq[String] =>
       if (grams == null) 0L else grams.count(bcFilter.value.mightContain).toLong
     }
-    docs
-      .select(col(idCol),
-        nFlagged(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
-          .as("n_flagged"))
-      .withColumn("contaminated", col("n_flagged") > 0)
+    nFlagged(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
   }
+
+  /** Drop every doc that MIGHT share an n-gram with the benchmark —
+    * conservative quarantine semantics: Bloom false positives (rate
+    * bounded by `fpp` per gram) are dropped too; route the flagged slice
+    * through [[report]] instead when exact confirmation matters (see
+    * [[TextAnalysis.curateFull]]).
+    *
+    * Stateless and map-side, so it works UNCHANGED on a streaming
+    * DataFrame: the filter is built once from the static bench side at
+    * plan time and broadcast; each micro-batch then filters with no
+    * state store, no watermark and no shuffle — decontamination at
+    * ingest, in line with the engine's batch/streaming parity.
+    */
+  def dropContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double = 0.001): DataFrame =
+    docs
+      .withColumn("_graft_flagged", flaggedGramCount(bench, textCol, n, fpp))
+      .filter(col("_graft_flagged") === 0L)
+      .drop("_graft_flagged")
 }

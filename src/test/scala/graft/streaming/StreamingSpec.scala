@@ -344,4 +344,30 @@ class StreamingSpec extends SparkFunSuite {
     // props masked to sha256 hex
     assert(out.filter(!col("props").rlike("^[0-9a-f]{64}$")).count() == 0)
   }
+
+  test("streaming decontamination drops bench-overlapping docs map-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val clean = graft.operators.Contamination.dropContaminated(
+      stream, bench, "doc_id", "text", n = 5)
+    assert(clean.isStreaming)
+    val q = clean.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_decontam").start()
+    try {
+      mem.addData(
+        (1L, "nothing in common with any eval suite at all here folks"),
+        (2L, "x the secret benchmark answer is forty z leaked"),
+        (3L, "another clean document about volcanic geology and magma flows"))
+      q.processAllAvailable()
+      mem.addData((4L, "clean again"), (5L, "w the secret benchmark answer is forty two w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("t_stream_decontam").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }
