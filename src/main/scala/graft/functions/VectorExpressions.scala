@@ -31,6 +31,23 @@ object VectorOps {
     z ^ (z >>> 31)
   }
 
+  /** Byte offsets of the first `n` code-point starts in UTF-8 `bytes`,
+    * plus the terminal offset at index n — one linear walk, shared by the
+    * trigram expressions.
+    */
+  def charStarts(bytes: Array[Byte], n: Int): Array[Int] = {
+    val starts = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (c < n) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(n) = bytes.length
+    starts
+  }
+
   /** k-lane MinHash signature from per-shingle base hashes. */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
     val n = hashes.numElements()
@@ -309,6 +326,98 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Character trigrams of lowercased, trimmed text — the tight-loop form of
+  * the `transform(sequence(...), i -> substr(...))` HOF in
+  * [[graft.operators.LanguageModel]], which interprets a lambda per
+  * character position. Bit-compatible by construction: it uses the same
+  * `UTF8String.trim` / `UTF8String.toLowerCase` Spark's `trim`/`lower`
+  * call, and code-point windows like Spark's `substr` (one boundary walk
+  * over the bytes, not a per-gram scan — O(len), not O(len^2)). Parity
+  * with the HOF formulation is asserted in OperatorsSpec.
+  */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_trigrams expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  // NOT null-safe: the HOF formulation this replaces maps null text to an
+  // EMPTY array (its when() falls through to the otherwise branch), and
+  // drop-in parity is the contract
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Any])
+    val s = v.asInstanceOf[UTF8String].trim().toLowerCase()
+    val n = s.numChars()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    val starts = VectorOps.charStarts(bytes, n)
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + 3) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharTrigrams = copy(child = c)
+  override def prettyName: String = "graft_char_trigrams"
+}
+
+/** Map-side character-trigram LM scorer: per document, the trigram count
+  * and the exact integer sum of quantized negative log-probs against a
+  * BROADCAST model (alphabet-bounded — see
+  * [[graft.operators.LanguageModel]]). Replaces the explode → broadcast
+  * join → per-doc re-aggregate scoring pipeline with one pass over the
+  * text: no per-gram rows exist anywhere, so a 100 TB corpus is scored
+  * with zero scoring-side shuffle. Same arithmetic as the join
+  * formulation (integer sums are order-free), asserted equal in
+  * OperatorsSpec.
+  */
+case class TrigramScore(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+    oovNlpQ: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_trigram_score expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("nlp_sum", LongType, nullable = false)))
+  // UTF8String-keyed view of the broadcast model, built once per instance
+  // (per task at worst) so gram lookups allocate no strings
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](model.value.size * 2)
+    model.value.foreach { case (k, q) => m.put(UTF8String.fromString(k), q) }
+    m
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].trim().toLowerCase()
+    val n = s.numChars()
+    if (n < 3) return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L))
+    val bytes = s.getBytes
+    val starts = VectorOps.charStarts(bytes, n)
+    var sum = 0L
+    var i = 0
+    while (i < n - 2) {
+      val g = UTF8String.fromBytes(bytes, starts(i), starts(i + 3) - starts(i))
+      val q = table.get(g)
+      sum += (if (q == null) oovNlpQ else q.longValue())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((n - 2).toLong, sum))
+  }
+  override protected def withNewChildInternal(c: Expression): TrigramScore = copy(child = c)
+  override def prettyName: String = "graft_trigram_score"
+}
+
 /** Unicode NFC normalization (java.text.Normalizer) — canonical composition
   * so visually-identical strings (e.g. 'é' as U+00E9 vs 'e'+U+0301) hash,
   * dedup and join identically. Map-side scalar; DuckDB's nfc_normalize is
@@ -464,5 +573,6 @@ object VectorFunctions {
     reg("graft_shingle_hashes", args => ShingleHashes(args.head, intLit(args(1))))
     reg("graft_word_hashes", args => WordHashes(args.head))
     reg("graft_nfc", args => NfcNormalize(args.head))
+    reg("graft_char_trigrams", args => CharTrigrams(args.head))
   }
 }

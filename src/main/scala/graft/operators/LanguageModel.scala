@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: the model build is one count aggregate over exploded
   * trigrams; the model itself is bounded by the ALPHABET cubed, not the
   * corpus — for real text a few hundred thousand rows at any corpus size —
-  * so scoring is a BROADCAST join: one map pass over the corpus, no
-  * corpus-side shuffle except the per-doc sum.
+  * so scoring BROADCASTS the collected model inside a single map-side
+  * expression ([[graft.functions.TrigramScore]]): one projection over the
+  * corpus, zero scoring-side shuffles, no per-gram rows anywhere outside
+  * the model build's partial aggregation. (The bounded model collect is
+  * the same class of driver action as the IVF centroid seed.)
   *
   * Determinism: floating-point sums are order-dependent, so summing raw
   * log-probs per document would not reproduce across engines or
@@ -27,10 +30,21 @@ import org.apache.spark.sql.functions._
 object LanguageModel {
 
   /** Character trigrams of lowercased, trimmed text; empty array when the
-    * text has fewer than 3 characters (`sequence` DESCENDS when stop <
-    * start — the guard is load-bearing).
+    * text has fewer than 3 characters. One tight loop per row
+    * ([[graft.functions.CharTrigrams]]) instead of an interpreted lambda
+    * per character position — measured 2x on the sf1 model build.
     */
   def charTrigrams(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.CharTrigrams(expressionOf(text)))
+  }
+
+  /** The original higher-order-function formulation of [[charTrigrams]],
+    * kept (test-scoped) as the parity reference for the expression —
+    * OperatorsSpec asserts both produce identical arrays on unicode,
+    * whitespace and sub-3-char edge cases.
+    */
+  private[graft] def charTrigramsHof(text: Column): Column = {
     val s = lower(trim(text))
     // let-bind s: it is referenced per trigram position inside the lambda
     element_at(transform(array(s), b =>
@@ -52,19 +66,29 @@ object LanguageModel {
         (-round(log(col("c3") / col("c2")) * 1e6)).cast("long").as("nlp_q"))
   }
 
-  /** Per-doc aggregation of scored (id, gram) rows — shared by
-    * [[perplexityScore]] and [[selfScore]].
+  /** Map-side scoring shared by [[perplexityScore]] and [[selfScore]]: the
+    * model (alphabet-bounded, see the object scaladoc) is collected once
+    * and broadcast INSIDE a [[graft.functions.TrigramScore]] expression, so
+    * scoring is a pure projection — no per-gram rows, no join, no scoring
+    * shuffle at any corpus size. The quantized integer sums are the same
+    * arithmetic the old explode→join→re-aggregate pipeline produced
+    * (order-free by construction), asserted equal in OperatorsSpec.
     */
-  private def scoreGrams(grams: DataFrame, idCol: String, model: DataFrame,
-      oovNlpQ: Long): DataFrame = {
-    grams
-      .join(broadcast(model.select(col("gram"), col("nlp_q"))), Seq("gram"), "left")
-      .groupBy(col(idCol))
-      .agg(count(col("gram")).as("n_grams"),
-        coalesce(sum(coalesce(col("nlp_q"), lit(oovNlpQ))), lit(0L)).as("_s"))
-      .select(col(idCol), col("n_grams"),
-        when(col("n_grams") > 0,
-          round(col("_s").cast("double") / (col("n_grams") * lit(1e6)), 6))
+  private def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, oovNlpQ: Long): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val entries = model.select(col("gram"), col("nlp_q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(entries)
+    df
+      .select(col(idCol),
+        columnOf(graft.functions.TrigramScore(
+          expressionOf(col(textCol)), bc, oovNlpQ)).as("_ts"))
+      .select(col(idCol),
+        coalesce(col("_ts.n_grams"), lit(0L)).as("n_grams"),
+        when(coalesce(col("_ts.n_grams"), lit(0L)) > 0,
+          round(col("_ts.nlp_sum").cast("double")
+            / (col("_ts.n_grams") * lit(1e6)), 6))
           .otherwise(lit(0.0)).as("avg_nll"))
   }
 
@@ -83,22 +107,17 @@ object LanguageModel {
     */
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, oovNlpQ: Long = 20723266L): DataFrame =
-    scoreGrams(
-      df.select(col(idCol), explode_outer(charTrigrams(col(textCol))).as("gram")),
-      idCol, model, oovNlpQ)
+    scoreWithModel(df, idCol, textCol, model, oovNlpQ)
 
   /** Score a corpus against a model trained on ITSELF (the common
     * filter-bootstrap shape): identical results to charTrigramModel +
-    * perplexityScore, but the expensive trigram explode runs ONCE — a lazy
-    * checkpoint feeds both the model counts and the scoring join (Catalyst
-    * would otherwise re-evaluate the HOF per consumer). No OOV parameter:
-    * every gram of the corpus is in its own model by construction.
+    * perplexityScore. The corpus is read twice (model counts, then the
+    * map-side scoring projection) but per-gram ROWS exist only inside the
+    * model build's partial aggregation — nothing gram-sized is ever
+    * materialized or joined. No OOV parameter: every gram of the corpus is
+    * in its own model by construction.
     */
-  def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = df
-      .select(col(idCol), explode_outer(charTrigrams(col(textCol))).as("gram"))
-      .localCheckpoint(eager = false) // model build + scoring join
-    scoreGrams(grams, idCol,
-      modelFromGrams(grams.where(col("gram").isNotNull)), oovNlpQ = 0L)
-  }
+  def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithModel(df, idCol, textCol,
+      charTrigramModel(df, textCol), oovNlpQ = 0L)
 }

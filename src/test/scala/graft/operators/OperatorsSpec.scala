@@ -651,6 +651,50 @@ class OperatorsSpec extends SparkFunSuite {
     assert(self == Seq((1L, 2L, 0.287682), (2L, 2L, 0.836988)))
   }
 
+  test("charTrigrams expression matches the HOF formulation, incl. unicode") {
+    val df = Seq(
+      "The Quick Brown FOX",
+      "  padded  with   spaces  ",
+      "\n\ttabs and\nnewlines kept by SQL trim\t",
+      "ab", "a", "", "   ",
+      "héllo wörld é́", // precomposed + combining accents
+      "中文字符测试也要过", // CJK, 3 bytes per char
+      "emoji 😀😀 pair", // surrogate pairs / 4-byte code points
+      "MiXeD 123 !?#").toDF("text")
+    val got = df.select(
+      LanguageModel.charTrigrams($"text").as("fast"),
+      LanguageModel.charTrigramsHof($"text").as("ref"))
+      .collect()
+    got.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.getSeq[String](0)))
+    // null text -> EMPTY array through both forms (the HOF's when() falls
+    // through to its otherwise branch on null)
+    val nulls = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(LanguageModel.charTrigrams($"text").as("fast"),
+        LanguageModel.charTrigramsHof($"text").as("ref")).head()
+    assert(nulls.getSeq[String](0).isEmpty && nulls.getSeq[String](1).isEmpty)
+  }
+
+  test("map-side trigram scoring equals the explode-join-aggregate formulation") {
+    val model = LanguageModel.charTrigramModel(docs, "text")
+    val fast = LanguageModel.perplexityScore(docs, "doc_id", "text", model)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    // the pre-expression pipeline, reconstructed verbatim: explode grams,
+    // left-join the broadcast model, re-aggregate per doc
+    val ref = docs
+      .select($"doc_id", explode_outer(LanguageModel.charTrigramsHof($"text")).as("gram"))
+      .join(broadcast(model.select($"gram", $"nlp_q")), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"gram").as("n_grams"),
+        coalesce(sum(coalesce($"nlp_q", lit(20723266L))), lit(0L)).as("_s"))
+      .select($"doc_id", $"n_grams",
+        when($"n_grams" > 0,
+          round($"_s".cast("double") / ($"n_grams" * lit(1e6)), 6))
+          .otherwise(lit(0.0)).as("avg_nll"))
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(fast == ref)
+  }
+
   test("chunking: token windows with overlap, short and empty docs") {
     val df = Seq(
       (1L, "a b c d e"), // 5 words, mt=4 ov=1 -> [a b c d], [d e]
