@@ -367,6 +367,54 @@ case class CharTrigrams(child: Expression)
   override def prettyName: String = "graft_char_trigrams"
 }
 
+/** BPE-ish token count — the tight-loop form of
+  * `size(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]', 0))`:
+  * maximal ASCII-alphanumeric runs count once, every other
+  * non-whitespace code point counts alone. One pass over the UTF-8
+  * bytes; multi-byte characters are single tokens by construction, so
+  * they never need decoding. Whitespace is Java regex `\s`
+  * (space, \t, \n, \x0B, \f, \r) to match the regex formulation exactly
+  * (parity asserted in OperatorsSpec).
+  */
+case class BpeishCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpeish_count expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var i = 0
+    var cnt = 0
+    var prevAlnum = false
+    while (i < bytes.length) {
+      val nb = UTF8String.numBytesForFirstByte(bytes(i))
+      if (nb == 1) {
+        val c = bytes(i) & 0xff
+        val alnum = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+          (c >= 'a' && c <= 'z')
+        if (alnum) {
+          if (!prevAlnum) cnt += 1
+          prevAlnum = true
+        } else {
+          prevAlnum = false
+          if (c != ' ' && c != '\t' && c != '\n' && c != 0x0B && c != '\f' &&
+            c != '\r') cnt += 1
+        }
+      } else {
+        prevAlnum = false
+        cnt += 1
+      }
+      i += nb
+    }
+    cnt
+  }
+  override protected def withNewChildInternal(c: Expression): BpeishCount = copy(child = c)
+  override def prettyName: String = "graft_bpeish_count"
+}
+
 /** Map-side character-trigram LM scorer: per document, the trigram count
   * and the exact integer sum of quantized negative log-probs against a
   * BROADCAST model (alphabet-bounded — see
@@ -574,5 +622,6 @@ object VectorFunctions {
     reg("graft_word_hashes", args => WordHashes(args.head))
     reg("graft_nfc", args => NfcNormalize(args.head))
     reg("graft_char_trigrams", args => CharTrigrams(args.head))
+    reg("graft_bpeish_count", args => BpeishCount(args.head))
   }
 }

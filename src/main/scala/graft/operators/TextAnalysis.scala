@@ -17,8 +17,18 @@ object TextAnalysis {
 
   /** BPE-ish token count: word pieces and single punctuation marks counted
     * separately (a cheap, deterministic proxy for subword tokenizers).
+    * One byte walk per row ([[graft.functions.BpeishCount]]) instead of a
+    * regex engine pass.
     */
-  def bpeishTokenCount(textCol: String): Column =
+  def bpeishTokenCount(textCol: String): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.BpeishCount(expressionOf(col(textCol))))
+  }
+
+  /** The regex formulation of [[bpeishTokenCount]], kept (test-scoped) as
+    * the parity reference for the expression.
+    */
+  private[graft] def bpeishTokenCountRegex(textCol: String): Column =
     size(expr(s"regexp_extract_all($textCol, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
 
   /** Punctuation character count. */

@@ -675,6 +675,19 @@ class OperatorsSpec extends SparkFunSuite {
     assert(nulls.getSeq[String](0).isEmpty && nulls.getSeq[String](1).isEmpty)
   }
 
+  test("bpeish count expression matches the regex formulation") {
+    val edge = Seq(
+      "plain words here", "punct! marks? and, more.", "a1b2 33 ..x..",
+      "  lead trail  ", "tabs\tand\nnewlines\u000Bvtab\ffeed\rcr" /* incl. Java-\s-only vtab */,
+      "héllo wörld", "中文字符", "emoji 😀 pair", "no-break\u00A0space" /* nbsp: token, not \s */,
+      "", " ", "123", "!!!").toDF("text")
+    val rows = (edge unionAll docs.select($"text"))
+      .select(TextAnalysis.bpeishTokenCount("text").as("fast"),
+        TextAnalysis.bpeishTokenCountRegex("text").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+
   test("map-side trigram scoring equals the explode-join-aggregate formulation") {
     val model = LanguageModel.charTrigramModel(docs, "text")
     val fast = LanguageModel.perplexityScore(docs, "doc_id", "text", model)
