@@ -99,7 +99,7 @@ object Contamination {
     * state store, no watermark and no shuffle — decontamination at
     * ingest, in line with the engine's batch/streaming parity.
     */
-  def dropContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+  def dropContaminated(docs: DataFrame, bench: DataFrame,
       textCol: String, n: Int, fpp: Double = 0.001): DataFrame =
     docs
       .withColumn("_graft_flagged", flaggedGramCount(bench, textCol, n, fpp))

@@ -370,6 +370,36 @@ object TextAnalysis {
         round(sum(size(col("_ws"))).cast("double") / n, 6).as("avg_words"))
   }
 
+  /** The [[curate]] quality gate as a STATELESS filter: Gopher rules plus
+    * both repetition thresholds, no exact-dedup stage — so there is no
+    * checkpoint, no shuffle and no state, and the same operator runs
+    * UNCHANGED on a streaming DataFrame (quality gating at ingest, like
+    * [[Contamination.dropContaminated]]). Pass-through schema: survivors
+    * keep every input column. In batch pipelines that continue into dedup,
+    * prefer [[curate]]/[[curateFuzzy]], which share one checkpointed array
+    * projection across the gate AND the dedup stages; here each row is
+    * touched exactly once, so there is nothing to share.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5): DataFrame = {
+    val text = col(textCol)
+    def removed(s: String) = length(text) - length(replace(text, lit(s), lit("")))
+    val symbols = removed("#") + removed("…") + removed("...") / lit(3)
+    val m = new GopherMetrics(minWords, maxWords, minStopHits)
+    df
+      .withColumn("_ws", wordsOf(text))
+      .withColumn("_ls", filter(transform(split(text, "\n"), l => trim(l)),
+        l => l =!= ""))
+      .withColumn("_nws", length(regexp_replace(text, "\\s", "")).cast("double"))
+      .withColumn("_sym", symbols.cast("double"))
+      .filter(m.keep &&
+        dupFrac(col("_ls")) < maxDupLineFrac &&
+        dupFrac(ngramsOf(col("_ws"), ngram)) < maxDupNgramFrac)
+      .drop("_ws", "_ls", "_nws", "_sym")
+  }
+
   /** Sketch-based per-source statistics — the constant-memory form of
     * [[sourceReport]]'s counting for corpora where exact per-group state
     * does not fit. `approx_count_distinct` (HyperLogLog++, `rsd` relative

@@ -507,6 +507,15 @@ object PipelineQueries {
           expr("round(percentile(n_chars, 0.5), 6)").as("p50_chars"),
           expr("round(percentile(n_chars, 0.95), 6)").as("p95_chars"))
         .orderBy(col("lang"))),
+    // the stateless quality gate (streaming-capable, StreamingSpec runs it
+    // on a memory stream): Gopher rules + repetition thresholds as a pure
+    // filter, pass-through schema
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(
+          docs(s, dir).select(col("doc_id"), col("text")), "text",
+          minWords = 30, minStopHits = 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
     // constant-memory per-source stats: HLL++ distinct + quantile-sketch
     // percentiles; the group-by shuffles fixed-size sketch buffers, not one
     // row per document (rows-only here — sketches have no DuckDB
@@ -1494,6 +1503,55 @@ object PipelineQueries {
         |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // the gate alone (no dedup stage): the pipeline_curate keeper CTEs
+    // minus the fingerprint group-by
+    "text_quality_filter" ->
+      s"""WITH gw AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS blf,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS elf,
+        |         CASE WHEN len(ws) > 0
+        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |              ELSE 0.0 END AS awf,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(ws, s))) AS stop_hits
+        |  FROM gw),
+        |rep AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(lines) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |              ELSE 0.0 END AS dlf,
+        |         CASE WHEN len(grams) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |              ELSE 0.0 END AS dgf,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT doc_id, text,
+        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                           l -> l != '') AS lines,
+        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+        |        FROM (SELECT doc_id, text, $duckWords AS w FROM documents))),
+        |keepers AS (
+        |  SELECT gm.doc_id
+        |  FROM gm JOIN rep USING (doc_id)
+        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3)
+        |SELECT doc_id FROM keepers ORDER BY doc_id""".stripMargin,
     // the fuzzy funnel re-assembled from the pipeline_curate, duckShingles
     // and dedup_groups oracle fragments on the planted one-word-variant
     // base: gates + exact dedup as in pipeline_curate, then shingle-set

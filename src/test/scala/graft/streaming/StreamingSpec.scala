@@ -354,7 +354,7 @@ class StreamingSpec extends SparkFunSuite {
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
     val clean = graft.operators.Contamination.dropContaminated(
-      stream, bench, "doc_id", "text", n = 5)
+      stream, bench, "text", n = 5)
     assert(clean.isStreaming)
     val q = clean.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("t_stream_decontam").start()
@@ -369,5 +369,43 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
     val kept = spark.table("t_stream_decontam").select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("streaming quality filter keeps exactly the batch gopher keepers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.Tables.df(spark, dir, "documents")
+      .select($"doc_id", $"text").limit(80).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val gated = graft.operators.TextAnalysis.qualityFilter(stream, "text",
+      minWords = 30, minStopHits = 1)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_quality").start()
+    try {
+      mem.addData(docs.take(40): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_quality").select("doc_id").as[Long]
+      .collect().toSet
+    // batch reference: the same gate via the curate/gopher path (real docs,
+    // both keep and drop outcomes must occur for the test to mean anything)
+    val batchDf = docs.toSeq.toDF("doc_id", "text")
+    val expected = graft.operators.TextAnalysis.qualityFilter(batchDf, "text",
+      minWords = 30, minStopHits = 1).select("doc_id").as[Long].collect().toSet
+    val gopher = graft.operators.TextAnalysis.gopherReport(batchDf, "doc_id", "text",
+      minWords = 30, minStopHits = 1)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == expected)
+    assert(expected.subsetOf(gopher)) // the gate adds the repetition rules
+    assert(expected.nonEmpty && expected.size < docs.length)
+    // pass-through schema: survivors keep the input columns, none of the
+    // helper columns leak
+    assert(spark.table("t_stream_quality").columns.toSeq == Seq("doc_id", "text"))
   }
 }
