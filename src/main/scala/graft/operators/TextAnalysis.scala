@@ -275,24 +275,31 @@ object TextAnalysis {
   }
 
   /** The Gopher metric columns over a [[gopherBound]] frame (unrounded). */
-  private final class GopherMetrics(minWords: Int, maxWords: Int, minStopHits: Int) {
-    private val nw = size(col("_ws")).cast("double")
-    private val nl = size(col("_ls")).cast("double")
+  /** The Gopher metric columns over bound words/lines/char-count/symbol
+    * columns. Defaults read the [[gopherBound]] helper columns; callers
+    * without a checkpointed frame (the streaming-safe [[qualityFilter]])
+    * pass [[bindOnce]]-bound lambda references instead.
+    */
+  private final class GopherMetrics(minWords: Int, maxWords: Int,
+      minStopHits: Int, ws: Column = col("_ws"), ls: Column = col("_ls"),
+      nws: Column = col("_nws"), sym: Column = col("_sym")) {
+    private val nw = size(ws).cast("double")
+    private val nl = size(ls).cast("double")
     private def overWords(c: Column) = when(nw > 0, c / nw).otherwise(lit(0.0))
     private def overLines(c: Column) = when(nl > 0, c / nl).otherwise(lit(0.0))
-    val meanWordLen: Column = overWords(col("_nws"))
-    val symbolRatio: Column = overWords(col("_sym"))
-    val bulletFrac: Column = overLines(size(filter(col("_ls"),
+    val meanWordLen: Column = overWords(nws)
+    val symbolRatio: Column = overWords(sym)
+    val bulletFrac: Column = overLines(size(filter(ls,
       l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double"))
-    val ellipsisFrac: Column = overLines(size(filter(col("_ls"),
+    val ellipsisFrac: Column = overLines(size(filter(ls,
       l => l.endsWith("...") || l.endsWith("…"))).cast("double"))
-    val alphaFrac: Column = overWords(size(filter(col("_ws"),
+    val alphaFrac: Column = overWords(size(filter(ws,
       w => w.rlike("[a-z]"))).cast("double"))
     val stopHits: Column = size(filter(
       array(GopherStopWords.map(lit): _*),
-      sw => array_contains(col("_ws"), sw)))
+      sw => array_contains(ws, sw)))
     val keep: Column =
-      size(col("_ws")).between(minWords, maxWords) &&
+      size(ws).between(minWords, maxWords) &&
         meanWordLen.between(3.0, 10.0) &&
         symbolRatio < 0.1 &&
         bulletFrac < 0.9 &&
@@ -387,17 +394,23 @@ object TextAnalysis {
     val text = col(textCol)
     def removed(s: String) = length(text) - length(replace(text, lit(s), lit("")))
     val symbols = removed("#") + removed("…") + removed("...") / lit(3)
-    val m = new GopherMetrics(minWords, maxWords, minStopHits)
-    df
-      .withColumn("_ws", wordsOf(text))
-      .withColumn("_ls", filter(transform(split(text, "\n"), l => trim(l)),
-        l => l =!= ""))
-      .withColumn("_nws", length(regexp_replace(text, "\\s", "")).cast("double"))
-      .withColumn("_sym", symbols.cast("double"))
-      .filter(m.keep &&
-        dupFrac(col("_ls")) < maxDupLineFrac &&
-        dupFrac(ngramsOf(col("_ws"), ngram)) < maxDupNgramFrac)
-      .drop("_ws", "_ls", "_nws", "_sym")
+    // no checkpointed frame here (streams cannot localCheckpoint), so the
+    // words/lines arrays are let-bound with bindOnce — without it,
+    // ProjectCollapsing would re-inline wordsOf(text) into every one of the
+    // ~6 metrics that reference it (measured 10x slower)
+    val keep = bindOnce(wordsOf(text)) { ws =>
+      bindOnce(filter(transform(split(text, "\n"), l => trim(l)),
+          l => l =!= "")) { ls =>
+        val m = new GopherMetrics(minWords, maxWords, minStopHits,
+          ws = ws, ls = ls,
+          nws = length(regexp_replace(text, "\\s", "")).cast("double"),
+          sym = symbols.cast("double"))
+        m.keep &&
+          dupFrac(ls) < maxDupLineFrac &&
+          dupFrac(ngramsOf(ws, ngram)) < maxDupNgramFrac
+      }
+    }
+    df.filter(keep)
   }
 
   /** Sketch-based per-source statistics — the constant-memory form of
