@@ -728,6 +728,31 @@ object Dedup {
     }
   }
 
+  /** Canonical-representative selection: given near-dup pairs and a
+    * per-document score, keeps the BEST member of each duplicate group
+    * instead of the minimum id — what published funnels do when they keep
+    * the longest or highest-quality copy of a near-dup cluster rather than
+    * an arbitrary one. Output: one row per group, (label, keep_id,
+    * n_members), where label is the group's [[components]] label and
+    * keep_id maximizes `scoreCol` (ties broken toward the smaller id, so
+    * the pick is deterministic).
+    *
+    * Scale shape: the pair graph is duplicate-sized, not corpus-sized, so
+    * [[components]]' iterative shuffles stay small; the score join touches
+    * only graph members (one key shuffle), and the pick is a single max_by
+    * hash aggregate — no window, no sort. AQE sizes the join since the
+    * graph-side cardinality is only known at runtime.
+    */
+  def canonicalPick(pairs: DataFrame, docs: DataFrame, idCol: String,
+      score: Column): DataFrame =
+    components(pairs)
+      .join(docs.select(col(idCol).as("id"), score.as("_score")), "id")
+      .groupBy(col("label"))
+      .agg(
+        max_by(col("id"), struct(col("_score"), -col("id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("label"), col("keep_id"), col("n_members"))
+
   /** LSH-bucketed cosine near-dup pairs — the scale path for embedding
     * dedup: random-hyperplane buckets (graft_lsh_bucket) replace the
     * quadratic within-block join of [[cosinePairs]]; only same-bucket pairs

@@ -75,6 +75,40 @@ object Sampling {
     if (buckets >= 65536L) "g" else f"$buckets%04x"
   }
 
+  /** Deterministic shard assignment — the "global shuffle" step that turns a
+    * curated corpus into training shards: every row gets a `shard` in
+    * [0, nShards) and a dense `shard_pos` rank inside its shard, both pure
+    * functions of md5(id), so the shard layout is identical across runs,
+    * engines and partitionings (unlike repartition(n), whose assignment
+    * depends on the physical partitioning of the input). Readers stream
+    * shard files in shard_pos order and see a fixed pseudorandom permutation
+    * of the corpus.
+    *
+    * The shard number is the first two md5 hex chars valued via ascii()
+    * arithmetic — string ops only, so any engine reproduces it — taken mod
+    * nShards; shard_pos orders by the full
+    * digest (id tiebreak). One shuffle (the per-shard window sort), the
+    * exact cost of any global shuffle; at write time, `partitionBy("shard")`
+    * + sortWithinPartitions(shard_pos) lays files out so a training job
+    * reads each shard sequentially with no further sort.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256] (two hex chars of entropy), got $nShards")
+    val digest = md5(col(idCol).cast("string"))
+    // md5 hex is lowercase: '0'-'9' (48-57) value ascii-48, 'a'-'f' (97-102)
+    // value ascii-87
+    def hexVal(c: org.apache.spark.sql.Column) =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val shard = pmod(
+      hexVal(substring(digest, 1, 1)) * 16 + hexVal(substring(digest, 2, 1)),
+      lit(nShards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** Deterministic stratified take: at most k rows per group, chosen by
     * md5(id) order — a reproducible "reservoir" any engine replays
     * identically. Balances skewed groups (languages, sources, labels)

@@ -413,6 +413,60 @@ object TextAnalysis {
     df.filter(keep)
   }
 
+  /** Document phrases that disqualify a whole page under the C4 rules:
+    * boilerplate legalese markers and code indicators (Raffel et al. 2020
+    * §2.2). Callers can extend the list; matching is lowercase substring.
+    */
+  val C4BadPhrases: Seq[String] = Seq("lorem ipsum", "{")
+
+  /** The C4 line keep-predicate (Raffel et al. 2020 §2.2): a retained line
+    * is non-empty, ends in a terminal punctuation mark (period, exclamation,
+    * question mark, or closing quote), has at least `minLineWords` words,
+    * and does not mention javascript (the cookie/JS-warning boilerplate
+    * rule). Applied to already-trimmed lines.
+    */
+  private def c4LineKeep(l: Column, minLineWords: Int): Column =
+    l =!= "" &&
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+      size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+      !contains(lower(l), lit("javascript"))
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020 §2.2), the classic
+    * line-level web-corpus filter: lines are kept only if they end in
+    * terminal punctuation, carry at least `minLineWords` words and are not
+    * javascript boilerplate; a document is kept only if at least
+    * `minSentences` lines survive and no [[C4BadPhrases]] phrase (lorem
+    * ipsum placeholder text, curly braces marking code) appears anywhere in
+    * the original text. Output: (idCol, n_lines, n_kept, keep, clean_text)
+    * where clean_text re-joins the surviving lines.
+    *
+    * Scale shape: one map-side pass — the trimmed-line array is let-bound
+    * ([[bindOnce]]) so split/trim runs once per row even though four output
+    * columns consume it; no shuffle, no UDF, whole plan is a projection over
+    * the scan. The cross-document three-sentence-span dedup step of the C4
+    * paper is the separate [[Dedup.substringPairs]] operator.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      badPhrases: Seq[String] = C4BadPhrases): DataFrame = {
+    val text = col(textCol)
+    val noBad = badPhrases
+      .map(p => !contains(lower(text), lit(p.toLowerCase)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val row = bindOnce(transform(split(text, "\n"), l => trim(l))) { ls =>
+      bindOnce(filter(ls, l => c4LineKeep(l, minLineWords))) { kept =>
+        struct(
+          size(filter(ls, l => l =!= "")).as("n_lines"),
+          size(kept).as("n_kept"),
+          (size(kept) >= minSentences && noBad).as("keep"),
+          array_join(kept, "\n").as("clean_text"))
+      }
+    }
+    df.select(col(idCol), row.as("_c"))
+      .select(col(idCol), col("_c.n_lines"), col("_c.n_kept"),
+        col("_c.keep"), col("_c.clean_text"))
+  }
+
   /** Sketch-based per-source statistics — the constant-memory form of
     * [[sourceReport]]'s counting for corpora where exact per-group state
     * does not fit. `approx_count_distinct` (HyperLogLog++, `rsd` relative

@@ -196,6 +196,16 @@ object PipelineQueries {
         Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
           maxBucket = Int.MaxValue))
         .orderBy(col("id"))),
+    "dedup_canonical" -> ((s, dir) => {
+      // same uncapped pair graph as dedup_groups, but each group keeps its
+      // LONGEST member (byte length, min-id tiebreak) instead of the min id
+      val p = planted(s, dir)
+      Dedup.canonicalPick(
+        Dedup.minhashDedup(p, "doc_id", "text", threshold = 0.9,
+          maxBucket = Int.MaxValue),
+        p, "doc_id", octet_length(col("text")))
+        .orderBy(col("label"))
+    }),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
         docs(s, dir).withColumn("len_band", expr("CAST(n_chars DIV 100 AS INT)")),
@@ -556,6 +566,11 @@ object PipelineQueries {
       Sampling.stratifiedTake(docs(s, dir), Seq("lang"), "doc_id", 20)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "pipeline_shard" -> ((s, dir) =>
+      Sampling.shardAssign(docs(s, dir), "doc_id", 8)
+        .select(col("doc_id"), col("shard"),
+          col("shard_pos").cast("long").as("shard_pos"))
+        .orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -568,6 +583,26 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy(col("doc_id"))),
+    // the corpus is single-line word soup (no punctuation), on which every
+    // C4 line rule is vacuously false — so, like the planted() dedup inputs,
+    // the query shapes a 4-line document around each text and plants each
+    // failure mode on a doc_id residue class: %3 a too-short line, %5 a
+    // javascript line, %7 a lorem-ipsum gate. Every rule provably fires.
+    "text_c4_filter" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        concat(lit("A first sentence with "), substring(col("text"), 1, 40),
+          lit(" inside.")),
+        when(col("doc_id") % 3 === 0, lit("short line"))
+          .otherwise(lit("Another full sentence with enough words again.")),
+        when(col("doc_id") % 5 === 0,
+          lit("Please enable javascript to continue here."))
+          .otherwise(lit("Is this a question with words enough now?")),
+        when(col("doc_id") % 7 === 0,
+          lit("this ends with lorem ipsum boilerplate text"))
+          .otherwise(lit("The last line is fine and long enough."))).as("text"))
+      TextAnalysis.c4Clean(shaped, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // CCNet-style LM quality signal: char-trigram model self-trained on the
     // corpus, every doc scored by average negative log-prob. The per-gram
     // quantization (see LanguageModel scaladoc) is what makes the float sum
@@ -1023,6 +1058,33 @@ object PipelineQueries {
       |  UNION
       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       |SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    // same component labels, but each group keeps its longest member
+    // (byte length, min-id tiebreak) — the canonical-representative pick
+    "dedup_canonical" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |groups AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+      |scored AS (
+      |  SELECT g.label, g.id, octet_length(encode(b.text)) AS sc
+      |  FROM groups g JOIN base b ON g.id = b.doc_id),
+      |sel AS (
+      |  SELECT label, id,
+      |         row_number() OVER (PARTITION BY label ORDER BY sc DESC, id) AS rn
+      |  FROM scored)
+      |SELECT s.label, s.id AS keep_id, c.n_members
+      |FROM sel s JOIN (SELECT label, count(*) AS n_members FROM scored GROUP BY label) c USING (label)
+      |WHERE s.rn = 1 ORDER BY label""".stripMargin),
     // double-cast lists + explicit dot/norm arithmetic replicate Spark's
     // float-to-double accumulation bit-exactly, so the >= threshold cut
     // selects identical pairs
@@ -1125,6 +1187,20 @@ object PipelineQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // same ascii()-valued hex arithmetic as Sampling.shardAssign
+    "pipeline_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents),
+        |v AS (
+        |  SELECT doc_id, d,
+        |    (CASE WHEN ascii(substr(d,1,1)) >= 97 THEN ascii(substr(d,1,1)) - 87
+        |          ELSE ascii(substr(d,1,1)) - 48 END) * 16
+        |    + (CASE WHEN ascii(substr(d,2,1)) >= 97 THEN ascii(substr(d,2,1)) - 87
+        |            ELSE ascii(substr(d,2,1)) - 48 END) AS hv
+        |  FROM h)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+        |       row_number() OVER (PARTITION BY hv % 8 ORDER BY d, doc_id) AS shard_pos
+        |FROM v ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,
         |                  row_number() OVER (PARTITION BY lang
@@ -1175,6 +1251,38 @@ object PipelineQueries {
         |    '\b\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b', '[PHONE]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the C4 line rules verbatim: terminal punctuation, >= 5 words, no
+    // javascript; doc gate: >= 3 surviving lines, no lorem ipsum / braces
+    "text_c4_filter" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'A first sentence with ' || substr(text, 1, 40) || ' inside.',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'short line'
+        |                ELSE 'Another full sentence with enough words again.' END,
+        |           CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript to continue here.'
+        |                ELSE 'Is this a question with words enough now?' END,
+        |           CASE WHEN doc_id % 7 = 0 THEN 'this ends with lorem ipsum boilerplate text'
+        |                ELSE 'The last line is fine and long enough.' END) AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |         list_transform(string_split(text, chr(10)), l -> trim(l)) AS ls
+        |  FROM shaped),
+        |k AS (
+        |  SELECT doc_id, text, ls,
+        |    list_filter(ls, l -> l <> ''
+        |      AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |       len(list_filter(ls, l -> l <> '')) AS n_lines,
+        |       len(kept) AS n_kept,
+        |       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |         AND NOT contains(text, '{')) AS keep,
+        |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     // grams: 1-based inclusive slices w[i:i+n-1]; range(1, len-(n-2)) yields
     // starts 1..len-n+1 and is empty (not descending) for short texts
     "text_repetition" ->

@@ -94,6 +94,32 @@ object VerifyDrive {
       val d = r.getAs[Double]("dup_frac"); val k = r.getAs[Double]("keep_frac")
       d >= 0 && d <= 1 && k >= 0 && k <= 1
     }, "fractions out of [0,1]")
+    println("== C4 cleaning + canonical pick + shard assignment over real documents parquet ==")
+    // shape multi-line docs from the single-line corpus (as text_c4_filter does)
+    import org.apache.spark.sql.functions.{concat, concat_ws, length => flen, lit, octet_length, substring, when}
+    val shaped = docs.select(col("doc_id"), concat_ws("\n",
+      concat(lit("A first sentence with "), substring(col("text"), 1, 40), lit(" inside.")),
+      when(col("doc_id") % 3 === 0, lit("short line"))
+        .otherwise(lit("Another full sentence with enough words again.")),
+      when(col("doc_id") % 7 === 0, lit("this ends with lorem ipsum boilerplate text"))
+        .otherwise(lit("The last line is fine and long enough."))).as("text"))
+    val c4 = graft.operators.TextAnalysis.c4Clean(shaped, "doc_id", "text")
+    c4.orderBy(col("doc_id")).show(5, false)
+    val keepN = c4.filter(col("keep")).count()
+    println(s"c4 keep: $keepN/${c4.count()}")
+    assert(keepN > 0 && keepN < c4.count(), "c4 gate does not discriminate")
+    val dd = docs.select(col("doc_id"), col("text"))
+    val planted = dd.unionAll(dd.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val picks = graft.operators.Dedup.canonicalPick(
+      graft.operators.Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.9,
+        maxBucket = Int.MaxValue),
+      planted, "doc_id", octet_length(col("text")))
+    picks.orderBy(col("label")).show(5, false)
+    assert(picks.filter(col("keep_id") >= 1000000).count() == 0,
+      "a planted clone beat its identical original (tiebreak broken)")
+    val sharded = graft.operators.Sampling.shardAssign(docs, "doc_id", 8)
+    sharded.groupBy(col("shard")).count().orderBy(col("shard")).show()
+    assert(sharded.select("shard").distinct().count() > 1, "all rows in one shard")
     // probes
     for (bad <- Seq(
       "select mask('a','b','c','d','e','f','g')", // 7 args: unsupported count

@@ -1162,4 +1162,53 @@ class OperatorsSpec extends SparkFunSuite {
     val survivors = Dedup.exact(masked, "text", "doc_id").count()
     assert(survivors == 4) // same dedup structure, over hashed values
   }
+
+  test("c4Clean: line rules, doc gate, bad phrases, clean_text reassembly") {
+    val in = Seq(
+      // 3 good lines -> kept
+      (1L, "This is a perfectly fine sentence.\nAnother good line with many words!\nIs this a qualifying question line?"),
+      // good lines but lorem ipsum -> keep=false (lines still counted)
+      (2L, "This is a perfectly fine sentence.\nMore lorem ipsum filler text here.\nAnd a third full sentence right here."),
+      // line rules: no terminal punct / too short / javascript
+      (3L, "this line has no terminal punctuation at all\nShort line here.\nPlease enable javascript to continue browsing.\nOnly this very line survives the filter."),
+      (4L, "function f() { return 1; } This code sentence is long enough.\nAnother plain sentence with enough words.\nA third plain sentence with enough words."),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(in, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Int, Int, Boolean, String)].collect()
+    assert(out(0) == ((1L, 3, 3, true,
+      "This is a perfectly fine sentence.\nAnother good line with many words!\nIs this a qualifying question line?")))
+    assert(out(1)._4 == false && out(1)._3 == 3) // lorem ipsum gates the doc
+    assert(out(2) == ((3L, 4, 1, false, "Only this very line survives the filter.")))
+    assert(out(3)._4 == false) // '{' gates the doc despite 3 surviving lines
+    assert(out(4) == ((5L, 0, 0, false, "")))
+  }
+
+  test("canonicalPick keeps the highest-scoring member per component, min-id tiebreak") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 5), (2L, 9), (3L, 9), (10L, 4), (11L, 4), (99L, 100))
+      .toDF("doc_id", "sc")
+    val picks = Dedup.canonicalPick(pairs, scored, "doc_id", col("sc"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // component {1,2,3}: best score 9 held by 2 and 3 -> min id 2 wins;
+    // component {10,11}: tie -> 10; id 99 is not in the graph -> absent
+    assert(picks.toSeq == Seq((1L, 2L, 3L), (10L, 10L, 2L)))
+  }
+
+  test("shardAssign is deterministic, complete, and densely ranked per shard") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id"))
+    val a = Sampling.shardAssign(ids, "doc_id", 8)
+    val b = Sampling.shardAssign(ids.repartition(7), "doc_id", 8)
+    // pure function of the id: physical partitioning must not change anything
+    assert(a.collect().toSet == b.collect().toSet)
+    val rows = a.select("shard", "shard_pos").as[(Int, Int)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    // every shard's positions are exactly 1..size (dense, no gaps)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    intercept[IllegalArgumentException](Sampling.shardAssign(ids, "doc_id", 0))
+    intercept[IllegalArgumentException](Sampling.shardAssign(ids, "doc_id", 257))
+  }
 }
