@@ -588,6 +588,9 @@ object PipelineQueries {
     // the query shapes a 4-line document around each text and plants each
     // failure mode on a doc_id residue class: %3 a too-short line, %5 a
     // javascript line, %7 a lorem-ipsum gate. Every rule provably fires.
+    "text_tfidf" -> ((s, dir) =>
+      Vocab.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("term"))),
     "text_c4_filter" -> ((s, dir) => {
       val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
         concat(lit("A first sentence with "), substring(col("text"), 1, 40),
@@ -1251,6 +1254,30 @@ object PipelineQueries {
         |    '\b\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b', '[PHONE]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // rational-form TF-IDF (tf * N / df): integer product + one IEEE
+    // division, identical doubles in every engine (ln is libm-dependent)
+    "text_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY doc_id, term),
+        |dfq AS (
+        |  SELECT term, count(*) AS doc_freq
+        |  FROM (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w)
+        |  GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+        |         CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfq.doc_freq AS score
+        |  FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin,
     // the C4 line rules verbatim: terminal punctuation, >= 5 words, no
     // javascript; doc gate: >= 3 surviving lines, no lorem ipsum / braces
     "text_c4_filter" ->

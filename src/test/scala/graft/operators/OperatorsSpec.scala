@@ -1196,6 +1196,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(picks.toSeq == Seq((1L, 2L, 3L), (10L, 10L, 2L)))
   }
 
+  test("tfidf top terms: rare terms outscore common ones, ties break on term") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta gamma common"),
+      (3L, "common delta delta")
+    ).toDF("doc_id", "text")
+    val out = Vocab.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._5, r._2)).toList).toMap
+    // doc 1: alpha tf=2 df=1 -> 6.0; beta tf=1 df=2 -> 1.5; common 1/3 -> 1.0
+    assert(out(1L).map(r => (r._2, r._5)) == List(("alpha", 6.0), ("beta", 1.5)))
+    // doc 2: beta and gamma both score... beta tf=1 df=2 -> 1.5, gamma tf=1
+    // df=1 -> 3.0, common -> 1.0: top2 = gamma, beta
+    assert(out(2L).map(_._2) == List("gamma", "beta"))
+    assert(out(3L).map(_._2) == List("delta", "common"))
+  }
+
   test("shardAssign is deterministic, complete, and densely ranked per shard") {
     val ids = spark.range(0, 500).select(col("id").as("doc_id"))
     val a = Sampling.shardAssign(ids, "doc_id", 8)
