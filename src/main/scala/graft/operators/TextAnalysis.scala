@@ -513,7 +513,36 @@ object TextAnalysis {
       maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
       ngram: Int = 5, shingleSize: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4, maxBucket: Int = 100,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7): DataFrame =
+    curateFuzzyPick(df, idCol, textCol, minWords, maxWords, minStopHits,
+      maxDupLineFrac, maxDupNgramFrac, ngram, shingleSize, bands,
+      rowsPerBand, maxBucket, jaccardThreshold, best = false)
+
+  /** [[curateFuzzy]] with the canonical-representative policy of
+    * [[Dedup.canonicalPick]]: each near-dup cluster keeps its LONGEST
+    * surviving member (word count, min-id tiebreak) instead of the minimum
+    * id — what the published funnels do when duplicates differ in
+    * completeness (a page and its truncated syndication copy: the min id is
+    * arbitrary, the longest copy is the keeper). Same output shape and the
+    * same survivor-sized shuffles; the pick adds one max_by hash aggregate
+    * over the duplicate graph.
+    */
+  def curateFuzzyBest(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5, shingleSize: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, maxBucket: Int = 100,
+      jaccardThreshold: Double = 0.7): DataFrame =
+    curateFuzzyPick(df, idCol, textCol, minWords, maxWords, minStopHits,
+      maxDupLineFrac, maxDupNgramFrac, ngram, shingleSize, bands,
+      rowsPerBand, maxBucket, jaccardThreshold, best = true)
+
+  private def curateFuzzyPick(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int, minStopHits: Int,
+      maxDupLineFrac: Double, maxDupNgramFrac: Double,
+      ngram: Int, shingleSize: Int, bands: Int,
+      rowsPerBand: Int, maxBucket: Int,
+      jaccardThreshold: Double, best: Boolean): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val m = new GopherMetrics(minWords, maxWords, minStopHits)
     // checkpoint: survivors feed the pair-discovery stage AND the final
@@ -535,11 +564,21 @@ object TextAnalysis {
       survivors.select(col(idCol), col("sh")), idCol,
       bands, rowsPerBand, maxBucket, jaccardThreshold)
     // components labels every id in the pair graph with its minimum
-    // reachable id; non-representatives (label != id) drop, singletons
-    // (absent from the graph) keep
-    val dropIds = graft.operators.Dedup.components(pairs)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
+    // reachable id; singletons (absent from the graph) always keep. The
+    // pick policy decides which graph member survives: the label holder
+    // (min id), or the group's longest member (canonicalPick semantics).
+    val labels = graft.operators.Dedup.components(pairs)
+    val dropIds =
+      if (!best) labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+      else {
+        val picks = labels
+          .join(survivors.select(col(idCol).as("id"), col("n_words")), "id")
+          .groupBy(col("label"))
+          .agg(max_by(col("id"), struct(col("n_words"), -col("id"))).as("id"))
+          .select(col("id"))
+        labels.select(col("id")).join(picks, Seq("id"), "left_anti")
+          .select(col("id").as(idCol))
+      }
     survivors.join(dropIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("n_words"), col("dup_line_frac"))
   }

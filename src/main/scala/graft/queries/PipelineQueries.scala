@@ -823,6 +823,19 @@ object PipelineQueries {
           maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
         .orderBy(col("doc_id"))
     }),
+    // the same funnel under the canonical-representative policy: the
+    // planted clone carries one extra token (' graftfuzz'), so best-pick
+    // keeps the CLONE where min-id keeps the original — the two funnels
+    // provably diverge on every planted cluster
+    "pipeline_curate_best" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text")))
+      TextAnalysis.curateFuzzyBest(base, "doc_id", "text",
+          minWords = 30, minStopHits = 1,
+          maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
     // the complete funnel: two-phase decontamination (bloom prefilter ->
     // exact confirm, provably equal to exact-only) ahead of the quality +
     // exact-dedup + fuzzy-dedup stages; oracled end-to-end
@@ -885,6 +898,82 @@ object PipelineQueries {
       |           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
       |           ELSE [array_to_string(ws, ' ')] END) AS s
       |  FROM w)""".stripMargin
+
+  private val duckFuzzy: String =
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftfuzz' FROM documents),
+        |gw AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+        |         (length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '…', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+        |  FROM base),
+        |gm AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS blf,
+        |         CASE WHEN len(ls) > 0
+        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+        |              ELSE 0.0 END AS elf,
+        |         CASE WHEN len(ws) > 0
+        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+        |              ELSE 0.0 END AS awf,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                         s -> list_contains(ws, s))) AS stop_hits
+        |  FROM gw),
+        |rep AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(lines) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |              ELSE 0.0 END AS dlf,
+        |         CASE WHEN len(grams) > 0
+        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |              ELSE 0.0 END AS dgf,
+        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM (SELECT doc_id, text,
+        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                           l -> l != '') AS lines,
+        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+        |        FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM base))),
+        |keepers AS (
+        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
+        |  FROM gm JOIN rep USING (doc_id)
+        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
+        |surv AS (
+        |  SELECT k.doc_id, k.n_words, k.dlf
+        |  FROM keepers k JOIN (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp) s
+        |    ON k.fp = s.fp AND k.doc_id = s.doc_id),
+        |sh AS (
+        |  SELECT b.doc_id,
+        |         list_distinct(CASE WHEN len(b.ws) >= 3
+        |           THEN list_transform(range(1, len(b.ws) - 1), i -> array_to_string(b.ws[i:i+2], ' '))
+        |           ELSE [array_to_string(b.ws, ' ')] END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM base) b
+        |  JOIN surv USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1692,85 +1781,26 @@ object PipelineQueries {
     // base: gates + exact dedup as in pipeline_curate, then shingle-set
     // jaccard >= 0.9 pairs among survivors, transitive closure by recursive
     // CTE, and only min-reachable-id representatives (or singletons) kept
-    "pipeline_curate_fuzzy" ->
-      s"""WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' graftfuzz' FROM documents),
-        |gw AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
-        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
-        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
-        |         (length(text) - length(replace(text, '#', '')))
-        |           + (length(text) - length(replace(text, '…', '')))
-        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
-        |  FROM base),
-        |gm AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
-        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS blf,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS elf,
-        |         CASE WHEN len(ws) > 0
-        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
-        |              ELSE 0.0 END AS awf,
-        |         len(list_filter(['the','be','to','of','and','that','have','with'],
-        |                         s -> list_contains(ws, s))) AS stop_hits
-        |  FROM gw),
-        |rep AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(lines) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
-        |              ELSE 0.0 END AS dlf,
-        |         CASE WHEN len(grams) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-        |              ELSE 0.0 END AS dgf,
-        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-        |  FROM (SELECT doc_id, text,
-        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-        |                           l -> l != '') AS lines,
-        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
-        |        FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM base))),
-        |keepers AS (
-        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
-        |  FROM gm JOIN rep USING (doc_id)
-        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
-        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
-        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
-        |surv AS (
-        |  SELECT k.doc_id, k.n_words, k.dlf
-        |  FROM keepers k JOIN (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp) s
-        |    ON k.fp = s.fp AND k.doc_id = s.doc_id),
-        |sh AS (
-        |  SELECT b.doc_id,
-        |         list_distinct(CASE WHEN len(b.ws) >= 3
-        |           THEN list_transform(range(1, len(b.ws) - 1), i -> array_to_string(b.ws[i:i+2], ' '))
-        |           ELSE [array_to_string(b.ws, ' ')] END) AS s
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM base) b
-        |  JOIN surv USING (doc_id)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
-        |SELECT surv.doc_id, surv.n_words, surv.dlf AS dup_line_frac
-        |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
-        |WHERE labels.id IS NULL OR labels.label = surv.doc_id
-        |ORDER BY surv.doc_id""".stripMargin,
+    "pipeline_curate_fuzzy" -> (duckFuzzy + """
+      |SELECT surv.doc_id, surv.n_words, surv.dlf AS dup_line_frac
+      |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+      |WHERE labels.id IS NULL OR labels.label = surv.doc_id
+      |ORDER BY surv.doc_id""".stripMargin),
+    // same CTEs, canonical-representative final stage: each cluster keeps
+    // its longest member (n_words desc, id asc) instead of the min id
+    "pipeline_curate_best" -> (duckFuzzy + """,
+      |scored AS (
+      |  SELECT l.id, l.label, s.n_words FROM labels l JOIN surv s ON l.id = s.doc_id),
+      |picks AS (
+      |  SELECT label, id FROM (
+      |    SELECT label, id,
+      |           row_number() OVER (PARTITION BY label ORDER BY n_words DESC, id) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT surv.doc_id, surv.n_words, surv.dlf AS dup_line_frac
+      |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+      |          LEFT JOIN picks ON labels.label = picks.label
+      |WHERE labels.id IS NULL OR picks.id = surv.doc_id
+      |ORDER BY surv.doc_id""".stripMargin),
     // full funnel: the exact-decontam CTE composed ahead of the fuzzy
     // oracle — the Spark side's bloom prefilter + exact confirm must be
     // indistinguishable from exact-only decontamination

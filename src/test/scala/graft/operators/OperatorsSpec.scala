@@ -1196,6 +1196,25 @@ class OperatorsSpec extends SparkFunSuite {
     assert(picks.toSeq == Seq((1L, 2L, 3L), (10L, 10L, 2L)))
   }
 
+  test("curateFuzzyBest keeps the longest cluster member where curateFuzzy keeps the min id") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val base = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" graftfuzz")).as("text")))
+    def ids(out: DataFrame) = out.select("doc_id").as[Long].collect().toSet
+    val minIds = ids(TextAnalysis.curateFuzzy(base, "doc_id", "text",
+      minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+      jaccardThreshold = 0.9))
+    val bestIds = ids(TextAnalysis.curateFuzzyBest(base, "doc_id", "text",
+      minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+      jaccardThreshold = 0.9))
+    assert(minIds.nonEmpty && minIds.size == bestIds.size) // same clusters, one keeper each
+    // the clone has one extra word: min-id keeps originals, best keeps clones
+    val clustered = minIds.intersect(bestIds.map(_ - 1000000))
+    assert(clustered.nonEmpty)
+    clustered.foreach { id => assert(bestIds.contains(id + 1000000) && !bestIds.contains(id)) }
+  }
+
   test("tfidf top terms: rare terms outscore common ones, ties break on term") {
     val corpus = Seq(
       (1L, "alpha alpha beta common"),

@@ -408,4 +408,42 @@ class StreamingSpec extends SparkFunSuite {
     // helper columns leak
     assert(spark.table("t_stream_quality").columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("C4 cleaning runs unchanged on a stream and matches the batch output") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // shaped multi-line docs (the corpus is single-line soup, see
+    // text_c4_filter): every rule must fire on the streamed data too
+    val docs = graft.queries.Tables.df(spark, dir, "documents")
+      .select($"doc_id", concat_ws("\n",
+        concat(lit("A first sentence with "), substring($"text", 1, 40),
+          lit(" inside.")),
+        when($"doc_id" % 3 === 0, lit("short line"))
+          .otherwise(lit("Another full sentence with enough words again.")),
+        when($"doc_id" % 7 === 0,
+          lit("this ends with lorem ipsum boilerplate text"))
+          .otherwise(lit("The last line is fine and long enough."))).as("text"))
+      .limit(60).collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val cleaned = graft.operators.TextAnalysis.c4Clean(stream, "doc_id", "text")
+    assert(cleaned.isStreaming) // stateless projection: no watermark needed
+    val q = cleaned.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_c4").start()
+    try {
+      mem.addData(docs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_c4")
+      .as[(Long, Int, Int, Boolean, String)].collect().toSet
+    val batch = graft.operators.TextAnalysis
+      .c4Clean(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Int, Boolean, String)].collect().toSet
+    assert(streamed == batch)
+    val keeps = streamed.count(_._4)
+    assert(keeps > 0 && keeps < docs.length) // both outcomes occur
+  }
 }
