@@ -413,6 +413,30 @@ object TextAnalysis {
     df.filter(keep)
   }
 
+  /** Within-document repeated-line removal — the boilerplate dedup step
+    * CCNet/RefinedWeb-style pipelines run on web pages (navigation chrome
+    * and footers repeat verbatim inside a page): keeps the FIRST occurrence
+    * of each distinct trimmed non-empty line, preserving document order.
+    * Output: (idCol, n_lines, n_kept, clean_text).
+    *
+    * Pure map pass: the line array is let-bound ([[bindOnce]]) and the
+    * keep-first filter is an indexed HOF lambda (`array_position(ls, l) ==
+    * i+1` — a line survives iff its first occurrence is itself). Quadratic
+    * in LINES PER DOCUMENT (tens to hundreds), linear in documents, no
+    * shuffle — the same scan-bound shape as every text filter here.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val row = bindOnce(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")) { ls =>
+      bindOnce(filter(ls, (l, i) => array_position(ls, l) === i + lit(1))) { kept =>
+        struct(size(ls).as("n_lines"), size(kept).as("n_kept"),
+          array_join(kept, "\n").as("clean_text"))
+      }
+    }
+    df.select(col(idCol), row.as("_d"))
+      .select(col(idCol), col("_d.n_lines"), col("_d.n_kept"), col("_d.clean_text"))
+  }
+
   /** Document phrases that disqualify a whole page under the C4 rules:
     * boilerplate legalese markers and code indicators (Raffel et al. 2020
     * §2.2). Callers can extend the list; matching is lowercase substring.

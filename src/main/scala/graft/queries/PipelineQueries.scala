@@ -591,6 +591,21 @@ object PipelineQueries {
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
         .orderBy(col("doc_id"), col("term"))),
+    // repeats are planted on doc_id residue classes (the corpus is
+    // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
+    // keep-first filter provably discriminates
+    "text_dedup_lines" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        lit("Alpha line one."),
+        substring(col("text"), 1, 30),
+        when(col("doc_id") % 2 === 0, lit("Alpha line one."))
+          .otherwise(lit("Gamma line three.")),
+        lit("Beta line two."),
+        when(col("doc_id") % 3 === 0, lit("Beta line two."))
+          .otherwise(lit("Delta line four."))).as("text"))
+      TextAnalysis.dedupLines(shaped, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "text_c4_filter" -> ((s, dir) => {
       val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
         concat(lit("A first sentence with "), substring(col("text"), 1, 40),
@@ -1367,6 +1382,32 @@ object PipelineQueries {
         |        ORDER BY score DESC, term) AS rk FROM s)
         |SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score
         |FROM r WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin,
+    // keep-first line filter: a line survives iff its first occurrence is
+    // itself (1-based indexed lambda in both engines)
+    "text_dedup_lines" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'Alpha line one.',
+        |           substr(text, 1, 30),
+        |           CASE WHEN doc_id % 2 = 0 THEN 'Alpha line one.'
+        |                ELSE 'Gamma line three.' END,
+        |           'Beta line two.',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'Beta line two.'
+        |                ELSE 'Delta line four.' END) AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                     l -> l <> '') AS ls
+        |  FROM shaped),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |         list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept
+        |  FROM t)
+        |SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+        |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     // the C4 line rules verbatim: terminal punctuation, >= 5 words, no
     // javascript; doc gate: >= 3 surviving lines, no lorem ipsum / braces
     "text_c4_filter" ->

@@ -1163,6 +1163,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(survivors == 4) // same dedup structure, over hashed values
   }
 
+  test("dedupLines keeps first occurrences in order; empty docs stay empty") {
+    val in = Seq(
+      (1L, "nav menu\nreal content here\nnav menu\nfooter\nreal content here\nfooter"),
+      (2L, "only line"),
+      (3L, ""),
+      (4L, "a\n  a  \nb") // trimming collapses whitespace-variant repeats
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(in, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 6, 3, "nav menu\nreal content here\nfooter")))
+    assert(out(1) == ((2L, 1, 1, "only line")))
+    assert(out(2) == ((3L, 0, 0, "")))
+    assert(out(3) == ((4L, 3, 2, "a\nb")))
+  }
+
   test("c4Clean: line rules, doc gate, bad phrases, clean_text reassembly") {
     val in = Seq(
       // 3 good lines -> kept
@@ -1230,6 +1245,18 @@ class OperatorsSpec extends SparkFunSuite {
     // df=1 -> 3.0, common -> 1.0: top2 = gamma, beta
     assert(out(2L).map(_._2) == List("gamma", "beta"))
     assert(out(3L).map(_._2) == List("delta", "common"))
+  }
+
+  test("tfidf plan: in-plan N broadcast, no cartesian product, per-doc window") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val plan = Vocab.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the single-row corpus count joins via broadcast, never a cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the top-k window partitions by the doc id: per-document sort only
+    assert("Window .*doc_id".r.findFirstIn(plan).isDefined
+      || plan.contains("partitionspec=[doc_id"), plan)
   }
 
   test("shardAssign is deterministic, complete, and densely ranked per shard") {
