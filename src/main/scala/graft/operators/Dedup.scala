@@ -745,7 +745,15 @@ object Dedup {
     */
   def canonicalPick(pairs: DataFrame, docs: DataFrame, idCol: String,
       score: Column): DataFrame =
-    components(pairs)
+    canonicalPickFromLabels(components(pairs), docs, idCol, score)
+
+  /** [[canonicalPick]] over an already-computed (id, label) assignment —
+    * for callers that have run [[components]] themselves (the curation
+    * funnel reuses its labels for the drop set).
+    */
+  def canonicalPickFromLabels(labels: DataFrame, docs: DataFrame,
+      idCol: String, score: Column): DataFrame =
+    labels
       .join(docs.select(col(idCol).as("id"), score.as("_score")), "id")
       .groupBy(col("label"))
       .agg(

@@ -595,11 +595,9 @@ object TextAnalysis {
     val dropIds =
       if (!best) labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
       else {
-        val picks = labels
-          .join(survivors.select(col(idCol).as("id"), col("n_words")), "id")
-          .groupBy(col("label"))
-          .agg(max_by(col("id"), struct(col("n_words"), -col("id"))).as("id"))
-          .select(col("id"))
+        val picks = graft.operators.Dedup
+          .canonicalPickFromLabels(labels, survivors, idCol, col("n_words"))
+          .select(col("keep_id").as("id"))
         labels.select(col("id")).join(picks, Seq("id"), "left_anti")
           .select(col("id").as(idCol))
       }
