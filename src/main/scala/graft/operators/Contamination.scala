@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.GraftSqlShims
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination: flag training documents that share word
   * n-grams with an evaluation/benchmark corpus, the standard pre-training
@@ -42,49 +46,98 @@ object Contamination {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Build the serialized bench-side Bloom filter ONCE over the benchmark's
+    * distinct n-gram HASHES (xxhash64 — Catalyst's
+    * `BloomFilterMightContain` probes longs, so the filter domain is the
+    * 64-bit gram hash, with the filter's internal hashing on top of it).
+    *
+    * This is an EAGER method — it runs two driver actions on the SMALL
+    * bench side at call time: a count to size the filter honestly, then
+    * the `BloomFilterAggregate` build (a tree of fixed-size bit-set
+    * merges). Callers composing several Bloom passes over the same bench
+    * corpus — [[reportBloom]] + [[dropContaminated]], a per-micro-batch
+    * streaming ingest, or a funnel that also runs the exact [[report]] —
+    * should build once here and pass the bytes to the prebuilt overloads
+    * instead of letting each call rebuild and re-scan the bench side.
+    *
+    * The sizing honors Spark's runtime-filter caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * defaults 4M items / 64 Mbit): a bench side beyond them gets a clamped
+    * filter — a higher effective fpp, never a false negative.
+    */
+  def buildBloom(bench: DataFrame, textCol: String, n: Int,
+      fpp: Double = 0.001): Array[Byte] = {
+    val hashes = bench
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+      .select(xxhash64(col("gram")).as("h"))
+    val expected = math.max(hashes.count(), 1L)
+    val numBits = math.max(64L, BloomFilter.optimalNumOfBits(expected, fpp))
+    val agg = GraftSqlShims.columnOf(new BloomFilterAggregate(
+      GraftSqlShims.expressionOf(col("h")),
+      GraftSqlShims.expressionOf(lit(expected)),
+      GraftSqlShims.expressionOf(lit(numBits))).toAggregateExpression())
+    // the aggregate evals to null over zero rows (empty bench): fall back
+    // to an explicit empty filter so probes compile and never match
+    Option(hashes.agg(agg).head().getAs[Array[Byte]](0)).getOrElse {
+      val empty = BloomFilter.create(expected, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
+  }
+
   /** Bloom-filter decontamination — the 100 TB fast path. [[report]] already
     * avoids shuffling the corpus (broadcast hash join on bench grams), but it
     * still materializes every distinct corpus gram as a join-probe row and
     * ships the full bench gram STRINGS to every executor. Here the bench side
-    * is collapsed to a constant-size bit set (`DataFrameStatFunctions
-    * .bloomFilter`, ~1.2 MB at one million grams / 0.1% fpp) and the corpus
-    * pass is a pure map: per doc, count distinct grams the filter might
-    * contain. ZERO shuffles, zero joins — the plan is scan → project,
-    * so it composes into any curation funnel for free.
+    * is collapsed to a constant-size bit set (~1.8 MB at one million grams /
+    * 0.1% fpp) and the corpus pass is a pure map: per doc, count distinct
+    * grams the filter might contain. ZERO shuffles, zero joins, zero UDFs —
+    * the probe is Catalyst's `BloomFilterMightContain` over xxhash64 gram
+    * hashes inside a higher-order filter, so the plan is scan → project and
+    * composes into any curation funnel for free.
+    *
+    * EAGER at call time: this overload (re)builds the filter via
+    * [[buildBloom]] — two actions on the small bench side per call. Use
+    * `buildBloom` + the `Array[Byte]` overload to build once and reuse.
     *
     * Guarantee: Bloom filters have no false negatives, so per doc
     * `n_flagged >= n_overlap` ([[report]]'s exact count) and every exactly
     * contaminated doc is flagged; `fpp` bounds the per-gram false-positive
-    * rate. The standard deployment is bloom-first at full scale, then the
-    * exact [[report]] on the (tiny) flagged slice — compose the two with a
-    * semi-join on the flagged ids.
+    * rate (the 64-bit xxhash64 pre-hash adds a ~2^-64 collision term, far
+    * below any practical fpp). The standard deployment is bloom-first at
+    * full scale, then the exact [[report]] on the (tiny) flagged slice —
+    * compose the two with a semi-join on the flagged ids.
     */
   def reportBloom(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, fpp: Double = 0.001): DataFrame =
+    reportBloom(docs, buildBloom(bench, textCol, n, fpp), idCol, textCol, n)
+
+  /** [[reportBloom]] over a prebuilt [[buildBloom]] filter — fully lazy:
+    * no bench-side scan, no driver action, just the map-side probe.
+    */
+  def reportBloom(docs: DataFrame, filterBytes: Array[Byte], idCol: String,
+      textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol),
-        flaggedGramCount(bench, textCol, n, fpp).as("n_flagged"))
+        flaggedGramCount(filterBytes, textCol, n).as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
 
-  /** Column counting the doc's distinct n-grams that might be in `bench`,
-    * against a Bloom filter built ONCE (an eager batch action on the small
-    * bench side) and broadcast. Pure map-side — usable on batch AND
+  /** Column counting the doc's distinct n-grams the filter might contain.
+    * Pure map-side Catalyst expressions end to end — usable on batch AND
     * streaming DataFrames alike.
     */
-  private def flaggedGramCount(bench: DataFrame, textCol: String, n: Int,
-      fpp: Double): Column = {
-    val benchGrams = bench
-      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
-    // one aggregate over the small side to size the filter honestly; the
-    // builder itself is a treeAggregate of fixed-size bit sets
-    val expected = math.max(benchGrams.count(), 1L)
-    val filter = benchGrams.stat.bloomFilter("gram", expected, fpp)
-    val bcFilter = bench.sparkSession.sparkContext.broadcast(filter)
-    val nFlagged = udf { grams: Seq[String] =>
-      if (grams == null) 0L else grams.count(bcFilter.value.mightContain).toLong
-    }
-    nFlagged(array_distinct(TextAnalysis.wordNgrams(col(textCol), n)))
+  private def flaggedGramCount(filterBytes: Array[Byte], textCol: String,
+      n: Int): Column = {
+    val flagged = filter(
+      array_distinct(TextAnalysis.wordNgrams(col(textCol), n)),
+      g => GraftSqlShims.columnOf(BloomFilterMightContain(
+        GraftSqlShims.expressionOf(lit(filterBytes)),
+        GraftSqlShims.expressionOf(xxhash64(g)))))
+    // size(null) is null (null text has no grams): count it as zero, and
+    // keep the column LONG as the exact report's n_overlap is
+    coalesce(size(flagged).cast("long"), lit(0L))
   }
 
   /** Drop every doc that MIGHT share an n-gram with the benchmark —
@@ -94,15 +147,20 @@ object Contamination {
     * [[TextAnalysis.curateFull]]).
     *
     * Stateless and map-side, so it works UNCHANGED on a streaming
-    * DataFrame: the filter is built once from the static bench side at
-    * plan time and broadcast; each micro-batch then filters with no
-    * state store, no watermark and no shuffle — decontamination at
-    * ingest, in line with the engine's batch/streaming parity.
+    * DataFrame: the filter is built once from the static bench side when
+    * this is called (an EAGER bench-side action — see [[buildBloom]]) and
+    * embedded in the plan; each micro-batch then filters with no state
+    * store, no watermark and no shuffle — decontamination at ingest, in
+    * line with the engine's batch/streaming parity.
     */
   def dropContaminated(docs: DataFrame, bench: DataFrame,
       textCol: String, n: Int, fpp: Double = 0.001): DataFrame =
-    docs
-      .withColumn("_graft_flagged", flaggedGramCount(bench, textCol, n, fpp))
-      .filter(col("_graft_flagged") === 0L)
-      .drop("_graft_flagged")
+    dropContaminated(docs, buildBloom(bench, textCol, n, fpp), textCol, n)
+
+  /** [[dropContaminated]] over a prebuilt [[buildBloom]] filter — fully
+    * lazy; the overload for callers sharing one filter across passes.
+    */
+  def dropContaminated(docs: DataFrame, filterBytes: Array[Byte],
+      textCol: String, n: Int): DataFrame =
+    docs.filter(flaggedGramCount(filterBytes, textCol, n) === 0L)
 }

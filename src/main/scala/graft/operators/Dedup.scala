@@ -689,11 +689,16 @@ object Dedup {
       // the initial labelSum action materializes this; round 1's joins then
       // read the cache instead of re-running the edges aggregate
       .localCheckpoint(eager = false)
-    // labels only ever decrease (least of current and candidates), so the
-    // label sum is a convergence fingerprint: unchanged sum == fixed point.
-    // One cheap aggregate per round replaces a full labels-vs-labels join.
+    // labels only ever decrease (least of current and candidates), so any
+    // change to the assignment changes at least one (id, label) row; an
+    // exact sum of per-row xxhash64 fingerprints is a convergence check
+    // that works for ANY id type (string ids included — no numeric cast).
+    // One cheap aggregate per round replaces a full labels-vs-labels join;
+    // a false fixpoint needs a colliding 64-bit hash SUM across the changed
+    // rows (~2^-64, deterministic either way).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+      Option(df.agg(sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")))
+          .head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
     var curSum = labelSum(labels)
     var converged = false
@@ -735,7 +740,9 @@ object Dedup {
     * an arbitrary one. Output: one row per group, (label, keep_id,
     * n_members), where label is the group's [[components]] label and
     * keep_id maximizes `scoreCol` (ties broken toward the smaller id, so
-    * the pick is deterministic).
+    * the pick is deterministic). The score must be NUMERIC (it is negated
+    * to fold "max score, then min id" into one min_by); the id may be any
+    * orderable type — string ids work (no arithmetic ever touches the id).
     *
     * Scale shape: the pair graph is duplicate-sized, not corpus-sized, so
     * [[components]]' iterative shuffles stay small; the score join touches
@@ -757,7 +764,7 @@ object Dedup {
       .join(docs.select(col(idCol).as("id"), score.as("_score")), "id")
       .groupBy(col("label"))
       .agg(
-        max_by(col("id"), struct(col("_score"), -col("id"))).as("keep_id"),
+        min_by(col("id"), struct(-col("_score"), col("id"))).as("keep_id"),
         count(lit(1)).as("n_members"))
       .select(col("label"), col("keep_id"), col("n_members"))
 

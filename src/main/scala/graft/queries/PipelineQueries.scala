@@ -1294,16 +1294,17 @@ object PipelineQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
-    // same ascii()-valued hex arithmetic as Sampling.shardAssign
+    // same hex-digit valuing as Sampling.shardAssign (4 chars = 65536
+    // values); strpos-based — both engines agree on it (see hexThreshold)
     "pipeline_shard" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents),
         |v AS (
         |  SELECT doc_id, d,
-        |    (CASE WHEN ascii(substr(d,1,1)) >= 97 THEN ascii(substr(d,1,1)) - 87
-        |          ELSE ascii(substr(d,1,1)) - 48 END) * 16
-        |    + (CASE WHEN ascii(substr(d,2,1)) >= 97 THEN ascii(substr(d,2,1)) - 87
-        |            ELSE ascii(substr(d,2,1)) - 48 END) AS hv
+        |      (strpos('0123456789abcdef', substr(d,1,1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(d,2,1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(d,3,1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(d,4,1)) - 1) AS hv
         |  FROM h)
         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
         |       row_number() OVER (PARTITION BY hv % 8 ORDER BY d, doc_id) AS shard_pos

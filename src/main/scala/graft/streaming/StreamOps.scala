@@ -125,6 +125,10 @@ object StreamOps {
     * survivors to `sinkTable` and (by default) their window hashes back
     * into the index. Same caveats as [[streamingIncrementalDedup]]:
     * within-micro-batch duplicates all survive, and replays re-append.
+    * One window-specific caveat (mirror of [[streamingSemanticDedup]]'s
+    * zero-norm note): docs shorter than the window — including blank or
+    * whitespace-only docs — produce no window hashes, so they always pass
+    * to the sink un-deduplicated and are never indexed.
     */
   def streamingSubstringDedup(docsStream: DataFrame, indexTable: String,
       idCol: String, textCol: String, sinkTable: String,

@@ -868,6 +868,16 @@ class OperatorsSpec extends SparkFunSuite {
     // the corpus pass is a pure map: no Exchange anywhere in the plan
     val plan = rep.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // the probe is a Catalyst expression, not a UDF
+    assert(!plan.contains("UDF"), plan)
+    // prebuilt-filter overloads: one eager build, identical results
+    val fb = Contamination.buildBloom(bench, "text", 5)
+    val pre = Contamination.reportBloom(corpus, fb, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(pre == bloom)
+    val keptIds = Contamination.dropContaminated(corpus, fb, "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == bloom.filter(!_._2._2).keySet)
   }
 
   test("sketch stats bracket the exact distinct count and percentiles") {
@@ -1211,6 +1221,16 @@ class OperatorsSpec extends SparkFunSuite {
     assert(picks.toSeq == Seq((1L, 2L, 3L), (10L, 10L, 2L)))
   }
 
+  test("canonicalPick works with STRING ids (no arithmetic on the id)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val scored = Seq(("a", 5), ("b", 9), ("c", 9), ("x", 4), ("y", 4))
+      .toDF("doc_id", "sc")
+    val picks = Dedup.canonicalPick(pairs, scored, "doc_id", col("sc"))
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    // {a,b,c}: best score 9 on b and c -> min id "b"; {x,y}: tie -> "x"
+    assert(picks.toSeq == Seq(("a", "b", 3L), ("x", "x", 2L)))
+  }
+
   test("curateFuzzyBest keeps the longest cluster member where curateFuzzy keeps the min id") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(60)
@@ -1273,5 +1293,20 @@ class OperatorsSpec extends SparkFunSuite {
     }
     intercept[IllegalArgumentException](Sampling.shardAssign(ids, "doc_id", 0))
     intercept[IllegalArgumentException](Sampling.shardAssign(ids, "doc_id", 257))
+  }
+
+  test("shardAssign shards are balanced when nShards does not divide a power of 16") {
+    // with only two hex chars (256 values), nShards=100 gives two probability
+    // classes 3/256 vs 2/256 — a systematic 50% skew; four chars bound the
+    // relative bias by 100/65536 < 0.2%, so sampling noise dominates here
+    val n = 20000L
+    val ids = spark.range(0, n).select(col("id").as("doc_id"))
+    val sizes = Sampling.shardAssign(ids, "doc_id", 100)
+      .groupBy("shard").count().as[(Int, Long)].collect().map(_._2)
+    assert(sizes.length == 100)
+    val expect = n.toDouble / 100
+    // 3-vs-2 class skew would put shard means at 150 vs 225; binomial noise
+    // at n=20k keeps every shard well inside ±40% of 200
+    sizes.foreach(s => assert(math.abs(s - expect) / expect < 0.4, s.toString))
   }
 }
