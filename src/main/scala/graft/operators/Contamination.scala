@@ -140,6 +140,16 @@ object Contamination {
     coalesce(size(flagged).cast("long"), lit(0L))
   }
 
+  /** Boolean flag column over a prebuilt [[buildBloom]] filter: true when
+    * the doc MIGHT share an n-gram with the bench (superset of exact
+    * contamination — no false negatives). Pure map-side Catalyst, batch and
+    * streaming alike; the two-phase deployments ([[TextAnalysis.curateFull]],
+    * [[graft.streaming.StreamOps.streamingCurate]]) flag with this at full
+    * scale and exact-confirm only the flagged slice.
+    */
+  def flaggedCol(filterBytes: Array[Byte], textCol: String, n: Int): Column =
+    flaggedGramCount(filterBytes, textCol, n) > lit(0L)
+
   /** Drop every doc that MIGHT share an n-gram with the benchmark —
     * conservative quarantine semantics: Bloom false positives (rate
     * bounded by `fpp` per gram) are dropped too; route the flagged slice

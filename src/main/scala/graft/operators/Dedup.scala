@@ -460,8 +460,11 @@ object Dedup {
     * O(batch + candidates), which is what makes per-increment dedup against
     * a full-history corpus affordable.
     */
-  /** (shingleSize, bands, rowsPerBand, numBuckets) from `<table>_meta`. */
-  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  /** (shingleSize, bands, rowsPerBand, numBuckets) from `<table>_meta`.
+    * `private[graft]`: the streaming funnel pins its batch-local banding
+    * parameters to the index it probes, so one meta row governs both.
+    */
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int, Int) = {
     val m = spark.table(s"${table}_meta").collect().head
     (m.getAs[Int]("shingle_size"), m.getAs[Int]("bands"),

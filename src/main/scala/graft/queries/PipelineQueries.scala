@@ -866,6 +866,66 @@ object PipelineQueries {
           maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
         .orderBy(col("doc_id"))
     }),
+    // the SAME planted funnel through the composed STREAMING ingest
+    // (StreamOps.streamingCurate): the corpus arrives as three id-ordered
+    // micro-batches (mtime-ordered files, maxFilesPerTrigger=1) over EMPTY
+    // persisted indexes, so within-batch dedup, cross-batch index probes and
+    // the stateless decontam/quality front end are all on the oracle path.
+    // Id-ordered batches make streaming's first-arrival policy coincide with
+    // the batch funnel's min-id policy, so the sink must equal the batch
+    // keeper set (the pipeline_curate_full oracle, id column only).
+    "stream_curate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val base = corpus.unionAll(corpus.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text")))
+      val m1 = corpus.select(percentile_approx(col("doc_id"), lit(0.5), lit(100))
+        .cast("long")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_sc").toFile
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val slices = Seq(
+        base.filter(col("doc_id") < m1),
+        base.filter(col("doc_id") >= m1 && col("doc_id") < 1000000),
+        base.filter(col("doc_id") >= 1000000))
+      val now = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val part = new java.io.File(tmpRoot, s"part$i")
+        sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
+        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(streamDir, s"b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(now - (slices.size - i) * 60000L)
+      }
+      val tables = Seq("sc_ex_idx", "sc_lsh_idx", "sc_lsh_idx_sets",
+        "sc_lsh_idx_meta", "sc_sink")
+      // DROP alone is not enough: a crashed earlier run can leave an orphaned
+      // warehouse dir with no metastore entry, and the sink's Append +
+      // saveAsTable then fails with LOCATION_ALREADY_EXISTS on a fresh
+      // metastore. Remove the physical locations too.
+      val wh = new java.io.File(new java.net.URI(
+        s.conf.get("spark.sql.warehouse.dir")).getPath)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      tables.foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"); rmrf(new java.io.File(wh, t))
+      }
+      Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+        "sc_ex_idx", "doc_id", "k", numBuckets = 4)
+      Dedup.minhashWriteBucketed(base.limit(0), "sc_lsh_idx", "doc_id",
+        "text", numBuckets = 4)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      val q = StreamOps.streamingCurate(stream, "sc_ex_idx", "sc_lsh_idx",
+        "doc_id", "text", "sc_sink", bench = Some(bench),
+        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+        threshold = 0.9)
+      try q.processAllAvailable() finally q.stop()
+      s.table("sc_sink").select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -891,11 +951,104 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     })
   )
-
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
   private val duckStop =
     "['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','by','at','it','this','that']"
 
+
+  /** The pipeline_curate_full CTE chain (planted corpus -> decontam ->
+    * quality gate -> exact dedup -> fuzzy components), shared by the batch
+    * and streaming funnel oracles, which differ only in the final SELECT.
+    */
+  private val curateFullCtes: String =
+    s"""WITH RECURSIVE base0 AS (
+    |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+    |  UNION ALL
+    |  SELECT doc_id + 1000000, text || ' graftfuzz' FROM documents
+    |  WHERE doc_id % 17 <> 0),
+    |bg AS (
+    |  SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gram
+    |  FROM (SELECT $duckWords AS w FROM documents WHERE doc_id % 17 = 0)),
+    |contaminated AS (
+    |  SELECT DISTINCT doc_id
+    |  FROM (SELECT doc_id,
+    |               unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS gram
+    |        FROM (SELECT doc_id, $duckWords AS w FROM base0)) dg
+    |  JOIN bg USING (gram)),
+    |base AS (
+    |  SELECT * FROM base0
+    |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    |gw AS (
+    |  SELECT doc_id, text,
+    |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+    |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+    |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+    |         (length(text) - length(replace(text, '#', '')))
+    |           + (length(text) - length(replace(text, '…', '')))
+    |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+    |  FROM base),
+    |gm AS (
+    |  SELECT doc_id, len(ws) AS n_words,
+    |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+    |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+    |         CASE WHEN len(ls) > 0
+    |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+    |              ELSE 0.0 END AS blf,
+    |         CASE WHEN len(ls) > 0
+    |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+    |              ELSE 0.0 END AS elf,
+    |         CASE WHEN len(ws) > 0
+    |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+    |              ELSE 0.0 END AS awf,
+    |         len(list_filter(['the','be','to','of','and','that','have','with'],
+    |                         s -> list_contains(ws, s))) AS stop_hits
+    |  FROM gw),
+    |rep AS (
+    |  SELECT doc_id,
+    |         CASE WHEN len(lines) > 0
+    |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+    |              ELSE 0.0 END AS dlf,
+    |         CASE WHEN len(grams) > 0
+    |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+    |              ELSE 0.0 END AS dgf,
+    |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    |  FROM (SELECT doc_id, text,
+    |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+    |                           l -> l != '') AS lines,
+    |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+    |        FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM base))),
+    |keepers AS (
+    |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
+    |  FROM gm JOIN rep USING (doc_id)
+    |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+    |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+    |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
+    |surv AS (
+    |  SELECT k.doc_id, k.n_words, k.dlf
+    |  FROM keepers k JOIN (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp) s
+    |    ON k.fp = s.fp AND k.doc_id = s.doc_id),
+    |sh AS (
+    |  SELECT b.doc_id,
+    |         list_distinct(CASE WHEN len(b.ws) >= 3
+    |           THEN list_transform(range(1, len(b.ws) - 1), i -> array_to_string(b.ws[i:i+2], ' '))
+    |           ELSE [array_to_string(b.ws, ' ')] END) AS s
+    |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM base) b
+    |  JOIN surv USING (doc_id)),
+    |pairs AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+    |edges AS (
+    |  SELECT id_a AS a, id_b AS b FROM pairs
+    |  UNION SELECT id_b, id_a FROM pairs),
+    |nodes AS (SELECT DISTINCT a AS id FROM edges),
+    |reach AS (
+    |  SELECT id, id AS r FROM nodes
+    |  UNION
+    |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      """.stripMargin.trim
   /** Distinct word-3-gram shingle sets of the planted corpus, as shingle
     * STRINGS — xxhash64 has no DuckDB equivalent, but distinct-set sizes are
     * hash-invariant (collision-free whp), so set-count jaccard matches.
@@ -1847,94 +2000,17 @@ object PipelineQueries {
     // oracle — the Spark side's bloom prefilter + exact confirm must be
     // indistinguishable from exact-only decontamination
     "pipeline_curate_full" ->
-      s"""WITH RECURSIVE base0 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' graftfuzz' FROM documents
-        |  WHERE doc_id % 17 <> 0),
-        |bg AS (
-        |  SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) AS gram
-        |  FROM (SELECT $duckWords AS w FROM documents WHERE doc_id % 17 = 0)),
-        |contaminated AS (
-        |  SELECT DISTINCT doc_id
-        |  FROM (SELECT doc_id,
-        |               unnest(list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS gram
-        |        FROM (SELECT doc_id, $duckWords AS w FROM base0)) dg
-        |  JOIN bg USING (gram)),
-        |base AS (
-        |  SELECT * FROM base0
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |gw AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
-        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
-        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
-        |         (length(text) - length(replace(text, '#', '')))
-        |           + (length(text) - length(replace(text, '…', '')))
-        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
-        |  FROM base),
-        |gm AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
-        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS blf,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS elf,
-        |         CASE WHEN len(ws) > 0
-        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
-        |              ELSE 0.0 END AS awf,
-        |         len(list_filter(['the','be','to','of','and','that','have','with'],
-        |                         s -> list_contains(ws, s))) AS stop_hits
-        |  FROM gw),
-        |rep AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(lines) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
-        |              ELSE 0.0 END AS dlf,
-        |         CASE WHEN len(grams) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-        |              ELSE 0.0 END AS dgf,
-        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-        |  FROM (SELECT doc_id, text,
-        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-        |                           l -> l != '') AS lines,
-        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
-        |        FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w FROM base))),
-        |keepers AS (
-        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
-        |  FROM gm JOIN rep USING (doc_id)
-        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
-        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
-        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
-        |surv AS (
-        |  SELECT k.doc_id, k.n_words, k.dlf
-        |  FROM keepers k JOIN (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp) s
-        |    ON k.fp = s.fp AND k.doc_id = s.doc_id),
-        |sh AS (
-        |  SELECT b.doc_id,
-        |         list_distinct(CASE WHEN len(b.ws) >= 3
-        |           THEN list_transform(range(1, len(b.ws) - 1), i -> array_to_string(b.ws[i:i+2], ' '))
-        |           ELSE [array_to_string(b.ws, ' ')] END) AS s
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM base) b
-        |  JOIN surv USING (doc_id)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      s"""$curateFullCtes
         |SELECT surv.doc_id, surv.n_words, surv.dlf AS dup_line_frac
+        |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+        |WHERE labels.id IS NULL OR labels.label = surv.doc_id
+        |ORDER BY surv.doc_id""".stripMargin,
+    // streaming ingest of the same planted funnel: id-ordered micro-batches
+    // make first-arrival == min-id, so the sink is exactly the batch keeper
+    // id set
+    "stream_curate" ->
+      s"""$curateFullCtes
+        |SELECT surv.doc_id
         |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.label = surv.doc_id
         |ORDER BY surv.doc_id""".stripMargin,

@@ -187,6 +187,114 @@ object StreamOps {
     vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** The COMPOSED streaming curation funnel — the continuous-ingest shape of
+    * the batch [[graft.operators.TextAnalysis.curateFull]] pipeline, stage
+    * for stage:
+    *
+    *  1. STATELESS on the stream (map-side, no state store, no watermark):
+    *     Bloom decontamination FLAGGING over a filter built once from the
+    *     bench corpus ([[graft.operators.Contamination.flaggedCol]]), then
+    *     the Gopher + repetition quality gate
+    *     ([[graft.operators.TextAnalysis.qualityFilter]]).
+    *  2. Per micro-batch (foreachBatch — exactly the batch operators, so
+    *     the scale shape is batch-sized shuffles probing persisted bucketed
+    *     indexes): exact-confirm of the bloom-flagged slice against the
+    *     bench (two-phase decontam — Bloom false positives survive, exactly
+    *     as in curateFull); exact dedup keyed on the whitespace-normalized
+    *     fingerprint vs the persisted md5 index, within-batch collapse
+    *     included ([[graft.operators.Dedup.exactDedupIncremental]]);
+    *     batch-LOCAL fuzzy dedup (LSH banding → exact-Jaccard verify →
+    *     connected components → min-id representative, banding parameters
+    *     pinned by the LSH index's meta table so probe and local pass agree);
+    *     then the incremental LSH probe vs the persisted index
+    *     ([[graft.operators.Dedup.minhashDedupIncremental]]).
+    *  3. Survivors append to `sinkTable` (pass-through input schema) and
+    *     extend both indexes: ALL exact-stage survivors extend the exact
+    *     index (a later byte-identical copy of a fuzzy-dropped doc must
+    *     still be dropped, as the batch funnel would drop it), while only
+    *     FINAL survivors extend the LSH index (first-arrival representative
+    *     policy).
+    *
+    * Parity with the batch funnel: on a corpus whose near-dup groups are
+    * CLIQUES under the verify threshold (near-identical copies — the shape
+    * real scraped duplicates take), streaming the corpus through empty
+    * indexes in id-ordered micro-batches lands exactly curateFull's keeper
+    * id set in the sink (StreamingSpec proves stream-of-batches ≡ batch on
+    * the planted corpus, duplicates within AND across batches). The one
+    * semantic gap is transitive chains that SPAN batches (a~b, b~c, a≁c in
+    * three different batches): batch components keep only `a`; streaming
+    * keeps `a` and `c`, because `b` was dropped and therefore never indexed.
+    * Replays re-append (the parquet sink is not idempotent), as with every
+    * ingest in this family.
+    *
+    * EAGER at call time when `bench` is given: the Bloom filter build runs
+    * two actions on the small bench side ([[graft.operators.Contamination.buildBloom]]).
+    */
+  def streamingCurate(docsStream: DataFrame, exactIndexTable: String,
+      lshIndexTable: String, idCol: String, textCol: String, sinkTable: String,
+      bench: Option[DataFrame] = None, decontamN: Int = 5, fpp: Double = 0.001,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5, maxBucket: Int = 100, threshold: Double = 0.7,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Contamination, Dedup, TextAnalysis}
+    val bloomFlag = "_graft_bloom"
+    val fpKey = "_graft_fp_key"
+    // stateless front end, ON the stream: flag (never drop — false positives
+    // must survive the exact confirm) and quality-gate. Both are row-local
+    // filters, so flag-then-gate equals curateFull's decontam-then-gate.
+    val flagged = bench
+      .map(b => docsStream.withColumn(bloomFlag,
+        Contamination.flaggedCol(
+          Contamination.buildBloom(b, textCol, decontamN, fpp), textCol, decontamN)))
+      .getOrElse(docsStream.withColumn(bloomFlag, lit(false)))
+    val gated = TextAnalysis.qualityFilter(flagged, textCol, minWords, maxWords,
+      minStopHits, maxDupLineFrac, maxDupNgramFrac, ngram)
+    val perBatch: (DataFrame, Long) => Unit = (batch0, _) => {
+      val spark = batch0.sparkSession
+      // two-phase decontam: exact n-gram confirm ONLY on the flagged slice
+      val batch = bench match {
+        case Some(b) =>
+          val confirmed = Contamination
+            .report(batch0.filter(col(bloomFlag)), b, idCol, textCol, decontamN)
+            .filter(col("contaminated")).select(col(idCol))
+          batch0.join(confirmed, Seq(idCol), "left_anti").drop(bloomFlag)
+        case None => batch0.drop(bloomFlag)
+      }
+      // exact stage: key = whitespace-normalized lowercase text, so the
+      // index's content_hash IS TextAnalysis.fingerprint of the doc
+      val exactSurvivors = Dedup.exactDedupIncremental(
+          batch.withColumn(fpKey,
+            regexp_replace(lower(trim(col(textCol))), "\\s+", " ")),
+          exactIndexTable, idCol, fpKey)
+        .localCheckpoint(eager = false) // feeds local fuzzy + probe + appends
+      // batch-local fuzzy pass, parameters pinned to the probed index
+      val (shingleSize, bands, rowsPerBand, _) =
+        Dedup.readIndexMeta(spark, lshIndexTable)
+      graft.functions.VectorFunctions.register(spark)
+      val sets = exactSurvivors.select(col(idCol),
+        expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      val localDrop = Dedup
+        .components(Dedup.minhashDedupFromSets(sets, idCol, bands, rowsPerBand,
+          maxBucket, threshold))
+        .filter(col("id") =!= col("label")).select(col("id").as(idCol))
+      val localSurvivors = exactSurvivors.join(localDrop, Seq(idCol), "left_anti")
+      // cross-batch fuzzy: probe the persisted LSH index
+      val dupIds = Dedup.minhashDedupIncremental(localSurvivors, lshIndexTable,
+          idCol, textCol, maxBucket, threshold)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors = localSurvivors.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = false) // sink append + LSH index append
+      survivors.drop(fpKey).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex) {
+        Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol, fpKey)
+        Dedup.minhashAppendToIndex(survivors, lshIndexTable, idCol, textCol)
+      }
+    }
+    gated.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Stream-stream interval join: every left event joined to right events of
     * the same key with rightTs in [leftTs - upper, leftTs - lower] (backward
     * window). Watermarks on BOTH sides bound the join state — Spark retains

@@ -446,4 +446,72 @@ class StreamingSpec extends SparkFunSuite {
     val keeps = streamed.count(_._4)
     assert(keeps > 0 && keeps < docs.length) // both outcomes occur
   }
+
+  test("streamingCurate over empty indexes matches the batch curateFull funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+
+    // planted corpus, the pipeline_curate_full shape at test scale: a bench
+    // slice (every 17th doc), near-dup clones (+1e6, one extra token) and
+    // byte-identical exact dups (+2e6) of a sub-slice
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val bench = d.filter(col("doc_id") % 17 === 0)
+    val origs = d.filter(col("doc_id") % 17 =!= 0)
+    val clones = origs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" graftfuzz")).as("text"))
+    val exactDups = origs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val base = origs.unionAll(clones).unionAll(exactDups)
+
+    val expect = TextAnalysis.curateFull(base, bench, "doc_id", "text",
+        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+        jaccardThreshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+
+    val tables = Seq("cur_ex_idx", "cur_lsh_idx", "cur_lsh_idx_sets",
+      "cur_lsh_idx_meta", "cur_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // EMPTY indexes: the whole corpus arrives through the stream
+      Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+        "cur_ex_idx", "doc_id", "k", numBuckets = 4)
+      Dedup.minhashWriteBucketed(base.limit(0), "cur_lsh_idx", "doc_id",
+        "text", numBuckets = 4)
+
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+        df.orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val ids = origs.select("doc_id").as[Long].collect().sorted
+      val median = ids(ids.length / 2)
+      val h1 = origs.filter(col("doc_id") < median)
+      val h2 = origs.filter(col("doc_id") >= median)
+      // batch 2 carries h2 AND its clones: within-batch near-dups, which the
+      // batch-LOCAL fuzzy pass must collapse to the min id. batch 3 carries
+      // clones/dups of batch-1 docs: cross-batch, only the extended indexes
+      // can know them.
+      val batches = Seq(
+        rows(h1),
+        rows(h2.unionAll(clones.filter(col("doc_id") - 1000000 >= median))),
+        rows(clones.filter(col("doc_id") - 1000000 < median).unionAll(exactDups)))
+
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingCurate(stream, "cur_ex_idx", "cur_lsh_idx",
+        "doc_id", "text", "cur_sink", bench = Some(bench),
+        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue, threshold = 0.9)
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+
+      val got = spark.table("cur_sink").select("doc_id").as[Long].collect()
+      assert(got.length == got.distinct.length) // nothing appended twice
+      assert(got.toSet == expect)
+      // sink schema is pass-through: no helper columns leak
+      assert(spark.table("cur_sink").columns.sorted.toSeq == Seq("doc_id", "text"))
+      // the LSH index grew by exactly the final survivors
+      assert(spark.table("cur_lsh_idx_sets").select("doc_id").as[Long]
+        .collect().toSet == expect)
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
