@@ -212,6 +212,60 @@ object Similarity {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Re-quantize a [[ivfWriteBucketed]] index in place — the ACTUATOR for
+    * [[ivfCellStats]]' rebuild decision. Centroids are re-seeded from the
+    * CURRENT index rows (the same deterministic hash-ordered sample as
+    * [[ivfWriteBucketed]], so a region of vector space that grew through
+    * appends now draws proportionally more centroids and its oversized cells
+    * split), every row is re-assigned to its new argmax cell, and both the
+    * index and its `_centroids` side table are replaced.
+    *
+    * Write-new-then-swap, never read-and-overwrite: the re-assigned corpus
+    * and fresh quantizer land in `<table>_rebuild` staging tables (one full
+    * index scan + one bucketed write — the same cost as building from
+    * scratch, which is what a rebuild IS), then swap in via catalog rename.
+    * At 100 TB the staging write is the deployment shape too: probes keep
+    * reading the old index until the swap, and the swap itself moves no
+    * data. The rename pair is not atomic — a crash between DROP and RENAME
+    * leaves the staged tables to re-swap by hand; a transactional catalog
+    * would close that window.
+    *
+    * `nlist` <= 0 keeps the current centroid count; pass a larger value to
+    * widen the quantizer while rebuilding (the usual response when
+    * [[ivfCellStats]] shows occupancy maxed out rather than merely skewed).
+    */
+  def ivfRebuild(spark: SparkSession, table: String, idCol: String,
+      vecCol: String, nlist: Int = 0): Unit = {
+    VectorFunctions.register(spark)
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed IVF index"))
+      .numBuckets
+    val n = if (nlist > 0) nlist else readCentroids(spark, table).length
+    val corpus = spark.table(table).drop("_cell", "_cnorm")
+    val centroids = seedCentroids(corpus, idCol, vecCol, n)
+    val staged = s"${table}_rebuild"
+    val stagedCentroids = s"${table}_centroids_rebuild"
+    dropForOverwrite(spark, staged)
+    dropForOverwrite(spark, stagedCentroids)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(stagedCentroids)
+    val assigned = corpus
+      .withColumn("_cell", element_at(cellsCol(vecCol, centroids, 1), 1))
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
+    graft.sources.Sources.writeBucketed(assigned, staged, Seq("_cell"), numBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    spark.sql(s"DROP TABLE ${table}_centroids")
+    spark.sql(s"ALTER TABLE $stagedCentroids RENAME TO ${table}_centroids")
+  }
+
   /** Per-cell row counts of a [[ivfWriteBucketed]] index: (cell, n), one row
     * per occupied cell. The group-by key IS the bucketing key, so the index
     * is scanned pre-clustered and aggregated in place — no exchange anywhere

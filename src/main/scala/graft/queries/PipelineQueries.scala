@@ -419,6 +419,36 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
       self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
     }),
+    // the rebuild ACTUATOR on the oracle path: build from the even half,
+    // append the odd half, then ivfRebuild re-seeds the quantizer from ALL
+    // current rows and re-quantizes in place (write-new-then-swap). The same
+    // two-branch gate as ann_ivf_incr_topk must still hold — self-recall at
+    // rank 1 for every query regardless of arrival path, and the empty
+    // branch re-verifies every emitted cosine with built-in HOFs — proving
+    // a rebuild loses no vector and re-assigns each to its argmax cell.
+    "ann_ivf_rebuild" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfWriteBucketed(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivf_rb_gate", "vec_id", "embedding")
+      Similarity.ivfAppendToIndex(e.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivf_rb_gate", "vec_id", "embedding")
+      Similarity.ivfRebuild(s, "graft_ivf_rb_gate", "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val out = Similarity.ivfTopKFromBucketed(s, "graft_ivf_rb_gate", q,
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+        .localCheckpoint(eager = false)
+      val self = out.filter(col("rank") === 1)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+      val bad = out
+        .join(e.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+        .join(q, "query_id")
+        .withColumn("ref_cosine", hofCosine("cv", "qv"))
+        .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("query_id"), col("rank"), col("vec_id"), lit(-1.0).as("cosine"))
+      self.unionAll(bad).orderBy(col("query_id"), col("rank"), col("vec_id"))
+    }),
     // THE ANN tuning number: measured recall@10 of the bucketed-IVF probe
     // against exact brute force on 25 shared queries, joined Spark-side.
     // Deterministic (hash-seeded centroids) but not SQL-expressible — the
@@ -1275,6 +1305,14 @@ object PipelineQueries {
     // emitted set must be exactly the self rows regardless of which half of
     // the corpus each vector entered through
     "ann_ivf_incr_topk" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
+        |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
+        |ORDER BY query_id, rank, vec_id""".stripMargin,
+    // and through build-append-REBUILD: the re-quantized index must present
+    // the identical self-recall surface (no vector lost, every cosine real)
+    "ann_ivf_rebuild" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 5)
         |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine

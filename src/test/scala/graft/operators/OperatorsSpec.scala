@@ -571,6 +571,69 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF rebuild: re-quantize drops measured skew, widens nlist on demand, probes stay exact") {
+    // spread base + a clustered append: 64 vectors in a cone around
+    // (1,1,1,1) all land in one cell of the ORIGINAL quantizer, so skew
+    // rises; the rebuild re-seeds centroids from the current rows (half of
+    // them clustered), the region draws several centroids and the fat cell
+    // splits
+    val base = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")
+    val clustered = spark.range(64).selectExpr("id + 100 AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(1.0 + 0.3 * sin(CAST(id * 4 + d AS DOUBLE)) AS FLOAT)) AS embedding")
+    val union = base.unionAll(clustered)
+    val queries = union.filter(col("vec_id") < 2 || col("vec_id") >= 162)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def skewOf(): Double = Similarity.ivfCellStats(spark, "ivf_rb_t")
+      .collect().head.getAs[Double]("skew")
+    def fullEqualsBrute(nprobe: Int): Unit = {
+      val full = Similarity.ivfTopKFromBucketed(spark, "ivf_rb_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = nprobe)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      val brute = Similarity.bruteForceTopK(union, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      assert(full == brute)
+    }
+    Seq("ivf_rb_t", "ivf_rb_t_centroids").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Similarity.ivfWriteBucketed(base, "ivf_rb_t", "vec_id", "embedding",
+        nlist = 8, numBuckets = 8)
+      Similarity.ivfAppendToIndex(clustered, "ivf_rb_t", "vec_id", "embedding")
+      val skewBefore = skewOf()
+      assert(skewBefore >= 2.0, s"setup failed to skew the index: $skewBefore")
+      Similarity.ivfRebuild(spark, "ivf_rb_t", "vec_id", "embedding")
+      val skewAfter = skewOf()
+      assert(skewAfter < skewBefore, s"rebuild did not reduce skew: $skewBefore -> $skewAfter")
+      val stats = Similarity.ivfCellStats(spark, "ivf_rb_t").collect().head
+      assert(stats.getAs[Long]("n_rows") == 128) // no row lost or duplicated
+      assert(stats.getAs[Long]("n_cells_total") == 8) // nlist kept by default
+      fullEqualsBrute(nprobe = 8)
+      // pruned probe still bucket-prunes after the swap
+      val pruned = Similarity.ivfTopKFromBucketed(spark, "ivf_rb_t", queries,
+        "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 2)
+      pruned.collect()
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pruned.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt)
+      // widening rebuild: nlist 8 -> 16 replaces the quantizer wholesale
+      Similarity.ivfRebuild(spark, "ivf_rb_t", "vec_id", "embedding", nlist = 16)
+      val stats16 = Similarity.ivfCellStats(spark, "ivf_rb_t").collect().head
+      assert(stats16.getAs[Long]("n_cells_total") == 16)
+      assert(stats16.getAs[Long]("n_rows") == 128)
+      assert(spark.table("ivf_rb_t_centroids").count() == 16)
+      fullEqualsBrute(nprobe = 16)
+      // staging tables were swapped away, not left behind
+      assert(!spark.catalog.tableExists("ivf_rb_t_rebuild"))
+      assert(!spark.catalog.tableExists("ivf_rb_t_centroids_rebuild"))
+    } finally Seq("ivf_rb_t", "ivf_rb_t_centroids", "ivf_rb_t_rebuild",
+      "ivf_rb_t_centroids_rebuild").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("repetition fractions: 1 - distinct/total, 0 on empty or short text") {
     val df = Seq(
       (1L, "spam eggs\nspam eggs\nham\n\nspam eggs"), // 4 non-empty lines, 2 distinct
