@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary extraction: top-k word n-grams by raw count or document
@@ -77,5 +77,107 @@ object Vocab {
       .filter(col("_rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** BPE pre-tokenization shared by train and encode: lowercase letter runs
+    * split to single-character symbols plus a separate end-of-word marker
+    * (the `</w>` variant of Sennrich et al. 2016 §3.2 — the marker is its
+    * own symbol rather than glued to the last character, so word-final and
+    * word-internal merges stay distinguishable and every initial symbol is
+    * one character). Restricting words to `[a-z]+` keeps the alphabet free
+    * of whitespace and pattern metacharacters, which the merge fold and the
+    * cross-engine oracle both rely on.
+    */
+  private def wordSymbols(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr("concat(split(word, '(?!^)'), array('</w>'))").as("syms"),
+        col("cnt"))
+
+  /** Greedy left-to-right non-overlapping merge of adjacent pair (a, b) into
+    * the single symbol a+b — one BPE merge applied to a symbol array, as a
+    * single codegen-friendly `aggregate` fold (O(L) comparisons per word; the
+    * array-copy cost is O(L^2) but words are tens of characters, and each
+    * merge only shrinks them). The left fold IS the greedy scan: the
+    * accumulator's last element equals `a` exactly when the scan would merge
+    * here, and a just-merged a+b can never re-match `a` (b is non-empty, so
+    * a+b is strictly longer than a).
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
+      (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
+          concat(slice(acc, 1, size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE merge training (Sennrich et al. 2016): iterate (count
+    * adjacent symbol pairs weighted by word frequency, take the global
+    * argmax, merge it everywhere) `numMerges` times. Returns the ordered
+    * merge table `(merge_rank, lhs, rhs, pair_cnt)` — the trained tokenizer.
+    * Ties at the argmax break deterministically on (count desc, lhs, rhs).
+    *
+    * Shape at scale: the corpus is scanned ONCE (pre-tokenization with
+    * map-side partial word counts); every iteration then runs over the
+    * distinct-WORD table — vocab-sized (~1e7-1e8 rows at 100 TB), never
+    * corpus-sized. Per iteration: one pair-explode + hash aggregate (shuffle
+    * carries distinct (l, r) pairs per partition), a 1-row argmax collect
+    * (the only driver materialization, bounded at one row x numMerges), and
+    * a map-only merge fold. The word table is eagerly localCheckpoint'ed
+    * each iteration — same fixpoint discipline as [[Dedup.components]]: the
+    * next pair count reads materialized partitions instead of replaying the
+    * whole merge lineage (which would make iteration k cost O(k)).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    val pairExpr = expr(
+      """zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1),
+        |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)
+    var words = wordSymbols(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val top = words.select(explode(pairExpr).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, c))
+        val prev = words
+        words = words.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** Apply a trained merge table to a corpus: tokenize every distinct word by
+    * replaying the merges in rank order, then weight each token by total word
+    * occurrences. Returns `(token, token_cnt)` — the corpus token-frequency
+    * table under the trained tokenizer (vocab-size estimation, compression-
+    * ratio tracking, drift monitoring between training epochs).
+    *
+    * Deliberately a different code path from [[bpeTrain]]'s loop: all merges
+    * fold into ONE map pass over the distinct-word table (a single projection
+    * with `merges.length` nested aggregate folds — no per-merge shuffle or
+    * checkpoint), which is the right shape for applying a FIXED tokenizer:
+    * encode cost is one scan regardless of merge count. Per-document
+    * tokenization at scale is the same dictionary join: encode distinct
+    * words once, broadcast/join back onto (doc, word) rows.
+    */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(col("syms")) { case (c, (a, b)) =>
+      mergePair(c, a, b)
+    }
+    wordSymbols(df, textCol)
+      .select(explode(encoded).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("token_cnt"))
   }
 }

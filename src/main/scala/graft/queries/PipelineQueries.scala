@@ -621,6 +621,21 @@ object PipelineQueries {
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
         .orderBy(col("doc_id"), col("term"))),
+    // distributed BPE merge training: 8 (global-argmax, merge-everywhere)
+    // iterations over the distinct-word table; the oracle unrolls the same
+    // 8 iterations in DuckDB (materialized CTEs, list_reduce merge folds)
+    "text_bpe" -> ((s, dir) =>
+      Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
+        .orderBy(col("merge_rank"))),
+    // the trained tokenizer applied back to the corpus in ONE map pass
+    // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
+    "text_bpe_encode" -> ((s, dir) => {
+      val m = Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Vocab.bpeEncode(docs(s, dir), "text", m)
+        .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
+    }),
     // repeats are planted on doc_id residue classes (the corpus is
     // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
     // keep-first filter provably discriminates
