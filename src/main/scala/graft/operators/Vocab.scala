@@ -92,8 +92,12 @@ object Vocab {
     df.select(explode(expr(
         s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(expr("concat(split(word, '(?!^)'), array('</w>'))").as("syms"),
-        col("cnt"))
+      // split on the zero-width '(?!^)' also matches at end-of-string, so
+      // Spark (limit -1) keeps a trailing '' element — filter it, or the
+      // ('', '</w>') pair occurs once per word and wins merge rank 1
+      .select(expr(
+          "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")
+        .as("syms"), col("cnt"))
 
   /** Greedy left-to-right non-overlapping merge of adjacent pair (a, b) into
     * the single symbol a+b — one BPE merge applied to a symbol array, as a
@@ -104,10 +108,10 @@ object Vocab {
     * here, and a just-merged a+b can never re-match `a` (b is non-empty, so
     * a+b is strictly longer than a).
     */
-  private def mergePair(syms: Column, a: String, b: String): Column =
-    aggregate(slice(syms, 2, size(syms) - 1), slice(syms, 1, 1),
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(slice(syms, lit(2), size(syms) - 1), slice(syms, lit(1), lit(1)),
       (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
-          concat(slice(acc, 1, size(acc) - 1), array(lit(a + b))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
   /** Distributed BPE merge training (Sennrich et al. 2016): iterate (count

@@ -17,6 +17,19 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
+  /** Trained BPE merge table, memoized per sfDir: text_bpe and
+    * text_bpe_encode both need it, and the training loop (8 shuffles + 8
+    * checkpoints) is the expensive part — one Verify run should pay it once.
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+  private def trainedBpe(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.getOrElseUpdate(dir,
+      Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
   /** documents unioned with an offset copy of itself: plants exact
     * duplicates so the sketch-based dedup paths provably find pairs on any
     * corpus.
@@ -623,16 +636,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("term"))),
     // distributed BPE merge training: 8 (global-argmax, merge-everywhere)
     // iterations over the distinct-word table; the oracle unrolls the same
-    // 8 iterations in DuckDB (materialized CTEs, list_reduce merge folds)
+    // 8 iterations in DuckDB (one string-replace merge per rank — see
+    // bpeOracle's equivalence note). The trained table is memoized per
+    // sfDir so text_bpe_encode reuses it instead of re-running 8 shuffles.
     "text_bpe" -> ((s, dir) =>
-      Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
+      s.createDataFrame(trainedBpe(s, dir))
+        .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
         .orderBy(col("merge_rank"))),
     // the trained tokenizer applied back to the corpus in ONE map pass
     // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
     "text_bpe_encode" -> ((s, dir) => {
-      val m = Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
-        .orderBy(col("merge_rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
       Vocab.bpeEncode(docs(s, dir), "text", m)
         .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
     }),
@@ -811,6 +825,38 @@ object PipelineQueries {
         .select(col("media_id"), col("width"), col("height"),
           col("new_width"), col("new_height"), col("n_bytes"))
         .orderBy(col("media_id"))
+    }),
+    // multimodal NEAR-dup: decode -> feature vectors -> hyperplane-LSH
+    // pairs, end to end. Each planted clone is the char-REVERSED text: the
+    // byte multiset (hence the 16-bin histogram feature) is identical while
+    // the payload bytes differ — invisible to mm_dedup's md5, found here at
+    // cosine 1. Identical vectors share every hyperplane sign, so planted
+    // recall is unconditional and the oracle can state it; output is the
+    // planted branch plus a Spark-verified FP branch (empty), the
+    // dedup_cosine_lsh_check scheme. Payload bytes never ride the LSH
+    // shuffle — only media_id + 16 floats (plan-asserted in OperatorsSpec).
+    "mm_neardup" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      val both = slice.select(col("doc_id"), col("text")).unionAll(
+        slice.select((col("doc_id") + 1000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+      val media = Multimodal.withFakeMedia(both, "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(s, media)
+        .select(col("media_id"), col("features"))
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
+        threshold = 0.98, maxBucket = Int.MaxValue)
+        .localCheckpoint(eager = false)
+      val planted = pairs
+        .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      val fa = feats.select(col("media_id").as("id_a"), col("features").as("ea"))
+      val fb = feats.select(col("media_id").as("id_b"), col("features").as("eb"))
+      val fp = pairs.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("ref_cosine", hofCosine("ea", "eb"))
+        .filter(col("ref_cosine") < 0.98 || abs(col("ref_cosine") - col("cosine")) > 1e-9)
+        .select(col("id_a"), col("id_b"), lit(-1.0).as("cosine"))
+      planted.unionAll(fp).orderBy(col("id_a"), col("id_b"))
     }),
     // end-to-end preprocess composition: language ID + quality score ->
     // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
@@ -997,6 +1043,45 @@ object PipelineQueries {
     })
   )
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** DuckDB CTE chain for the BPE oracle, one (pair-count, argmax, merge)
+    * triple unrolled per merge rank.
+    *
+    * Words are strings with every symbol wrapped in single spaces
+    * (`[a,b,</w>]` -> `" a  b  </w> "`); one merge (l, r) is then
+    * `replace(s, ' l  r ', ' lr ')`. This is equivalent to the Spark
+    * `aggregate` fold in [[graft.operators.Vocab.mergePair]] (greedy
+    * left-to-right, non-overlapping) because:
+    *  - symbols never contain spaces, so `' l '` only matches a whole symbol;
+    *  - `replace` scans left-to-right and resumes AFTER the replacement, so a
+    *    just-merged `lr` can never re-match as the left operand — exactly the
+    *    fold's rule (the accumulator's tail `lr` never equals `l`);
+    *  - the resume position IS the next symbol's own leading space, so
+    *    chained merges work: `[a,a,a,a]` under (a,a) -> `[aa,aa]`.
+    */
+  private def bpeCtes(numMerges: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents) GROUP BY word),
+        |s0 AS (
+        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') || ' </w> ' AS s, cnt
+        |  FROM w0)""".stripMargin
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_zip(list_slice(L, 1, len(L)-1),
+         |                           list_slice(L, 2, len(L)))) AS z, cnt
+         |    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS L,
+         |                 cnt FROM s${i - 1})) GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |s$i AS (SELECT replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s,
+         |               cnt FROM s${i - 1}, m$i AS m)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
   private val duckStop =
     "['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','by','at','it','this','that']"
 
@@ -1589,6 +1674,21 @@ object PipelineQueries {
         |        ORDER BY score DESC, term) AS rk FROM s)
         |SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score
         |FROM r WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin,
+    // BPE merge training, unrolled: the 8 argmax rows are the merge table
+    "text_bpe" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT * FROM (
+         |${(1 to 8).map(i =>
+             s"  SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+             s"CAST(c AS BIGINT) AS pair_cnt FROM m$i").mkString(" UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin,
+    // the final symbol table after 8 merges IS the encoded corpus
+    "text_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS token_cnt FROM (
+         |  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token,
+         |         cnt FROM s8)
+         |GROUP BY token ORDER BY token_cnt DESC, token LIMIT 20""".stripMargin,
     // keep-first line filter: a line survives iff its first occurrence is
     // itself (1-based indexed lambda in both engines)
     "text_dedup_lines" ->
@@ -1878,6 +1978,14 @@ object PipelineQueries {
         |       32 AS new_width, 8 AS new_height,
         |       CASE WHEN octet_length(encode(text)) > 0 THEN 256 ELSE 0 END AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // reversed-text clones have bit-identical histogram features, so every
+    // planted pair surfaces at cosine exactly 1 (dot(v,v)/(sqrt(d)*sqrt(d))
+    // rounds to 1.0 at 6 decimals); the FP branch is Spark-verified empty
+    "mm_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS cosine
+        |FROM documents
+        |WHERE doc_id % 20 = 0 AND octet_length(encode(text)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH t AS (
          |  SELECT doc_id,

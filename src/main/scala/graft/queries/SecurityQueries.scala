@@ -5,19 +5,23 @@ import graft.policy.{DataMaskPolicy, RowFilterPolicy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Tables {
-  /** Read one testdata table. events.parquet carries TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects — read nanos as long and convert to
-    * micros precision (DuckDB keeps ns; all our bucketing is >= 1s so the
-    * truncation is oracle-safe).
+  /** Read one testdata table, normalizing the `ts` column to session-zoned
+    * TIMESTAMP whatever the writer used: TIMESTAMP(NANOS) (Spark's
+    * vectorized reader rejects it — read nanos as long, truncate to micros)
+    * or naive timestamp[us] (read as TIMESTAMP_NTZ — cast, which in the UTC
+    * session keeps the wall clock DuckDB sees). All bucketing is >= 1s, so
+    * either normalization is oracle-safe.
     */
   def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    raw.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => raw.withColumn("ts",
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => raw.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-      case None => raw
+      case Some(org.apache.spark.sql.types.TimestampNTZType) => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
     }
   }
 

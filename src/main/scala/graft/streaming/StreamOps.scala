@@ -28,10 +28,15 @@ object StreamOps {
       if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    else raw
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // naive timestamp[us] parquet: watermarks require session-zoned
+        // TIMESTAMP; the cast keeps the wall clock in the UTC session
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** 1-hour tumbling-window counts/sums per event type (native streaming

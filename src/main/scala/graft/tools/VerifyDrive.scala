@@ -61,9 +61,7 @@ object VerifyDrive {
     spark.sql("DROP TABLE IF EXISTS vd_ivf_centroids")
     println("== watermark-flushed streaming sessionization over real events parquet ==")
     import org.apache.spark.sql.functions.expr
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val ev = graft.queries.Tables.df(spark, "/root/testdata/sf0.001", "events")
     // file stream over the same parquet; one batch, then the watermark sits at
     // max(ts): sessions ending > gap before it flush with no further data
     val evStream = graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001")

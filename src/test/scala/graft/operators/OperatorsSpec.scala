@@ -1031,6 +1031,28 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!plan.substring(0, exchangeIdx).contains("payload"), plan)
   }
 
+  test("multimodal near-dup: reversed payloads collide on features; payload stays out of the LSH shuffle") {
+    val media = Multimodal.withFakeMedia(
+      Seq((1L, "alpha beta gamma delta"), (2L, "unrelated words entirely zz"),
+          (1000001L, "alpha beta gamma delta".reverse))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(spark, media)
+      .select(col("media_id"), col("features"))
+    val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
+      threshold = 0.98, maxBucket = Int.MaxValue)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // byte-distinct payloads (md5 differs -> invisible to dedupExact) but
+    // bit-identical histograms: found by the feature path at cosine 1
+    assert(got.contains((1L, 1000001L)))
+    // the LSH self-join shuffles (media_id, features, norm, bucket) only —
+    // payload bytes are consumed inside the decode mapPartitions, below
+    // every exchange in the plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0, plan)
+    assert(!plan.substring(0, exchangeIdx).contains("payload"), plan)
+  }
+
   test("incremental minhash dedup probes the bucketed index without reshuffling it") {
     val tables = Seq("mh_incr_t", "mh_incr_t_sets", "mh_incr_t_meta")
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -1340,6 +1362,52 @@ class OperatorsSpec extends SparkFunSuite {
     // the top-k window partitions by the doc id: per-document sort only
     assert("Window .*doc_id".r.findFirstIn(plan).isDefined
       || plan.contains("partitionspec=[doc_id"), plan)
+  }
+
+  test("bpe mergePair: greedy left-to-right non-overlapping merge") {
+    val df = Seq(
+      (1, Seq("a", "a", "a")),
+      (2, Seq("a", "a", "a", "a")),
+      (3, Seq("b", "a", "a")),
+      (4, Seq("a", "b", "a"))
+    ).toDF("id", "syms")
+    val out = df.select(col("id"), Vocab.mergePair(col("syms"), "a", "a").as("m"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("aa", "a"))     // greedy: leftmost pair wins
+    assert(out(2) == Seq("aa", "aa"))    // chained non-overlapping merges
+    assert(out(3) == Seq("b", "aa"))
+    assert(out(4) == Seq("a", "b", "a")) // no adjacent pair -> unchanged
+  }
+
+  test("bpe mergePair: merged symbol never re-matches as left operand") {
+    // merging (a, ab): a fresh 'aab' must not chain onto a following 'ab'
+    val df = Seq(
+      (1, Seq("a", "ab", "a", "ab")),
+      (2, Seq("a", "ab", "ab"))
+    ).toDF("id", "syms")
+    val out = df.select(col("id"), Vocab.mergePair(col("syms"), "a", "ab").as("m"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(out(1) == Seq("aab", "aab"))
+    assert(out(2) == Seq("aab", "ab"))
+  }
+
+  test("bpe training: hand-derived merge table on a tiny corpus") {
+    // words: ab x3, abc x1 -> pair counts per iteration are hand-checkable
+    val corpus = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges == List(
+      (1, "a", "b", 4L),       // NOT ('', '</w>'): symbol arrays carry no empties
+      (2, "ab", "</w>", 3L),
+      (3, "ab", "c", 1L),      // tie with (c, </w>) breaks on lhs asc
+      (4, "abc", "</w>", 1L))) // then exhaustion: only 4 of the 6 requested
+  }
+
+  test("bpe encode: trained merges applied in one pass, weighted by word count") {
+    val corpus = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    val toks = Vocab.bpeEncode(corpus, "text", Seq(("a", "b"), ("ab", "</w>")))
+      .as[(String, Long)].collect().toMap
+    assert(toks == Map("ab</w>" -> 3L, "ab" -> 1L, "c" -> 1L, "</w>" -> 1L))
   }
 
   test("shardAssign is deterministic, complete, and densely ranked per shard") {

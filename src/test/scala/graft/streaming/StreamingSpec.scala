@@ -37,8 +37,7 @@ class StreamingSpec extends SparkFunSuite {
       .as[(Long, Long)].collect().toSet
 
     // batch truth on the same files: clicks within [purchase, purchase+3599]
-    val be = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val be = graft.queries.Tables.df(spark, dir, "events")
     val bc = be.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("cts"))
     val bp = be.filter(col("event_type") === "purchase")
