@@ -783,11 +783,22 @@ object Dedup {
     * cluster is still detected through the pairs among the retained members;
     * members beyond the cap are not linked (unlike minhashDedup, whose
     * independent bands can recover a pair dropped from one bucket).
+    *
+    * `blockCols` composes metadata blocking with the LSH: pairs only form
+    * within equal values of the named input columns (byte length, format,
+    * resolution, ...). This is the guard for LOW-DIMENSIONAL or strongly
+    * correlated vectors (e.g. the 16-bin media histograms), where most of
+    * the corpus shares a handful of hyperplane buckets and the same-bucket
+    * join degenerates toward quadratic — an exact cheap key splits those
+    * mega-buckets by something near-dups must share anyway. Empty = pure
+    * LSH, unchanged.
     */
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 12, maxBucket: Int = 200): DataFrame = {
+      threshold: Double, nBits: Int = 12, maxBucket: Int = 200,
+      blockCols: Seq[String] = Nil): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol), col(vecCol).as("v"))
+    val keys = "bucket" +: blockCols
+    val base = df.select(col(idCol) +: col(vecCol).as("v") +: blockCols.map(col): _*)
       .withColumn("norm", sqrt(expr("graft_vec_dot(v, v)")))
       .filter(col("norm") > 0) // zero vectors: no direction (see cosinePairs)
       .withColumn("bucket", expr(s"graft_lsh_bucket(v, $nBits)"))
@@ -797,14 +808,14 @@ object Dedup {
       if (maxBucket >= Int.MaxValue) base
       else base
         .withColumn("_rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
             .orderBy(col(idCol))))
         .filter(col("_rk") <= maxBucket)
         .drop("_rk")
     val v = capped.localCheckpoint(eager = false) // both sides of the self-join below
-    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na"))
-    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, "bucket")
+    val a = v.select(keys.map(col) ++ Seq(col(idCol).as("id_a"), col("v").as("va"), col("norm").as("na")): _*)
+    val b = v.select(keys.map(col) ++ Seq(col(idCol).as("id_b"), col("v").as("vb"), col("norm").as("nb")): _*)
+    a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (expr("graft_vec_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))

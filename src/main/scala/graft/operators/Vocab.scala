@@ -114,6 +114,32 @@ object Vocab {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Apply a FIXED merge table in one codegen'd pass. The symbol array is
+    * joined into a sentinel-spaced string (`[a,b,</w>]` -> `" a  b  </w> "`),
+    * each merge becomes ONE built-in `replace` (StringReplace — whole-stage
+    * codegen), and the result splits back to tokens. Equivalent to folding
+    * [[mergePair]] once per merge: symbols never contain spaces (the
+    * `[a-z]+` alphabet plus `</w>`), so `' l  r '` only matches the two
+    * whole symbols adjacent, and `replace` scans left-to-right resuming
+    * AFTER each replacement — the same greedy non-overlapping semantics as
+    * the fold (and as the DuckDB oracle, which uses this identical string
+    * form; see the equivalence note on PipelineQueries.bpeCtes).
+    *
+    * Exists because a `merges.length`-deep nest of `aggregate` lambdas runs
+    * interpreted (higher-order functions are CodegenFallback) and copies
+    * the accumulator array per element: the 8-fold nest measured 57 s on
+    * text_bpe_docs at sf0.1; this form is a flat chain of 8 string
+    * replaces.
+    */
+  private[graft] def applyMerges(syms: Column,
+      merges: Seq[(String, String)]): Column = {
+    val s0 = concat(lit(" "), array_join(syms, "  "), lit(" "))
+    val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    filter(split(sN, " "), t => t =!= "")
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016): iterate (count
     * adjacent symbol pairs weighted by word frequency, take the global
     * argmax, merge it everywhere) `numMerges` times. Returns the ordered
@@ -168,20 +194,45 @@ object Vocab {
     * ratio tracking, drift monitoring between training epochs).
     *
     * Deliberately a different code path from [[bpeTrain]]'s loop: all merges
-    * fold into ONE map pass over the distinct-word table (a single projection
-    * with `merges.length` nested aggregate folds — no per-merge shuffle or
-    * checkpoint), which is the right shape for applying a FIXED tokenizer:
-    * encode cost is one scan regardless of merge count. Per-document
-    * tokenization at scale is the same dictionary join: encode distinct
-    * words once, broadcast/join back onto (doc, word) rows.
+    * apply in ONE codegen'd map pass over the distinct-word table (a flat
+    * [[applyMerges]] replace chain — no per-merge shuffle or checkpoint),
+    * which is the right shape for applying a FIXED tokenizer: encode cost
+    * is one scan regardless of merge count. Per-document tokenization at
+    * scale is the same dictionary join: encode distinct words once,
+    * broadcast/join back onto (doc, word) rows ([[bpeTokenCounts]]).
     */
   def bpeEncode(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val encoded = merges.foldLeft(col("syms")) { case (c, (a, b)) =>
-      mergePair(c, a, b)
-    }
+      merges: Seq[(String, String)]): DataFrame =
     wordSymbols(df, textCol)
-      .select(explode(encoded).as("token"), col("cnt"))
+      .select(explode(applyMerges(col("syms"), merges)).as("token"), col("cnt"))
       .groupBy("token").agg(sum("cnt").as("token_cnt"))
+
+  /** Per-document token counts under a trained merge table — the
+    * context-budget input the packing/chunking steps consume ("how many
+    * tokens is this doc under OUR tokenizer", not the whitespace proxy of
+    * `TextAnalysis.tokenCount`). Output: `(idCol, n_words, n_tokens)` for
+    * every document with at least one `[a-z]+` word.
+    *
+    * Dictionary-join shape: the corpus's DISTINCT words are encoded once
+    * (`merges.length` nested folds over the vocab-sized word table — the
+    * same one-pass encode as [[bpeEncode]]), then joined back onto the
+    * exploded (doc, word) rows and summed per document. The expensive fold
+    * runs |vocab| times, never |corpus-words| times; the join key is the
+    * word, where the dictionary side is vocab-sized — AQE broadcasts it
+    * while it fits (any realistic merges table keeps word_tokens at a few
+    * bytes/row), and degrades to a word-keyed shuffle join beyond that. The
+    * per-doc sum partially aggregates map-side on the doc id.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+    val syms = expr(
+      "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")
+    val dict = df.select(explode(words).as("word")).distinct()
+      .select(col("word"), size(applyMerges(syms, merges)).as("word_tokens"))
+    df.select(col(idCol), explode(words).as("word"))
+      .join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
   }
 }

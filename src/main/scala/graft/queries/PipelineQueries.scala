@@ -650,6 +650,13 @@ object PipelineQueries {
       Vocab.bpeEncode(docs(s, dir), "text", m)
         .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
     }),
+    // per-document token counts under the trained tokenizer: encode the
+    // distinct-word dictionary once, join back onto (doc, word) rows
+    "text_bpe_docs" -> ((s, dir) => {
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.bpeTokenCounts(docs(s, dir), "doc_id", "text", m)
+        .orderBy(col("doc_id"))
+    }),
     // repeats are planted on doc_id residue classes (the corpus is
     // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
     // keep-first filter provably discriminates
@@ -835,6 +842,11 @@ object PipelineQueries {
     // planted branch plus a Spark-verified FP branch (empty), the
     // dedup_cosine_lsh_check scheme. Payload bytes never ride the LSH
     // shuffle — only media_id + 16 floats (plan-asserted in OperatorsSpec).
+    // n_bytes blocking composes with the LSH: 16-bin text histograms are
+    // strongly correlated, so pure hyperplane buckets degenerate toward
+    // quadratic (measured 7.9x at 10x volume unblocked); byte length is a
+    // cheap exact key a histogram-identical near-dup must share (reversal
+    // preserves it), and it splits the mega-buckets linearly.
     "mm_neardup" -> ((s, dir) => {
       val slice = docs(s, dir).filter(col("doc_id") % 20 === 0)
       val both = slice.select(col("doc_id"), col("text")).unionAll(
@@ -842,10 +854,11 @@ object PipelineQueries {
           reverse(col("text")).as("text")))
       val media = Multimodal.withFakeMedia(both, "doc_id", "text")
       val feats = Multimodal.decodeFeatures(s, media)
-        .select(col("media_id"), col("features"))
+        .select(col("media_id"), col("n_bytes"), col("features"))
         .localCheckpoint(eager = false)
       val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
-        threshold = 0.98, maxBucket = Int.MaxValue)
+        threshold = 0.98, maxBucket = Int.MaxValue,
+        blockCols = Seq("n_bytes"))
         .localCheckpoint(eager = false)
       val planted = pairs
         .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
@@ -1066,7 +1079,8 @@ object PipelineQueries {
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
         |    FROM documents) GROUP BY word),
         |s0 AS (
-        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') || ' </w> ' AS s, cnt
+        |  SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') || ' </w> ' AS s,
+        |         cnt
         |  FROM w0)""".stripMargin
     val iters = (1 to numMerges).map { i =>
       s"""p$i AS (
@@ -1076,7 +1090,8 @@ object PipelineQueries {
          |    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS L,
          |                 cnt FROM s${i - 1})) GROUP BY 1, 2),
          |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |s$i AS (SELECT replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s,
+         |s$i AS (SELECT word,
+         |               replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s,
          |               cnt FROM s${i - 1}, m$i AS m)""".stripMargin
     }
     (base +: iters).mkString(",\n")
@@ -1689,6 +1704,23 @@ object PipelineQueries {
          |  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token,
          |         cnt FROM s8)
          |GROUP BY token ORDER BY token_cnt DESC, token LIMIT 20""".stripMargin,
+    // word -> token-count dictionary from the final merge state, joined
+    // back onto per-document word occurrences (same shape as the Spark
+    // dictionary join)
+    "text_bpe_docs" ->
+      s"""WITH ${bpeCtes(8)},
+         |dict AS (
+         |  SELECT word, len(list_filter(string_split(s, ' '), x -> x <> ''))
+         |           AS word_tokens
+         |  FROM s8),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+         |FROM dw JOIN dict USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // keep-first line filter: a line survives iff its first occurrence is
     // itself (1-based indexed lambda in both engines)
     "text_dedup_lines" ->

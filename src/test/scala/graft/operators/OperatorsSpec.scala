@@ -1037,13 +1037,16 @@ class OperatorsSpec extends SparkFunSuite {
           (1000001L, "alpha beta gamma delta".reverse))
         .toDF("doc_id", "text"), "doc_id", "text")
     val feats = Multimodal.decodeFeatures(spark, media)
-      .select(col("media_id"), col("features"))
+      .select(col("media_id"), col("n_bytes"), col("features"))
     val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
-      threshold = 0.98, maxBucket = Int.MaxValue)
+      threshold = 0.98, maxBucket = Int.MaxValue, blockCols = Seq("n_bytes"))
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // byte-distinct payloads (md5 differs -> invisible to dedupExact) but
-    // bit-identical histograms: found by the feature path at cosine 1
+    // bit-identical histograms AND equal byte length (reversal preserves
+    // both): found by the blocked feature path at cosine 1
     assert(got.contains((1L, 1000001L)))
+    // the n_bytes block excludes the different-length doc from every pair
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L))
     // the LSH self-join shuffles (media_id, features, norm, bucket) only —
     // payload bytes are consumed inside the decode mapPartitions, below
     // every exchange in the plan
@@ -1408,6 +1411,32 @@ class OperatorsSpec extends SparkFunSuite {
     val toks = Vocab.bpeEncode(corpus, "text", Seq(("a", "b"), ("ab", "</w>")))
       .as[(String, Long)].collect().toMap
     assert(toks == Map("ab</w>" -> 3L, "ab" -> 1L, "c" -> 1L, "</w>" -> 1L))
+  }
+
+  test("bpe applyMerges: codegen'd string-replace chain equals the mergePair folds") {
+    val cases = Seq(
+      Seq("a", "a", "a", "</w>"), Seq("a", "a", "a", "a", "</w>"),
+      Seq("a", "b", "a", "b", "</w>"), Seq("b", "a", "a", "b", "</w>"),
+      Seq("x", "</w>"), Seq("a", "b", "c", "</w>"))
+    val merges = Seq(("a", "b"), ("ab", "</w>"), ("a", "a"), ("aa", "aa"))
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "syms")
+    val folded = merges.foldLeft(col("syms")) { case (c, (a, b)) =>
+      Vocab.mergePair(c, a, b)
+    }
+    val out = df.select(col("id"), folded.as("f"),
+        Vocab.applyMerges(col("syms"), merges).as("r"))
+      .as[(Int, Seq[String], Seq[String])].collect()
+    out.foreach { case (i, f, r) => assert(f == r, s"case $i: $f vs $r") }
+  }
+
+  test("bpe per-doc token counts: dictionary join, hand-computed") {
+    // dict under merges [(a,b),(ab,</w>)]: ab -> [ab</w>] (1 token),
+    // abc -> [ab, c, </w>] (3 tokens)
+    val corpus = Seq((1L, "ab ab ab"), (2L, "abc"), (3L, "ab abc")).toDF("doc_id", "text")
+    val got = Vocab.bpeTokenCounts(corpus, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "</w>")))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 3L), (2L, 1L, 3L), (3L, 2L, 4L)))
   }
 
   test("shardAssign is deterministic, complete, and densely ranked per shard") {
