@@ -223,6 +223,40 @@ object Vocab {
     * bytes/row), and degrades to a word-keyed shuffle join beyond that. The
     * per-doc sum partially aggregates map-side on the doc id.
     */
+  /** Tokenize whole documents in one codegen'd map pass: per-document token
+    * SEQUENCES in reading order — the emission shape packing/serialization
+    * consumes — and, being a pure row-local projection, it runs UNCHANGED on
+    * streams (tokenize-at-ingest).
+    *
+    * The document becomes ONE sentinel-spaced symbol string (letters spaced
+    * individually, each word-boundary run collapsed to its own `</w>`
+    * symbol), and the merge table applies as the same flat replace chain as
+    * [[applyMerges]]. Tokenizing the concatenation equals concatenating the
+    * per-word tokenizations because no merge can act across a word
+    * boundary: a trained merge never has `</w>` as its LEFT operand (pair
+    * extraction ends at the word marker, so `</w>` only ever appears as a
+    * right element), and any other cross-word pair is separated by the
+    * `</w>` symbol sitting between the words. Documents with no `[a-z]`
+    * letters tokenize to the empty array.
+    */
+  def bpeTokenizeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // U+0001 as the boundary sentinel: a byte [a-z]+ never matches, and
+    // the [^a-z]+ collapse swallows any pathological occurrence in input
+    val sep = "\u0001"
+    val letters = regexp_replace(lower(col(textCol)), "^[^a-z]+", "")
+    // trailing '.' guarantees a final separator run -> a closing </w>
+    val marked = regexp_replace(concat(letters, lit(".")), "[^a-z]+", sep)
+    val spaced = regexp_replace(marked, "(.)", " $1 ")
+    val s0 = replace(spaced, lit(s" $sep "), lit(" </w> "))
+    val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val tokens = when(letters === "", array().cast("array<string>"))
+      .otherwise(filter(split(sN, " "), t => t =!= ""))
+    df.select(col(idCol), tokens.as("tokens"))
+  }
+
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")

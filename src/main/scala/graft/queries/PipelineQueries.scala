@@ -657,6 +657,16 @@ object PipelineQueries {
       Vocab.bpeTokenCounts(docs(s, dir), "doc_id", "text", m)
         .orderBy(col("doc_id"))
     }),
+    // per-document token SEQUENCES (reading order) in one stateless map
+    // pass — the emission shape, and the form that tokenizes at ingest on
+    // a stream (StreamingSpec parity test)
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.bpeTokenizeDocs(docs(s, dir), "doc_id", "text", m)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // repeats are planted on doc_id residue classes (the corpus is
     // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
     // keep-first filter provably discriminates
@@ -1707,6 +1717,33 @@ object PipelineQueries {
     // word -> token-count dictionary from the final merge state, joined
     // back onto per-document word occurrences (same shape as the Spark
     // dictionary join)
+    // the doc-level sentinel-string pipeline, mirrored step for step (same
+    // regex/replace semantics in both engines; chr(1) = the  sentinel)
+    "text_bpe_tokenize" ->
+      s"""WITH ${bpeCtes(8)},
+         |d0 AS (
+         |  SELECT doc_id,
+         |         regexp_replace(lower(text), '^[^a-z]+', '') AS letters
+         |  FROM documents),
+         |d1 AS (
+         |  SELECT doc_id, letters,
+         |         replace(regexp_replace(regexp_replace(letters || '.',
+         |                   '[^a-z]+', chr(1), 'g'), '(.)', ' ${"\\1"} ', 'g'),
+         |                 ' ' || chr(1) || ' ', ' </w> ') AS s
+         |  FROM d0),
+         |${(1 to 8).map(i =>
+             s"d${i + 1} AS (SELECT doc_id, letters, " +
+             s"replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s " +
+             s"FROM d$i, m$i AS m)").mkString(",\n")},
+         |t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN letters = '' THEN []
+         |              ELSE list_filter(string_split(s, ' '), x -> x <> '')
+         |         END AS tokens
+         |  FROM d9)
+         |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+         |       array_to_string(list_slice(tokens, 1, 5), ' ') AS head_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_bpe_docs" ->
       s"""WITH ${bpeCtes(8)},
          |dict AS (

@@ -1439,6 +1439,36 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == List((1L, 3L, 3L), (2L, 1L, 3L), (3L, 2L, 4L)))
   }
 
+  test("bpe doc tokenization: reading-order sequences, boundary-safe, punctuation-robust") {
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val corpus = Seq(
+      (1L, "ab ab ab"), (2L, "abc"), (3L, "ab abc"),
+      (4L, "Ab, ABC!"),  // case/punctuation collapse to the same words
+      (5L, "123 .,;")    // no letters -> empty token sequence
+    ).toDF("doc_id", "text")
+    val got = Vocab.bpeTokenizeDocs(corpus, "doc_id", "text", merges)
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("ab</w>", "ab</w>", "ab</w>"))
+    assert(got(2L) == Seq("ab", "c", "</w>"))
+    // no merge acts across the word boundary: ab's closing </w> does not
+    // chain with abc's leading ab
+    assert(got(3L) == Seq("ab</w>", "ab", "c", "</w>"))
+    assert(got(4L) == got(3L))
+    assert(got(5L) == Seq.empty)
+  }
+
+  test("bpe doc tokenization agrees with the dictionary-join token counts") {
+    val corpus = docs // the shared 5-doc fixture
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 6)
+      .orderBy($"merge_rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val seq = Vocab.bpeTokenizeDocs(corpus, "doc_id", "text", merges)
+      .select($"doc_id", size($"tokens").cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val cnt = Vocab.bpeTokenCounts(corpus, "doc_id", "text", merges)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(seq == cnt)
+  }
+
   test("shardAssign is deterministic, complete, and densely ranked per shard") {
     val ids = spark.range(0, 500).select(col("id").as("doc_id"))
     val a = Sampling.shardAssign(ids, "doc_id", 8)

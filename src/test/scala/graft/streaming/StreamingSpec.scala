@@ -446,6 +446,41 @@ class StreamingSpec extends SparkFunSuite {
     assert(keeps > 0 && keeps < docs.length) // both outcomes occur
   }
 
+  test("bpe tokenization runs unchanged on a stream and matches the batch sequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.Tables.df(spark, dir, "documents")
+      .select($"doc_id", $"text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // a trained tokenizer is a FIXED merge table at ingest time: train on
+    // the batch corpus, then tokenize the stream with it
+    val merges = graft.operators.Vocab
+      .bpeTrain(docs.toSeq.toDF("doc_id", "text"), "text", numMerges = 4)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val toks = graft.operators.Vocab
+      .bpeTokenizeDocs(stream, "doc_id", "text", merges)
+    assert(toks.isStreaming) // stateless projection: no watermark needed
+    val q = toks.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_bpe").start()
+    try {
+      mem.addData(docs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_bpe")
+      .as[(Long, Seq[String])].collect().toSet
+    val batch = graft.operators.Vocab
+      .bpeTokenizeDocs(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2.nonEmpty))
+  }
+
   test("streamingCurate over empty indexes matches the batch curateFull funnel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
