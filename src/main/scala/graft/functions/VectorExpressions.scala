@@ -597,6 +597,99 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]], n: Int)
   override def prettyName: String = "graft_ivf_cells"
 }
 
+/** Index of the nearest centroid by SQUARED EUCLIDEAN distance (Lloyd's
+  * k-means assignment step). Unlike [[IvfCells]] (dot-product / cosine
+  * against normalized centroids), this is the metric the k-means objective
+  * minimizes, so raw (un-normalized) centroids are correct here. Ties break
+  * to the lowest centroid index — the same rule the DuckDB oracle uses.
+  * Centroids ride inside the expression: driver-built, k x dim doubles,
+  * serialized once per task — the broadcast-the-small-side pattern without
+  * a join.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val fl = isFloat
+    var best = 0
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(dim, cent.length)
+      var acc = 0.0
+      var d = 0
+      while (d < m) {
+        val x = (if (fl) arr.getFloat(d).toDouble else arr.getDouble(d)) - cent(d)
+        acc += x * x
+        d += 1
+      }
+      if (acc < bestDist) { best = c; bestDist = acc } // strict < : ties keep lowest index
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** Dense matrix-vector product out[j] = sum_i mat(j)(i) * v(i) — the
+  * Johnson-Lindenstrauss random-projection step as a single map-side
+  * expression. The projection matrix rides inside the expression (outDim x
+  * dim doubles, driver-built deterministically, serialized once per task) so
+  * projection is a pure narrow map: no join, no shuffle, codegen-adjacent
+  * JVM loops. Sums run in index order, matching any oracle that folds the
+  * same order.
+  */
+case class MatVec(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_mat_vec expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val fl = isFloat
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      val m = math.min(dim, row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) * row(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MatVec = copy(child = c)
+  override def prettyName: String = "graft_mat_vec"
+}
+
 /** Registration for SQL/expr access (same pattern as MaskFunctions). */
 object VectorFunctions {
   private def intLit(e: Expression): Int = e.eval() match {

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering and classification for corpus curation:
+  * Lloyd's k-means (topic/domain bucketing of a document corpus before
+  * mixture planning), leave-one-out kNN label voting (label-quality audit /
+  * weak-label propagation), and Johnson-Lindenstrauss random projection
+  * (dimensionality reduction ahead of pairwise work).
+  *
+  * Scale design, per operator:
+  *  - k-means: centroids are k x dim doubles — driver-held, shipped inside
+  *    a [[graft.functions.NearestCentroid]] expression (broadcast-without-a-
+  *    join). Each Lloyd iteration is ONE narrow map (assignment) + ONE
+  *    hash aggregate with map-side partial sums (64 per-dimension `sum`
+  *    columns + a count), so the shuffle carries k rows x dim columns per
+  *    input partition, never the corpus. Iteration count is fixed and
+  *    small; each round's centroid update is rounded to 6 decimals so the
+  *    result is independent of partial-aggregation order (cross-engine and
+  *    run-to-run deterministic).
+  *  - kNN classify: reuses [[Similarity.bruteForceTopK]]'s broadcast-query
+  *    scan (the optimizer's WindowGroupLimit turns the rank filter into a
+  *    map-side top-k before the exchange), then votes with one small hash
+  *    aggregate over |queries| * k rows.
+  *  - random projection: a pure narrow map via [[graft.functions.MatVec]];
+  *    the projection matrix is deterministic from md5 parity, so there is
+  *    no fitted model to store and any engine can regenerate it bit-for-bit.
+  *
+  * The reference security middleware has no analog (it rewrites SQL and
+  * delegates execution); these are the curation-pipeline operators a 100 TB
+  * training corpus needs around it.
+  */
+object Clustering {
+
+  /** Deterministic sign matrix for JL projection: entry (j, i) is
+    * +1/sqrt(outDim) when the first hex char of md5("i_j") is < '8', else
+    * -1/sqrt(outDim). E[<Rx, Ry>] = <x, y> (Achlioptas 2003 database-
+    * friendly projections, sign variant). md5 so any SQL engine can
+    * reproduce the matrix exactly.
+    */
+  def projectionMatrix(dim: Int, outDim: Int): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val h = mdt.digest(s"${i}_${j}".getBytes("UTF-8"))
+      // first hex char < '8'  <=>  high nibble of byte 0 is < 8
+      if (((h(0) >> 4) & 0xf) < 8) scale else -scale
+    }
+  }
+
+  /** Project an Array[Float/Double] column to `outDim` dimensions with the
+    * deterministic sign matrix. Narrow map, no shuffle.
+    */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+      as: String = "projected"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val mat = projectionMatrix(dim, outDim)
+    df.withColumn(as, columnOf(graft.functions.MatVec(expressionOf(col(vecCol)), mat)))
+  }
+
+  private def nearestCol(vecCol: String, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.NearestCentroid(expressionOf(col(vecCol)), centroids))
+  }
+
+  /** Nearest-centroid cell (squared euclidean) as a Column — a pure narrow
+    * map usable inline in any projection; the centroids from [[kmeans]] are
+    * the whole model, so downstream queries re-derive assignments without
+    * re-training or joining.
+    */
+  def assignCol(vecCol: String, centroids: Array[Array[Double]]): Column =
+    nearestCol(vecCol, centroids)
+
+  /** Assignment of each row to its nearest centroid (squared euclidean) —
+    * a pure narrow map; use with centroids from [[kmeans]] to re-derive
+    * assignments without re-training (the centroids are the whole model).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol), nearestCol(vecCol, centroids).as("cell"))
+  }
+
+  /** k seed centroids: the k rows with the smallest (md5(id), id) — a
+    * deterministic pseudo-random sample any engine can reproduce (unlike
+    * xxhash64 ordering, md5 exists everywhere). Bounded k-row collect.
+    */
+  private[operators] def seedKmeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] = {
+    val seeds = df.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    require(seeds.nonEmpty, s"kmeans: input has no rows to seed $k centroids")
+    seeds
+  }
+
+  /** Lloyd's k-means: `iters` rounds of (assign to nearest centroid by
+    * squared euclidean, recompute centroids as the member mean rounded to 6
+    * decimals; a cell that loses all members keeps its previous centroid).
+    * Returns the final per-row assignment `(idCol, cell)` plus the centroids.
+    *
+    * The per-dimension mean is computed as `dim` separate `sum` aggregate
+    * columns (plus one count) in a single `groupBy(cell)` — Spark's partial
+    * aggregation makes the shuffle k rows wide per input partition
+    * regardless of corpus size, which is the property that survives a
+    * 1000-executor scan. The 6-decimal rounding pins the result across
+    * partial-agg orderings, so the operator is reproducible AND matches a
+    * single-threaded oracle.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      dim: Int): (DataFrame, Array[Array[Double]]) = {
+    VectorFunctions.register(df.sparkSession)
+    val vecs = df.select(col(idCol), col(vecCol))
+    var centroids = seedKmeans(vecs, idCol, vecCol, k)
+    var it = 0
+    while (it < iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("double")).as(s"_s$i"))
+      val stats = vecs
+        .groupBy(nearestCol(vecCol, centroids).as("cell"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .collect() // bounded: k rows x (dim + 2) columns
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        var i = 0
+        while (i < dim) {
+          // round each coordinate: partial-agg order must not leak into the result
+          next(cell)(i) = BigDecimal(r.getDouble(2 + i) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          i += 1
+        }
+      }
+      centroids = next
+      it += 1
+    }
+    val assigned = vecs.select(col(idCol), nearestCol(vecCol, centroids).as("cell"))
+    (assigned, centroids)
+  }
+
+  /** Leave-one-out k-nearest-neighbor label vote: for each query row,
+    * the majority label among its k nearest corpus rows by cosine
+    * (excluding the row itself; ties on cosine break to the lower vec_id,
+    * ties on votes break to the larger vote count then the lower label).
+    * Output: (vec_id, label, predicted, votes) — rows where
+    * label != predicted are the label-audit signal.
+    *
+    * Queries ride broadcast against a single corpus scan (top-k+1 per query
+    * collapses map-side via WindowGroupLimit); the vote is a hash aggregate
+    * over |queries| * k rows. The corpus is scanned once and never
+    * re-shuffled.
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      col(labelCol).as("_qlabel"))
+    // k+1 then drop self: self usually ranks first (cosine 1.0), but under
+    // exact-duplicate ties it may not — either way the k best non-self
+    // neighbors are a subset of the top k+1 rows (see re-rank below).
+    val nn = Similarity.bruteForceTopK(corpus, q, idCol, vecCol, "query_id", "_qv", k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = nn.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+      .select(col("query_id"), col("vec_id"))
+    // neighbor labels: topk is |queries| * k rows — the broadcast side
+    val votes = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("_nlabel"))
+      .join(broadcast(topk), "vec_id")
+      .groupBy(col("query_id"), col("_nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_nlabel").asc)
+    val predicted = votes.withColumn("_r", row_number().over(vw)).filter(col("_r") === 1)
+      .select(col("query_id"), col("_nlabel").as("predicted"), col("votes"))
+    predicted.join(broadcast(q.select(col("query_id"), col("_qlabel").as("label"))), "query_id")
+      .select(col("query_id").as("vec_id"), col("label"), col("predicted"), col("votes"))
+  }
+}
