@@ -128,4 +128,53 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Leakage-proof train/val/test split: every member of a near-duplicate
+    * cluster lands in the SAME split, so a test document never has a
+    * near-copy in train (the classic eval-contamination bug that a plain
+    * per-row [[hashSplit]] cannot prevent). `pairs` is any dup-pair frame
+    * (`id_a`,`id_b` — minhash/LSH, jaccard, semantic); clusters come from
+    * [[Dedup.components]], the split is decided by md5 of the cluster LABEL
+    * (singletons: the row's own id), with [[hashSplit]]'s thresholds.
+    * Output: df + `grp` + `split`.
+    *
+    * Scale: the labels frame is |dup graph| rows — orders of magnitude
+    * smaller than the corpus after curation — joined once on the id key
+    * (AQE broadcasts it when it fits); everything after is map-side.
+    */
+  def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame = {
+    val train = trainHexUpper.toLowerCase
+    val value = valHexUpper.toLowerCase
+    require(train < value, "train threshold must sort below val threshold")
+    val labels = Dedup.components(pairs)
+      .select(col("id").as("_gid"), col("label").as("_glabel"))
+    val prefix = substring(md5(coalesce(col("_glabel"), col(idCol)).cast("string")), 1, 2)
+    df.join(labels, df(idCol) === labels("_gid"), "left")
+      .withColumn("grp", coalesce(col("_glabel"), col(idCol)))
+      .withColumn("split",
+        when(prefix < train, "train")
+          .when(prefix < value, "val")
+          .otherwise("test"))
+      .drop("_gid", "_glabel")
+  }
+
+  /** Deterministic per-key upsampling for mixture targets that need MORE
+    * than one epoch of a source (the counterpart of [[weightedKeep]], which
+    * can only downsample): each row is repeated `factors(key)` times
+    * (default 1; 0 drops the row) with an `epoch` column 0..n-1, so a
+    * downstream tokenizer/packer sees distinct rows. Pure map-side row
+    * generation — `posexplode(array_repeat(...))` multiplies rows inside
+    * the scan projection with no shuffle and no rand(); the repeat count
+    * for a row never changes across runs or engines.
+    */
+  def upsample(df: DataFrame, keyCol: String, factors: Map[String, Int]): DataFrame = {
+    require(factors.values.forall(_ >= 0), s"factors must be >= 0, got $factors")
+    val factor = factors.foldLeft(lit(1)) { case (acc, (k, n)) =>
+      when(col(keyCol) === k, n).otherwise(acc)
+    }
+    df.select(col("*"), posexplode(array_repeat(lit(true), factor)))
+      .withColumnRenamed("pos", "epoch")
+      .drop("col")
+  }
 }

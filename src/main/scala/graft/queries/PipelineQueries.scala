@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -664,6 +664,51 @@ object PipelineQueries {
       Sampling.stratifiedTake(docs(s, dir), Seq("lang"), "doc_id", 20)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // Leakage-proof split over the planted corpus: near-dup cluster members
+    // (the +1000000 clones and organic near-dups) provably share a split —
+    // the eval-contamination guard a per-row hash split cannot give.
+    "sample_group_split" -> ((s, dir) =>
+      Sampling.groupSplit(planted(s, dir), "doc_id",
+        Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
+          maxBucket = Int.MaxValue))
+        .select(col("doc_id"), col("grp"), col("split"))
+        .orderBy(col("doc_id"))),
+    // Deterministic per-language epoch expansion: en x2, fr x3, de dropped,
+    // everything else x1 — the upsampling half of mixture planning
+    // (weightedKeep is the downsampling half). Pure map-side row generation.
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsample(docs(s, dir), "lang", Map("en" -> 2, "fr" -> 3, "de" -> 0))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+    // Snapshot diff between a corpus and its synthetically-evolved next
+    // epoch (every 10th doc removed, every 7th surviving doc edited, 50
+    // added): the dataset-versioning audit. Fingerprints reduce each side
+    // to (id, md5) in the scan; the join never moves text.
+    "corpus_diff" -> ((s, dir) => {
+      val prev = docs(s, dir)
+      val next = prev.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .unionAll(prev.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Snapshot.corpusDiff(prev, next, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // The headline per-epoch numbers from the same synthetic evolution.
+    "corpus_diff_summary" -> ((s, dir) => {
+      val prev = docs(s, dir)
+      val next = prev.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .unionAll(prev.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Snapshot.diffSummary(prev, next, "doc_id", "text")
+        .orderBy(col("status"))
+    }),
     "pipeline_shard" -> ((s, dir) =>
       Sampling.shardAssign(docs(s, dir), "doc_id", 8)
         .select(col("doc_id"), col("shard"),
@@ -1733,6 +1778,68 @@ object PipelineQueries {
         |            ELSE 'test' END AS split,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // leakage-proof split: same exact-jaccard pair graph + transitive
+    // closure as dedup_groups, split decided by md5 of the CLUSTER label
+    "sample_group_split" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+      |g AS (SELECT b.doc_id, coalesce(l.label, b.doc_id) AS grp
+      |      FROM base b LEFT JOIN labels l ON l.id = b.doc_id)
+      |SELECT doc_id, grp,
+      |       CASE WHEN substr(md5(CAST(grp AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |            WHEN substr(md5(CAST(grp AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin),
+    "sample_upsample" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |                  CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 WHEN 'de' THEN 0
+        |                            ELSE 1 END AS factor
+        |           FROM documents)
+        |SELECT doc_id, lang, unnest(range(factor)) AS epoch
+        |FROM f ORDER BY doc_id, epoch""".stripMargin,
+    "corpus_diff" ->
+      """WITH newt AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS fp FROM newt),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |             CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                  WHEN n.doc_id IS NULL THEN 'removed'
+        |                  WHEN o.fp <> n.fp THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "corpus_diff_summary" ->
+      """WITH newt AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS fp FROM newt),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |             CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                  WHEN n.doc_id IS NULL THEN 'removed'
+        |                  WHEN o.fp <> n.fp THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n FROM j WHERE status <> 'unchanged'
+        |GROUP BY status ORDER BY status""".stripMargin,
     // same hex-digit valuing as Sampling.shardAssign (4 chars = 65536
     // values); strpos-based — both engines agree on it (see hexThreshold)
     "pipeline_shard" ->

@@ -106,6 +106,16 @@ class ClusteringSpec extends SparkFunSuite {
     assert(out(3L) == 1) // neighbors {1:1, 2:1} -> label 1 with 2 votes
   }
 
+  test("assign and randomProject are shuffle-free narrow maps (no Exchange)") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val plan1 = Clustering.assign(twoBlobs, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan1.contains("Exchange"), s"assign plan has a shuffle:\n$plan1")
+    val plan2 = Clustering.randomProject(twoBlobs, "embedding", 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"project plan has a shuffle:\n$plan2")
+  }
+
   test("randomProject preserves relative distances roughly (JL sanity)") {
     val d = 64
     val vecs = (0 until 20).map { i =>

@@ -239,6 +239,48 @@ class OperatorsSpec extends SparkFunSuite {
       .collect().toSet == taken.collect().toSet)
   }
 
+  test("groupSplit: every dup-cluster member shares its cluster's split") {
+    val ids = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Sampling.groupSplit(ids, "doc_id", pairs)
+      .select("doc_id", "grp", "split").as[(Long, Long, String)].collect()
+    assert(out.length == 10)
+    val byId = out.map(r => r._1 -> r).toMap
+    // cluster {1,2,3} -> label 1; {7,8} -> label 7; singletons keep own id
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(7L, 8L).map(byId(_)._2).distinct == Seq(7L))
+    assert(byId(5L)._2 == 5L)
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(7L, 8L).map(byId(_)._3).distinct.size == 1)
+    // singleton split agrees with the per-row hashSplit it degenerates to
+    val plain = Sampling.hashSplit(ids.filter(col("doc_id") === 5L), "doc_id")
+      .select("split").as[String].head()
+    assert(byId(5L)._3 == plain)
+  }
+
+  test("upsample repeats rows per key factor, drops factor-0 keys, epochs are dense") {
+    val df = Seq((1L, "en"), (2L, "fr"), (3L, "de"), (4L, "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.upsample(df, "lang", Map("en" -> 2, "fr" -> 3, "de" -> 0))
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out(1L) == Seq(0, 1))
+    assert(out(2L) == Seq(0, 1, 2))
+    assert(!out.contains(3L)) // de dropped
+    assert(out(4L) == Seq(0)) // default factor 1
+  }
+
+  test("corpusDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
+    val statuses = Snapshot.corpusDiff(prev, next, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val summary = Snapshot.diffSummary(prev, next, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L))
+  }
+
   test("hash split normalizes uppercase thresholds and rejects non-hex ones") {
     val ids = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
     val lower = Sampling.hashSplit(ids, "doc_id").collect().toSet
