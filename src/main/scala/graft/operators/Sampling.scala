@@ -20,7 +20,17 @@ object Sampling {
     * their split forever — adding data never reassigns existing rows.
     */
   def hashSplit(df: DataFrame, idCol: String,
-      trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame = {
+      trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame =
+    df.withColumn("split", splitCol(col(idCol), trainHexUpper, valHexUpper))
+
+  /** The split decision as a Column: 'train'/'val'/'test' by the first two
+    * hex chars of md5(key). Shared by [[hashSplit]] (key = row id),
+    * [[groupSplit]] and `TextAnalysis.curateFuzzySplit` (key = dup-cluster
+    * label), so every split in the library agrees on the same hash
+    * boundaries.
+    */
+  def splitCol(key: org.apache.spark.sql.Column,
+      trainHexUpper: String = "cc", valHexUpper: String = "e6"): org.apache.spark.sql.Column = {
     // md5() emits lowercase hex; normalize and validate the thresholds so an
     // uppercase "CC" can't lexically sort below every digest and send all
     // rows to 'test'.
@@ -34,11 +44,10 @@ object Sampling {
     require(value.length == 2 && value.forall(hex),
       s"val threshold must be two hex chars, got '$valHexUpper'")
     require(train < value, "train threshold must sort below val threshold")
-    val prefix = substring(md5(col(idCol).cast("string")), 1, 2)
-    df.withColumn("split",
-      when(prefix < train, "train")
-        .when(prefix < value, "val")
-        .otherwise("test"))
+    val prefix = substring(md5(key.cast("string")), 1, 2)
+    when(prefix < train, "train")
+      .when(prefix < value, "val")
+      .otherwise("test")
   }
 
   /** Deterministic weighted downsampling for domain mixing: keep a row with
@@ -144,18 +153,11 @@ object Sampling {
     */
   def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame = {
-    val train = trainHexUpper.toLowerCase
-    val value = valHexUpper.toLowerCase
-    require(train < value, "train threshold must sort below val threshold")
     val labels = Dedup.components(pairs)
       .select(col("id").as("_gid"), col("label").as("_glabel"))
-    val prefix = substring(md5(coalesce(col("_glabel"), col(idCol)).cast("string")), 1, 2)
     df.join(labels, df(idCol) === labels("_gid"), "left")
       .withColumn("grp", coalesce(col("_glabel"), col(idCol)))
-      .withColumn("split",
-        when(prefix < train, "train")
-          .when(prefix < value, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("grp"), trainHexUpper, valHexUpper))
       .drop("_gid", "_glabel")
   }
 

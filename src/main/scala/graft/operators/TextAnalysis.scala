@@ -575,12 +575,43 @@ object TextAnalysis {
       maxDupLineFrac, maxDupNgramFrac, ngram, shingleSize, bands,
       rowsPerBand, maxBucket, jaccardThreshold, best = true)
 
-  private def curateFuzzyPick(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int, maxWords: Int, minStopHits: Int,
+  /** [[curateFuzzy]] with the leakage-guard policy: near-dup clusters are
+    * NOT collapsed — every survivor is kept, and each gets a train/val/test
+    * split keyed by md5 of its CLUSTER label ([[Sampling.splitCol]]), so a
+    * cluster moves to one side of the eval boundary as a unit. This is the
+    * policy for corpora where near-dups are intentional (translations,
+    * versioned pages) but eval contamination still must be impossible.
+    * Output: (idCol, n_words, dup_line_frac, grp, split).
+    */
+  def curateFuzzySplit(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
+      maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
+      ngram: Int = 5, shingleSize: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, maxBucket: Int = 100,
+      jaccardThreshold: Double = 0.7,
+      trainHexUpper: String = "cc", valHexUpper: String = "e6"): DataFrame = {
+    val (survivors, labels) = fuzzySurvivorsAndLabels(df, idCol, textCol,
+      minWords, maxWords, minStopHits, maxDupLineFrac, maxDupNgramFrac,
+      ngram, shingleSize, bands, rowsPerBand, maxBucket, jaccardThreshold)
+    val l = labels.select(col("id").as("_gid"), col("label").as("_glabel"))
+    survivors.join(l, survivors(idCol) === l("_gid"), "left")
+      .withColumn("grp", coalesce(col("_glabel"), col(idCol)))
+      .select(col(idCol), col("n_words"), col("dup_line_frac"), col("grp"),
+        Sampling.splitCol(col("grp"), trainHexUpper, valHexUpper).as("split"))
+  }
+
+  /** Shared head of the fuzzy funnel: quality gates + exact dedup
+    * (survivors, with shingle sets), then minhash pair discovery and
+    * components labels over the survivor graph. Every fuzzy policy
+    * (min-id collapse, best-pick collapse, leakage-guard split) consumes
+    * this same (survivors, labels) pair, so the policies cannot drift.
+    */
+  private def fuzzySurvivorsAndLabels(df: DataFrame, idCol: String,
+      textCol: String, minWords: Int, maxWords: Int, minStopHits: Int,
       maxDupLineFrac: Double, maxDupNgramFrac: Double,
       ngram: Int, shingleSize: Int, bands: Int,
       rowsPerBand: Int, maxBucket: Int,
-      jaccardThreshold: Double, best: Boolean): DataFrame = {
+      jaccardThreshold: Double): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val m = new GopherMetrics(minWords, maxWords, minStopHits)
     // checkpoint: survivors feed the pair-discovery stage AND the final
@@ -602,10 +633,21 @@ object TextAnalysis {
       survivors.select(col(idCol), col("sh")), idCol,
       bands, rowsPerBand, maxBucket, jaccardThreshold)
     // components labels every id in the pair graph with its minimum
-    // reachable id; singletons (absent from the graph) always keep. The
-    // pick policy decides which graph member survives: the label holder
+    // reachable id; singletons (absent from the graph) always keep.
+    (survivors, graft.operators.Dedup.components(pairs))
+  }
+
+  private def curateFuzzyPick(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int, minStopHits: Int,
+      maxDupLineFrac: Double, maxDupNgramFrac: Double,
+      ngram: Int, shingleSize: Int, bands: Int,
+      rowsPerBand: Int, maxBucket: Int,
+      jaccardThreshold: Double, best: Boolean): DataFrame = {
+    // The pick policy decides which graph member survives: the label holder
     // (min id), or the group's longest member (canonicalPick semantics).
-    val labels = graft.operators.Dedup.components(pairs)
+    val (survivors, labels) = fuzzySurvivorsAndLabels(df, idCol, textCol,
+      minWords, maxWords, minStopHits, maxDupLineFrac, maxDupNgramFrac,
+      ngram, shingleSize, bands, rowsPerBand, maxBucket, jaccardThreshold)
     val dropIds =
       if (!best) labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
       else {

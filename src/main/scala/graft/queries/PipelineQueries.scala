@@ -1052,6 +1052,18 @@ object PipelineQueries {
           maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
         .orderBy(col("doc_id"))
     }),
+    // the same funnel under the leakage-guard policy: near-dup clusters are
+    // kept WHOLE (no collapse) and split train/val/test by cluster label —
+    // original and its ' graftfuzz' clone provably land in the same split
+    "pipeline_curate_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text")))
+      TextAnalysis.curateFuzzySplit(base, "doc_id", "text",
+          minWords = 30, minStopHits = 1,
+          maxBucket = Int.MaxValue, jaccardThreshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
     // the same funnel under the canonical-representative policy: the
     // planted clone carries one extra token (' graftfuzz'), so best-pick
     // keeps the CLONE where min-id keeps the original — the two funnels
@@ -2441,6 +2453,18 @@ object PipelineQueries {
       |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
       |WHERE labels.id IS NULL OR labels.label = surv.doc_id
       |ORDER BY surv.doc_id""".stripMargin),
+    // same CTEs, leakage-guard final stage: NO collapse, split decided by
+    // md5 of the cluster label (singletons: own id)
+    "pipeline_curate_split" -> (duckFuzzy + """,
+      |g AS (
+      |  SELECT surv.doc_id, surv.n_words, surv.dlf,
+      |         coalesce(labels.label, surv.doc_id) AS grp
+      |  FROM surv LEFT JOIN labels ON surv.doc_id = labels.id)
+      |SELECT doc_id, n_words, dlf AS dup_line_frac, grp,
+      |       CASE WHEN substr(md5(CAST(grp AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |            WHEN substr(md5(CAST(grp AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin),
     // same CTEs, canonical-representative final stage: each cluster keeps
     // its longest member (n_words desc, id asc) instead of the min id
     "pipeline_curate_best" -> (duckFuzzy + """,

@@ -1380,6 +1380,31 @@ class OperatorsSpec extends SparkFunSuite {
     clustered.foreach { id => assert(bestIds.contains(id + 1000000) && !bestIds.contains(id)) }
   }
 
+  test("curateFuzzySplit keeps whole clusters and co-locates them in one split") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val base = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" graftfuzz")).as("text")))
+    val out = TextAnalysis.curateFuzzySplit(base, "doc_id", "text",
+      minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+      jaccardThreshold = 0.9)
+      .select("doc_id", "grp", "split").as[(Long, Long, String)].collect()
+    val collapsed = TextAnalysis.curateFuzzy(base, "doc_id", "text",
+      minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+      jaccardThreshold = 0.9).count()
+    // no collapse: both cluster members survive, so strictly more rows
+    assert(out.length > collapsed)
+    val byId = out.map(r => r._1 -> r).toMap
+    // every surviving original+clone pair shares grp and split
+    val pairsSeen = out.map(_._1).filter(id => id < 1000000 && byId.contains(id + 1000000))
+    assert(pairsSeen.nonEmpty)
+    pairsSeen.foreach { id =>
+      assert(byId(id)._2 == byId(id + 1000000)._2, s"grp differs for $id")
+      assert(byId(id)._3 == byId(id + 1000000)._3, s"split differs for $id")
+    }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("tfidf top terms: rare terms outscore common ones, ties break on term") {
     val corpus = Seq(
       (1L, "alpha alpha beta common"),
