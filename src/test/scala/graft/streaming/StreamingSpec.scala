@@ -481,6 +481,53 @@ class StreamingSpec extends SparkFunSuite {
     assert(batch.exists(_._2.nonEmpty))
   }
 
+  test("kmeans assignment and upsampling run unchanged on a stream (stateless maps)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = graft.queries.Tables.df(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // a fitted model is FIXED centroids at ingest time: train on the batch
+    // corpus, then assign the stream with the same narrow map
+    val (_, cents) = graft.operators.Clustering.kmeans(
+      vecs.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 4, iters = 2, dim = 64)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val assigned = graft.operators.Clustering.assign(stream, "vec_id", "embedding", cents)
+    assert(assigned.isStreaming) // centroids ride the expression: no state, no watermark
+    val q = assigned.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_kmeans").start()
+    try {
+      mem.addData(vecs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_kmeans").as[(Long, Int)].collect().toSet
+    val batch = graft.operators.Clustering.assign(
+      vecs.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toSet
+    assert(streamed == batch && batch.size == 40)
+
+    // upsample: pure row generation, identical per key on stream and batch
+    val docsMem = MemoryStream[(Long, String)]
+    val docStream = docsMem.toDF().select(col("_1").as("doc_id"), col("_2").as("lang"))
+    val up = graft.operators.Sampling.upsample(docStream, "lang",
+      Map("en" -> 2, "de" -> 0))
+    assert(up.isStreaming)
+    val q2 = up.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_upsample").start()
+    try {
+      docsMem.addData((1L, "en"), (2L, "de"), (3L, "fr"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.table("t_stream_upsample")
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (1L, 1), (3L, 0))) // en x2, de dropped, fr x1
+  }
+
   test("streamingCurate over empty indexes matches the batch curateFull funnel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
