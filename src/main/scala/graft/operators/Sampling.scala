@@ -161,6 +161,47 @@ object Sampling {
       .drop("_gid", "_glabel")
   }
 
+  /** Static mixture planning: given target corpus shares per key (e.g.
+    * lang/source proportions a training mix should have), compute from the
+    * ACTUAL per-key token mass the resampling knobs that achieve them:
+    *
+    *  - `ratio`   = target_share / natural_share (rounded to 6 decimals) —
+    *                the per-key oversampling factor;
+    *  - `keep_prob` = min(1, ratio) — feed to [[weightedKeep]] for keys
+    *                that must shrink;
+    *  - `extra_epochs` = max(0, ceil(ratio) - 1) — feed to [[upsample]]
+    *                for keys that must grow (fractional remainders are the
+    *                keep_prob of the last epoch: ratio 2.3 = 2 full epochs
+    *                + 0.3 of a third).
+    *
+    * Keys absent from `targets` get target share 0 (drop). One hash
+    * aggregate on the key plus a singleton total — the plan costs one
+    * shuffle of |keys| rows regardless of corpus size; the knobs it emits
+    * drive the map-side samplers, closing the measure → decide → act loop
+    * for corpus mixing (`sourceReport`/`sketchStats` → mixturePlan →
+    * weightedKeep/upsample).
+    */
+  def mixturePlan(df: DataFrame, keyCol: String, tokenCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(_ >= 0.0), s"target shares must be >= 0, got $targets")
+    val target = targets.foldLeft(lit(0.0)) { case (acc, (k, share)) =>
+      when(col(keyCol) === k, share).otherwise(acc)
+    }
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("tokens"),
+        first(target).as("_target"))
+    val w = Window.partitionBy() // singleton total: |keys| rows, broadcast-cheap
+    agg
+      .withColumn("natural_share", col("tokens") / sum(col("tokens")).over(w))
+      .withColumn("ratio", round(col("_target") / col("natural_share"), 6))
+      .select(col(keyCol), col("n_docs"), col("tokens"),
+        round(col("natural_share"), 6).as("natural_share"),
+        col("ratio"),
+        least(lit(1.0), col("ratio")).as("keep_prob"),
+        greatest(lit(0L), (ceil(col("ratio")) - 1).cast("long")).as("extra_epochs"))
+  }
+
   /** Deterministic per-key upsampling for mixture targets that need MORE
     * than one epoch of a source (the counterpart of [[weightedKeep]], which
     * can only downsample): each row is repeated `factors(key)` times

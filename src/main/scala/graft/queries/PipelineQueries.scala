@@ -680,6 +680,14 @@ object PipelineQueries {
       Sampling.upsample(docs(s, dir), "lang", Map("en" -> 2, "fr" -> 3, "de" -> 0))
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
+    // Static mixture plan: from actual per-lang token mass to the
+    // resampling knobs (keep_prob for weightedKeep, extra_epochs for
+    // upsample) that hit a target share mix — |keys|-row output, one
+    // aggregate, corpus-size-independent shuffle.
+    "mix_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(docs(s, dir), "lang", "n_chars",
+        Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.2, "es" -> 0.1))
+        .orderBy(col("lang"))),
     // Snapshot diff between a corpus and its synthetically-evolved next
     // epoch (every 10th doc removed, every 7th surviving doc edited, 50
     // added): the dataset-versioning audit. Fingerprints reduce each side
@@ -1821,6 +1829,22 @@ object PipelineQueries {
         |           FROM documents)
         |SELECT doc_id, lang, unnest(range(factor)) AS epoch
         |FROM f ORDER BY doc_id, epoch""".stripMargin,
+    "mix_plan" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS tokens,
+        |                  CASE lang WHEN 'en' THEN 0.4 WHEN 'fr' THEN 0.3
+        |                            WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.1
+        |                            ELSE 0.0 END AS t
+        |           FROM documents GROUP BY lang),
+        |b AS (SELECT lang, n_docs, tokens, t,
+        |             CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS ns
+        |      FROM a)
+        |SELECT lang, n_docs, tokens,
+        |       round(ns, 6) AS natural_share,
+        |       round(t / ns, 6) AS ratio,
+        |       least(1.0, round(t / ns, 6)) AS keep_prob,
+        |       greatest(0, CAST(ceil(round(t / ns, 6)) AS BIGINT) - 1) AS extra_epochs
+        |FROM b ORDER BY lang""".stripMargin,
     "corpus_diff" ->
       """WITH newt AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text

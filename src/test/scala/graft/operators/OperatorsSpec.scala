@@ -270,6 +270,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(out(4L) == Seq(0)) // default factor 1
   }
 
+  test("mixturePlan: hand-computed knobs; absent keys drop; knobs compose to the target") {
+    // en: 600 of 1000 tokens (natural 0.6), fr: 300 (0.3), zh: 100 (0.1)
+    val df = Seq(
+      (1L, "en", 400L), (2L, "en", 200L), (3L, "fr", 300L), (4L, "zh", 100L)
+    ).toDF("doc_id", "lang", "tokens")
+    val plan = Sampling.mixturePlan(df, "lang", "tokens",
+      Map("en" -> 0.3, "fr" -> 0.7))
+      .as[(String, Long, Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en must shrink: ratio 0.3/0.6 = 0.5 -> keep half, no extra epochs
+    assert(plan("en") == ("en", 2L, 600L, 0.6, 0.5, 0.5, 0L))
+    // fr must grow: ratio 0.7/0.3 = 2.333333 -> keep all, 2 extra epochs
+    assert(plan("fr")._5 == 2.333333 && plan("fr")._6 == 1.0 && plan("fr")._7 == 2L)
+    // zh not in targets -> dropped entirely
+    assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
+  }
+
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
