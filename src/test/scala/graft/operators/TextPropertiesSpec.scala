@@ -145,4 +145,35 @@ class TextPropertiesSpec extends SparkFunSuite {
         s"doc $id ('$t'): expected $distinctWindows shared windows (raw $expectWindows)")
     }
   }
+
+  test("mixturePlan: knobs compose back to the target share on any mass distribution") {
+    // random per-key token masses + random normalized targets: applying the
+    // RAW ratio to each key's mass must land exactly on target_share * total
+    // (the keep_prob/extra_epochs decomposition only discretizes this)
+    val gen = for {
+      k <- Gen.chooseNum(2, 6)
+      masses <- Gen.listOfN(k, Gen.chooseNum(1000L, 900000L))
+      weights <- Gen.listOfN(k, Gen.chooseNum(1, 100))
+    } yield (masses, weights.map(_.toDouble))
+    val cases = Gen.listOfN(6, gen).sample.getOrElse(Seq((List(600L, 400L), List(1.0, 1.0))))
+    cases.zipWithIndex.foreach { case ((masses, ws), ci) =>
+      val keys = masses.indices.map(i => s"k$ci-$i")
+      val targets = keys.zip(ws.map(_ / ws.sum)).toMap
+      val rows = keys.zip(masses).zipWithIndex.map { case ((k, m), i) => (i.toLong, k, m) }
+      val plan = Sampling.mixturePlan(rows.toDF("id", "key", "tok"), "key", "tok", targets)
+        .select("key", "tokens", "ratio", "keep_prob", "extra_epochs")
+        .as[(String, Long, Double, Double, Long)].collect()
+      assert(plan.map(_._1).toSet == keys.toSet)
+      val total = masses.sum.toDouble
+      plan.foreach { case (k, tokens, ratio, keepProb, extraEpochs) =>
+        // ratio * natural mass == target mass (up to the documented 6dp rounding)
+        assert(math.abs(tokens * ratio - targets(k) * total) <= total * 1e-5,
+          s"$k: $tokens * $ratio !~ ${targets(k)} * $total")
+        assert(keepProb == math.min(1.0, ratio))
+        assert(extraEpochs == math.max(0L, math.ceil(ratio).toLong - 1))
+        // the discretized knobs bracket the ratio: keep_prob <= ratio <= epochs+1
+        assert(keepProb <= ratio + 1e-9 && ratio <= extraEpochs + 1 + 1e-9)
+      }
+    }
+  }
 }
