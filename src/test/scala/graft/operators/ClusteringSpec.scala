@@ -76,6 +76,18 @@ class ClusteringSpec extends SparkFunSuite {
     assert(assigned.count() == 3)
   }
 
+  test("kmeans: corpus smaller than k degrades to per-row cells, empty corpus fails loud") {
+    val tiny = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, cents) = Clustering.kmeans(tiny, "vec_id", "embedding",
+      k = 5, iters = 2, dim = 2)
+    assert(cents.length == 2) // seeds bounded by available rows
+    assert(assigned.as[(Long, Int)].collect().map(_._2).toSet == Set(0, 1))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Clustering.kmeans(empty, "vec_id", "embedding", k = 2, iters = 1, dim = 2))
+  }
+
   test("knnClassify: leave-one-out majority vote with deterministic tie-breaks") {
     // 3 labeled points per class, classes in nearly opposite DIRECTIONS
     // (kNN is cosine-based): every point's 2 nearest non-self neighbors

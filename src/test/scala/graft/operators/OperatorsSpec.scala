@@ -287,6 +287,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
   }
 
+  test("new-operator edges: empty pairs, identity upsample, identical snapshots") {
+    val ids = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // groupSplit with NO dup pairs degenerates to hashSplit exactly
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val gs = Sampling.groupSplit(ids, "doc_id", emptyPairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val hs = Sampling.hashSplit(ids, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(gs == hs)
+    // upsample with no factors is the identity plus epoch 0
+    val up = Sampling.upsample(ids, "text", Map.empty)
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    assert(up.length == 6 && up.forall(_._2 == 0))
+    // identical snapshots diff to nothing
+    assert(Snapshot.corpusDiff(ids, ids, "doc_id", "text").isEmpty)
+    assert(Snapshot.diffSummary(ids, ids, "doc_id", "text").isEmpty)
+  }
+
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
