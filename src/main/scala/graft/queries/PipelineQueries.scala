@@ -1041,6 +1041,26 @@ object PipelineQueries {
       TextAnalysis.curate(docs(s, dir), "doc_id", "text",
           minWords = 30, minStopHits = 1)
         .orderBy(col("doc_id"))),
+    // END-TO-END training prep in one plan: curate (quality + exact dedup)
+    // -> mixture downsampling (md5-keyed, map-side) -> greedy sequence
+    // packing into 2048-token packs across 8 shards. The expensive text
+    // scan happens once in curate; mix and pack touch only survivor-sized
+    // (id, tokens, lang) rows — the 100 TB shape where prep cost is one
+    // corpus read plus id-width shuffles.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val surv = TextAnalysis.curate(d, "doc_id", "text",
+          minWords = 30, minStopHits = 1)
+        .select(col("doc_id"), col("n_words").as("n_tokens"))
+      val mixed = Sampling.weightedKeep(
+        surv.join(d.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "lang",
+        Map("en" -> 1.0, "zh" -> 0.75, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.125))
+      Packing.packByBudget(mixed, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"),
+          col("pack_id"), col("pack_pos"))
+        .orderBy(col("doc_id"))
+    }),
     // the FULL published funnel (C4/Gopher/RefinedWeb): quality gate +
     // repetition + exact dedup + MinHash near-dup dedup + connected
     // components, in one plan with one text scan. Banding uncapped at
@@ -1186,6 +1206,59 @@ object PipelineQueries {
     })
   )
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** The batch curation funnel as reusable DuckDB CTEs (gw → gm → rep →
+    * keepers → surv): Gopher gates + repetition thresholds + min-id exact
+    * dedup. Shared by `pipeline_curate` (final select over keepers ⋈ surv)
+    * and `pipeline_e2e` (which appends the mix + pack fragments).
+    */
+  private lazy val duckCurate: String =
+    s"""WITH gw AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
+      |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+      |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
+      |         (length(text) - length(replace(text, '#', '')))
+      |           + (length(text) - length(replace(text, '…', '')))
+      |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
+      |  FROM documents),
+      |gm AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
+      |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
+      |         CASE WHEN len(ls) > 0
+      |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+      |              ELSE 0.0 END AS blf,
+      |         CASE WHEN len(ls) > 0
+      |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+      |              ELSE 0.0 END AS elf,
+      |         CASE WHEN len(ws) > 0
+      |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
+      |              ELSE 0.0 END AS awf,
+      |         len(list_filter(['the','be','to','of','and','that','have','with'],
+      |                         s -> list_contains(ws, s))) AS stop_hits
+      |  FROM gw),
+      |rep AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(lines) > 0
+      |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+      |              ELSE 0.0 END AS dlf,
+      |         CASE WHEN len(grams) > 0
+      |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+      |              ELSE 0.0 END AS dgf,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM (SELECT doc_id, text,
+      |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                           l -> l != '') AS lines,
+      |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
+      |        FROM (SELECT doc_id, text, $duckWords AS w FROM documents))),
+      |keepers AS (
+      |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
+      |  FROM gm JOIN rep USING (doc_id)
+      |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
+      |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
+      |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
+      |surv AS (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp)""".stripMargin
 
   /** DuckDB CTE chain for the BPE oracle, one (pair-count, argmax, merge)
     * triple unrolled per merge rank.
@@ -2369,55 +2442,32 @@ object PipelineQueries {
     // on the ROUNDED fractions (both engines compare the same values), then
     // min-id per fingerprint among survivors
     "pipeline_curate" ->
-      s"""WITH gw AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws,
-        |         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
-        |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nws,
-        |         (length(text) - length(replace(text, '#', '')))
-        |           + (length(text) - length(replace(text, '…', '')))
-        |           + (length(text) - length(replace(text, '...', ''))) / 3 AS sym
-        |  FROM documents),
-        |gm AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |         CASE WHEN len(ws) > 0 THEN nws / len(ws) ELSE 0.0 END AS mwl,
-        |         CASE WHEN len(ws) > 0 THEN sym / len(ws) ELSE 0.0 END AS swr,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS blf,
-        |         CASE WHEN len(ls) > 0
-        |              THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
-        |              ELSE 0.0 END AS elf,
-        |         CASE WHEN len(ws) > 0
-        |              THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(ws)
-        |              ELSE 0.0 END AS awf,
-        |         len(list_filter(['the','be','to','of','and','that','have','with'],
-        |                         s -> list_contains(ws, s))) AS stop_hits
-        |  FROM gw),
-        |rep AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(lines) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
-        |              ELSE 0.0 END AS dlf,
-        |         CASE WHEN len(grams) > 0
-        |              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-        |              ELSE 0.0 END AS dgf,
-        |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-        |  FROM (SELECT doc_id, text,
-        |               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-        |                           l -> l != '') AS lines,
-        |               [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] AS grams
-        |        FROM (SELECT doc_id, text, $duckWords AS w FROM documents))),
-        |keepers AS (
-        |  SELECT gm.doc_id, gm.n_words, rep.dlf, rep.fp
-        |  FROM gm JOIN rep USING (doc_id)
-        |  WHERE gm.n_words BETWEEN 30 AND 100000 AND gm.mwl >= 3 AND gm.mwl <= 10
-        |        AND gm.swr < 0.1 AND gm.blf < 0.9 AND gm.elf < 0.3 AND gm.awf > 0.8
-        |        AND gm.stop_hits >= 1 AND rep.dlf < 0.3 AND rep.dgf < 0.3),
-        |surv AS (SELECT fp, min(doc_id) AS doc_id FROM keepers GROUP BY fp)
+      s"""$duckCurate
         |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // the end-to-end training-prep oracle: the curate CTEs, then the
+    // pipeline_mix hex-threshold keep, then the pipeline_pack shard/window
+    // arithmetic — each stage is the already-proven fragment, composed
+    "pipeline_e2e" ->
+      s"""$duckCurate,
+        |sv AS (SELECT k.doc_id, k.n_words
+        |       FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id),
+        |mx AS (SELECT sv.doc_id, sv.n_words, d.lang
+        |       FROM sv JOIN documents d USING (doc_id)
+        |       WHERE substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 4) <
+        |             CASE d.lang WHEN 'en' THEN 'g' WHEN 'zh' THEN 'c000' WHEN 'de' THEN '8000'
+        |                         WHEN 'fr' THEN '4000' WHEN 'es' THEN '2000' ELSE 'g' END),
+        |pk AS (SELECT doc_id, lang, n_words AS n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+        |              sum(n_words) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                - n_words AS tokens_before
+        |       FROM mx)
+        |SELECT doc_id, lang, n_tokens, shard,
+        |       CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id,
+        |       CAST(tokens_before
+        |            - CAST(floor(tokens_before / 2048.0) AS BIGINT) * 2048 AS BIGINT) AS pack_pos
+        |FROM pk ORDER BY doc_id""".stripMargin,
     // the gate alone (no dedup stage): the pipeline_curate keeper CTEs
     // minus the fingerprint group-by
     "text_quality_filter" ->

@@ -287,6 +287,36 @@ class OperatorsSpec extends SparkFunSuite {
     assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
   }
 
+  test("e2e prep composition: curate -> mix -> pack invariants hold; text scanned once") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val surv = TextAnalysis.curate(d, "doc_id", "text", minWords = 30, minStopHits = 1)
+      .select(col("doc_id"), col("n_words").as("n_tokens"))
+    val mixed = Sampling.weightedKeep(
+      surv.join(d.select(col("doc_id"), col("lang")), "doc_id"),
+      "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.5))
+    val packed = Packing.packByBudget(mixed, "doc_id", "n_tokens", budget = 512L, shards = 4)
+    val rows = packed.select("doc_id", "n_tokens", "shard", "pack_id", "pack_pos")
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1)
+    val survIds = surv.select("doc_id").as[Long].collect().toSet
+    assert(rows.nonEmpty && rows.map(_._1).toSet.subsetOf(survIds)) // mix only drops
+    // within each shard, id-ordered docs tile contiguously: next offset ==
+    // previous offset + previous length (pack arithmetic is cumulative)
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      rs.sortBy(_._1).foldLeft(0L) { case (expected, (_, n, _, packId, packPos)) =>
+        assert(packId * 512L + packPos == expected)
+        expected + n
+      }
+    }
+    // text is read only inside curate's checkpointed projection: the final
+    // plan's parquet scans never touch the text column (the lang re-scan is
+    // pruned to doc_id+lang)
+    val scans = packed.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(scans.nonEmpty && scans.forall(!_.contains("text:string")),
+      s"downstream scan re-reads text:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("doc_id") && s.contains("lang")))
+  }
+
   test("new-operator edges: empty pairs, identity upsample, identical snapshots") {
     val ids = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // groupSplit with NO dup pairs degenerates to hashSplit exactly
