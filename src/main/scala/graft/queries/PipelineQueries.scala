@@ -1022,6 +1022,16 @@ object PipelineQueries {
       Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
         .orderBy(col("doc_id"))
     }),
+    // boundary-splitting packing (published pretraining semantics): the
+    // token stream is cut at EXACTLY 2048 within each shard, documents
+    // straddling a boundary emit one segment row per pack — all arithmetic
+    // row generation inside the projection, no join, no second text pass
+    "pipeline_pack_segments" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSegments(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .orderBy(col("doc_id"), col("seg_id"))
+    }),
     // domain mixing: deterministic per-language downsampling toward target
     // mixture weights — pure map-side, md5-keyed (no rand()), reproducible
     // across runs/engines, never resamples existing rows when data grows
@@ -2431,6 +2441,24 @@ object PipelineQueries {
          |       CAST(tokens_before
          |            - CAST(floor(tokens_before / 2048.0) AS BIGINT) * 2048 AS BIGINT) AS pack_pos
          |FROM p ORDER BY doc_id""".stripMargin,
+    "pipeline_pack_segments" ->
+      s"""WITH t AS (SELECT doc_id, len($duckWords) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+         |                  - n_tokens AS BIGINT) AS tb
+         |      FROM t WHERE n_tokens > 0),
+         |s AS (SELECT doc_id, n_tokens, shard, tb,
+         |             unnest(range(CAST(floor(tb / 2048.0) AS BIGINT),
+         |                          CAST(floor((tb + n_tokens - 1) / 2048.0) AS BIGINT) + 1)) AS pack_id
+         |      FROM p)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+         |       CAST(pack_id - CAST(floor(tb / 2048.0) AS BIGINT) AS INT) AS seg_id,
+         |       pack_id,
+         |       CAST(greatest(0, tb - pack_id * 2048) AS BIGINT) AS pack_offset,
+         |       CAST(greatest(0, pack_id * 2048 - tb) AS BIGINT) AS doc_offset,
+         |       CAST(least(n_tokens, (pack_id + 1) * 2048 - tb)
+         |            - greatest(0, pack_id * 2048 - tb) AS BIGINT) AS seg_len
+         |FROM s ORDER BY doc_id, seg_id""".stripMargin,
     "pipeline_mix" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

@@ -287,6 +287,37 @@ class OperatorsSpec extends SparkFunSuite {
     assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
   }
 
+  test("packSegments: exact tiling — docs rebuild from segments, every non-final pack is full") {
+    val docs = Seq(
+      (0L, 5), (8L, 3),            // shard 0: stream of 8 tokens -> packs of 4: [5]->(0:4)+(1:1), [3]->(1:3)
+      (1L, 4), (9L, 4), (17L, 1),  // shard 1: exact boundary cases
+      (2L, 10),                    // shard 2: one doc spanning 3 packs
+      (3L, 0)                      // zero-token doc: dropped
+    ).toDF("doc_id", "n_tokens")
+    val segs = Packing.packSegments(docs, "doc_id", "n_tokens", budget = 4L, shards = 8)
+      .select("doc_id", "n_tokens", "shard", "seg_id", "pack_id", "pack_offset", "doc_offset", "seg_len")
+      .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect()
+    assert(!segs.exists(_._1 == 3L)) // zero-token doc occupies no stream position
+    // per doc: segments contiguous from offset 0 and sum to n_tokens
+    segs.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == sorted.indices.toSeq, s"doc $id seg_ids")
+      assert(sorted.map(_._8).sum == sorted.head._2, s"doc $id lengths")
+      sorted.foldLeft(0L) { case (off, r) => assert(r._7 == off, s"doc $id offsets"); off + r._8 }
+    }
+    // per (shard, pack): every pack except the shard's last is exactly full,
+    // and segments tile the pack contiguously from offset 0
+    segs.groupBy(r => (r._3, r._5)).foreach { case ((shard, pack), rs) =>
+      val lastPack = segs.filter(_._3 == shard).map(_._5).max
+      val sorted = rs.sortBy(_._6)
+      sorted.foldLeft(0L) { case (off, r) => assert(r._6 == off, s"pack $shard/$pack"); off + r._8 }
+      if (pack < lastPack) assert(sorted.map(_._8).sum == 4L, s"pack $shard/$pack not full")
+    }
+    // hand-check the 3-pack straddler: 10 tokens over budget 4 = 4+4+2
+    val straddler = segs.filter(_._1 == 2L).sortBy(_._4).map(r => (r._5, r._7, r._8)).toSeq
+    assert(straddler == Seq((0L, 0L, 4L), (1L, 4L, 4L), (2L, 8L, 2L)))
+  }
+
   test("e2e prep composition: curate -> mix -> pack invariants hold; text scanned once") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val surv = TextAnalysis.curate(d, "doc_id", "text", minWords = 30, minStopHits = 1)
