@@ -690,6 +690,177 @@ case class MatVec(child: Expression, mat: Array[Array[Double]])
   override def prettyName: String = "graft_mat_vec"
 }
 
+/** Shared arithmetic for the product-quantization expressions: L2-normalize
+  * a Catalyst float/double array into a fresh double array (sum of squares
+  * in index order, sqrt, divide) — the EXACT sequence the driver-side
+  * codebook trainer uses on collected rows, so a vector that was part of
+  * the training sample quantizes to its own codebook entry at distance
+  * exactly 0 (bitwise), which is what makes the exact-representable
+  * correctness gate provable.
+  */
+private[functions] object PqOps {
+  def normalized(arr: ArrayData, isFloat: Boolean): Array[Double] = {
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    var ss = 0.0
+    while (i < dim) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      v(i) = x
+      ss += x * x
+      i += 1
+    }
+    val n = math.sqrt(ss)
+    if (n > 0) {
+      i = 0
+      while (i < dim) { v(i) = v(i) / n; i += 1 }
+    }
+    v
+  }
+}
+
+/** Product-quantization encoder (Jegou, Douze, Schmid 2011): split the
+  * L2-normalized vector into `m = codebooks.length` contiguous subvectors
+  * and emit, per subspace, the index of the nearest codebook entry by
+  * squared euclidean distance (strict `<`, ties to the lowest index — the
+  * same rule as [[NearestCentroid]]). Output is `array<int>` of length m:
+  * the compressed representation that rides shuffles and index tables in
+  * place of the raw vector (m ints vs dim floats — 8 codes stand in for a
+  * 64-float embedding). Codebooks ride inside the expression (driver-built
+  * from a bounded sample, m x ksub x dsub doubles, serialized once per
+  * task) so encoding is a pure narrow map pass.
+  */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val vec = PqOps.normalized(v.asInstanceOf[ArrayData], isFloat)
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        val lim = math.min(dsub, vec.length - off)
+        var acc = 0.0
+        var d = 0
+        while (d < lim) {
+          val x = vec(off + d) - cent(d)
+          acc += x * x
+          d += 1
+        }
+        if (acc < bestDist) { best = c; bestDist = acc }
+        c += 1
+      }
+      out(j) = best
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodes = copy(child = c)
+  override def prettyName: String = "graft_pq_codes"
+}
+
+/** Per-query ADC lookup table: for the L2-normalized query vector, the dot
+  * product of every subvector against every codebook entry, flattened as
+  * `lut[j * ksub + c]`. Computed ONCE per query row (m * ksub * dsub
+  * multiplies); scoring a corpus row is then only m array reads + adds
+  * ([[PqAdc]]) — the asymmetric-distance-computation split that makes a
+  * PQ scan O(m) per candidate instead of O(dim).
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_lut expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val vec = PqOps.normalized(v.asInstanceOf[ArrayData], isFloat)
+    val m = codebooks.length
+    val ksub = if (m == 0) 0 else codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        val lim = math.min(dsub, vec.length - off)
+        var acc = 0.0
+        var d = 0
+        while (d < lim) { acc += vec(off + d) * cent(d); d += 1 }
+        out(j * ksub + c) = acc
+        c += 1
+      }
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+  override def prettyName: String = "graft_pq_lut"
+}
+
+/** ADC score of one corpus row against one query: `sum_j lut[j*ksub +
+  * codes[j]]` — the approximate inner product of the normalized query with
+  * the quantized reconstruction of the normalized corpus vector (=
+  * approximate cosine). m reads + adds per scored pair; the subspace sums
+  * accumulate in subspace order, matching the driver-side trainer and the
+  * exact-representable oracle.
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (array<int>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val cs = codes.asInstanceOf[ArrayData]
+    val lt = lut.asInstanceOf[ArrayData]
+    val m = cs.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + cs.getInt(j)
+      if (idx < lt.numElements()) acc += lt.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_pq_adc"
+}
+
 /** Registration for SQL/expr access (same pattern as MaskFunctions). */
 object VectorFunctions {
   private def intLit(e: Expression): Int = e.eval() match {

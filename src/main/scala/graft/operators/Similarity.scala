@@ -391,4 +391,110 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
+
+  /** Train product-quantization codebooks (Jegou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) on a bounded
+    * deterministic sample: `sampleSize` hash-ordered corpus rows are
+    * collected (the standard PQ practice — codebooks train on a sample, a
+    * 100 TB corpus never participates in training), L2-normalized (so the
+    * quantized inner product approximates cosine), split into `m`
+    * contiguous subvectors, and each subspace runs `iters` driver-local
+    * Lloyd iterations from the first `ksub` sample subvectors (empty
+    * clusters keep their previous centroid; assignment ties break to the
+    * lowest index). Deterministic end to end: hash order fixes the sample,
+    * index order fixes the initialization. Returns m x ksub x dsub.
+    *
+    * With `iters = 0` the codebook IS the sample's subvectors — on a corpus
+    * whose rows all appear in the sample, quantization is then exact
+    * (distortion 0, see [[graft.functions.PqOps]]), which is what the
+    * oracled correctness gate exploits.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleSize: Int = 1024, iters: Int = 5): Array[Array[Array[Double]]] = {
+    VectorFunctions.register(corpus.sparkSession)
+    val sample = corpus
+      .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0)
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .map { row =>
+        val raw = row.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray
+        // EXACT normalization sequence of PqOps.normalized: sum of squares
+        // in index order, sqrt, divide — bitwise-identical to the encoder
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(_ / n)
+      }
+    require(sample.nonEmpty, "PQ: corpus has no non-zero vectors to train on")
+    val dim = sample(0).length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = subs.take(math.min(ksub, subs.length)).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        subs.foreach { s =>
+          var best = 0
+          var bestDist = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            var acc = 0.0
+            var d = 0
+            while (d < dsub) { val x = s(d) - cents(c)(d); acc += x * x; d += 1 }
+            if (acc < bestDist) { best = c; bestDist = acc }
+            c += 1
+          }
+          var d = 0
+          while (d < dsub) { sums(best)(d) += s(d); d += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ-compressed top-k via asymmetric distance computation: the corpus is
+    * encoded to m small-int codes per row (one narrow map pass — at 100 TB
+    * the codes would be written once next to the ids and re-read per query
+    * batch: an 8-code int array stands in for a 64-float embedding, a
+    * 16-32x scan-size reduction), each query carries a precomputed
+    * m x ksub lookup table, and scoring a candidate is m array reads + adds
+    * instead of a dim-length dot product. The join broadcasts the queries;
+    * ONLY (id, codes) ride the corpus side of the scoring plan — the raw
+    * embedding never leaves its scan. Top-k uses the same rank-window form
+    * as [[bruteForceTopK]] (WindowGroupLimit pushes a map-side partial
+    * top-k below the exchange). Output: query_id, rank, vec_id, score
+    * (approximate cosine; recall measured by [[recallAtK]], exactness in
+    * the representable regime proven by the oracled gate).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    VectorFunctions.register(corpus.sparkSession)
+    val ksub = codebooks(0).length
+    val c = corpus
+      .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0)
+      .select(col(idCol),
+        columnOf(graft.functions.PqCodes(expressionOf(col(vecCol)), codebooks)).as("_codes"))
+    val q = queries
+      .filter(sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")) > 0)
+      .select(col(queryIdCol),
+        columnOf(graft.functions.PqLut(expressionOf(col(queryVecCol)), codebooks)).as("_lut"))
+    val scored = c.join(broadcast(q))
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        columnOf(graft.functions.PqAdc(expressionOf(col("_codes")),
+          expressionOf(col("_lut")), ksub)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
 }

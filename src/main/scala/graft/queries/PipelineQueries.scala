@@ -591,6 +591,41 @@ object PipelineQueries {
           (col("max_cell").cast("double") >=
             col("n_rows").cast("double") / col("n_cells_total")).as("max_ge_mean"))
     }),
+    // PQ-compressed ANN at realistic settings (8 subspaces x 64 centroids,
+    // sample-trained Lloyd codebooks): deterministic but the codebook is
+    // fitted driver state, not SQL-expressible — rows-only here; the paired
+    // _check below is the oracled gate, and OperatorsSpec pins recall@10
+    // against brute force on planted duplicates.
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, ksub = 64,
+        sampleSize = 256, iters = 5)
+      Similarity.pqTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 10, cb)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the oracled gate for the whole ADC machinery (normalize -> encode ->
+    // LUT -> O(m) scoring -> rank window): on a corpus whose rows ALL appear
+    // in the training sample, iters=0 codebooks are the sample's own
+    // subvectors, quantization has distortion exactly 0 (the trainer and the
+    // encoder share one bitwise normalization sequence, see PqOps), and the
+    // approximate score IS the exact cosine — so PQ top-k must hash-match a
+    // DuckDB brute-force cosine top-k, which is what the oracle runs.
+    "ann_pq_topk_check" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, ksub = 64,
+        sampleSize = 64, iters = 0)
+      Similarity.pqTopK(e, q, "vec_id", "embedding", "query_id", "qv", k = 5, cb)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1714,6 +1749,22 @@ object PipelineQueries {
         |SELECT vec_id AS query_id, 1 AS rank, vec_id, CAST(1.0 AS DOUBLE) AS cosine
         |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
         |ORDER BY query_id, rank, vec_id""".stripMargin,
+    // exact-representable PQ regime (see the query comment): ADC score ==
+    // exact cosine, so the oracle is plain brute-force cosine top-5 over
+    // the 64-row slice
+    "ann_pq_topk_check" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 64),
+        |cn AS (SELECT * FROM c WHERE sqrt(list_dot_product(v, v)) > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM cn WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, cn.vec_id,
+        |             list_cosine_similarity(cn.v, q.qv) AS cosine
+        |      FROM cn CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // LSH recall at threshold 0.9 with 16x4 banding is 1 - (1-j^4)^16 >=
     // 1 - 4e-8, so the candidate set equals the full >= 0.9 pair set and the
     // exact-jaccard verify makes the whole output SQL-expressible.

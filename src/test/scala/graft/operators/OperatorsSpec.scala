@@ -449,6 +449,72 @@ class OperatorsSpec extends SparkFunSuite {
     assert(pruned.contains(1L))
   }
 
+  test("PQ top-k: exact-representable codebooks reproduce brute force exactly") {
+    val q = vecs.filter($"vec_id" <= 2L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // sample = the whole 4-row corpus, iters=0 -> codebooks ARE the corpus
+    // subvectors -> distortion 0 -> ADC score == exact cosine, rank for rank
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 2, ksub = 4,
+      sampleSize = 4, iters = 0)
+    val pq = Similarity.pqTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 4, cb)
+      .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 4)
+      .select($"query_id", $"rank", $"vec_id", round($"cosine", 9).as("s"))
+      .collect().toSet
+    assert(pq == brute)
+  }
+
+  test("PQ top-k: lossy codebooks keep cluster structure; zero-norm rows drop") {
+    // two tight direction clusters; ksub=2 per subspace is heavily lossy but
+    // Lloyd separates the clusters, so each query's top-1 stays in-cluster
+    val corpus = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)), (2L, Array(0.98f, 0f, 0.02f, 0f)),
+      (3L, Array(1f, 0.01f, 0.01f, 0f)), (4L, Array(0.97f, 0.03f, 0f, 0.01f)),
+      (11L, Array(0f, 0.02f, 1f, 0.04f)), (12L, Array(0.01f, 0f, 0.99f, 0f)),
+      (13L, Array(0f, 0.01f, 0.97f, 0.02f)), (14L, Array(0.02f, 0f, 1f, 0.03f)),
+      (99L, Array(0f, 0f, 0f, 0f)) // zero-norm: must never rank
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, ksub = 2,
+      sampleSize = 16, iters = 5)
+    val q = corpus.filter($"vec_id".isin(1L, 11L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val top = Similarity.pqTopK(corpus, q, "vec_id", "embedding", "query_id", "qv", 3, cb)
+    assert(top.filter($"vec_id" === 99L).isEmpty)
+    val byQuery = top.select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQuery(1L).subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(byQuery(11L).subsetOf(Set(11L, 12L, 13L, 14L)))
+    // under total within-cluster collapse (every in-cluster row shares one
+    // code pair) ADC ties break by vec_id, so PQ returns the 3 lowest
+    // in-cluster ids while brute force returns the 3 truly nearest — recall
+    // floors at 2/3 here and the self row (lowest in-cluster id) is rank 1
+    assert(top.filter($"rank" === 1).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().forall { case (qid, vid) => qid == vid })
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", "query_id", "qv", 3)
+    val rec = Similarity.recallAtK(top, brute, 3)
+      .select($"query_id", $"recall").as[(Long, Double)].collect().toMap
+    assert(rec.values.forall(_ >= 2.0 / 3 - 1e-6), s"recall below the collapse floor: $rec")
+  }
+
+  test("PQ scoring plan: only (id, codes) ride the corpus side of the join, not the embedding") {
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 2, ksub = 4,
+      sampleSize = 4, iters = 0)
+    val top = Similarity.pqTopK(vecs, q, "vec_id", "embedding", "query_id", "qv", 2, cb)
+    val plan = top.queryExecution.optimizedPlan
+    // the join's corpus-side child must not output the raw vector column:
+    // codes replace it before any pair is formed (the 100 TB memory story)
+    val join = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(join.nonEmpty)
+    val corpusSide = join.head.left.output.map(_.name)
+    assert(corpusSide.contains("_codes") && !corpusSide.contains("embedding"),
+      s"corpus side of the PQ join carries $corpusSide")
+    // and the rank window still rewrites to a pre-shuffle partial top-k
+    assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("zero-norm vectors never rank or pair (NaN-cosine guard)") {
     val withZero = vecs.union(Seq((9L, Array(0f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
     val q = withZero.filter($"vec_id" === 1L)
