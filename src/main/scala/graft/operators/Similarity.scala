@@ -460,6 +460,98 @@ object Similarity {
     }
   }
 
+  /** Build a persisted IVF-PQ index (the Faiss-style composition, and THE
+    * 100 TB ANN layout): rows are coarse-quantized into `nlist` cells for
+    * bucket pruning AND product-quantized into m small-int codes for
+    * scan-size compression — the stored index carries (id, _cell, _codes)
+    * ONLY, never the raw vector. A 64-float embedding costs 256 bytes in an
+    * IVF-flat index; here its scored representation is m=8 ints, and on top
+    * of that a probe reads only nprobe/nlist of the buckets. Non-residual
+    * variant: codes encode the normalized vector itself (not the residual
+    * against the cell centroid), so one LUT per query serves every probed
+    * cell — the standard trade for inner-product/cosine metrics, where
+    * residual rotation buys little and per-cell LUTs would multiply the
+    * broadcast by nprobe.
+    *
+    * Both quantizers persist next to the data (`_centroids`, `_codebooks`)
+    * — query-time probes and future appends must quantize with the SAME
+    * models the index was built with.
+    */
+  def ivfpqWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      vecCol: String, nlist: Int = 64, m: Int = 8, ksub: Int = 64,
+      numBuckets: Int = 16, sampleSize: Int = 1024, iters: Int = 5): Unit = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    dropForOverwrite(spark, table)
+    dropForOverwrite(spark, s"${table}_centroids")
+    dropForOverwrite(spark, s"${table}_codebooks")
+    val centroids = seedCentroids(corpus, idCol, vecCol, nlist)
+    val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize, iters)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_codebooks")
+    val assigned = corpus
+      .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0)
+      .select(col(idCol),
+        element_at(cellsCol(vecCol, centroids, 1), 1).as("_cell"),
+        columnOf(graft.functions.PqCodes(expressionOf(col(vecCol)), codebooks)).as("_codes"))
+    graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"), numBuckets)
+  }
+
+  /** The persisted PQ codebooks of an [[ivfpqWriteBucketed]] index. Bounded
+    * at m x ksub rows by construction.
+    */
+  private[operators] def readCodebooks(spark: SparkSession, table: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    spark.table(s"${table}_codebooks")
+      .orderBy(col("subspace"), col("code"))
+      .select(col("subspace"), col("centroid")).as[(Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2.toArray).toArray).toArray
+  }
+
+  /** Probe a persisted [[ivfpqWriteBucketed]] index: queries re-quantize
+    * with the PERSISTED coarse centroids, `_cell IN (probed)` prunes the
+    * bucketed scan (SelectedBucketsCount in the plan), and every surviving
+    * (id, codes) row is scored against the query's broadcast ADC lookup
+    * table in O(m) — the scan never touches a raw vector. Output:
+    * (query_id, rank, vec_id, score), score = approximate cosine.
+    */
+  def ivfpqTopKFromBucketed(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val centroids = readCentroids(spark, table)
+    val codebooks = readCodebooks(spark, table)
+    val ksub = codebooks(0).length
+    val probes = queries
+      .filter(sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")) > 0)
+      .select(col(queryIdCol),
+        columnOf(graft.functions.PqLut(expressionOf(col(queryVecCol)), codebooks)).as("_lut"),
+        explode(cellsCol(queryVecCol, centroids, nprobe)).as("_cell"))
+    val cellIds = probes.select(col("_cell")).distinct().as[Int].collect().toSeq
+    val scored = spark.table(table)
+      .filter(col("_cell").isin(cellIds: _*)) // bucket pruning happens here
+      .join(broadcast(probes), "_cell")
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        columnOf(graft.functions.PqAdc(expressionOf(col("_codes")),
+          expressionOf(col("_lut")), ksub)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** PQ-compressed top-k via asymmetric distance computation: the corpus is
     * encoded to m small-int codes per row (one narrow map pass — at 100 TB
     * the codes would be written once next to the ids and re-read per query

@@ -626,6 +626,40 @@ object PipelineQueries {
           round(col("score"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // composed IVF-PQ index at realistic settings: bucket pruning AND code
+    // compression in one persisted layout. Rows-only (fitted driver state);
+    // the paired _check is the oracled gate, pruning is plan-asserted in
+    // OperatorsSpec.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfpqWriteBucketed(e, "graft_ivfpq_gate", "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 64, sampleSize = 256, iters = 5)
+      val q = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfpqTopKFromBucketed(s, "graft_ivfpq_gate", q,
+        "vec_id", "query_id", "qv", k = 10, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // oracled gate for the composed index: exact-representable codebooks
+    // (iters=0, sample = the whole 64-row slice) make ADC exact, and
+    // nprobe = nlist probes every cell — so the persisted-index probe
+    // (write -> quantizer readback -> pruned scan -> ADC from stored codes
+    // -> rank) must hash-match DuckDB brute force end to end.
+    "ann_ivfpq_topk_check" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfpqWriteBucketed(e, "graft_ivfpq_ck_gate", "vec_id", "embedding",
+        nlist = 4, m = 4, ksub = 64, numBuckets = 4, sampleSize = 64, iters = 0)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfpqTopKFromBucketed(s, "graft_ivfpq_ck_gate", q,
+        "vec_id", "query_id", "qv", k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1753,6 +1787,21 @@ object PipelineQueries {
     // exact cosine, so the oracle is plain brute-force cosine top-5 over
     // the 64-row slice
     "ann_pq_topk_check" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 64),
+        |cn AS (SELECT * FROM c WHERE sqrt(list_dot_product(v, v)) > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM cn WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, cn.vec_id,
+        |             list_cosine_similarity(cn.v, q.qv) AS cosine
+        |      FROM cn CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // same exact-representable regime through the PERSISTED composed index
+    // (full probe + distortion-0 codes): plain brute-force cosine top-5
+    "ann_ivfpq_topk_check" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 64),
         |cn AS (SELECT * FROM c WHERE sqrt(list_dot_product(v, v)) > 0),

@@ -515,6 +515,48 @@ class OperatorsSpec extends SparkFunSuite {
     assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("IVF-PQ index: stores codes only, prunes buckets, full probe with exact codebooks == brute force") {
+    val corpus = spark.range(0, 40).select($"id".as("vec_id"),
+      array((0 until 8).map(i =>
+        (sin($"id" * (i + 1) * 0.7) + cos($"id" * (i + 2) * 1.3)).cast("float")): _*)
+        .as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val tables = Seq("ivfpq_test_t", "ivfpq_test_t_centroids", "ivfpq_test_t_codebooks")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // sample = whole corpus + iters=0 -> distortion-0 codes (exact regime)
+      Similarity.ivfpqWriteBucketed(corpus, "ivfpq_test_t", "vec_id", "embedding",
+        nlist = 8, m = 4, ksub = 40, numBuckets = 8, sampleSize = 40, iters = 0)
+      // the persisted index must carry no raw vector — codes only
+      assert(spark.table("ivfpq_test_t").columns.toSet == Set("vec_id", "_cell", "_codes"))
+      // pruned probe: strictly fewer buckets read than exist
+      val pruned = Similarity.ivfpqTopKFromBucketed(spark, "ivfpq_test_t", queries,
+        "vec_id", "query_id", "qv", k = 5, nprobe = 2)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"expected bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+      // self is always found: exact codes + the query's own argmax cell
+      val byQuery = pruned.filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      assert((0L to 2L).forall(q => byQuery(q) == q))
+      // full probe + exact codebooks == brute force, score for score
+      val full = Similarity.ivfpqTopKFromBucketed(spark, "ivfpq_test_t", queries,
+        "vec_id", "query_id", "qv", k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("score"), 9))
+        .collect().toSet
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
+        .collect().toSet
+      assert(full == brute)
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("zero-norm vectors never rank or pair (NaN-cosine guard)") {
     val withZero = vecs.union(Seq((9L, Array(0f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
     val q = withZero.filter($"vec_id" === 1L)
