@@ -220,4 +220,39 @@ object Sampling {
       .withColumnRenamed("pos", "epoch")
       .drop("col")
   }
+
+  /** Curriculum staging (Bengio et al. 2009, "Curriculum Learning"): assign
+    * each row a `stage` 1..nStages by where its difficulty score falls
+    * against global quantile boundaries, so a training loop can feed easy
+    * documents first and hard ones later. Deliberately NOT `ntile`: an
+    * equal-count ntile is a global-order window (every row through ONE
+    * window partition — the plan that dies first at 100 TB). Instead the
+    * nStages-1 boundaries come from one mergeable `approx_percentile`
+    * aggregate (Greenwald-Khanna sketch, map-side partials), the collect is
+    * bounded at nStages-1 doubles, and assignment is a pure map-side
+    * when-chain — fully codegen'd, no shuffle beyond the one aggregate.
+    *
+    * Binning is `score > boundary` counting: equal scores always share a
+    * stage, so per-stage score ranges never interleave (max of stage i <=
+    * min of stage i+1 — the provable fact the oracled gate checks). Null
+    * scores land in stage 1. Stages can be empty under heavy ties; counts
+    * are near-equal only as far as the sketch accuracy allows — curriculum
+    * needs monotone difficulty bands, not exact-equal bins.
+    */
+  def curriculumAssign(df: DataFrame, scoreCol: String, nStages: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    if (nStages == 1) return df.withColumn("stage", lit(1))
+    val qs = (1 until nStages).map(i => i.toDouble / nStages)
+    val bnds = df
+      .agg(expr(s"approx_percentile(CAST($scoreCol AS DOUBLE), array(${qs.mkString(",")}), $accuracy)"))
+      .head().getSeq[Any](0) match {
+        case null => Seq.empty[Double] // empty input: no boundaries
+        case s => s.map(_.asInstanceOf[Number].doubleValue())
+      }
+    val stage = bnds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(scoreCol) > b, 1).otherwise(0)
+    }
+    df.withColumn("stage", stage)
+  }
 }

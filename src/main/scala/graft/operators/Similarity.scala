@@ -506,6 +506,37 @@ object Similarity {
     graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"), numBuckets)
   }
 
+  /** Append new vectors to an [[ivfpqWriteBucketed]] index in place: the
+    * increment quantizes with BOTH persisted models (coarse centroids for
+    * the cell, codebooks for the codes — an increment must never be encoded
+    * differently from the index it lands in) and appends in the existing
+    * bucket layout. Same no-drift/no-rebuild trade as [[ivfAppendToIndex]]:
+    * per-increment work is batch-sized, codebook staleness accumulates as
+    * measurable extra distortion, and the rebuild is a decision made from
+    * [[ivfCellStats]]-style measurement, not a tax paid per increment.
+    */
+  def ivfpqAppendToIndex(newVecs: DataFrame, table: String, idCol: String,
+      vecCol: String): Unit = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val spark = newVecs.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = readCentroids(spark, table)
+    val codebooks = readCodebooks(spark, table)
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed IVF-PQ index"))
+      .numBuckets
+    val assigned = newVecs
+      .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0)
+      .select(col(idCol),
+        element_at(cellsCol(vecCol, centroids, 1), 1).as("_cell"),
+        columnOf(graft.functions.PqCodes(expressionOf(col(vecCol)), codebooks)).as("_codes"))
+    graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"),
+      numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** The persisted PQ codebooks of an [[ivfpqWriteBucketed]] index. Bounded
     * at m x ksub rows by construction.
     */

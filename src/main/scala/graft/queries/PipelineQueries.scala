@@ -3,6 +3,7 @@ package graft.queries
 import graft.operators.{AsofJoin, Boilerplate, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline queries (dedup, similarity, text analysis,
@@ -757,6 +758,31 @@ object PipelineQueries {
       Sampling.mixturePlan(docs(s, dir), "lang", "n_chars",
         Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.2, "es" -> 0.1))
         .orderBy(col("lang"))),
+    // curriculum staging by difficulty quantile (n_chars as the difficulty
+    // proxy): boundaries are a mergeable sketch aggregate, not SQL-pinnable
+    // — rows-only here (row count == corpus size is stable), with the
+    // oracled fact gate below and a ScalaTest spec on a hand-built corpus.
+    "sample_curriculum" -> ((s, dir) =>
+      Sampling.curriculumAssign(docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars", nStages = 4)
+        .orderBy(col("doc_id"))),
+    // the oracled gate: whatever boundaries the sketch produced, (a) every
+    // row got exactly one stage (count preserved), (b) stages stay in
+    // [1, 4], (c) per-stage score ranges never interleave (equal scores
+    // share a stage by construction, so max(stage i) <= min(stage i+1)).
+    // All three are provable invariants of the boundary-counting assignment;
+    // the oracle emits the count plus literal trues.
+    "sample_curriculum_check" -> ((s, dir) => {
+      val a = Sampling.curriculumAssign(docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars", nStages = 4)
+      val per = a.groupBy(col("stage")).agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      val w = Window.orderBy(col("stage")) // <= 4 rows: singleton window is fine
+      per.withColumn("nxt_mn", lead(col("mn"), 1).over(w))
+        .agg(sum(col("n")).as("n_rows"),
+          (min(col("stage")) >= 1 && max(col("stage")) <= 4).as("stages_bounded"),
+          every(col("nxt_mn").isNull || col("mx") <= col("nxt_mn")).as("monotone"))
+    }),
     // Snapshot diff between a corpus and its synthetically-evolved next
     // epoch (every 10th doc removed, every 7th surviving doc edited, 50
     // added): the dataset-versioning audit. Fingerprints reduce each side
@@ -2012,6 +2038,10 @@ object PipelineQueries {
         |           FROM documents)
         |SELECT doc_id, lang, unnest(range(factor)) AS epoch
         |FROM f ORDER BY doc_id, epoch""".stripMargin,
+    // provable invariants of the curriculum assignment (see query comment)
+    "sample_curriculum_check" ->
+      """SELECT count(*) AS n_rows, true AS stages_bounded, true AS monotone
+        |FROM documents""".stripMargin,
     "mix_plan" ->
       """WITH a AS (SELECT lang, count(*) AS n_docs,
         |                  CAST(sum(n_chars) AS BIGINT) AS tokens,

@@ -239,6 +239,28 @@ class OperatorsSpec extends SparkFunSuite {
       .collect().toSet == taken.collect().toSet)
   }
 
+  test("curriculum stages: monotone bands, ties share a stage, count preserved") {
+    // 100 rows with difficulty 1..100: quartile boundaries land near
+    // 25/50/75, every stage is a contiguous difficulty band
+    val rows = (1L to 100L).map(i => (i, i.toInt)).toDF("doc_id", "difficulty")
+    val staged = Sampling.curriculumAssign(rows, "difficulty", 4)
+    val got = staged.select($"doc_id", $"stage").as[(Long, Int)].collect().toMap
+    assert(got.size == 100)
+    assert(got.values.forall(s => s >= 1 && s <= 4))
+    assert(got.values.toSet == Set(1, 2, 3, 4)) // distinct values: no stage empty
+    // monotone: stage is non-decreasing in difficulty
+    val byDifficulty = (1L to 100L).map(got)
+    assert(byDifficulty.zip(byDifficulty.tail).forall { case (a, b) => a <= b })
+    // heavy ties: equal scores always share a stage (never split mid-tie)
+    val tied = (1L to 90L).map(i => (i, if (i <= 80) 5 else i.toInt)).toDF("doc_id", "difficulty")
+    val tiedStages = Sampling.curriculumAssign(tied, "difficulty", 4)
+      .filter($"difficulty" === 5).select($"stage").distinct().as[Int].collect()
+    assert(tiedStages.length == 1)
+    // nStages=1 degenerates to a constant column
+    assert(Sampling.curriculumAssign(rows, "difficulty", 1)
+      .select($"stage").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
   test("groupSplit: every dup-cluster member shares its cluster's split") {
     val ids = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
@@ -552,6 +574,20 @@ class OperatorsSpec extends SparkFunSuite {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 9))
         .collect().toSet
       assert(full == brute)
+      // append exact clones of the query rows (ids +1000), encoded with the
+      // PERSISTED models: identical vectors -> identical codes -> ADC score
+      // exactly the self score (the cosine ceiling 1), so self and clone
+      // must fill ranks 1-2 by the vec_id tiebreak — proving appends share
+      // the original quantizers and original codes did not drift
+      val clones = corpus.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      Similarity.ivfpqAppendToIndex(clones, "ivfpq_test_t", "vec_id", "embedding")
+      val afterAppend = Similarity.ivfpqTopKFromBucketed(spark, "ivfpq_test_t", queries,
+        "vec_id", "query_id", "qv", k = 5, nprobe = 8)
+      val topTwo = afterAppend.filter(col("rank") <= 2)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert((0L to 2L).forall(q => topTwo(q) == Seq(q, q + 1000)), s"got $topTwo")
     } finally {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
