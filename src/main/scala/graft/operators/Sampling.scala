@@ -221,6 +221,31 @@ object Sampling {
       .drop("col")
   }
 
+  /** Temperature-based mixture targets (the multilingual alpha-sampling of
+    * mC4 / XLM-R: Raffel et al. 2020 §3.4.3, Conneau et al. 2020 —
+    * target_share ∝ natural_share^alpha). alpha = 1 reproduces the natural
+    * mix; alpha → 0 approaches uniform; the usual 0.3–0.7 range flattens
+    * the head languages and boosts the tail without drowning it. Emits
+    * (key, n_docs, tokens, natural_share, target_share) — the
+    * `target_share` column IS the `targets` input of [[mixturePlan]], so
+    * measure → temper → plan → act composes without a human step. Same
+    * cost shape as mixturePlan: one key aggregate plus a singleton total,
+    * a |keys|-row plan regardless of corpus size.
+    */
+  def temperatureTargets(df: DataFrame, keyCol: String, tokenCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val w = Window.partitionBy() // singleton total: |keys| rows
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("tokens"))
+      .withColumn("natural_share", col("tokens") / sum(col("tokens")).over(w))
+      .withColumn("_t", pow(col("natural_share"), alpha))
+      .withColumn("target_share", col("_t") / sum(col("_t")).over(w))
+      .select(col(keyCol), col("n_docs"), col("tokens"),
+        round(col("natural_share"), 6).as("natural_share"),
+        round(col("target_share"), 6).as("target_share"))
+  }
+
   /** Curriculum staging (Bengio et al. 2009, "Curriculum Learning"): assign
     * each row a `stage` 1..nStages by where its difficulty score falls
     * against global quantile boundaries, so a training loop can feed easy

@@ -223,6 +223,16 @@ object PipelineQueries {
         Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
           maxBucket = Int.MaxValue))
         .orderBy(col("id"))),
+    // dup-cluster size distribution — the "how duplicated is this corpus"
+    // report an operator reads before deciding dedup policy (a long tail of
+    // size-2 groups vs a few giant clusters need different treatment)
+    "dedup_group_sizes" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashDedup(planted(s, dir), "doc_id", "text", threshold = 0.9,
+          maxBucket = Int.MaxValue))
+        .groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))),
     "dedup_canonical" -> ((s, dir) => {
       // same uncapped pair graph as dedup_groups, but each group keeps its
       // LONGEST member (byte length, min-id tiebreak) instead of the min id
@@ -757,6 +767,11 @@ object PipelineQueries {
     "mix_plan" -> ((s, dir) =>
       Sampling.mixturePlan(docs(s, dir), "lang", "n_chars",
         Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.2, "es" -> 0.1))
+        .orderBy(col("lang"))),
+    // temperature-flattened mixture targets (alpha-sampling): the measured
+    // input that feeds mixturePlan's targets for multilingual balance
+    "mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureTargets(docs(s, dir), "lang", "n_chars", alpha = 0.5)
         .orderBy(col("lang"))),
     // curriculum staging by difficulty quantile (n_chars as the difficulty
     // proxy): boundaries are a mergeable sketch aggregate, not SQL-pinnable
@@ -1878,6 +1893,25 @@ object PipelineQueries {
       |  UNION
       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       |SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    // same component labels, aggregated to the cluster-size histogram
+    "dedup_group_sizes" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |groups AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+      |sizes AS (SELECT label, count(*) AS group_size FROM groups GROUP BY label)
+      |SELECT group_size, count(*) AS n_groups FROM sizes
+      |GROUP BY group_size ORDER BY group_size""".stripMargin),
     // same component labels, but each group keeps its longest member
     // (byte length, min-id tiebreak) — the canonical-representative pick
     "dedup_canonical" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
@@ -2042,6 +2076,19 @@ object PipelineQueries {
     "sample_curriculum_check" ->
       """SELECT count(*) AS n_rows, true AS stages_bounded, true AS monotone
         |FROM documents""".stripMargin,
+    // temperature targets: pow + renormalize over the per-key token mass
+    "mix_temperature" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY lang),
+        |b AS (SELECT lang, n_docs, tokens,
+        |             CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS ns
+        |      FROM a),
+        |c AS (SELECT lang, n_docs, tokens, ns, pow(ns, 0.5) AS t FROM b)
+        |SELECT lang, n_docs, tokens,
+        |       round(ns, 6) AS natural_share,
+        |       round(t / sum(t) OVER (), 6) AS target_share
+        |FROM c ORDER BY lang""".stripMargin,
     "mix_plan" ->
       """WITH a AS (SELECT lang, count(*) AS n_docs,
         |                  CAST(sum(n_chars) AS BIGINT) AS tokens,

@@ -48,6 +48,20 @@ object RecallSweep {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"nBits=$nb%2d  recall@10=$rec%.3f  probe_sec=$sec%.2f")
     }
+    // the PQ trade: more subspaces (m) -> finer codes -> higher ADC
+    // fidelity at linearly more bytes per row (m ints vs 64 floats).
+    // Full-corpus ADC sweep (no IVF pruning) isolates quantization loss.
+    Seq(2, 4, 8, 16, 32).foreach { m =>
+      val t0 = System.nanoTime()
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = m,
+        ksub = 64, sampleSize = 256, iters = 5)
+      val pq = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        "query_id", "qv", k = 10, cb)
+      val rec = Similarity.recallAtK(pq, brute, 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"pq m=$m%2d (ksub=64, ${m * 4}%3d B/row vs 256)  recall@10=$rec%.3f  train+probe_sec=$sec%.2f")
+    }
     spark.stop()
   }
 }

@@ -239,6 +239,28 @@ class OperatorsSpec extends SparkFunSuite {
       .collect().toSet == taken.collect().toSet)
   }
 
+  test("temperature targets: alpha=1 is the natural mix, alpha flattens toward uniform") {
+    // token masses 80/20: natural shares 0.8/0.2
+    val rows = Seq(("en", 80L), ("de", 20L)).toDF("lang", "n_tokens")
+    val natural = Sampling.temperatureTargets(rows, "lang", "n_tokens", alpha = 1.0)
+      .select($"lang", $"target_share").as[(String, Double)].collect().toMap
+    assert(natural("en") == 0.8 && natural("de") == 0.2)
+    // alpha=0.5: sqrt(0.8)/(sqrt(0.8)+sqrt(0.2)) ≈ 0.666667 — hand-computed
+    val tempered = Sampling.temperatureTargets(rows, "lang", "n_tokens", alpha = 0.5)
+      .select($"lang", $"target_share").as[(String, Double)].collect().toMap
+    assert(math.abs(tempered("en") - 0.666667) < 1e-6)
+    assert(math.abs(tempered("de") - 0.333333) < 1e-6)
+    // shares always renormalize to 1 and flattening is monotone in alpha:
+    // the head's target share shrinks as alpha drops
+    assert(math.abs(tempered.values.sum - 1.0) < 1e-5)
+    assert(tempered("en") < natural("en") && tempered("de") > natural("de"))
+    // composes with mixturePlan: tempered targets in, resampling knobs out
+    val plan = Sampling.mixturePlan(rows, "lang", "n_tokens",
+      tempered.map { case (k, v) => k -> v })
+      .select($"lang", $"keep_prob").as[(String, Double)].collect().toMap
+    assert(plan("en") < 1.0 && plan("de") == 1.0) // head shrinks, tail grows
+  }
+
   test("curriculum stages: monotone bands, ties share a stage, count preserved") {
     // 100 rows with difficulty 1..100: quartile boundaries land near
     // 25/50/75, every stage is a contiguous difficulty band
