@@ -192,6 +192,25 @@ object StreamOps {
     vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming ANN-index maintenance over a persisted
+    * [[graft.operators.Similarity.ivfpqWriteBucketed]] IVF-PQ index: every
+    * micro-batch of vectors is quantized with the index's PERSISTED coarse
+    * centroids AND PQ codebooks and appended in its bucket layout — a
+    * continuous embedding feed keeps its ANN index queryable with
+    * batch-sized work per increment, no rebuild in the ingest loop. Batch
+    * slicing cannot change results: codes depend only on the persisted
+    * models, so N micro-batches append exactly what one batch append would
+    * (parity-tested). Codebook/centroid staleness under distribution drift
+    * is the documented trade (PLANS.md runbook: measured by `recallAtK` on
+    * a fixed probe set, actuated by a staged re-train/rebuild).
+    */
+  def streamingIvfPqIngest(vecsStream: DataFrame, indexTable: String,
+      idCol: String, vecCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.Similarity.ivfpqAppendToIndex(batch, indexTable, idCol, vecCol)
+    vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** The COMPOSED streaming curation funnel — the continuous-ingest shape of
     * the batch [[graft.operators.TextAnalysis.curateFull]] pipeline, stage
     * for stage:

@@ -261,6 +261,65 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming IVF-PQ ingest: micro-batch appends equal one batch append, models never drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val tables = Seq("ivfpq_stream_t", "ivfpq_stream_t_centroids", "ivfpq_stream_t_codebooks",
+      "ivfpq_batch_t", "ivfpq_batch_t_centroids", "ivfpq_batch_t_codebooks")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Similarity.ivfpqWriteBucketed(corpus, "ivfpq_stream_t",
+        "vec_id", "embedding", nlist = 2, m = 2, ksub = 4, numBuckets = 4,
+        sampleSize = 4, iters = 0)
+      val modelsBefore = (spark.table("ivfpq_stream_t_centroids").collect().toSet,
+        spark.table("ivfpq_stream_t_codebooks").collect().toSet)
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"))
+      val q = StreamOps.streamingIvfPqIngest(stream, "ivfpq_stream_t", "vec_id", "embedding")
+      try {
+        mem.addData((101L, Array(1f, 0.1f, 0f, 0f)), (102L, Array(0f, 1f, 0.1f, 0f)))
+        q.processAllAvailable()
+        mem.addData((103L, Array(0f, 0f, 1f, 0.1f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the index grew by exactly the streamed rows; both quantizer side
+      // tables are untouched
+      assert(spark.table("ivfpq_stream_t").select("vec_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 3L, 4L, 101L, 102L, 103L))
+      assert((spark.table("ivfpq_stream_t_centroids").collect().toSet,
+        spark.table("ivfpq_stream_t_codebooks").collect().toSet) == modelsBefore)
+      // batch-path parity: one batch append of the same three rows against a
+      // fresh copy of the index yields IDENTICAL rows (cell + codes depend
+      // only on the persisted models, never on batch slicing)
+      graft.operators.Similarity.ivfpqWriteBucketed(corpus, "ivfpq_batch_t",
+        "vec_id", "embedding", nlist = 2, m = 2, ksub = 4, numBuckets = 4,
+        sampleSize = 4, iters = 0)
+      val oneBatch = Seq((101L, Array(1f, 0.1f, 0f, 0f)), (102L, Array(0f, 1f, 0.1f, 0f)),
+        (103L, Array(0f, 0f, 1f, 0.1f))).toDF("vec_id", "embedding")
+      graft.operators.Similarity.ivfpqAppendToIndex(oneBatch, "ivfpq_batch_t",
+        "vec_id", "embedding")
+      val streamRows = spark.table("ivfpq_stream_t")
+        .select($"vec_id", $"_cell", $"_codes").as[(Long, Int, Seq[Int])].collect().toSet
+      val batchRows = spark.table("ivfpq_batch_t")
+        .select($"vec_id", $"_cell", $"_codes").as[(Long, Int, Seq[Int])].collect().toSet
+      assert(streamRows == batchRows)
+      // and the probe finds the streamed rows through the pruned scan: each
+      // streamed vector quantizes to the same codes as its corpus anchor
+      // (identical ADC scores), so the anchor wins rank 1 by vec_id
+      // tiebreak and the streamed row fills rank 2
+      val probes = oneBatch.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val topTwo = graft.operators.Similarity.ivfpqTopKFromBucketed(spark,
+        "ivfpq_stream_t", probes, "vec_id", "query_id", "qv", k = 2, nprobe = 2)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert((101L to 103L).forall(q0 => topTwo(q0) == Seq(q0 - 100, q0)), s"got $topTwo")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming semantic dedup drops indexed near-dups and extends the IVF index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
