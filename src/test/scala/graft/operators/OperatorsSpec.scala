@@ -509,6 +509,35 @@ class OperatorsSpec extends SparkFunSuite {
     assert(pq == brute)
   }
 
+  test("PQ exactness property: random corpora in the representable regime reproduce brute force") {
+    // for ANY corpus whose rows all appear in the training sample, iters=0
+    // codebooks quantize with distortion exactly 0 and ADC == exact cosine
+    // — property-checked over random float vectors (incl. negatives and
+    // magnitude spread), 5 corpora x 12 vectors x dim 8
+    val gen = org.scalacheck.Gen.listOfN(12 * 8,
+      org.scalacheck.Gen.chooseNum(-100, 100).map(_ / 10.0f))
+    (1 to 5).foreach { seedRound =>
+      // fixed seed per round: reproducible data, a pass is a pass forever
+      val vals = gen.apply(org.scalacheck.Gen.Parameters.default,
+          org.scalacheck.rng.Seed(42L + seedRound))
+        .getOrElse(List.fill(12 * 8)(seedRound.toFloat))
+      val corpus = vals.grouped(8).zipWithIndex
+        .map { case (v, i) => (i.toLong + seedRound * 1000, v.toArray) }.toSeq
+        .toDF("vec_id", "embedding")
+      val q = corpus.limit(3)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4,
+        ksub = 12, sampleSize = 12, iters = 0)
+      val pq = Similarity.pqTopK(corpus, q, "vec_id", "embedding", "query_id", "qv", 5, cb)
+        .select($"query_id", $"rank", $"vec_id", round($"score", 9).as("s"))
+        .collect().toSet
+      val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", "query_id", "qv", 5)
+        .select($"query_id", $"rank", $"vec_id", round($"cosine", 9).as("s"))
+        .collect().toSet
+      assert(pq == brute, s"round $seedRound diverged")
+    }
+  }
+
   test("PQ top-k: lossy codebooks keep cluster structure; zero-norm rows drop") {
     // two tight direction clusters; ksub=2 per subspace is heavily lossy but
     // Lloyd separates the clusters, so each query's top-1 stays in-cluster
