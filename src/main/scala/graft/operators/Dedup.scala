@@ -62,6 +62,49 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Corpus-wide paragraph-scope exact dedup (the sub-document granularity
+    * of MassiveText/RefinedWeb cleaning: boilerplate paragraphs — headers,
+    * cookie banners, license blocks — repeat across millions of pages while
+    * the documents containing them are unique, so document-level dedup
+    * never sees them). Every document splits on blank-line boundaries; each
+    * distinct paragraph survives only at its FIRST corpus occurrence
+    * (ordered by (doc id, paragraph index) — deterministic and
+    * engine-portable), and documents reassemble from their surviving
+    * paragraphs in original order. Output: (id, n_paras, n_kept,
+    * clean_text); documents whose every paragraph was dropped disappear.
+    *
+    * Scale shape, in order of the three shuffles:
+    *  1. winners: groupBy on the 128-bit paragraph md5 with min(struct) —
+    *     partial aggregation collapses duplicate paragraphs MAP-SIDE, so
+    *     the shuffle carries one 16-byte-hash row per distinct paragraph
+    *     per partition: a banner repeated 10^6 times costs one row per
+    *     input partition, never a hot reduce key.
+    *  2. keep-join on (id, idx): winner coordinates join back to the
+    *     exploded paragraphs — keyed by document, so paragraph skew cannot
+    *     concentrate; the paragraph text rides this shuffle once.
+    *  3. reassembly groupBy(id): collect surviving (idx, para) pairs,
+    *     sort_array, join with blank lines — per-document state only.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n")))
+      .select(col(idCol), col("pos").as("_idx"), trim(col("col")).as("_para"))
+      .filter(col("_para") =!= "")
+    val winners = exploded
+      .groupBy(md5(col("_para")).as("_h"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_first"))
+      .select(col("_first")(idCol).as(idCol), col("_first")("_idx").as("_idx"))
+    val kept = exploded.join(winners, Seq(idCol, "_idx"))
+    val totals = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx"), col("_para")))),
+          p => p("_para")), "\n\n").as("clean_text"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("n_paras"), col("n_kept"), col("clean_text"))
+  }
+
   /** Persist the exact-dedup index: one row per distinct content hash with
     * its canonical (minimum) id, BUCKETED by the hash. The 128-bit md5 makes
     * the index collision-free in practice at any corpus size (a 64-bit hash

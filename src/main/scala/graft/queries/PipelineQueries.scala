@@ -888,6 +888,19 @@ object PipelineQueries {
     // repeats are planted on doc_id residue classes (the corpus is
     // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
     // keep-first filter provably discriminates
+    // corpus-WIDE paragraph dedup (vs text_dedup_lines' within-doc scope):
+    // planted shared paragraphs survive only in the first (doc_id, idx)
+    // occurrence; each doc's own text-substring paragraph survives
+    "text_dedup_paragraphs" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n\n",
+        lit("Common intro paragraph."),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0, lit("Shared even paragraph."))
+          .otherwise(lit("Shared odd paragraph.")),
+        lit("Common outro paragraph.")).as("text"))
+      Dedup.dedupParagraphs(shaped, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "text_dedup_lines" -> ((s, dir) => {
       val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
         lit("Alpha line one."),
@@ -2286,6 +2299,39 @@ object PipelineQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // keep-first line filter: a line survives iff its first occurrence is
     // itself (1-based indexed lambda in both engines)
+    // corpus-wide keep-first paragraph dedup: DuckDB replays the same
+    // (doc_id, idx)-ordered first-occurrence rule with a window, zipped
+    // unnest supplies the paragraph index
+    "text_dedup_paragraphs" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10)||chr(10),
+        |           'Common intro paragraph.',
+        |           substr(text, 1, 40),
+        |           CASE WHEN doc_id % 2 = 0 THEN 'Shared even paragraph.'
+        |                ELSE 'Shared odd paragraph.' END,
+        |           'Common outro paragraph.') AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)),
+        |                     p -> p <> '') AS ps
+        |  FROM shaped),
+        |e AS (
+        |  SELECT doc_id, unnest(range(1, len(ps)+1)) AS idx, unnest(ps) AS para
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, idx, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM e),
+        |k AS (SELECT doc_id, idx, para FROM w WHERE rn = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_paras FROM e GROUP BY doc_id),
+        |asm AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(para, chr(10)||chr(10) ORDER BY idx) AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT a.doc_id, t2.n_paras, a.n_kept, a.clean_text
+        |FROM asm a JOIN tot t2 USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "text_dedup_lines" ->
       """WITH shaped AS (
         |  SELECT doc_id,

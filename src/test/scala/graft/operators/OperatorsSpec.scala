@@ -224,6 +224,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(bigrams.head == ("brown fox", 3L))
   }
 
+  test("paragraph dedup: first corpus occurrence wins, reassembly preserves order, empty docs drop") {
+    val corpus = Seq(
+      (1L, "BANNER\n\nunique one\n\nBANNER"),      // repeated banner WITHIN doc 1
+      (2L, "BANNER\n\nunique two"),                // banner already seen in doc 1
+      (3L, "unique three\n\nBANNER\n\nunique one"),// cross-doc dup of doc 1's para
+      (4L, "BANNER")                                // all paragraphs are dups -> drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      // doc 1: banner kept at its first occurrence (idx 0), second drops
+      (1L, 3L, 2L, "BANNER\n\nunique one"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 3L, 1L, "unique three"),
+      // doc 4 has no surviving paragraphs and disappears
+    ))
+  }
+
   test("hash split is deterministic; stratified take caps every group at k") {
     val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
     val split = Sampling.hashSplit(ids, "doc_id")
