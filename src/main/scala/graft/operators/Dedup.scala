@@ -86,10 +86,7 @@ object Dedup {
     *     sort_array, join with blank lines — per-document state only.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n\n")))
-      .select(col(idCol), col("pos").as("_idx"), trim(col("col")).as("_para"))
-      .filter(col("_para") =!= "")
+    val exploded = explodeParagraphs(df, idCol, textCol)
     val winners = exploded
       .groupBy(md5(col("_para")).as("_h"))
       .agg(min(struct(col(idCol), col("_idx"))).as("_first"))
@@ -103,6 +100,88 @@ object Dedup {
           p => p("_para")), "\n\n").as("clean_text"))
       .join(totals, Seq(idCol))
       .select(col(idCol), col("n_paras"), col("n_kept"), col("clean_text"))
+  }
+
+  /** Explode a document column into trimmed non-empty paragraphs with their
+    * 0-based position — the shared front end of the paragraph-dedup family.
+    */
+  private def explodeParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n\n")))
+      .select(col(idCol), col("pos").as("_idx"), trim(col("col")).as("_para"))
+      .filter(col("_para") =!= "")
+
+  /** Persist the paragraph-hash index of a corpus: one row per distinct
+    * paragraph md5 with its first-occurrence coordinates (min (id, idx) —
+    * provenance for audits), BUCKETED by the hash. Same map-side-combine
+    * skew armor as [[dedupParagraphs]]' winners aggregate, same bucket
+    * rationale as [[exactWriteBucketed]]: increments probe with batch-sized
+    * shuffles, the index scans pre-clustered and is never reshuffled.
+    */
+  def paragraphWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      textCol: String, numBuckets: Int = 16): Unit = {
+    graft.sources.Sources.dropForOverwrite(corpus.sparkSession, table)
+    val hashed = explodeParagraphs(corpus, idCol, textCol)
+      .groupBy(md5(col("_para")).as("content_hash"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_first"))
+      .select(col("content_hash"), col("_first")(idCol).as("first_id"),
+        col("_first")("_idx").as("first_idx"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      numBuckets)
+  }
+
+  /** Incremental paragraph cleaning against a [[paragraphWriteBucketed]]
+    * index: a batch document keeps a paragraph iff its hash is NOT in the
+    * index AND it is the batch's first occurrence (by (id, idx) — the same
+    * keep-first rule as [[dedupParagraphs]], applied with the corpus as
+    * prior context). Documents reassemble from survivors in original
+    * order; documents with no surviving paragraph drop. The index probe is
+    * an anti-join in the bucket layout — only batch-sized data shuffles.
+    * Output: (id, n_paras, n_kept, clean_text), like [[dedupParagraphs]].
+    */
+  def dedupParagraphsIncremental(batch: DataFrame, table: String, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val exploded = explodeParagraphs(batch, idCol, textCol)
+    val winners = exploded
+      .groupBy(md5(col("_para")).as("content_hash"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_first"))
+      .join(spark.table(table).select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select(col("_first")(idCol).as(idCol), col("_first")("_idx").as("_idx"))
+    val kept = exploded.join(winners, Seq(idCol, "_idx"))
+    val totals = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx"), col("_para")))),
+          p => p("_para")), "\n\n").as("clean_text"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("n_paras"), col("n_kept"), col("clean_text"))
+  }
+
+  /** Append a batch's paragraphs to a [[paragraphWriteBucketed]] index in
+    * place (same bucket layout), so the next increment dedups against the
+    * original corpus plus every earlier batch's survivors. Pass CLEANED
+    * documents (e.g. the `clean_text` just returned) — hashes are collapsed
+    * within `docs` but NOT re-checked against the index, same contract as
+    * [[exactAppendToIndex]].
+    */
+  def paragraphAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed paragraph index"))
+      .numBuckets
+    val hashed = explodeParagraphs(docs, idCol, textCol)
+      .groupBy(md5(col("_para")).as("content_hash"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_first"))
+      .select(col("content_hash"), col("_first")(idCol).as("first_id"),
+        col("_first")("_idx").as("first_idx"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Persist the exact-dedup index: one row per distinct content hash with

@@ -901,6 +901,22 @@ object PipelineQueries {
       Dedup.dedupParagraphs(shaped, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // incremental paragraph cleaning against the persisted hash index:
+    // first half of the corpus builds the index, second half probes it —
+    // shared banners drop everywhere, within-batch keep-first still applies
+    "dedup_paragraph_incr" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n\n",
+        lit("Common intro paragraph."),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0, lit("Shared even paragraph."))
+          .otherwise(lit("Shared odd paragraph.")),
+        lit("Common outro paragraph.")).as("text"))
+      Dedup.paragraphWriteBucketed(shaped.filter(col("doc_id") < 250),
+        "graft_para_idx", "doc_id", "text")
+      Dedup.dedupParagraphsIncremental(shaped.filter(col("doc_id") >= 250),
+        "graft_para_idx", "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "text_dedup_lines" -> ((s, dir) => {
       val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n",
         lit("Alpha line one."),
@@ -2326,6 +2342,42 @@ object PipelineQueries {
         |  FROM e),
         |k AS (SELECT doc_id, idx, para FROM w WHERE rn = 1),
         |tot AS (SELECT doc_id, count(*) AS n_paras FROM e GROUP BY doc_id),
+        |asm AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(para, chr(10)||chr(10) ORDER BY idx) AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT a.doc_id, t2.n_paras, a.n_kept, a.clean_text
+        |FROM asm a JOIN tot t2 USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    // the incremental replay: paragraphs of the first half are the index;
+    // batch keep = first (doc_id, idx) occurrence within the second half
+    // AND not indexed
+    "dedup_paragraph_incr" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10)||chr(10),
+        |           'Common intro paragraph.',
+        |           substr(text, 1, 40),
+        |           CASE WHEN doc_id % 2 = 0 THEN 'Shared even paragraph.'
+        |                ELSE 'Shared odd paragraph.' END,
+        |           'Common outro paragraph.') AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)),
+        |                     p -> p <> '') AS ps
+        |  FROM shaped),
+        |e AS (
+        |  SELECT doc_id, unnest(range(1, len(ps)+1)) AS idx, unnest(ps) AS para
+        |  FROM t),
+        |b AS (SELECT * FROM e WHERE doc_id >= 250),
+        |w AS (
+        |  SELECT doc_id, idx, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, idx, para FROM w
+        |  WHERE rn = 1 AND para NOT IN (SELECT para FROM e WHERE doc_id < 250)),
+        |tot AS (SELECT doc_id, count(*) AS n_paras FROM b GROUP BY doc_id),
         |asm AS (
         |  SELECT doc_id, count(*) AS n_kept,
         |         string_agg(para, chr(10)||chr(10) ORDER BY idx) AS clean_text

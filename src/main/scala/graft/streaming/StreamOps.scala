@@ -192,6 +192,38 @@ object StreamOps {
     vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming PARAGRAPH-dedup ingest over a persisted
+    * [[graft.operators.Dedup.paragraphWriteBucketed]] index — the
+    * sub-document member of the self-deduplicating-ingest family. Each
+    * micro-batch cleans its documents against the index
+    * ([[graft.operators.Dedup.dedupParagraphsIncremental]]: batch
+    * paragraphs drop if indexed or repeated earlier in the batch), appends
+    * the cleaned documents to `sinkTable`, and (when `extendIndex`)
+    * appends the SURVIVING paragraphs' hashes back into the index's bucket
+    * layout — so batch N+1 drops a banner first seen in batch N. Documents
+    * whose every paragraph was dropped never reach the sink.
+    *
+    * Same caveat family as the other ingests: a replayed epoch re-appends
+    * its hashes (idempotent for dedup purposes — re-probing drops the
+    * same paragraphs — but the index accretes duplicate hash rows until
+    * compaction).
+    */
+  def streamingParagraphDedup(docsStream: DataFrame, indexTable: String,
+      idCol: String, textCol: String, sinkTable: String,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val cleaned = Dedup.dedupParagraphsIncremental(batch, indexTable, idCol, textCol)
+        .localCheckpoint(eager = false) // sink append + index append
+      cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex)
+        Dedup.paragraphAppendToIndex(cleaned.withColumnRenamed("clean_text", textCol),
+          indexTable, idCol, textCol)
+    }
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Streaming ANN-index maintenance over a persisted
     * [[graft.operators.Similarity.ivfpqWriteBucketed]] IVF-PQ index: every
     * micro-batch of vectors is quantized with the index's PERSISTED coarse

@@ -261,6 +261,43 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming paragraph dedup drops indexed and cross-batch banners, extends the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "BANNER\n\nfirst doc body"),
+      (2L, "second doc body\n\nFOOTER")).toDF("doc_id", "text")
+    val tables = Seq("para_stream_t", "t_para_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Dedup.paragraphWriteBucketed(corpus, "para_stream_t",
+        "doc_id", "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingParagraphDedup(stream, "para_stream_t",
+        "doc_id", "text", "t_para_sink")
+      try {
+        // batch 1: 101 carries the indexed BANNER (dropped) + a new body;
+        // 102 is ONLY indexed paragraphs -> no survivors, never sinks
+        mem.addData((101L, "BANNER\n\nnovel body one\n\nNEW BANNER"),
+          (102L, "BANNER\n\nFOOTER"))
+        q.processAllAvailable()
+        // batch 2: 103 repeats batch 1's NEW BANNER — only the extended
+        // index can know that; its own body survives
+        mem.addData((103L, "NEW BANNER\n\nnovel body three"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sunk = spark.table("t_para_sink")
+        .select($"doc_id", $"n_paras", $"n_kept", $"clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(sunk.keySet == Set(101L, 103L)) // 102 had zero survivors
+      assert(sunk(101L) == ((3L, 2L, "novel body one\n\nNEW BANNER")))
+      assert(sunk(103L) == ((2L, 1L, "novel body three"))) // NEW BANNER known via extended index
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming IVF-PQ ingest: micro-batch appends equal one batch append, models never drift") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
