@@ -184,6 +184,41 @@ object Dedup {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Compact an accreted content-hash index (exact-dedup, paragraph, or
+    * substring-window — any index bucketed on `content_hash`): replayed
+    * epochs and overlapping appends leave duplicate hash rows that cost
+    * probe-scan width but never correctness (the probe is an anti-join on
+    * the hash — membership, not counts). Compaction rewrites one row per
+    * distinct hash keeping the lexicographically-minimum payload (the
+    * earliest provenance under the family's (id, idx)-style column order)
+    * in the SAME bucket layout, then swaps via catalog rename — the
+    * write-new-then-swap discipline of [[Similarity.ivfRebuild]]: probes
+    * read the old index until the swap, the swap moves no data, and cost
+    * is one index rewrite, scheduled from measured accretion (count vs
+    * approx_count_distinct on the hash — one bucket-aligned aggregate),
+    * never paid per append.
+    */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not a bucketed index"))
+    require(spec.bucketColumnNames == Seq("content_hash"),
+      s"$table is not a content-hash index (bucketed on ${spec.bucketColumnNames})")
+    val idx = spark.table(table)
+    val payload = idx.columns.filterNot(_ == "content_hash").toIndexedSeq
+    val compacted = idx
+      .groupBy(col("content_hash"))
+      .agg(min(struct(payload.map(col): _*)).as("_p"))
+      .select(col("content_hash") +: payload.map(c => col(s"_p.$c").as(c)): _*)
+    val staged = s"${table}_compact"
+    graft.sources.Sources.dropForOverwrite(spark, staged)
+    graft.sources.Sources.writeBucketed(compacted, staged, Seq("content_hash"),
+      spec.numBuckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+  }
+
   /** Persist the exact-dedup index: one row per distinct content hash with
     * its canonical (minimum) id, BUCKETED by the hash. The 128-bit md5 makes
     * the index collision-free in practice at any corpus size (a 64-bit hash

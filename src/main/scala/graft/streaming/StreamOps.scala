@@ -206,7 +206,7 @@ object StreamOps {
     * Same caveat family as the other ingests: a replayed epoch re-appends
     * its hashes (idempotent for dedup purposes — re-probing drops the
     * same paragraphs — but the index accretes duplicate hash rows until
-    * compaction).
+    * [[graft.operators.Dedup.compactHashIndex]] rewrites it).
     */
   def streamingParagraphDedup(docsStream: DataFrame, indexTable: String,
       idCol: String, textCol: String, sinkTable: String,

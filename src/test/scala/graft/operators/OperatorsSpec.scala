@@ -242,6 +242,42 @@ class OperatorsSpec extends SparkFunSuite {
     ))
   }
 
+  test("index compaction: accreted duplicate hashes collapse, layout and probe results unchanged") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS compact_test_t")
+    try {
+      Dedup.exactWriteBucketed(corpus, "compact_test_t", "doc_id", "text", numBuckets = 4)
+      // a replayed epoch re-appends hashes the index already holds
+      Dedup.exactAppendToIndex(Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text"),
+        "compact_test_t", "doc_id", "text")
+      Dedup.exactAppendToIndex(Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text"),
+        "compact_test_t", "doc_id", "text")
+      assert(spark.table("compact_test_t").count() == 6) // alpha x3, beta x1, gamma x2 accreted
+      val probeBefore = Dedup.exactDedupIncremental(
+        Seq((9L, "alpha"), (10L, "delta")).toDF("doc_id", "text"),
+        "compact_test_t", "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      Dedup.compactHashIndex(spark, "compact_test_t")
+      // one row per distinct hash, minimum payload (earliest id) kept
+      val rows = spark.table("compact_test_t")
+        .select($"content_hash", $"id").as[(String, Long)].collect()
+      assert(rows.length == 3) // alpha, beta, gamma
+      assert(rows.map(_._1).distinct.length == 3)
+      assert(rows.toMap.values.toSet == Set(1L, 2L, 4L)) // alpha keeps id 1, not 3
+      // bucket layout preserved: still a 4-bucket content_hash index
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("compact_test_t"))
+        .bucketSpec.get
+      assert(spec.numBuckets == 4 && spec.bucketColumnNames == Seq("content_hash"))
+      // probe equivalence: membership is unchanged by compaction
+      val probeAfter = Dedup.exactDedupIncremental(
+        Seq((9L, "alpha"), (10L, "delta")).toDF("doc_id", "text"),
+        "compact_test_t", "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(probeBefore == Set(10L) && probeAfter == probeBefore)
+    } finally spark.sql("DROP TABLE IF EXISTS compact_test_t")
+  }
+
   test("hash split is deterministic; stratified take caps every group at k") {
     val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
     val split = Sampling.hashSplit(ids, "doc_id")
