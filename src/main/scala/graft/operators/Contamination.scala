@@ -173,4 +173,28 @@ object Contamination {
   def dropContaminated(docs: DataFrame, filterBytes: Array[Byte],
       textCol: String, n: Int): DataFrame =
     docs.filter(flaggedGramCount(filterBytes, textCol, n) === 0L)
+
+  /** PARAGRAPH-granularity decontamination: drop every document sharing a
+    * whole (blank-line-delimited, trimmed) paragraph with the benchmark,
+    * probing a [[Dedup.paragraphWriteBucketed]] index built over the EVAL
+    * set. The complementary trade to the 13-gram gates: grams catch
+    * partial/reworded overlap but need a Bloom bound or a heavy join;
+    * whole-paragraph identity has ZERO false positives, and the eval-side
+    * index is tiny (benchmarks are small by definition), so the probe is
+    * one semi-join of the corpus' 16-byte paragraph hashes against a
+    * pre-bucketed scan — followed by an id-keyed anti-join that drops
+    * flagged documents whole (quarantine semantics, like
+    * [[dropContaminated]]; not paragraph excision, which
+    * [[Dedup.dedupParagraphsIncremental]] already provides).
+    */
+  def dropParagraphContaminated(docs: DataFrame, evalIndexTable: String,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val flagged = Dedup.explodeParagraphs(docs, idCol, textCol)
+      .select(col(idCol), md5(col("_para")).as("content_hash"))
+      .join(spark.table(evalIndexTable).select(col("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -105,7 +105,7 @@ object Dedup {
   /** Explode a document column into trimmed non-empty paragraphs with their
     * 0-based position — the shared front end of the paragraph-dedup family.
     */
-  private def explodeParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[operators] def explodeParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(col(textCol), "\n\n")))
       .select(col(idCol), col("pos").as("_idx"), trim(col("col")).as("_para"))
       .filter(col("_para") =!= "")

@@ -985,6 +985,22 @@ object PipelineQueries {
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     }),
+    // whole-paragraph quarantine: the eval set is every %50 doc's leading
+    // 40-char slice (a one-paragraph "benchmark question"); any corpus doc
+    // whose shaped paragraphs include an eval paragraph drops whole
+    "text_decontam_paragraph" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shaped = d.select(col("doc_id"), concat_ws("\n\n",
+        lit("Common navigation header."),
+        substring(col("text"), 1, 40),
+        lit("Common footer text.")).as("text"))
+      val eval_ = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("text"))
+      Dedup.paragraphWriteBucketed(eval_, "graft_eval_para_idx", "doc_id", "text")
+      Contamination.dropParagraphContaminated(shaped, "graft_eval_para_idx",
+        "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // Bloom-filter decontamination: the bench 5-gram set collapsed to a
     // broadcast bit set, so the corpus pass is scan -> project with ZERO
     // shuffles and no join at all (rows-only here; the _check gate below
@@ -2585,6 +2601,30 @@ object PipelineQueries {
         |        AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
         |        AND stop_hits >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // paragraph-quarantine replay: a doc survives iff none of its shaped
+    // paragraphs appears in the eval set's paragraph set
+    "text_decontam_paragraph" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10)||chr(10),
+        |           'Common navigation header.',
+        |           substr(text, 1, 40),
+        |           'Common footer text.') AS text
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)),
+        |                     p -> p <> '') AS ps
+        |  FROM shaped),
+        |se AS (SELECT doc_id, unnest(ps) AS para FROM sp),
+        |evp AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |           list_transform(string_split(substr(text, 1, 40), chr(10)||chr(10)), p -> trim(p)),
+        |           p -> p <> '')) AS para
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM se WHERE para IN (SELECT para FROM evp))
+        |SELECT doc_id FROM shaped
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
     "text_decontam" ->
       s"""WITH g AS (
          |  SELECT doc_id,

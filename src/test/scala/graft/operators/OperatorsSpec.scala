@@ -242,6 +242,25 @@ class OperatorsSpec extends SparkFunSuite {
     ))
   }
 
+  test("paragraph decontamination: any shared paragraph quarantines the whole doc") {
+    val evalSet = Seq((100L, "What is the capital of France?")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text\n\nWhat is the capital of France?\n\nmore text"), // contains eval para
+      (2L, "What is the capital of France? Paris.\n\nbody"),             // superset line, NOT equal
+      (3L, "totally clean document\n\nnothing shared")
+    ).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS eval_para_idx")
+    try {
+      Dedup.paragraphWriteBucketed(evalSet, "eval_para_idx", "doc_id", "text", numBuckets = 2)
+      val kept = Contamination.dropParagraphContaminated(corpus, "eval_para_idx",
+        "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+      // doc 1 drops whole (verbatim paragraph inclusion); doc 2 survives —
+      // whole-paragraph identity has no partial matches (that is the n-gram
+      // gates' job); doc 3 untouched
+      assert(kept == Set(2L, 3L))
+    } finally spark.sql("DROP TABLE IF EXISTS eval_para_idx")
+  }
+
   test("index compaction: accreted duplicate hashes collapse, layout and probe results unchanged") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     spark.sql("DROP TABLE IF EXISTS compact_test_t")
