@@ -156,6 +156,67 @@ object TextAnalysis {
         i => array_join(slice(ws, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Winnowing fingerprint (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003), at word
+    * granularity: md5-hash every word k-gram, slide a window of w
+    * consecutive gram hashes, and let each window contribute its MINIMUM
+    * hash (lexicographic on the hex string — portable across engines);
+    * the fingerprint is the sorted distinct minima. The paper's guarantee
+    * transfers: any shared run of >= w + k - 1 words between two documents
+    * produces at least one shared fingerprint hash, while expected
+    * fingerprint density is only ~2/(w+1) of windows — the local,
+    * position-independent sampling that makes all-pairs overlap detection
+    * affordable. Degenerate inputs: fewer than w grams (but >= 1) collapse
+    * to one whole-array window; no grams -> empty fingerprint.
+    *
+    * Output: (id, n_grams, n_windows, n_selected, digest), digest = md5 of
+    * the concatenated fingerprint (one portable string naming the set —
+    * equal digests <=> equal fingerprints). Pure map-side HOFs over a
+    * let-bound hash array: no explode, no shuffle; overlap detection
+    * downstream is a join on exploded fingerprint hashes, carrying 32-byte
+    * strings instead of documents.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got k=$k w=$w")
+    val row = bindOnce(transform(wordNgrams(col(textCol), k), g => md5(g))) { hs =>
+      bindOnce(
+        when(size(hs) >= w,
+          array_sort(array_distinct(transform(
+            sequence(lit(1), size(hs) - lit(w - 1)),
+            i => array_min(slice(hs, i, lit(w)))))))
+          .when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<string>"))) { sel =>
+        struct(size(hs).as("n_grams"),
+          when(size(hs) >= w, size(hs) - lit(w - 1))
+            .when(size(hs) > 0, lit(1)).otherwise(lit(0)).as("n_windows"),
+          size(sel).as("n_selected"),
+          md5(array_join(sel, "")).as("digest"))
+      }
+    }
+    df.select(col(idCol), row.as("_w"))
+      .select(col(idCol), col("_w.n_grams"), col("_w.n_windows"),
+        col("_w.n_selected"), col("_w.digest"))
+  }
+
+  /** The exploded (id, fingerprint-hash) pairs of [[winnow]] — the join
+    * side for overlap detection: documents sharing any selected hash are
+    * overlap candidates (verify with exact comparison on the candidate
+    * pairs, the same candidates-then-verify shape as the LSH families).
+    */
+  def winnowHashes(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val sel = bindOnce(transform(wordNgrams(col(textCol), k), g => md5(g))) { hs =>
+      when(size(hs) >= w,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), size(hs) - lit(w - 1)),
+          i => array_min(slice(hs, i, lit(w)))))))
+        .when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<string>"))
+    }
+    df.select(col(idCol), explode(sel).as("fp_hash"))
+  }
+
   /** `1 - distinct/total` over an array, rounded to 6 places; 0.0 for an
     * empty array. Single evaluation of `arr` and a single O(g log g) pass:
     * sort, then one fold counting elements and boundaries (positions where

@@ -840,6 +840,12 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+    // winnowing fingerprints (Schleimer 2003): windowed-minima sampling of
+    // word 4-gram hashes — the robust local fingerprint for overlap/
+    // plagiarism detection, vs text_fingerprint's whole-doc identity
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir), "doc_id", "text", k = 4, w = 4)
+        .orderBy(col("doc_id"))),
     "text_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
@@ -2230,6 +2236,29 @@ object PipelineQueries {
         |       WHEN regexp_matches(lower(text), '\b(el|los|las|es|una)\b') THEN 'es'
         |       ELSE 'en' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing replay: same k-gram md5s, same window minima (lexicographic
+    // min over hex strings is engine-portable), same set digest
+    "text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ws) >= 4
+         |              THEN [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws) - 2)]
+         |              ELSE [] END AS hs
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, hs,
+         |         CASE WHEN len(hs) >= 4
+         |              THEN list_sort(list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]))
+         |              WHEN len(hs) > 0 THEN [list_min(hs)]
+         |              ELSE [] END AS sel
+         |  FROM g)
+         |SELECT doc_id, len(hs) AS n_grams,
+         |       CASE WHEN len(hs) >= 4 THEN len(hs) - 3
+         |            WHEN len(hs) > 0 THEN 1 ELSE 0 END AS n_windows,
+         |       len(sel) AS n_selected,
+         |       md5(array_to_string(sel, '')) AS digest
+         |FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -242,6 +242,31 @@ class OperatorsSpec extends SparkFunSuite {
     ))
   }
 
+  test("winnowing: shared runs >= w+k-1 words always share a hash; density and identity hold") {
+    // doc 1 and 2 share an 8-word run (> w+k-1 = 7): the guarantee says at
+    // least one window minimum falls inside the shared run for both
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, s"one two three $shared nine ten"),
+      (2L, s"$shared india juliet kilo lima mike november oscar"),
+      (3L, "papa quebec romeo sierra tango uniform victor whiskey xray"), // disjoint words
+      (4L, "tiny doc"), // fewer words than k -> no grams
+      (5L, s"one two three $shared nine ten") // identical to 1 -> same digest
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(d, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(fp(4L)._2 == 0 && fp(4L)._4 == 0) // no grams, empty fingerprint
+    assert(fp(1L)._5 == fp(5L)._5)           // identical docs -> identical digest
+    assert(fp(1L)._5 != fp(3L)._5)
+    // selected counts stay within [windows/(w), windows]: density sanity
+    assert(fp(1L)._4 >= 1 && fp(1L)._4 <= fp(1L)._3)
+    val hashes = TextAnalysis.winnowHashes(d, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((hashes(1L) intersect hashes(2L)).nonEmpty) // the guarantee
+    assert((hashes(1L) intersect hashes(3L)).isEmpty)  // disjoint vocab never collides
+    assert(hashes(1L) == hashes(5L))
+  }
+
   test("paragraph decontamination: any shared paragraph quarantines the whole doc") {
     val evalSet = Seq((100L, "What is the capital of France?")).toDF("doc_id", "text")
     val corpus = Seq(
