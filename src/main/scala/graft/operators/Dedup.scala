@@ -184,6 +184,45 @@ object Dedup {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Near-dup pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowHashes]], Schleimer 2003): documents sharing ANY
+    * selected window-minimum hash are candidates (the paper's guarantee:
+    * every pair sharing a run of >= w + k - 1 words IS a candidate), then
+    * exact word-set jaccard verifies against `threshold` — the same
+    * candidates-then-verify shape as the MinHash/LSH families, with a
+    * different recall contract: winnowing guarantees CONTIGUOUS-overlap
+    * pairs, MinHash catches bag-of-words similarity without contiguity.
+    * `maxBucket` drops fingerprint hashes shared by more documents (a
+    * boilerplate window minimum would otherwise quadratically explode one
+    * join key — the LSH bucket-cap trade, counted with a map-side-combined
+    * aggregate before the self-join). Output: (id_a, id_b, jaccard).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 4, w: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"winnow threshold must be in (0, 1], got $threshold")
+    VectorFunctions.register(df.sparkSession)
+    val fp = TextAnalysis.winnowHashes(df, idCol, textCol, k, w)
+      .localCheckpoint(eager = false) // both sides of the self-join
+    val ok = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket).select(col("fp_hash"))
+    val pruned = fp.join(ok, Seq("fp_hash"), "left_semi")
+    val cands = pruned.select(col("fp_hash"), col(idCol).as("id_a"))
+      .join(pruned.select(col("fp_hash"), col(idCol).as("id_b")), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val wsets = df.select(col(idCol),
+      expr(s"graft_shingle_hashes($textCol, 1)").as("_wset"))
+      .localCheckpoint(eager = false)
+    cands
+      .join(wsets.select(col(idCol).as("id_a"), col("_wset").as("_wa")), Seq("id_a"))
+      .join(wsets.select(col(idCol).as("id_b"), col("_wset").as("_wb")), Seq("id_b"))
+      .withColumn("jaccard", expr("graft_jaccard_sorted(_wa, _wb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Compact an accreted content-hash index (exact-dedup, paragraph, or
     * substring-window — any index bucketed on `content_hash`): replayed
     * epochs and overlapping appends leave duplicate hash rows that cost

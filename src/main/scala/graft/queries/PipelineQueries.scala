@@ -249,6 +249,15 @@ object PipelineQueries {
         "doc_id", "text", Seq("lang", "len_band"), threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+    // winnow-candidate near-dup pairs on the planted clone corpus: every
+    // (d, d+1000000) clone pair shares all fingerprint hashes, candidates
+    // verify with exact word-set jaccard (uncapped buckets for oracle
+    // parity, as in dedup_groups)
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(planted(s, dir), "doc_id", "text", threshold = 0.6,
+        k = 4, w = 4, maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_cosine" -> ((s, dir) => {
       // plant exact duplicates (offset ids) so near-dup pairs provably exist
       val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
@@ -2022,6 +2031,44 @@ object PipelineQueries {
         |       CASE WHEN n_bytes = 0 THEN 0.0
         |            ELSE round(CAST(CAST(c7 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 6) END AS f7
         |FROM t ORDER BY media_id""".stripMargin,
+    // winnow-candidate replay over the planted clone corpus: same selection
+    // (window minima of word-4-gram md5s), same shared-hash candidate join,
+    // same word-set jaccard verify
+    "dedup_winnow" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (SELECT doc_id, text,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM base),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 4
+        |              THEN [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws) - 2)]
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)])
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS sel
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |wsets AS (SELECT doc_id, list_distinct(ws) AS wset FROM t)
+        |SELECT c.id_a, c.id_b,
+        |       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.wset, b.wset))), 6) AS jaccard
+        |FROM cands c
+        |JOIN wsets a ON a.doc_id = c.id_a
+        |JOIN wsets b ON b.doc_id = c.id_b
+        |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang, n_chars // 100 AS band,

@@ -267,6 +267,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(hashes(1L) == hashes(5L))
   }
 
+  test("winnow pairs: clones and contiguous-overlap docs pair; bucket cap prunes; unrelated never pair") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // clone of 1
+      (3L, "completely different content about database engines and query optimizers here"),
+      (4L, "prefix words then the quick brown fox jumps over the lazy dog ending") // shares an 8-word run with 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0) // clones: full fingerprint overlap, jaccard 1
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L))) // guarantee: 8-word shared run
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // a bucket cap of 1 prunes every shared hash -> no candidates at all
+    assert(Dedup.winnowPairs(d, "doc_id", "text", threshold = 0.5, maxBucket = 1).isEmpty)
+  }
+
   test("paragraph decontamination: any shared paragraph quarantines the whole doc") {
     val evalSet = Seq((100L, "What is the capital of France?")).toDF("doc_id", "text")
     val corpus = Seq(
