@@ -31,6 +31,29 @@ object Vocab {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-k word
+    * vocabulary — the tokenizer-health metric an operator tracks per source
+    * and per epoch: a rising OOV rate means the vocabulary (or the BPE
+    * merge table trained from it) no longer fits the incoming distribution.
+    * The vocab is [[topNgrams]] (deterministic count-then-term ordering);
+    * the per-doc pass explodes words once and left-joins the k-row vocab —
+    * Spark broadcasts the tiny side, so the corpus never reshuffles for
+    * the membership test; the only corpus-sized shuffle is the per-doc
+    * regroup. Output: (id, n_tokens, n_oov, oov_rate).
+    */
+  def oovReport(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val vocab = topNgrams(df, textCol, n = 1, k)
+      .select(col("ngram").as("_w"), lit(1).as("_in_vocab"))
+    df.select(col(idCol), explode(ngrams(textCol, 1)).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .join(broadcast(vocab), Seq("_w"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Top-k n-grams by document frequency (each document counts a term once —
     * array_distinct before the explode keeps the dedup map-side).
     */

@@ -695,6 +695,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
     "text_vocab" -> ((s, dir) =>
       Vocab.topNgrams(docs(s, dir), "text", n = 1, k = 100)),
+    // per-doc OOV rate against the corpus' own top-100 vocabulary — the
+    // tokenizer-health metric tracked per epoch (see Vocab.oovReport)
+    "text_oov" -> ((s, dir) =>
+      Vocab.oovReport(docs(s, dir), "doc_id", "text", k = 100)
+        .orderBy(col("doc_id"))),
     "text_stats" -> ((s, dir) =>
       // per-language corpus profile; percentile() is Spark's exact
       // linear-interpolation percentile, matching DuckDB's quantile_cont
@@ -1191,6 +1196,24 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
         .orderBy(col("doc_id"))
+    }),
+    // the packing-efficiency report an operator reads to choose between
+    // whole-doc packing (fragmentation waste, no split docs) and
+    // boundary-splitting (zero waste, split docs): per shard, pack count
+    // and fill rate. avg_fill divides exact token longs once (no
+    // per-pack double averaging), so the report is bit-deterministic.
+    "pipeline_pack_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("_docs"), sum(col("n_tokens")).as("_toks"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("_docs")).as("n_docs"),
+          sum(col("_toks")).as("tokens"))
+        .withColumn("avg_fill",
+          round(col("tokens").cast("double") / (col("n_packs") * lit(2048.0)), 6))
+        .orderBy(col("shard"))
     }),
     // boundary-splitting packing (published pretraining semantics): the
     // token stream is cut at EXACTLY 2048 within each shard, documents
@@ -2121,6 +2144,20 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // vocab = the text_vocab top-100 (same deterministic ordering); OOV =
+    // word occurrences outside it
+    "text_oov" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |           FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+        |v AS (SELECT word FROM (
+        |        SELECT word, count(*) AS cnt FROM ww GROUP BY word
+        |        ORDER BY cnt DESC, word LIMIT 100))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
+        |             / count(*), 6) AS oov_rate
+        |FROM ww GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS ngram
         |           FROM documents)
@@ -2832,6 +2869,19 @@ object PipelineQueries {
          |       CAST(tokens_before
          |            - CAST(floor(tokens_before / 2048.0) AS BIGINT) * 2048 AS BIGINT) AS pack_pos
          |FROM p ORDER BY doc_id""".stripMargin,
+    "pipeline_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, len($duckWords) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+         |             sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+         |               - n_tokens AS tokens_before
+         |      FROM t),
+         |pk AS (SELECT shard, CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id,
+         |              count(*) AS docs, sum(n_tokens) AS toks
+         |       FROM p GROUP BY shard, pack_id)
+         |SELECT shard, count(*) AS n_packs, CAST(sum(docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS tokens,
+         |       round(CAST(sum(toks) AS DOUBLE) / (count(*) * 2048.0), 6) AS avg_fill
+         |FROM pk GROUP BY shard ORDER BY shard""".stripMargin,
     "pipeline_pack_segments" ->
       s"""WITH t AS (SELECT doc_id, len($duckWords) AS n_tokens FROM documents),
          |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,

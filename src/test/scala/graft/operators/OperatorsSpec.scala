@@ -242,6 +242,15 @@ class OperatorsSpec extends SparkFunSuite {
     ))
   }
 
+  test("OOV report: membership against the deterministic top-k vocab, ties break by term") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1 -> top-2 vocab = {a, b} (count desc, term asc)
+    val got = Vocab.oovReport(d, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0L, 0.0)))   // all of "a a b" in vocab
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))   // "c" is OOV
+  }
+
   test("winnowing: shared runs >= w+k-1 words always share a hash; density and identity hold") {
     // doc 1 and 2 share an 8-word run (> w+k-1 = 7): the guarantee says at
     // least one window minimum falls inside the shared run for both
