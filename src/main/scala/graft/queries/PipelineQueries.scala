@@ -1140,6 +1140,28 @@ object PipelineQueries {
     // quadratic (measured 7.9x at 10x volume unblocked); byte length is a
     // cheap exact key a histogram-identical near-dup must share (reversal
     // preserves it), and it splits the mega-buckets linearly.
+    // multimodal retrieval: fake-decoded features flow into the PQ ANN
+    // path. Exact-representable regime (sample covers the whole slice,
+    // iters=0) makes ADC exact, and planted payload clones (identical
+    // bytes -> identical histograms -> cosine exactly 1) provably fill
+    // ranks 1-2 by the media_id tiebreak — the oracle is those rows.
+    "mm_ann" -> ((s, dir) => {
+      val slice = docs(s, dir).filter(col("doc_id") % 20 === 0)
+      val both = slice.select(col("doc_id"), col("text")).unionAll(
+        slice.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val media = Multimodal.withFakeMedia(both, "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(s, media)
+        .select(col("media_id"), col("features"))
+        .localCheckpoint(eager = false) // codebook sample + corpus + queries
+      val cb = Similarity.pqCodebooks(feats, "media_id", "features",
+        m = 4, ksub = 64, sampleSize = 1024, iters = 0)
+      val q = feats.filter(col("media_id") < 100)
+        .select(col("media_id").as("query_id"), col("features").as("qv"))
+      Similarity.pqTopK(feats, q, "media_id", "features", "query_id", "qv", k = 2, cb)
+        .select(col("query_id"), col("rank"), col("vec_id").as("media_id"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "mm_neardup" -> ((s, dir) => {
       val slice = docs(s, dir).filter(col("doc_id") % 20 === 0)
       val both = slice.select(col("doc_id"), col("text")).unionAll(
@@ -2827,6 +2849,14 @@ object PipelineQueries {
     // reversed-text clones have bit-identical histogram features, so every
     // planted pair surfaces at cosine exactly 1 (dot(v,v)/(sqrt(d)*sqrt(d))
     // rounds to 1.0 at 6 decimals); the FP branch is Spark-verified empty
+    // planted clone facts: self rank 1, payload clone rank 2, both cosine 1
+    "mm_ann" ->
+      """WITH q AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0 AND doc_id < 100)
+        |SELECT doc_id AS query_id, 1 AS rank, doc_id AS media_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine FROM q
+        |UNION ALL
+        |SELECT doc_id, 2, doc_id + 1000000, CAST(1.0 AS DOUBLE) FROM q
+        |ORDER BY query_id, rank""".stripMargin,
     "mm_neardup" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS cosine
         |FROM documents

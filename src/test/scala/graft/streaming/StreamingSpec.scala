@@ -542,6 +542,35 @@ class StreamingSpec extends SparkFunSuite {
     assert(keeps > 0 && keeps < docs.length) // both outcomes occur
   }
 
+  test("winnowing runs unchanged on a stream and matches the batch fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.Tables.df(spark, dir, "documents")
+      .select($"doc_id", $"text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    // winnow is a pure map-side projection (HOFs over a let-bound array),
+    // so fingerprints compute at ingest with no state store and no shuffle
+    val fp = graft.operators.TextAnalysis.winnow(stream, "doc_id", "text", k = 4, w = 4)
+    assert(fp.isStreaming)
+    val q = fp.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_winnow").start()
+    try {
+      mem.addData(docs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_winnow")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val batch = graft.operators.TextAnalysis
+      .winnow(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(streamed == batch && streamed.size == 40)
+  }
+
   test("bpe tokenization runs unchanged on a stream and matches the batch sequences") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
