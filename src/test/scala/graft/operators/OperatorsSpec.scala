@@ -231,8 +231,8 @@ class OperatorsSpec extends SparkFunSuite {
       (3L, "unique three\n\nBANNER\n\nunique one"),// cross-doc dup of doc 1's para
       (4L, "BANNER")                                // all paragraphs are dups -> drops
     ).toDF("doc_id", "text")
-    val got = Dedup.dedupParagraphs(corpus, "doc_id", "text")
-      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val result = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+    val got = result.orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq(
       // doc 1: banner kept at its first occurrence (idx 0), second drops
       (1L, 3L, 2L, "BANNER\n\nunique one"),
@@ -240,6 +240,12 @@ class OperatorsSpec extends SparkFunSuite {
       (3L, 3L, 1L, "unique three"),
       // doc 4 has no surviving paragraphs and disappears
     ))
+    // the skew armor: the winners aggregate must run as partial+final
+    // HashAggregate (map-side combine collapses a repeated banner before
+    // the exchange), never as a paragraph-keyed window
+    val plan = result.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregate in:\n$plan")
+    assert(!plan.contains("WindowExec"), "paragraph winners must not use a window")
   }
 
   test("OOV report: membership against the deterministic top-k vocab, ties break by term") {
