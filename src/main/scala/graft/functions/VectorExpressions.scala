@@ -887,5 +887,7 @@ object VectorFunctions {
     reg("graft_nfc", args => NfcNormalize(args.head))
     reg("graft_char_trigrams", args => CharTrigrams(args.head))
     reg("graft_bpeish_count", args => BpeishCount(args.head))
+    reg("graft_mg_topk", args =>
+      MgTopK(args.head, intLit(args(1))).toAggregateExpression())
   }
 }

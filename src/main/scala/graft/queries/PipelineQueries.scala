@@ -700,6 +700,41 @@ object PipelineQueries {
     "text_oov" -> ((s, dir) =>
       Vocab.oovReport(docs(s, dir), "doc_id", "text", k = 100)
         .orderBy(col("doc_id"))),
+    // bounded-memory approximate top-k terms (Misra-Gries sketch, see
+    // MgTopK): at most 64 counters per partition regardless of vocabulary
+    // size — the scale path when distinct terms outgrow a groupBy-count.
+    // Tail counters depend on partition layout -> rows-only; the paired
+    // _check below asserts the partition-independent MG guarantees.
+    "text_heavy_hitters" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir).select(explode(TextAnalysis.wordsOf(col("text"))).as("w"))
+        .agg(expr("graft_mg_topk(w, 64)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt_est"))
+    }),
+    // the oracled gate: three facts PROVABLE under any partitioning —
+    // sketch size <= k; every estimate within [f - N/(k+1), f] of its
+    // exact count; a term planted heavier than N/(k+1) is present (the
+    // disjunct guard keeps the fact provable even if the corpus outgrows
+    // the planted mass). The oracle emits the three literal trues.
+    "text_heavy_hitters_check" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val words = docs(s, dir)
+        .select(explode(TextAnalysis.wordsOf(col("text"))).as("w"))
+        .unionAll(s.range(0, 20000).select(lit("graftheavy").as("w")))
+        .localCheckpoint(eager = false) // sketch + exact counts + N
+      val n = words.count()
+      val sk = words.agg(expr("graft_mg_topk(w, 64)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+      val exact = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      sk.join(exact, sk("term") === exact("w"))
+        .agg((count(lit(1)) <= 64).as("terms_bounded"),
+          every(col("cnt").cast("double") <= col("f") &&
+            col("cnt").cast("double") >= col("f") - lit(n / 65.0)).as("bounds_hold"),
+          (max(when(col("term") === "graftheavy", 1).otherwise(0)) === 1 ||
+            lit(20000.0) <= lit(n / 65.0)).as("heavy_present"))
+    }),
     "text_stats" -> ((s, dir) =>
       // per-language corpus profile; percentile() is Spark's exact
       // linear-interpolation percentile, matching DuckDB's quantile_cont
@@ -2166,6 +2201,9 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the MG facts are provably true (see the query comment)
+    "text_heavy_hitters_check" ->
+      """SELECT true AS terms_bounded, true AS bounds_hold, true AS heavy_present""",
     // vocab = the text_vocab top-100 (same deterministic ordering); OOV =
     // word occurrences outside it
     "text_oov" ->

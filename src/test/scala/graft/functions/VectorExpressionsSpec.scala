@@ -81,6 +81,35 @@ class VectorExpressionsSpec extends SparkFunSuite {
     assert(one("select graft_lsh_bucket(array(cast(0.5 as float), cast(-0.25 as float)), 8)") == b)
   }
 
+  test("graft_mg_topk: exact when distinct terms <= k; MG bounds and heavy membership under shuffle") {
+    VectorFunctions.register(spark)
+    // distinct terms fit in k: the sketch IS the exact count table
+    val exact = spark.sql(
+      "select graft_mg_topk(t, 8) from values ('a'),('a'),('a'),('b'),('b'),('c') tab(t)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(exact == Seq(("a", 3L), ("b", 2L), ("c", 1L))) // cnt desc, term asc
+    // heavy-term guarantee under arbitrary partitioning: N = 4000 tokens,
+    // k = 8 -> threshold N/9 ≈ 444; "heavy" appears 1000 times, the tail is
+    // 3000 occurrences of 300 distinct terms (10 each)
+    val words = (1 to 1000).map(_ => "heavy") ++
+      (1 to 3000).map(i => s"tail${i % 300}")
+    val df = words.toDF("t").repartition(13) // adversarial layout
+    df.createOrReplaceTempView("mg_words")
+    val sk = spark.sql("select graft_mg_topk(t, 8) from mg_words")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(sk.size <= 8)
+    val heavy = sk.toMap.get("heavy")
+    assert(heavy.isDefined, s"heavy term missing from $sk") // f > N/(k+1) guarantee
+    // MG estimates undercount, never overcount, by at most N/(k+1)
+    assert(heavy.get <= 1000L && heavy.get >= 1000L - 4000L / 9)
+    sk.foreach { case (t, c) =>
+      val f = words.count(_ == t).toLong
+      assert(c <= f && c >= f - 4000L / 9, s"bounds violated for $t: est=$c f=$f")
+    }
+  }
+
   test("mask-type registry JSON resource matches the built-in registry") {
     val fromJson = graft.policy.DataMaskType.loadResource()
     assert(fromJson == graft.policy.DataMaskType.builtin)
