@@ -833,9 +833,16 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   * approximate cosine). m reads + adds per scored pair; the subspace sums
   * accumulate in subspace order, matching the driver-side trainer and the
   * exact-representable oracle.
+  *
+  * Unlike the heavy per-row expressions in this file (which do enough work
+  * per row that CodegenFallback's virtual call disappears in the noise),
+  * ADC is the INNERMOST loop of a PQ sweep and does only m adds per scored
+  * pair — so this one implements `doGenCode` and stays inside whole-stage
+  * codegen: the scored broadcast join compiles to one fused loop with no
+  * boxing and no per-row virtual dispatch.
   */
 case class PqAdc(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess
@@ -856,6 +863,27 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     }
     acc
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      val lutN = ctx.freshName("lutN")
+      s"""
+         |final int $m = $codes.numElements();
+         |final int $lutN = $lut.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final int $idx = $j * $ksub + $codes.getInt($j);
+         |  if ($idx < $lutN) $acc += $lut.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
   override def prettyName: String = "graft_pq_adc"

@@ -1,0 +1,31 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Drives the codegen-implementing custom expressions (currently PqAdc)
+  * under `spark.sql.codegen.factoryMode=CODEGEN_ONLY` with fallback
+  * DISABLED — janino failures in generated code normally degrade silently
+  * to interpreted evaluation, so the regular test suite cannot distinguish
+  * "codegen works" from "codegen broke and fell back". This main throws if
+  * the generated code does not compile. Run after touching any doGenCode.
+  */
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f,0f,0f,0f)), (2L, Array(0f,1f,0f,0f)),
+      (3L, Array(0.9f,0.1f,0f,0f))).toDF("vec_id","embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cb = graft.operators.Similarity.pqCodebooks(corpus, "vec_id", "embedding", 2, 3, 3, 0)
+    val out = graft.operators.Similarity.pqTopK(corpus, q, "vec_id","embedding","query_id","qv",3,cb)
+      .collect()
+    println(s"[codegen-only] rows=${out.length} top=${out.head}")
+    spark.stop()
+  }
+}
