@@ -287,7 +287,7 @@ case class JaccardSorted(left: Expression, right: Expression)
 
 /** Dot product over array<float> or array<double> (both sides must match). */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   private def isFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -306,6 +306,33 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     if (isFloat) VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     else VectorOps.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // codegen mirrors dotF/dotD EXACTLY (min length, index-order double
+  // accumulation) — dozens of oracled queries depend on bit-identical
+  // cosines, so the generated loop is the same arithmetic, just inside
+  // whole-stage codegen: the brute/LSH/IVF scoring joins are pair-per-row
+  // dot products where CodegenFallback's per-pair virtual call is real
+  // overhead. Compile-verified by graft.tools.CodegenCheck (CODEGEN_ONLY,
+  // fallback disabled).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val castL = if (isFloat) "(double) " else ""
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $castL$a.$getter($i) * $castL$b.$getter($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "graft_vec_dot"

@@ -25,7 +25,15 @@ object CodegenCheck {
     val cb = graft.operators.Similarity.pqCodebooks(corpus, "vec_id", "embedding", 2, 3, 3, 0)
     val out = graft.operators.Similarity.pqTopK(corpus, q, "vec_id","embedding","query_id","qv",3,cb)
       .collect()
-    println(s"[codegen-only] rows=${out.length} top=${out.head}")
+    println(s"[codegen-only] pq rows=${out.length} top=${out.head}")
+    // VecDot (float + double lanes) through the brute-force scorer
+    val brute = graft.operators.Similarity.bruteForceTopK(corpus, q,
+      "vec_id", "embedding", "query_id", "qv", 3).collect()
+    println(s"[codegen-only] brute rows=${brute.length} top=${brute.head}")
+    graft.functions.VectorFunctions.register(spark)
+    val dd = spark.sql("select graft_vec_dot(array(1.0D,2.0D), array(3.0D,4.0D))").collect().head.get(0)
+    println(s"[codegen-only] double dot=$dd")
+    require(dd == 11.0)
     spark.stop()
   }
 }
