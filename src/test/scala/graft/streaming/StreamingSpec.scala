@@ -542,6 +542,34 @@ class StreamingSpec extends SparkFunSuite {
     assert(keeps > 0 && keeps < docs.length) // both outcomes occur
   }
 
+  test("MG heavy-hitters sketch aggregates a stream in complete mode with the batch guarantees") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val mem = MemoryStream[String]
+    val stream = mem.toDF().select(col("value").as("t"))
+    // the sketch is a TypedImperativeAggregate, so it runs as streaming
+    // state like any built-in agg: per-batch partials merge into the store
+    val q = stream.agg(expr("graft_mg_topk(t, 4)").as("sk"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("t_stream_mg").start()
+    try {
+      mem.addData((1 to 300).map(_ => "heavy") ++ (1 to 100).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 300).map(_ => "heavy") ++ (1 to 100).map(i => s"b$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sk = spark.table("t_stream_mg")
+      .select(explode(col("sk")).as("e")).select(col("e.term"), col("e.cnt"))
+      .as[(String, Long)].collect().toMap
+    // N = 800, k = 4 -> threshold 160; "heavy" (f = 600) must be present
+    // with an estimate in [600 - 160, 600]
+    assert(sk.size <= 4)
+    assert(sk.contains("heavy"), s"heavy missing from $sk")
+    assert(sk("heavy") <= 600L && sk("heavy") >= 440L, s"bounds violated: $sk")
+  }
+
   test("winnowing runs unchanged on a stream and matches the batch fingerprints") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
