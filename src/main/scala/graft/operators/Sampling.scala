@@ -106,10 +106,22 @@ object Sampling {
     * most nShards/65536 — under 0.4% at the nShards <= 256 cap. (Two hex
     * chars would make that 50% at nShards = 100.)
     */
-  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    shardAssign(df, idCol, nShards, epoch = 0)
+
+  /** [[shardAssign]] with an epoch seed: epoch 0 is the base permutation
+    * (digest of the bare id — identical to the 3-arg overload); any other
+    * epoch digests `id:epoch`, giving each training epoch its own
+    * deterministic global shuffle — the standard "reshuffle every epoch"
+    * semantics without rand(): replaying epoch e reproduces epoch e
+    * exactly, on any engine, at any partitioning.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int, epoch: Int): DataFrame = {
     require(nShards >= 1 && nShards <= 256,
       s"nShards must be in [1, 256], got $nShards")
-    val digest = md5(col(idCol).cast("string"))
+    val digest =
+      if (epoch == 0) md5(col(idCol).cast("string"))
+      else md5(concat(col(idCol).cast("string"), lit(s":$epoch")))
     // md5 hex is lowercase: '0'-'9' (48-57) value ascii-48, 'a'-'f' (97-102)
     // value ascii-87
     def hexVal(c: org.apache.spark.sql.Column) =
@@ -119,7 +131,7 @@ object Sampling {
       .reduce(_ * 16 + _)
     val shard = pmod(hv, lit(nShards))
     val w = Window.partitionBy(col("shard"))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(digest, col(idCol)) // within-shard order follows the SAME epoch digest
     df.withColumn("shard", shard)
       .withColumn("shard_pos", row_number().over(w))
   }

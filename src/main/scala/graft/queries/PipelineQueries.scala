@@ -817,6 +817,17 @@ object PipelineQueries {
       Sampling.mixturePlan(docs(s, dir), "lang", "n_chars",
         Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.2, "es" -> 0.1))
         .orderBy(col("lang"))),
+    // per-epoch deterministic reshuffle: the same corpus draws a DIFFERENT
+    // pseudorandom shard permutation each epoch (digest of id:epoch), and
+    // replaying an epoch reproduces its exact order on any engine
+    "sample_epoch_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val e1 = Sampling.shardAssign(d, "doc_id", nShards = 8, epoch = 1)
+        .select(col("doc_id"), col("shard").as("shard_e1"), col("shard_pos").as("pos_e1"))
+      val e2 = Sampling.shardAssign(d, "doc_id", nShards = 8, epoch = 2)
+        .select(col("doc_id"), col("shard").as("shard_e2"), col("shard_pos").as("pos_e2"))
+      e1.join(e2, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
     // temperature-flattened mixture targets (alpha-sampling): the measured
     // input that feeds mixturePlan's targets for multilingual balance
     "mix_temperature" -> ((s, dir) =>
@@ -2333,6 +2344,28 @@ object PipelineQueries {
         |GROUP BY status ORDER BY status""".stripMargin,
     // same hex-digit valuing as Sampling.shardAssign (4 chars = 65536
     // values); strpos-based — both engines agree on it (see hexThreshold)
+    // both epoch digests replayed with the same hex arithmetic as
+    // pipeline_shard
+    "sample_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS d1,
+        |         md5(CAST(doc_id AS VARCHAR) || ':2') AS d2 FROM documents),
+        |v AS (
+        |  SELECT doc_id, d1, d2,
+        |      (strpos('0123456789abcdef', substr(d1,1,1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(d1,2,1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(d1,3,1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(d1,4,1)) - 1) AS hv1,
+        |      (strpos('0123456789abcdef', substr(d2,1,1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(d2,2,1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(d2,3,1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(d2,4,1)) - 1) AS hv2
+        |  FROM h)
+        |SELECT doc_id, CAST(hv1 % 8 AS INTEGER) AS shard_e1,
+        |       row_number() OVER (PARTITION BY hv1 % 8 ORDER BY d1, doc_id) AS pos_e1,
+        |       CAST(hv2 % 8 AS INTEGER) AS shard_e2,
+        |       row_number() OVER (PARTITION BY hv2 % 8 ORDER BY d2, doc_id) AS pos_e2
+        |FROM v ORDER BY doc_id""".stripMargin,
     "pipeline_shard" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents),
