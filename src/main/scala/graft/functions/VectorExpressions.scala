@@ -884,8 +884,11 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * ksub + cs.getInt(j)
-      if (idx < lt.numElements()) acc += lt.getDouble(idx)
+      val code = cs.getInt(j)
+      val idx = j * ksub + code
+      // both bounds: a corrupted code (e.g. -1 in a damaged index row) must
+      // skip cleanly, not read out-of-bounds unsafe memory
+      if (code >= 0 && idx < lt.numElements()) acc += lt.getDouble(idx)
       j += 1
     }
     acc
@@ -897,6 +900,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     nullSafeCodeGen(ctx, ev, (codes, lut) => {
       val j = ctx.freshName("j")
       val m = ctx.freshName("m")
+      val code = ctx.freshName("code")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
       val lutN = ctx.freshName("lutN")
@@ -905,8 +909,9 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
          |final int $lutN = $lut.numElements();
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  final int $idx = $j * $ksub + $codes.getInt($j);
-         |  if ($idx < $lutN) $acc += $lut.getDouble($idx);
+         |  final int $code = $codes.getInt($j);
+         |  final int $idx = $j * $ksub + $code;
+         |  if ($code >= 0 && $idx < $lutN) $acc += $lut.getDouble($idx);
          |}
          |${ev.value} = $acc;
        """.stripMargin

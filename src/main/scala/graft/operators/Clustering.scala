@@ -121,19 +121,27 @@ object Clustering {
     while (it < iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col(vecCol), i + 1).cast("double")).as(s"_s$i"))
+      // per-dimension COUNTS, not the member count: element_at returns NULL
+      // past a short vector's end and sum() skips it — dividing by the full
+      // member count would silently bias those dimensions toward 0 while
+      // NearestCentroid keeps scoring the same rows on their real length
+      val cnts = (0 until dim).map(i =>
+        count(element_at(col(vecCol), i + 1)).as(s"_c$i"))
       val stats = vecs
         .groupBy(nearestCol(vecCol, centroids).as("cell"))
-        .agg(count(lit(1)).as("_n"), sums: _*)
-        .collect() // bounded: k rows x (dim + 2) columns
+        .agg(count(lit(1)).as("_n"), (sums ++ cnts): _*)
+        .collect() // bounded: k rows x (2*dim + 2) columns
       val next = centroids.map(_.clone())
       stats.foreach { r =>
         val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
         var i = 0
         while (i < dim) {
-          // round each coordinate: partial-agg order must not leak into the result
-          next(cell)(i) = BigDecimal(r.getDouble(2 + i) / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val cnt = r.getLong(2 + dim + i)
+          if (cnt > 0) {
+            // round each coordinate: partial-agg order must not leak into the result
+            next(cell)(i) = BigDecimal(r.getDouble(2 + i) / cnt)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          } // else: no member reaches this dimension — keep the previous coordinate
           i += 1
         }
       }

@@ -205,9 +205,13 @@ object Dedup {
     VectorFunctions.register(df.sparkSession)
     val fp = TextAnalysis.winnowHashes(df, idCol, textCol, k, w)
       .localCheckpoint(eager = false) // both sides of the self-join
-    val ok = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucket).select(col("fp_hash"))
-    val pruned = fp.join(ok, Seq("fp_hash"), "left_semi")
+    // uncapped callers (oracle parity) skip the counting machinery entirely
+    // — same pattern as the LSH bucket caps
+    val pruned = if (maxBucket >= Int.MaxValue) fp else {
+      val ok = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucket).select(col("fp_hash"))
+      fp.join(ok, Seq("fp_hash"), "left_semi")
+    }
     val cands = pruned.select(col("fp_hash"), col(idCol).as("id_a"))
       .join(pruned.select(col("fp_hash"), col(idCol).as("id_b")), Seq("fp_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -235,7 +239,10 @@ object Dedup {
     * read the old index until the swap, the swap moves no data, and cost
     * is one index rewrite, scheduled from measured accretion (count vs
     * approx_count_distinct on the hash — one bucket-aligned aggregate),
-    * never paid per append.
+    * never paid per append. Same caveat as ivfRebuild: the DROP + RENAME
+    * pair is not atomic — a crash between them leaves only the staged
+    * `<table>_compact` to re-swap by hand; a transactional catalog would
+    * close that window.
     */
   def compactHashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val meta = spark.sessionState.catalog

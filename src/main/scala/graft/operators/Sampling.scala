@@ -182,9 +182,15 @@ object Sampling {
     *  - `keep_prob` = min(1, ratio) — feed to [[weightedKeep]] for keys
     *                that must shrink;
     *  - `extra_epochs` = max(0, ceil(ratio) - 1) — feed to [[upsample]]
-    *                for keys that must grow (fractional remainders are the
-    *                keep_prob of the last epoch: ratio 2.3 = 2 full epochs
-    *                + 0.3 of a third).
+    *                for keys that must grow;
+    *  - `last_epoch_keep` — the fractional remainder that makes the knobs
+    *                REALIZE a non-integer ratio: run `extra_epochs + 1`
+    *                epochs, apply [[weightedKeep]] with this probability to
+    *                the LAST epoch only (ratio 2.3 = 2 full epochs + 0.3 of
+    *                a third; integer ratios and shrinking keys emit 1.0 —
+    *                their last epoch is full / keep_prob already handles
+    *                them). Without this column the emitted knobs could only
+    *                overshoot to ceil(ratio).
     *
     * Keys absent from `targets` get target share 0 (drop). One hash
     * aggregate on the key plus a singleton total — the plan costs one
@@ -211,7 +217,10 @@ object Sampling {
         round(col("natural_share"), 6).as("natural_share"),
         col("ratio"),
         least(lit(1.0), col("ratio")).as("keep_prob"),
-        greatest(lit(0L), (ceil(col("ratio")) - 1).cast("long")).as("extra_epochs"))
+        greatest(lit(0L), (ceil(col("ratio")) - 1).cast("long")).as("extra_epochs"),
+        when(col("ratio") > 1 && col("ratio") =!= floor(col("ratio")),
+          round(col("ratio") - floor(col("ratio")), 6))
+          .otherwise(lit(1.0)).as("last_epoch_keep"))
   }
 
   /** Deterministic per-key upsampling for mixture targets that need MORE

@@ -31,7 +31,10 @@ object Snapshot {
       .select(coalesce(col("_oid"), col("_nid")).as(idCol),
         when(col("_oid").isNull, "added")
           .when(col("_nid").isNull, "removed")
-          .when(col("_ofp") =!= col("_nfp"), "changed")
+          // null-SAFE inequality: a text that changed to/from NULL is a
+          // real change — plain =!= yields NULL there and the when-chain
+          // would fall through to "unchanged", hiding it from the audit
+          .when(!(col("_ofp") <=> col("_nfp")), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
   }

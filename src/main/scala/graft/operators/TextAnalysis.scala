@@ -176,17 +176,24 @@ object TextAnalysis {
     * downstream is a join on exploded fingerprint hashes, carrying 32-byte
     * strings instead of documents.
     */
+  /** The windowed-minima selection over a bound gram-hash array — the ONE
+    * definition of the winnowing rule, shared by [[winnow]] (digest form)
+    * and [[winnowHashes]] (exploded form) so the two can never
+    * desynchronize.
+    */
+  private def winnowSelect(hs: Column, w: Int): Column =
+    when(size(hs) >= w,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(hs) - lit(w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<string>"))
+
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got k=$k w=$w")
     val row = bindOnce(transform(wordNgrams(col(textCol), k), g => md5(g))) { hs =>
-      bindOnce(
-        when(size(hs) >= w,
-          array_sort(array_distinct(transform(
-            sequence(lit(1), size(hs) - lit(w - 1)),
-            i => array_min(slice(hs, i, lit(w)))))))
-          .when(size(hs) > 0, array(array_min(hs)))
-          .otherwise(array().cast("array<string>"))) { sel =>
+      bindOnce(winnowSelect(hs, w)) { sel =>
         struct(size(hs).as("n_grams"),
           when(size(hs) >= w, size(hs) - lit(w - 1))
             .when(size(hs) > 0, lit(1)).otherwise(lit(0)).as("n_windows"),
@@ -206,14 +213,9 @@ object TextAnalysis {
     */
   def winnowHashes(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
-    val sel = bindOnce(transform(wordNgrams(col(textCol), k), g => md5(g))) { hs =>
-      when(size(hs) >= w,
-        array_sort(array_distinct(transform(
-          sequence(lit(1), size(hs) - lit(w - 1)),
-          i => array_min(slice(hs, i, lit(w)))))))
-        .when(size(hs) > 0, array(array_min(hs)))
-        .otherwise(array().cast("array<string>"))
-    }
+    require(k >= 1 && w >= 1, s"winnowHashes: k and w must be >= 1, got k=$k w=$w")
+    val sel = bindOnce(transform(wordNgrams(col(textCol), k), g => md5(g)))(
+      winnowSelect(_, w))
     df.select(col(idCol), explode(sel).as("fp_hash"))
   }
 

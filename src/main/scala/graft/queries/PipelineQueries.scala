@@ -2309,7 +2309,10 @@ object PipelineQueries {
         |       round(ns, 6) AS natural_share,
         |       round(t / ns, 6) AS ratio,
         |       least(1.0, round(t / ns, 6)) AS keep_prob,
-        |       greatest(0, CAST(ceil(round(t / ns, 6)) AS BIGINT) - 1) AS extra_epochs
+        |       greatest(0, CAST(ceil(round(t / ns, 6)) AS BIGINT) - 1) AS extra_epochs,
+        |       CASE WHEN round(t / ns, 6) > 1 AND round(t / ns, 6) <> floor(round(t / ns, 6))
+        |            THEN round(round(t / ns, 6) - floor(round(t / ns, 6)), 6)
+        |            ELSE 1.0 END AS last_epoch_keep
         |FROM b ORDER BY lang""".stripMargin,
     "corpus_diff" ->
       """WITH newt AS (

@@ -52,9 +52,17 @@ object EpochOps {
     val exSurvivors = Dedup.exactDedupIncremental(batch, "ep_ex_idx", "doc_id", "text")
       .localCheckpoint(eager = true)
     Dedup.exactAppendToIndex(exSurvivors, "ep_ex_idx", "doc_id", "text")
+    // sub-document pass: strip paragraphs the standing corpus already holds,
+    // then extend the paragraph index with the survivors' paragraphs
+    val paraCleaned = Dedup.dedupParagraphsIncremental(batch, "ep_para_idx",
+      "doc_id", "text").localCheckpoint(eager = true) // see the note above
+    Dedup.paragraphAppendToIndex(paraCleaned.withColumnRenamed("clean_text", "text"),
+      "ep_para_idx", "doc_id", "text")
     Similarity.ivfAppendToIndex(embs.filter(col("vec_id") % 5 === 0),
       "ep_ivf_idx", "vec_id", "embedding")
-    println(s"[epoch] ingested ${exSurvivors.count()} exact-new docs of ${batch.count()}")
+    println(s"[epoch] ingested ${exSurvivors.count()} exact-new docs of ${batch.count()}; " +
+      s"paragraph pass kept ${paraCleaned.agg(sum(col("n_kept"))).head().getLong(0)} " +
+      s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs")
 
     // ---- 0. index hygiene: accretion ratio, compaction when it drifts ----
     val (rows, distinct) = spark.table("ep_ex_idx")

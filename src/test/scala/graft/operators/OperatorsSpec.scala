@@ -451,12 +451,16 @@ class OperatorsSpec extends SparkFunSuite {
     ).toDF("doc_id", "lang", "tokens")
     val plan = Sampling.mixturePlan(df, "lang", "tokens",
       Map("en" -> 0.3, "fr" -> 0.7))
-      .as[(String, Long, Long, Double, Double, Double, Long)].collect()
+      .as[(String, Long, Long, Double, Double, Double, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
-    // en must shrink: ratio 0.3/0.6 = 0.5 -> keep half, no extra epochs
-    assert(plan("en") == ("en", 2L, 600L, 0.6, 0.5, 0.5, 0L))
-    // fr must grow: ratio 0.7/0.3 = 2.333333 -> keep all, 2 extra epochs
+    // en must shrink: ratio 0.3/0.6 = 0.5 -> keep half, no extra epochs,
+    // last epoch full (keep_prob already realizes the fraction)
+    assert(plan("en") == ("en", 2L, 600L, 0.6, 0.5, 0.5, 0L, 1.0))
+    // fr must grow: ratio 0.7/0.3 = 2.333333 -> keep all, 2 extra epochs,
+    // and the LAST epoch keeps 0.333333 — the knob that realizes the
+    // fractional ratio (2 full epochs + a 1/3 epoch = 2.333x, not 3x)
     assert(plan("fr")._5 == 2.333333 && plan("fr")._6 == 1.0 && plan("fr")._7 == 2L)
+    assert(plan("fr")._8 == 0.333333)
     // zh not in targets -> dropped entirely
     assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
   }
@@ -549,6 +553,15 @@ class OperatorsSpec extends SparkFunSuite {
     val summary = Snapshot.diffSummary(prev, next, "doc_id", "text")
       .as[(String, Long)].collect().toMap
     assert(summary == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L))
+    // null-safe change detection: text going to or from NULL is a real
+    // change, not a silent "unchanged" (plain =!= yields NULL there)
+    val p2 = Seq((1L, "body"), (2L, null.asInstanceOf[String]), (3L, "same"))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, null.asInstanceOf[String]), (2L, "body"), (3L, "same"))
+      .toDF("doc_id", "text")
+    val nullDiff = Snapshot.corpusDiff(p2, n2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(nullDiff == Map(1L -> "changed", 2L -> "changed"))
   }
 
   test("hash split normalizes uppercase thresholds and rejects non-hex ones") {
