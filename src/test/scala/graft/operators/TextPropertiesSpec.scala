@@ -161,18 +161,21 @@ class TextPropertiesSpec extends SparkFunSuite {
       val targets = keys.zip(ws.map(_ / ws.sum)).toMap
       val rows = keys.zip(masses).zipWithIndex.map { case ((k, m), i) => (i.toLong, k, m) }
       val plan = Sampling.mixturePlan(rows.toDF("id", "key", "tok"), "key", "tok", targets)
-        .select("key", "tokens", "ratio", "keep_prob", "extra_epochs")
-        .as[(String, Long, Double, Double, Long)].collect()
+        .select("key", "tokens", "ratio", "keep_prob", "extra_epochs", "last_epoch_keep")
+        .as[(String, Long, Double, Double, Long, Double)].collect()
       assert(plan.map(_._1).toSet == keys.toSet)
       val total = masses.sum.toDouble
-      plan.foreach { case (k, tokens, ratio, keepProb, extraEpochs) =>
+      plan.foreach { case (k, tokens, ratio, keepProb, extraEpochs, lastKeep) =>
         // ratio * natural mass == target mass (up to the documented 6dp rounding)
         assert(math.abs(tokens * ratio - targets(k) * total) <= total * 1e-5,
           s"$k: $tokens * $ratio !~ ${targets(k)} * $total")
         assert(keepProb == math.min(1.0, ratio))
         assert(extraEpochs == math.max(0L, math.ceil(ratio).toLong - 1))
-        // the discretized knobs bracket the ratio: keep_prob <= ratio <= epochs+1
-        assert(keepProb <= ratio + 1e-9 && ratio <= extraEpochs + 1 + 1e-9)
+        // the knobs REALIZE the ratio exactly (to the 6dp rounding), not
+        // just bracket it: shrink via keep_prob, grow via extra_epochs full
+        // epochs plus a last_epoch_keep fraction of one more
+        val realized = if (ratio <= 1.0) keepProb else extraEpochs + lastKeep
+        assert(math.abs(realized - ratio) <= 2e-6, s"$k: knobs realize $realized, ratio $ratio")
       }
     }
   }
