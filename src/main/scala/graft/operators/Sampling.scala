@@ -242,6 +242,58 @@ object Sampling {
       .drop("col")
   }
 
+  /** Execute a [[mixturePlan]] — the actuator that turns the emitted knobs
+    * into rows: every key's ratio is realized EXACTLY (to the knobs' 6dp
+    * rounding) as `extra_epochs` full copies plus one fractional epoch.
+    * Rows come out with an `epoch` column; epochs below `extra_epochs` are
+    * complete copies, the last epoch keeps each row with its key's
+    * fractional probability (`last_epoch_keep` for growing keys,
+    * `keep_prob` for shrinking ones — a shrink key has zero full epochs,
+    * so its only epoch IS the fractional one). The keep decision hashes
+    * `id:epoch` with the same 4-hex-digit threshold rule as
+    * [[weightedKeep]] — deterministic across runs, engines and retries,
+    * and the epoch salt keeps the fractional epoch's subset independent of
+    * any earlier [[weightedKeep]] pass over the same ids. Keys absent from
+    * `plan` drop (target share 0), mirroring [[mixturePlan]].
+    *
+    * Pure map-side row generation: posexplode inside the projection, one
+    * md5 per emitted row, no shuffle — the same scale shape as
+    * [[upsample]] + [[weightedKeep]] it composes.
+    *
+    * `plan` maps key -> (keep_prob, extra_epochs, last_epoch_keep), i.e.
+    * exactly the columns [[mixturePlan]] emits (collect its |keys| rows).
+    */
+  def applyMixture(df: DataFrame, idCol: String, keyCol: String,
+      plan: Map[String, (Double, Long, Double)]): DataFrame = {
+    require(plan.nonEmpty, "plan must not be empty")
+    plan.foreach { case (k, (kp, ee, lk)) =>
+      require(kp >= 0.0 && kp <= 1.0 && lk >= 0.0 && lk <= 1.0 && ee >= 0,
+        s"invalid knobs for $k: keep_prob=$kp extra_epochs=$ee last_epoch_keep=$lk")
+    }
+    val sorted = plan.toSeq.sortBy(_._1)
+    // total epochs per key: extra_epochs full + 1 fractional
+    val nEpochs = sorted.foldLeft(lit(0)) { case (acc, (k, (_, ee, _))) =>
+      when(col(keyCol) === k, (ee + 1).toInt).otherwise(acc)
+    }
+    val lastIdx = sorted.foldLeft(lit(-1)) { case (acc, (k, (_, ee, _))) =>
+      when(col(keyCol) === k, ee.toInt).otherwise(acc)
+    }
+    // the fractional epoch's keep threshold: last_epoch_keep for growers,
+    // keep_prob for shrinkers (their extra_epochs is 0, so the two rules
+    // coincide on which column applies)
+    val lastThreshold = sorted.foldLeft(lit(hexThreshold(0.0))) {
+      case (acc, (k, (kp, ee, lk))) =>
+        when(col(keyCol) === k, hexThreshold(if (ee > 0) lk else math.min(kp, lk))).otherwise(acc)
+    }
+    val exploded = df
+      .select(col("*"), posexplode(array_repeat(lit(true), nEpochs)))
+      .withColumnRenamed("pos", "epoch")
+      .drop("col")
+    val prefix = substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), col("epoch"))), 1, 4)
+    exploded.filter(col("epoch") < lastIdx || prefix < lastThreshold)
+  }
+
   /** Temperature-based mixture targets (the multilingual alpha-sampling of
     * mC4 / XLM-R: Raffel et al. 2020 §3.4.3, Conneau et al. 2020 —
     * target_share ∝ natural_share^alpha). alpha = 1 reproduces the natural

@@ -817,6 +817,14 @@ object PipelineQueries {
       Sampling.mixturePlan(docs(s, dir), "lang", "n_chars",
         Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.2, "es" -> 0.1))
         .orderBy(col("lang"))),
+    // the mixture ACTUATOR end to end: fixed knobs (en grows 1.5x = 1 full
+    // epoch + 0.5 fraction; fr shrinks to 0.6; other langs drop) realized
+    // as epoch-salted hash keeps — fully DuckDB-replayable
+    "pipeline_mix_apply" -> ((s, dir) =>
+      Sampling.applyMixture(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Map("en" -> ((1.0, 1L, 0.5)), "fr" -> ((0.6, 0L, 1.0))))
+        .orderBy(col("doc_id"), col("epoch"))),
     // per-epoch deterministic reshuffle: the same corpus draws a DIFFERENT
     // pseudorandom shard permutation each epoch (digest of id:epoch), and
     // replaying an epoch reproduces its exact order on any engine
@@ -2347,6 +2355,18 @@ object PipelineQueries {
         |GROUP BY status ORDER BY status""".stripMargin,
     // same hex-digit valuing as Sampling.shardAssign (4 chars = 65536
     // values); strpos-based — both engines agree on it (see hexThreshold)
+    // knob replay: en = 2 epochs (epoch 0 full, epoch 1 at threshold 8000 =
+    // 0.5), fr = 1 fractional epoch at 999a = round(0.6*65536), others drop
+    "pipeline_mix_apply" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |         unnest(range(0, CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1 ELSE 0 END)) AS epoch
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(epoch AS INT) AS epoch FROM e
+        |WHERE epoch < CASE lang WHEN 'en' THEN 1 ELSE 0 END
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4) <
+        |      CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN '999a' ELSE '0000' END
+        |ORDER BY doc_id, epoch""".stripMargin,
     // both epoch digests replayed with the same hex arithmetic as
     // pipeline_shard
     "sample_epoch_shuffle" ->

@@ -465,6 +465,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(plan("zh")._5 == 0.0 && plan("zh")._6 == 0.0 && plan("zh")._7 == 0L)
   }
 
+  test("applyMixture realizes plan ratios: full epochs exact, fractional epoch within hash tolerance") {
+    // grow 2.5x, shrink 0.25x, absent key drops
+    val df = (1L to 4000L).map(i =>
+      (i, if (i <= 2000) "grow" else if (i <= 3800) "shrink" else "gone"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.applyMixture(df, "doc_id", "lang", Map(
+      "grow" -> ((1.0, 2L, 0.5)),   // ratio 2.5 = 2 full epochs + 0.5 of a third
+      "shrink" -> ((0.25, 0L, 1.0)) // ratio 0.25 = one fractional epoch
+    ))
+    assert(out.filter($"lang" === "gone").isEmpty)
+    // full epochs are exact copies
+    val growByEpoch = out.filter($"lang" === "grow").groupBy($"epoch").count()
+      .as[(Int, Long)].collect().toMap
+    assert(growByEpoch(0) == 2000L && growByEpoch(1) == 2000L)
+    // fractional epochs land within the documented ~1/65536-bucket tolerance
+    assert(math.abs(growByEpoch(2) - 1000L) < 80, s"got ${growByEpoch(2)}")
+    val shrinkN = out.filter($"lang" === "shrink").count()
+    assert(math.abs(shrinkN - 450L) < 60, s"got $shrinkN")
+    // determinism: the same plan re-applied keeps the identical row set
+    val again = Sampling.applyMixture(df, "doc_id", "lang", Map(
+      "grow" -> ((1.0, 2L, 0.5)), "shrink" -> ((0.25, 0L, 1.0))))
+      .select($"doc_id", $"epoch").collect().toSet
+    assert(again == out.select($"doc_id", $"epoch").collect().toSet)
+  }
+
   test("packSegments: exact tiling — docs rebuild from segments, every non-final pack is full") {
     val docs = Seq(
       (0L, 5), (8L, 3),            // shard 0: stream of 8 tokens -> packs of 4: [5]->(0:4)+(1:1), [3]->(1:3)
