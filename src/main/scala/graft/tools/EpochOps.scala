@@ -100,11 +100,18 @@ object EpochOps {
       .agg(avg(col("recall"))).as[Double].head()
     println(f"[recall] nprobe=4 recall@10=$recall%.3f (raise nprobe or rebuild wider if under target)")
 
-    // ---- 4. mixture drift -> resampling knobs for the next epoch ----
+    // ---- 4. mixture drift -> resampling knobs -> APPLIED ----
     val targets = Sampling.temperatureTargets(batch, "lang", "n_chars", alpha = 0.5)
       .select(col("lang"), col("target_share")).as[(String, Double)].collect().toMap
-    Sampling.mixturePlan(batch, "lang", "n_chars", targets).orderBy(col("lang"))
-      .collect().foreach(r => println(s"[mixture] $r"))
+    val plan = Sampling.mixturePlan(batch, "lang", "n_chars", targets)
+    plan.orderBy(col("lang")).collect().foreach(r => println(s"[mixture] $r"))
+    // the full measure -> temper -> plan -> act loop, no human step between:
+    // the plan's knob columns feed the actuator directly
+    val knobs = plan.select(col("lang"), col("keep_prob"), col("extra_epochs"),
+      col("last_epoch_keep")).as[(String, Double, Long, Double)].collect()
+      .map { case (k, kp, ee, lk) => k -> ((kp, ee, lk)) }.toMap
+    val mixed = Sampling.applyMixture(batch, "doc_id", "lang", knobs)
+    println(s"[mixture] applied: ${batch.count()} batch docs -> ${mixed.count()} epoch rows")
 
     // ---- 4b. tokenizer health: OOV of the batch vs the corpus vocab ----
     val oov = Vocab.oovReport(corpus.unionByName(batch), "doc_id", "text", k = 100)
