@@ -227,6 +227,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Persist a corpus's winnowing-fingerprint index — the contiguous-overlap
+    * member of the persisted incremental-index family (exact: md5 hashes;
+    * bag-of-words near-dup: minhash LSH; substring: window hashes;
+    * semantic: IVF cells; THIS: winnow window-minima). Three tables,
+    * mirroring [[minhashWriteBucketed]]: `<table>` holds (idCol, fp_hash)
+    * bucketed by the hash (the shuffle-free candidate side), `<table>_sets`
+    * holds the sorted word-hash arrays for the exact-jaccard verify,
+    * `<table>_meta` pins (k, w) so an increment can never be fingerprinted
+    * differently from its index.
+    */
+  def winnowWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4, numBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    Seq(table, s"${table}_sets", s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((k, w, numBuckets)).toDF("k", "w", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    graft.sources.Sources.writeBucketed(
+      TextAnalysis.winnowHashes(corpus, idCol, textCol, k, w), table,
+      Seq("fp_hash"), numBuckets)
+    graft.sources.Sources.writeBucketed(
+      corpus.select(col(idCol),
+        expr(s"graft_shingle_hashes($textCol, 1)").as("wset")),
+      s"${table}_sets", Seq(idCol), numBuckets)
+  }
+
+  /** Contiguous-overlap pairs of an increment against a
+    * [[winnowWriteBucketed]] index: `(batch_id, corpus_id, jaccard)` for
+    * every batch/corpus pair sharing any winnow fingerprint hash whose
+    * exact word-set jaccard reaches `threshold`. Fingerprint parameters
+    * come from `<table>_meta`, never the caller. Corpus-shuffle-free: the
+    * candidate join reads the fp table pre-bucketed on the hash (only the
+    * batch side exchanges), the skew cap counts corpus hash buckets with a
+    * bucketing-aligned aggregate, and the verify join reads `_sets`
+    * pre-bucketed by id.
+    */
+  def winnowPairsIncremental(batch: DataFrame, table: String, idCol: String,
+      textCol: String, threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"winnow threshold must be in (0, 1], got $threshold")
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val (k, w) = spark.table(s"${table}_meta")
+      .select(col("k"), col("w")).as[(Int, Int)].head()
+    val corpusFp = spark.table(table)
+    val cappedCorpus = if (maxBucket >= Int.MaxValue) corpusFp else {
+      val ok = corpusFp.groupBy(col("fp_hash")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucket).select(col("fp_hash"))
+      corpusFp.join(ok, Seq("fp_hash"), "left_semi")
+    }
+    val batchFp = TextAnalysis.winnowHashes(batch, idCol, textCol, k, w)
+      .select(col("fp_hash"), col(idCol).as("batch_id"))
+    val candidates = cappedCorpus
+      .select(col("fp_hash"), col(idCol).as("corpus_id"))
+      .join(batchFp, Seq("fp_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val batchSets = batch.select(col(idCol).as("batch_id"),
+      expr(s"graft_shingle_hashes($textCol, 1)").as("_wb"))
+    val corpusSets = spark.table(s"${table}_sets")
+      .select(col(idCol).as("corpus_id"), col("wset").as("_wc"))
+    candidates
+      .join(batchSets, Seq("batch_id"))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("jaccard", expr("graft_jaccard_sorted(_wb, _wc)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Compact an accreted content-hash index (exact-dedup, paragraph, or
     * substring-window — any index bucketed on `content_hash`): replayed
     * epochs and overlapping appends leave duplicate hash rows that cost

@@ -258,6 +258,19 @@ object PipelineQueries {
         k = 4, w = 4, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+    // incremental winnow overlap: the corpus fingerprint index is built
+    // once; a clone batch (ids +1000000) probes it — every clone must find
+    // its original at jaccard 1 plus any natural contiguous-overlap pairs
+    // (uncapped for oracle parity)
+    "dedup_winnow_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.winnowWriteBucketed(d, "graft_winnow_idx", "doc_id", "text")
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.winnowPairsIncremental(batch, "graft_winnow_idx", "doc_id", "text",
+        threshold = 0.6, maxBucket = Int.MaxValue)
+        .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dedup_cosine" -> ((s, dir) => {
       // plant exact duplicates (offset ids) so near-dup pairs provably exist
       val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
@@ -2168,6 +2181,40 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // incremental replay: corpus selections vs the same selections under
+    // batch ids (+1000000 clones share every fingerprint hash), word-set
+    // jaccard verify
+    "dedup_winnow_incr" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 4
+        |              THEN [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws) - 2)]
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)])
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS sel
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        |cands AS (
+        |  SELECT DISTINCT b.doc_id + 1000000 AS batch_id, c.doc_id AS corpus_id
+        |  FROM e b JOIN e c ON b.h = c.h),
+        |wsets AS (SELECT doc_id, list_distinct(ws) AS wset FROM t)
+        |SELECT cd.batch_id, cd.corpus_id,
+        |       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.wset, b.wset))), 6) AS jaccard
+        |FROM cands cd
+        |JOIN wsets a ON a.doc_id = cd.batch_id - 1000000
+        |JOIN wsets b ON b.doc_id = cd.corpus_id
+        |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH w AS (
          |  SELECT doc_id, lang, n_chars // 100 AS band,

@@ -299,6 +299,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(Dedup.winnowPairs(d, "doc_id", "text", threshold = 0.5, maxBucket = 1).isEmpty)
   }
 
+  test("winnow incremental: batch probes the persisted fingerprint index, meta pins k/w") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about database engines and query optimizers here")
+    ).toDF("doc_id", "text")
+    val tables = Seq("winnow_idx_t", "winnow_idx_t_sets", "winnow_idx_t_meta")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.winnowWriteBucketed(corpus, "winnow_idx_t", "doc_id", "text", numBuckets = 4)
+      val batch = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // clone of 1
+        (102L, "prefix words then the quick brown fox jumps over the lazy dog ending"),  // 8-word run with 1
+        (103L, "nothing in common with anything indexed at all whatsoever")
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.winnowPairsIncremental(batch, "winnow_idx_t", "doc_id", "text",
+        threshold = 0.5)
+        .select($"batch_id", $"corpus_id", $"jaccard").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(pairs((101L, 1L)) == 1.0)          // clone: all hashes shared, jaccard 1
+      assert(pairs.contains((102L, 1L)))        // the shared-run guarantee across the index
+      assert(!pairs.keys.exists(_._1 == 103L))  // unrelated batch doc: no candidates
+      assert(!pairs.keys.exists(_._2 == 2L))    // unrelated corpus doc never verified in
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("paragraph decontamination: any shared paragraph quarantines the whole doc") {
     val evalSet = Seq((100L, "What is the capital of France?")).toDF("doc_id", "text")
     val corpus = Seq(
