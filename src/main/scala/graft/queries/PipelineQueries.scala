@@ -1072,6 +1072,21 @@ object PipelineQueries {
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     }),
+    // FUZZY decontamination: winnow index on the eval set, corpus docs
+    // sharing a contiguous word run (jaccard-verified at 0.5) drop whole —
+    // catches reworded/partial benchmark inclusion the exact-paragraph
+    // gate misses, with the shared-run guarantee the bloom gate lacks
+    "text_decontam_winnow" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.winnowWriteBucketed(d.filter(col("doc_id") % 17 === 0),
+        "graft_winnow_eval_idx", "doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val flagged = Dedup.winnowPairsIncremental(corpus, "graft_winnow_eval_idx",
+        "doc_id", "text", threshold = 0.5, maxBucket = Int.MaxValue)
+        .select(col("batch_id").as("doc_id")).distinct()
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // whole-paragraph quarantine: the eval set is every %50 doc's leading
     // 40-char slice (a one-paragraph "benchmark question"); any corpus doc
     // whose shaped paragraphs include an eval paragraph drops whole
@@ -2877,6 +2892,42 @@ object PipelineQueries {
         |        AND swr < 0.1 AND blf < 0.9 AND elf < 0.3 AND awf > 0.8
         |        AND stop_hits >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // fuzzy-quarantine replay: winnow selections on both halves, corpus
+    // docs sharing a fingerprint hash with an eval doc drop when word-set
+    // jaccard reaches 0.5
+    "text_decontam_winnow" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 4
+        |              THEN [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws) - 2)]
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)])
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS sel
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        |cands AS (
+        |  SELECT DISTINCT c.doc_id AS corpus_id, v.doc_id AS eval_id
+        |  FROM e c JOIN e v ON c.h = v.h
+        |  WHERE c.doc_id % 17 <> 0 AND v.doc_id % 17 = 0),
+        |wsets AS (SELECT doc_id, list_distinct(ws) AS wset FROM t),
+        |bad AS (
+        |  SELECT DISTINCT cd.corpus_id AS doc_id
+        |  FROM cands cd
+        |  JOIN wsets a ON a.doc_id = cd.corpus_id
+        |  JOIN wsets b ON b.doc_id = cd.eval_id
+        |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     // paragraph-quarantine replay: a doc survives iff none of its shaped
     // paragraphs appears in the eval set's paragraph set
     "text_decontam_paragraph" ->
