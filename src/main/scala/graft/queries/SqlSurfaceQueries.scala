@@ -31,6 +31,26 @@ object SqlSurfaceQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     // predicate mix: =, >, OR, AND, string/decimal literals; pushed to scan
+    // TPC-H Q3 (shipping priority), adapted to the testdata schema
+    // (o_orderpriority in place of o_shippriority): the canonical
+    // 3-table selective join + revenue aggregate + top-N. customer is
+    // dimension-sized (broadcasts); the segment filter and both date
+    // predicates push into their scans; exact DECIMAL revenue like q1_agg.
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
     "q_scan_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
@@ -169,6 +189,21 @@ object SqlSurfaceQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """WITH r AS (
+        |  SELECT l.l_orderkey,
+        |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |              (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |         o.o_orderdate, o.o_orderpriority
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |    AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+        |SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+        |FROM r ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
         |FROM lineitem
