@@ -886,9 +886,10 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     while (j < m) {
       val code = cs.getInt(j)
       val idx = j * ksub + code
-      // both bounds: a corrupted code (e.g. -1 in a damaged index row) must
-      // skip cleanly, not read out-of-bounds unsafe memory
-      if (code >= 0 && idx < lt.numElements()) acc += lt.getDouble(idx)
+      // code must land inside ITS OWN subspace: a corrupted code (e.g. -1 or
+      // ksub+3 in a damaged index row) must skip cleanly rather than read a
+      // neighboring subspace's LUT entry or out-of-bounds unsafe memory
+      if (code >= 0 && code < ksub && idx < lt.numElements()) acc += lt.getDouble(idx)
       j += 1
     }
     acc
@@ -911,7 +912,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
          |for (int $j = 0; $j < $m; $j++) {
          |  final int $code = $codes.getInt($j);
          |  final int $idx = $j * $ksub + $code;
-         |  if ($code >= 0 && $idx < $lutN) $acc += $lut.getDouble($idx);
+         |  if ($code >= 0 && $code < $ksub && $idx < $lutN) $acc += $lut.getDouble($idx);
          |}
          |${ev.value} = $acc;
        """.stripMargin

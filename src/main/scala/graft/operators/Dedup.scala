@@ -311,10 +311,11 @@ object Dedup {
     * read the old index until the swap, the swap moves no data, and cost
     * is one index rewrite, scheduled from measured accretion (count vs
     * approx_count_distinct on the hash — one bucket-aligned aggregate),
-    * never paid per append. Same caveat as ivfRebuild: the DROP + RENAME
-    * pair is not atomic — a crash between them leaves only the staged
-    * `<table>_compact` to re-swap by hand; a transactional catalog would
-    * close that window.
+    * never paid per append. The swap goes through
+    * [[graft.sources.Sources.swapStaged]]: a crash mid-swap always leaves
+    * a complete table one manual RENAME away, never a live-index-less
+    * window (the sequence matters because EpochOps auto-triggers this
+    * unattended when accretion exceeds 1.1).
     */
   def compactHashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val meta = spark.sessionState.catalog
@@ -333,8 +334,7 @@ object Dedup {
     graft.sources.Sources.dropForOverwrite(spark, staged)
     graft.sources.Sources.writeBucketed(compacted, staged, Seq("content_hash"),
       spec.numBuckets)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    graft.sources.Sources.swapStaged(spark, staged, table)
   }
 
   /** Persist the exact-dedup index: one row per distinct content hash with

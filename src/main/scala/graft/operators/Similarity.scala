@@ -226,9 +226,9 @@ object Similarity {
     * scratch, which is what a rebuild IS), then swap in via catalog rename.
     * At 100 TB the staging write is the deployment shape too: probes keep
     * reading the old index until the swap, and the swap itself moves no
-    * data. The rename pair is not atomic — a crash between DROP and RENAME
-    * leaves the staged tables to re-swap by hand; a transactional catalog
-    * would close that window.
+    * data. The swap goes through [[graft.sources.Sources.swapStaged]] so a
+    * crash mid-swap always leaves a complete table one manual RENAME away
+    * — never a window with no live index.
     *
     * `nlist` <= 0 keeps the current centroid count; pass a larger value to
     * widen the quantizer while rebuilding (the usual response when
@@ -260,10 +260,8 @@ object Similarity {
       .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
       .filter(col("_cnorm") > 0) // zero-norm guard — see bruteForceTopK
     graft.sources.Sources.writeBucketed(assigned, staged, Seq("_cell"), numBuckets)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
-    spark.sql(s"DROP TABLE ${table}_centroids")
-    spark.sql(s"ALTER TABLE $stagedCentroids RENAME TO ${table}_centroids")
+    graft.sources.Sources.swapStaged(spark, staged, table)
+    graft.sources.Sources.swapStaged(spark, stagedCentroids, s"${table}_centroids")
   }
 
   /** Per-cell row counts of a [[ivfWriteBucketed]] index: (cell, n), one row
@@ -320,11 +318,15 @@ object Similarity {
     VectorFunctions.register(spark)
     import spark.implicits._
     val centroids = readCentroids(spark, table)
+    // localCheckpoint: one evaluation serves both the cellIds collect and the
+    // broadcast join — keeps pruning and probing consistent even if the
+    // queries plan were non-deterministic (see ivfpqTopKFromBucketed).
     val probes = queries
       .withColumn("_qnorm", sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")))
       .filter(col("_qnorm") > 0)
       .select(col(queryIdCol), col(queryVecCol), col("_qnorm"),
         explode(cellsCol(queryVecCol, centroids, nprobe)).as("_cell"))
+      .localCheckpoint()
     val cellIds = probes.select(col("_cell")).distinct().as[Int].collect().toSeq
     val scored = spark.table(table)
       .filter(col("_cell").isin(cellIds: _*)) // bucket pruning happens here
@@ -565,11 +567,17 @@ object Similarity {
     val centroids = readCentroids(spark, table)
     val codebooks = readCodebooks(spark, table)
     val ksub = codebooks(0).length
+    // localCheckpoint: probes is evaluated once (bounded by |queries| x nprobe)
+    // and reused by BOTH the cellIds collect and the broadcast join below —
+    // without it the m x ksub PqLut is recomputed per query on the second
+    // evaluation, and a non-deterministic queries input could prune one cell
+    // set and join another.
     val probes = queries
       .filter(sqrt(expr(s"graft_vec_dot($queryVecCol, $queryVecCol)")) > 0)
       .select(col(queryIdCol),
         columnOf(graft.functions.PqLut(expressionOf(col(queryVecCol)), codebooks)).as("_lut"),
         explode(cellsCol(queryVecCol, centroids, nprobe)).as("_cell"))
+      .localCheckpoint()
     val cellIds = probes.select(col("_cell")).distinct().as[Int].collect().toSeq
     val scored = spark.table(table)
       .filter(col("_cell").isin(cellIds: _*)) // bucket pruning happens here

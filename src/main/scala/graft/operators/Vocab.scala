@@ -38,20 +38,30 @@ object Vocab {
     * The vocab is [[topNgrams]] (deterministic count-then-term ordering);
     * the per-doc pass explodes words once and left-joins the k-row vocab —
     * Spark broadcasts the tiny side, so the corpus never reshuffles for
-    * the membership test; the only corpus-sized shuffle is the per-doc
-    * regroup. Output: (id, n_tokens, n_oov, oov_rate).
+    * the membership test; the only corpus-sized shuffles are the per-doc
+    * regroup and the id-aligned rejoin. Every input document appears in the
+    * report: a document with zero non-empty tokens (which the explode+filter
+    * would otherwise drop) is rejoined with n_tokens=0, n_oov=0 and a NULL
+    * oov_rate (0/0 is undefined, not 0%) — a health report must distinguish
+    * "empty document" from "document missing". Output:
+    * (id, n_tokens, n_oov, oov_rate).
     */
   def oovReport(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val vocab = topNgrams(df, textCol, n = 1, k)
       .select(col("ngram").as("_w"), lit(1).as("_in_vocab"))
-    df.select(col(idCol), explode(ngrams(textCol, 1)).as("_w"))
+    val counted = df.select(col(idCol), explode(ngrams(textCol, 1)).as("_w"))
       .filter(length(col("_w")) > 0)
       .join(broadcast(vocab), Seq("_w"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_rate",
-        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .agg(count(lit(1)).as("_nt"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("_no"))
+    df.select(col(idCol)).distinct()
+      .join(counted, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("_no"), lit(0L)).as("n_oov"),
+        when(col("_nt").isNotNull,
+          round(col("_no").cast("double") / col("_nt"), 6)).as("oov_rate"))
   }
 
   /** Top-k n-grams by document frequency (each document counts a term once —

@@ -2293,12 +2293,16 @@ object PipelineQueries {
         |ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
         |v AS (SELECT word FROM (
         |        SELECT word, count(*) AS cnt FROM ww GROUP BY word
-        |        ORDER BY cnt DESC, word LIMIT 100))
-        |SELECT doc_id, count(*) AS n_tokens,
-        |       CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
-        |       round(CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
-        |             / count(*), 6) AS oov_rate
-        |FROM ww GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |        ORDER BY cnt DESC, word LIMIT 100)),
+        |r AS (SELECT doc_id, count(*) AS n_tokens,
+        |             CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |             round(CAST(sum(CASE WHEN word IN (SELECT word FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
+        |                   / count(*), 6) AS oov_rate
+        |      FROM ww GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(r.n_oov, 0) AS BIGINT) AS n_oov, r.oov_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_vocab" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS ngram
         |           FROM documents)

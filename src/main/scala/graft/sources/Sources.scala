@@ -74,6 +74,25 @@ object Sources {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Swap a staged table into the live name with a RECOVERABLE intermediate
+    * at every step: live renames aside to `<table>_old`, staged renames to
+    * live, then the set-aside copy drops. Individual catalog statements are
+    * atomic but the sequence is not — the point of this ordering is that a
+    * crash between ANY two statements leaves a complete table addressable
+    * by one manual RENAME (either `<table>_old` or the already-promoted
+    * live), never a window where the index has vanished and only a staged
+    * copy exists under a name probes don't read. Matters because index
+    * maintenance (compaction, rebuild) is auto-triggered by accretion
+    * monitors and runs unattended.
+    */
+  def swapStaged(spark: SparkSession, staged: String, table: String): Unit = {
+    val old = s"${table}_old"
+    dropForOverwrite(spark, old) // debris from a previous crashed swap
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+
   /** Bucketed managed table: pre-shuffled on `bucketCols` at write time, so
     * equi-joins and aggregations between tables bucketed the same way plan
     * with NO Exchange. Buckets ~= target parallelism at the data's full scale.
