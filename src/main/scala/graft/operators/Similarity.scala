@@ -482,7 +482,6 @@ object Similarity {
   def ivfpqWriteBucketed(corpus: DataFrame, table: String, idCol: String,
       vecCol: String, nlist: Int = 64, m: Int = 8, ksub: Int = 64,
       numBuckets: Int = 16, sampleSize: Int = 1024, iters: Int = 5): Unit = {
-    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     dropForOverwrite(spark, table)
@@ -490,16 +489,30 @@ object Similarity {
     dropForOverwrite(spark, s"${table}_codebooks")
     val centroids = seedCentroids(corpus, idCol, vecCol, nlist)
     val codebooks = pqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize, iters)
+    writeIvfpqTables(corpus, table, s"${table}_centroids", s"${table}_codebooks",
+      idCol, vecCol, centroids, codebooks, numBuckets)
+  }
+
+  /** Quantize `corpus` with the GIVEN models and persist the three IVF-PQ
+    * tables — the shared write path of [[ivfpqWriteBucketed]] (live names,
+    * fresh build) and [[ivfpqRebuild]] (staged names, swapped in after).
+    */
+  private def writeIvfpqTables(corpus: DataFrame, table: String,
+      centroidsTable: String, codebooksTable: String, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], numBuckets: Int): Unit = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val spark = corpus.sparkSession
     import spark.implicits._
     centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toDF("cell", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${table}_centroids")
+      .saveAsTable(centroidsTable)
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${table}_codebooks")
+      .saveAsTable(codebooksTable)
     val assigned = corpus
       .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0)
       .select(col(idCol),
@@ -537,6 +550,95 @@ object Similarity {
         columnOf(graft.functions.PqCodes(expressionOf(col(vecCol)), codebooks)).as("_codes"))
     graft.sources.Sources.writeBucketed(assigned, table, Seq("_cell"),
       numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Re-train an [[ivfpqWriteBucketed]] index's BOTH quantizers and
+    * re-encode every member row — the response when append drift (measured
+    * by [[ivfpqSelfScore]]) has pushed quantization error past tolerance.
+    *
+    * Contract: the index stores (id, _cell, _codes) ONLY — codes cannot be
+    * decoded back into training data, so the caller must pass `source`, a
+    * DataFrame holding ONE raw vector per index id (the corpus the index
+    * was built and appended from). Membership is owned by the INDEX: source
+    * rows whose id is not in the index are ignored, and a source that fails
+    * to cover every index id is an error, not a silent shrink — a rebuild
+    * must never quietly drop rows that a probe could find today.
+    *
+    * `nlist`/`m`/`ksub` <= 0 keep the current index's shape (m and ksub
+    * read from the persisted `_codebooks`); pass larger values to widen
+    * either quantizer while rebuilding. Codebooks re-train via
+    * [[pqCodebooks]] on a fresh hash-ordered sample of the member vectors,
+    * coarse centroids re-seed the same way, and the whole index re-encodes
+    * in one pass — same cost class as building from scratch, which is what
+    * a rebuild IS. Write-new-then-swap through
+    * [[graft.sources.Sources.swapStaged]] on all three tables: probes read
+    * the old index until each swap, and a crash mid-swap always leaves a
+    * complete table one RENAME away.
+    */
+  def ivfpqRebuild(spark: SparkSession, table: String, source: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 0, m: Int = 0,
+      ksub: Int = 0, sampleSize: Int = 1024, iters: Int = 5): Unit = {
+    VectorFunctions.register(spark)
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed IVF-PQ index"))
+      .numBuckets
+    val cur = readCodebooks(spark, table)
+    val n = if (nlist > 0) nlist else readCentroids(spark, table).length
+    val mm = if (m > 0) m else cur.length
+    val kk = if (ksub > 0) ksub else cur(0).length
+    val memberIds = spark.table(table).select(col(idCol)).distinct()
+    val vectors = source.select(col(idCol), col(vecCol))
+      .join(memberIds, Seq(idCol), "left_semi")
+      .localCheckpoint() // one evaluation: coverage count, sample, encode
+    val nMembers = memberIds.count()
+    val nCovered = vectors.count()
+    require(nCovered == nMembers,
+      s"ivfpqRebuild: source covers $nCovered of $nMembers index ids — " +
+        "a rebuild must not drop member rows; pass the full vector source")
+    val centroids = seedCentroids(vectors, idCol, vecCol, n)
+    val codebooks = pqCodebooks(vectors, idCol, vecCol, mm, kk, sampleSize, iters)
+    val staged = s"${table}_rebuild"
+    val stagedCentroids = s"${table}_centroids_rebuild"
+    val stagedCodebooks = s"${table}_codebooks_rebuild"
+    dropForOverwrite(spark, staged)
+    dropForOverwrite(spark, stagedCentroids)
+    dropForOverwrite(spark, stagedCodebooks)
+    writeIvfpqTables(vectors, staged, stagedCentroids, stagedCodebooks,
+      idCol, vecCol, centroids, codebooks, numBuckets)
+    graft.sources.Sources.swapStaged(spark, staged, table)
+    graft.sources.Sources.swapStaged(spark, stagedCentroids, s"${table}_centroids")
+    graft.sources.Sources.swapStaged(spark, stagedCodebooks, s"${table}_codebooks")
+  }
+
+  /** Quantization-health report of an [[ivfpqWriteBucketed]] index: each
+    * member's STORED codes are ADC-scored against the member's own raw
+    * vector — `self_score` = <decode(codes), v/||v||>, exactly 1.0 in the
+    * distortion-0 regime and dropping as codebook staleness grows (appended
+    * rows encoded with codebooks trained before their distribution arrived
+    * score lowest). This is the number that schedules [[ivfpqRebuild]]:
+    * track avg(1 - self_score) per append epoch and rebuild when it crosses
+    * tolerance, the same measure-then-act discipline as [[ivfCellStats]].
+    * One id-equi join between the codes-only index scan and the vector
+    * source; the per-row LUT is the member's own, so nothing broadcasts.
+    * Output: (id, self_score).
+    */
+  def ivfpqSelfScore(spark: SparkSession, table: String, source: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    VectorFunctions.register(spark)
+    val codebooks = readCodebooks(spark, table)
+    val ksub = codebooks(0).length
+    spark.table(table).select(col(idCol), col("_codes"))
+      .join(source.select(col(idCol), col(vecCol))
+        .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0), Seq(idCol))
+      .select(col(idCol),
+        columnOf(graft.functions.PqAdc(
+          expressionOf(col("_codes")),
+          graft.functions.PqLut(expressionOf(col(vecCol)), codebooks),
+          ksub)).as("self_score"))
   }
 
   /** The persisted PQ codebooks of an [[ivfpqWriteBucketed]] index. Bounded

@@ -693,6 +693,34 @@ object PipelineQueries {
           round(col("score"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // IVF-PQ rebuild actuator gate: build on the EVEN half with a
+    // deliberately undertrained codebook (16-row sample -> lossy codes),
+    // append the odd half with those stale codebooks (the drift scenario),
+    // then ivfpqRebuild with the full vector source into the exact regime
+    // (sample = all 64 members, iters=0, ksub=64). The probe through the
+    // REBUILT index must hash-match DuckDB brute force — which the
+    // pre-rebuild index provably cannot (its 16-entry codebooks can't
+    // represent 64 distinct subvectors), so a MATCH proves codebooks were
+    // re-trained, every row (appended ones included) re-encoded, and
+    // membership preserved through the three-table staged swap.
+    "ann_ivfpq_rebuild" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfpqWriteBucketed(e.filter(col("vec_id") % 2 === 0),
+        "graft_ivfpq_rb_gate", "vec_id", "embedding",
+        nlist = 4, m = 4, ksub = 16, numBuckets = 4, sampleSize = 16, iters = 0)
+      Similarity.ivfpqAppendToIndex(e.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivfpq_rb_gate", "vec_id", "embedding")
+      Similarity.ivfpqRebuild(s, "graft_ivfpq_rb_gate", e, "vec_id", "embedding",
+        ksub = 64, sampleSize = 64, iters = 0)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfpqTopKFromBucketed(s, "graft_ivfpq_rb_gate", q,
+        "vec_id", "query_id", "qv", k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -2030,6 +2058,22 @@ object PipelineQueries {
     // same exact-representable regime through the PERSISTED composed index
     // (full probe + distortion-0 codes): plain brute-force cosine top-5
     "ann_ivfpq_topk_check" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 64),
+        |cn AS (SELECT * FROM c WHERE sqrt(list_dot_product(v, v)) > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM cn WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, cn.vec_id,
+        |             list_cosine_similarity(cn.v, q.qv) AS cosine
+        |      FROM cn CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // after the rebuild the index is in the same exact regime as the
+    // _topk_check gate, so the oracle is the identical brute-force top-5 —
+    // a hash MATCH here is only reachable through re-trained codebooks
+    "ann_ivfpq_rebuild" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 64),
         |cn AS (SELECT * FROM c WHERE sqrt(list_dot_product(v, v)) > 0),

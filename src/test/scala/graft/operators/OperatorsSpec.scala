@@ -2020,6 +2020,53 @@ class OperatorsSpec extends SparkFunSuite {
     assert(seq == cnt)
   }
 
+  test("IVF-PQ rebuild: self-score diagnoses append drift, rebuild restores the exact regime, membership and coverage guarded") {
+    // old distribution lives in dims 0-3, the drifted append in dims 4-7 —
+    // codebooks trained on the old half reconstruct a drifted row as ~zero,
+    // so its self-score collapses while old rows stay exactly 1
+    val old = (0 until 16).map(i => (i.toLong,
+      Array(1f + i % 4, (i % 3).toFloat, 0.5f + i % 5, (i % 2).toFloat, 0f, 0f, 0f, 0f)))
+    val drift = (16 until 32).map(i => (i.toLong,
+      Array(0f, 0f, 0f, 0f, 1f + i % 4, (i % 3).toFloat, 0.5f + i % 5, (i % 2).toFloat)))
+    val oldDf = old.toDF("vec_id", "embedding")
+    val allDf = (old ++ drift).toDF("vec_id", "embedding")
+    val tables = Seq("ivfpq_rb_t", "ivfpq_rb_t_centroids", "ivfpq_rb_t_codebooks")
+    val debris = tables ++ tables.map(_ + "_rebuild") ++ tables.map(_ + "_old")
+    debris.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Similarity.ivfpqWriteBucketed(oldDf, "ivfpq_rb_t", "vec_id", "embedding",
+        nlist = 4, m = 4, ksub = 16, numBuckets = 4, sampleSize = 16, iters = 0)
+      Similarity.ivfpqAppendToIndex(drift.toDF("vec_id", "embedding"),
+        "ivfpq_rb_t", "vec_id", "embedding")
+      val pre = Similarity.ivfpqSelfScore(spark, "ivfpq_rb_t", allDf, "vec_id", "embedding")
+        .select($"vec_id", $"self_score").as[(Long, Double)].collect().toMap
+      assert(pre.size == 32)
+      assert((0L until 16L).forall(i => pre(i) > 1.0 - 1e-6),
+        s"old rows must be exact pre-rebuild: ${pre.filter(_._1 < 16)}")
+      assert((16L until 32L).forall(i => pre(i) < 0.1),
+        s"drifted rows must score near zero pre-rebuild: ${pre.filter(_._1 >= 16)}")
+      // a source that does not cover every member id must be refused, and
+      // the refusal must leave the live index untouched
+      intercept[IllegalArgumentException] {
+        Similarity.ivfpqRebuild(spark, "ivfpq_rb_t", oldDf, "vec_id", "embedding",
+          ksub = 32, sampleSize = 32, iters = 0)
+      }
+      assert(spark.table("ivfpq_rb_t").count() == 32)
+      Similarity.ivfpqRebuild(spark, "ivfpq_rb_t", allDf, "vec_id", "embedding",
+        ksub = 32, sampleSize = 32, iters = 0)
+      val post = Similarity.ivfpqSelfScore(spark, "ivfpq_rb_t", allDf, "vec_id", "embedding")
+        .select($"vec_id", $"self_score").as[(Long, Double)].collect().toMap
+      // exact regime restored for EVERY row, appended ones included
+      assert(post.size == 32 && post.values.forall(_ > 1.0 - 1e-6),
+        s"rebuild must restore distortion 0: ${post.filter(_._2 <= 1.0 - 1e-6)}")
+      // membership preserved through the three-table staged swap
+      assert(spark.table("ivfpq_rb_t").select("vec_id").as[Long].collect().toSet
+        == (0L until 32L).toSet)
+      assert(spark.table("ivfpq_rb_t_codebooks")
+        .agg(max($"code")).as[Int].head() == 31) // re-trained, not stale
+    } finally debris.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("shardAssign is deterministic, complete, and densely ranked per shard") {
     val ids = spark.range(0, 500).select(col("id").as("doc_id"))
     val a = Sampling.shardAssign(ids, "doc_id", 8)
