@@ -318,23 +318,89 @@ object Dedup {
     * unattended when accretion exceeds 1.1).
     */
   def compactHashIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val meta = spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$table is not a bucketed index"))
+    val spec = bucketSpecOf(spark, table)
     require(spec.bucketColumnNames == Seq("content_hash"),
       s"$table is not a content-hash index (bucketed on ${spec.bucketColumnNames})")
+    compactIndex(spark, table)
+  }
+
+  private def bucketSpecOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.catalyst.catalog.BucketSpec =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed index"))
+
+  /** The compaction KEY of an index table, dispatched on its bucket spec —
+    * what "one row per ___" means for each persisted-index family:
+    *
+    *  - `content_hash` (exact / paragraph dedup): membership index, probes
+    *    anti-join on the hash — one row per distinct hash, keep-min payload
+    *    (the earliest provenance under the family's column order).
+    *  - `h` / `fp_hash` / `(band, band_hash)` (substring / winnow /
+    *    minhash-LSH): EVIDENCE tables — many ids legitimately share a
+    *    bucket, so the key is the full row; replayed appends collapse to
+    *    distinct rows and nothing else may merge.
+    *  - any other single column (the `_sets` verify tables, bucketed by the
+    *    id): one row per id, keep-min payload — the keep-first canonical
+    *    pick, identical to what the verify join would read anyway.
+    *
+    * Returned as (keyColumns, keepMinPayload).
+    */
+  private def compactionKey(bucketCols: Seq[String],
+      allCols: Seq[String]): (Seq[String], Boolean) = bucketCols match {
+    case Seq("content_hash") => (Seq("content_hash"), true)
+    case Seq("h") | Seq("fp_hash") | Seq("band", "band_hash") => (allCols, false)
+    case Seq(idLike) => (Seq(idLike), true)
+    case other => throw new IllegalArgumentException(
+      s"no compaction rule for an index bucketed on ${other.mkString(", ")}")
+  }
+
+  /** Compact ANY accreted index of the persisted family — exact/paragraph
+    * content-hash tables, the minhash band table, winnow fingerprint and
+    * substring window-hash tables, and their `_sets` verify sides: replayed
+    * epochs and overlapping appends leave duplicate rows that cost probe
+    * scan width but never correctness (probes are membership joins, not
+    * counts). The rewrite keys on the family's [[compactionKey]], keeps the
+    * SAME bucket layout (the groupBy/distinct runs bucketing-aligned — no
+    * exchange — and the staged write re-buckets identically), then swaps
+    * via [[graft.sources.Sources.swapStaged]], so a crash mid-swap always
+    * leaves a complete table one RENAME away. Cost is one index rewrite,
+    * scheduled from [[indexAccretion]] — never paid per append.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val spec = bucketSpecOf(spark, table)
     val idx = spark.table(table)
-    val payload = idx.columns.filterNot(_ == "content_hash").toIndexedSeq
-    val compacted = idx
-      .groupBy(col("content_hash"))
-      .agg(min(struct(payload.map(col): _*)).as("_p"))
-      .select(col("content_hash") +: payload.map(c => col(s"_p.$c").as(c)): _*)
+    val cols = idx.columns.toIndexedSeq
+    val (keys, keepMin) = compactionKey(spec.bucketColumnNames, cols)
+    val compacted =
+      if (!keepMin) idx.distinct()
+      else {
+        val payload = cols.filterNot(keys.contains)
+        idx.groupBy(keys.map(col): _*)
+          .agg(min(struct(payload.map(col): _*)).as("_p"))
+          .select(cols.map(c =>
+            if (keys.contains(c)) col(c) else col(s"_p.$c").as(c)): _*)
+      }
     val staged = s"${table}_compact"
     graft.sources.Sources.dropForOverwrite(spark, staged)
-    graft.sources.Sources.writeBucketed(compacted, staged, Seq("content_hash"),
-      spec.numBuckets)
+    graft.sources.Sources.writeBucketed(compacted, staged,
+      spec.bucketColumnNames, spec.numBuckets)
     graft.sources.Sources.swapStaged(spark, staged, table)
+  }
+
+  /** Accretion ratio of an index table: rows / distinct compaction keys
+    * (approximate on the distinct side — one bucketing-aligned aggregate,
+    * the 100 TB-safe way to measure bloat). 1.0 = fully compact; EpochOps
+    * schedules [[compactIndex]] when this crosses its tolerance (1.1).
+    */
+  def indexAccretion(spark: org.apache.spark.sql.SparkSession, table: String): Double = {
+    val spec = bucketSpecOf(spark, table)
+    val idx = spark.table(table)
+    val (keys, _) = compactionKey(spec.bucketColumnNames, idx.columns.toIndexedSeq)
+    val row = idx.agg(count(lit(1)).as("_rows"),
+      approx_count_distinct(struct(keys.map(col): _*)).as("_keys")).collect().head
+    row.getLong(0).toDouble / math.max(row.getLong(1), 1L)
   }
 
   /** Persist the exact-dedup index: one row per distinct content hash with
@@ -804,6 +870,29 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         expr("graft_jaccard_sorted(sh_a, sh_b)").as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Append new docs' winnow fingerprints and word sets to a
+    * [[winnowWriteBucketed]] index in place ((k, w) and the bucket count
+    * from `<table>_meta`, same layout), completing the build/probe/append
+    * symmetry the other persisted families have: each batch's survivors
+    * extend the index the next batch probes.
+    */
+  def winnowAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val (k, w, numBuckets) = spark.table(s"${table}_meta")
+      .select(col("k"), col("w"), col("num_buckets")).as[(Int, Int, Int)].head()
+    val append = org.apache.spark.sql.SaveMode.Append
+    graft.sources.Sources.writeBucketed(
+      TextAnalysis.winnowHashes(docs, idCol, textCol, k, w), table,
+      Seq("fp_hash"), numBuckets, append)
+    graft.sources.Sources.writeBucketed(
+      docs.select(col(idCol),
+        expr(s"graft_shingle_hashes($textCol, 1)").as("wset")),
+      s"${table}_sets", Seq(idCol), numBuckets, append)
   }
 
   /** 64-bit SimHash over the word multiset of `text` — one map pass, no

@@ -64,15 +64,15 @@ object EpochOps {
       s"paragraph pass kept ${paraCleaned.agg(sum(col("n_kept"))).head().getLong(0)} " +
       s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs")
 
-    // ---- 0. index hygiene: accretion ratio, compaction when it drifts ----
-    val (rows, distinct) = spark.table("ep_ex_idx")
-      .agg(count(lit(1)), approx_count_distinct(col("content_hash")))
-      .as[(Long, Long)].head()
-    val accretion = rows.toDouble / math.max(distinct, 1L)
-    println(f"[hygiene] exact index rows=$rows distinct~$distinct accretion=$accretion%.3f")
-    if (accretion > 1.1) {
-      Dedup.compactHashIndex(spark, "ep_ex_idx")
-      println(s"[hygiene] compacted -> ${spark.table("ep_ex_idx").count()} rows")
+    // ---- 0. index hygiene: per-table accretion ratio, compaction when it
+    // drifts — one generalized rule for the whole persisted family ----
+    Seq("ep_ex_idx", "ep_para_idx").foreach { t =>
+      val accretion = Dedup.indexAccretion(spark, t)
+      println(f"[hygiene] $t accretion=$accretion%.3f")
+      if (accretion > 1.1) {
+        Dedup.compactIndex(spark, t)
+        println(s"[hygiene] compacted $t -> ${spark.table(t).count()} rows")
+      }
     }
 
     // ---- 1. index health: cell skew, rebuild when it nears nprobe ----

@@ -379,6 +379,108 @@ class OperatorsSpec extends SparkFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS compact_test_t")
   }
 
+  private def compactCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "a completely different document about spark bucketed index layouts"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"))
+    .toDF("doc_id", "text")
+
+  private def compactBatch = Seq(
+    (9L, "the quick brown fox jumps over the lazy dog again and again"),
+    (10L, "nothing resembling anything else appears in this one at all"))
+    .toDF("doc_id", "text")
+
+  private def dropIndexDebris(tables: Seq[String]): Unit =
+    tables.flatMap(t => Seq(t, s"${t}_compact", s"${t}_old"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("compactIndex on the minhash family: band and _sets tables collapse, probe membership unchanged, duplicates gone") {
+    val tables = Seq("cmp_mh", "cmp_mh_sets", "cmp_mh_meta")
+    dropIndexDebris(tables)
+    try {
+      Dedup.minhashWriteBucketed(compactCorpus, "cmp_mh", "doc_id", "text",
+        numBuckets = 4)
+      // a replayed epoch re-appends every doc: both tables exactly double
+      Dedup.minhashAppendToIndex(compactCorpus, "cmp_mh", "doc_id", "text")
+      assert(math.abs(Dedup.indexAccretion(spark, "cmp_mh") - 2.0) < 0.1)
+      val pre = Dedup.minhashDedupIncremental(compactBatch, "cmp_mh", "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // the replayed _sets rows duplicate every verified pair in the output
+      assert(pre.nonEmpty && pre.size == 2 * pre.distinct.size)
+      val bandRows = spark.table("cmp_mh").count()
+      Dedup.compactIndex(spark, "cmp_mh")
+      Dedup.compactIndex(spark, "cmp_mh_sets")
+      assert(spark.table("cmp_mh").count() == bandRows / 2)
+      assert(spark.table("cmp_mh_sets").count() == 3)
+      assert(math.abs(Dedup.indexAccretion(spark, "cmp_mh") - 1.0) < 0.05)
+      // bucket layouts intact table by table
+      val bandSpec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("cmp_mh"))
+        .bucketSpec.get
+      assert(bandSpec.numBuckets == 4 && bandSpec.bucketColumnNames == Seq("band", "band_hash"))
+      val setsSpec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("cmp_mh_sets"))
+        .bucketSpec.get
+      assert(setsSpec.numBuckets == 4 && setsSpec.bucketColumnNames == Seq("doc_id"))
+      val post = Dedup.minhashDedupIncremental(compactBatch, "cmp_mh", "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(post.toSet == pre.toSet && post.size == post.distinct.size)
+    } finally dropIndexDebris(tables)
+  }
+
+  test("compactIndex on the winnow family: fingerprint and _sets tables collapse, probe membership unchanged") {
+    val tables = Seq("cmp_wn", "cmp_wn_sets", "cmp_wn_meta")
+    dropIndexDebris(tables)
+    try {
+      Dedup.winnowWriteBucketed(compactCorpus, "cmp_wn", "doc_id", "text",
+        numBuckets = 4)
+      Dedup.winnowAppendToIndex(compactCorpus, "cmp_wn", "doc_id", "text")
+      assert(math.abs(Dedup.indexAccretion(spark, "cmp_wn") - 2.0) < 0.1)
+      val pre = Dedup.winnowPairsIncremental(compactBatch, "cmp_wn", "doc_id", "text",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pre.nonEmpty && pre.size == 2 * pre.distinct.size)
+      val fpRows = spark.table("cmp_wn").count()
+      Dedup.compactIndex(spark, "cmp_wn")
+      Dedup.compactIndex(spark, "cmp_wn_sets")
+      assert(spark.table("cmp_wn").count() == fpRows / 2)
+      assert(spark.table("cmp_wn_sets").count() == 3)
+      val fpSpec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("cmp_wn"))
+        .bucketSpec.get
+      assert(fpSpec.numBuckets == 4 && fpSpec.bucketColumnNames == Seq("fp_hash"))
+      val post = Dedup.winnowPairsIncremental(compactBatch, "cmp_wn", "doc_id", "text",
+        threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(post.toSet == pre.toSet && post.size == post.distinct.size)
+    } finally dropIndexDebris(tables)
+  }
+
+  test("compactIndex on the substring family: window-hash rows collapse and n_shared counts are restored exactly") {
+    val tables = Seq("cmp_ss", "cmp_ss_meta")
+    dropIndexDebris(tables)
+    try {
+      Dedup.substringWriteBucketed(compactCorpus, "cmp_ss", "doc_id", "text",
+        windowTokens = 5, numBuckets = 4)
+      Dedup.substringAppendToIndex(compactCorpus, "cmp_ss", "doc_id", "text")
+      assert(math.abs(Dedup.indexAccretion(spark, "cmp_ss") - 2.0) < 0.1)
+      // the substring probe COUNTS shared windows, so replay accretion is
+      // not membership-neutral here: every n_shared doubles. Compaction is
+      // what restores the exact counts.
+      val pre = Dedup.substringDedupIncremental(compactBatch, "cmp_ss", "doc_id", "text")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      Dedup.compactIndex(spark, "cmp_ss")
+      val ssSpec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("cmp_ss"))
+        .bucketSpec.get
+      assert(ssSpec.numBuckets == 4 && ssSpec.bucketColumnNames == Seq("h"))
+      val post = Dedup.substringDedupIncremental(compactBatch, "cmp_ss", "doc_id", "text")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(post.nonEmpty && post.keySet == pre.keySet)
+      assert(post.forall { case (k, n) => pre(k) == 2 * n })
+    } finally dropIndexDebris(tables)
+  }
+
   test("hash split is deterministic; stratified take caps every group at k") {
     val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
     val split = Sampling.hashSplit(ids, "doc_id")
