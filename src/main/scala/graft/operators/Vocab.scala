@@ -112,18 +112,31 @@ object Vocab {
         round(col("score"), 6).as("score"))
   }
 
-  /** BPE pre-tokenization shared by train and encode: lowercase letter runs
-    * split to single-character symbols plus a separate end-of-word marker
-    * (the `</w>` variant of Sennrich et al. 2016 §3.2 — the marker is its
-    * own symbol rather than glued to the last character, so word-final and
+  /** BPE pre-tokenization classes: maximal lowercase-letter runs, digit
+    * runs, and non-alphanumeric non-whitespace runs (the GPT-2-style class
+    * split — "v2.0" pre-tokenizes as `v` / `2` / `.` / `0`, never merging
+    * across a class boundary). Whitespace is spelled as an explicit
+    * character set (space, tab, newline, carriage return) rather than `\\s`
+    * because Java and RE2 disagree on `\\s`'s exact membership and the
+    * DuckDB oracle must tokenize bit-identically. Symbols therefore never
+    * contain a space — the invariant the sentinel-replace merge trick and
+    * the cross-engine oracle both rely on. A merged symbol can also never
+    * collide with the `</w>` marker: forming the three characters `<`,`/`,
+    * `w` adjacently would need a letter inside a punctuation run, which the
+    * class split forbids.
+    */
+  private[graft] val wordPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]+"
+
+  /** Pre-tokenize to the distinct-word table with per-class runs split to
+    * single-character symbols plus a separate end-of-word marker (the
+    * `</w>` variant of Sennrich et al. 2016 §3.2 — the marker is its own
+    * symbol rather than glued to the last character, so word-final and
     * word-internal merges stay distinguishable and every initial symbol is
-    * one character). Restricting words to `[a-z]+` keeps the alphabet free
-    * of whitespace and pattern metacharacters, which the merge fold and the
-    * cross-engine oracle both rely on.
+    * one character).
     */
   private def wordSymbols(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(expr(
-        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+        s"regexp_extract_all(lower($textCol), '$wordPattern', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // split on the zero-width '(?!^)' also matches at end-of-string, so
       // Spark (limit -1) keeps a trailing '' element — filter it, or the
@@ -152,7 +165,8 @@ object Vocab {
     * each merge becomes ONE built-in `replace` (StringReplace — whole-stage
     * codegen), and the result splits back to tokens. Equivalent to folding
     * [[mergePair]] once per merge: symbols never contain spaces (the
-    * `[a-z]+` alphabet plus `</w>`), so `' l  r '` only matches the two
+    * [[wordPattern]] classes all exclude it, plus `</w>`), so `' l  r '`
+    * only matches the two
     * whole symbols adjacent, and `replace` scans left-to-right resuming
     * AFTER each replacement — the same greedy non-overlapping semantics as
     * the fold (and as the DuckDB oracle, which uses this identical string
@@ -244,7 +258,7 @@ object Vocab {
     * context-budget input the packing/chunking steps consume ("how many
     * tokens is this doc under OUR tokenizer", not the whitespace proxy of
     * `TextAnalysis.tokenCount`). Output: `(idCol, n_words, n_tokens)` for
-    * every document with at least one `[a-z]+` word.
+    * every document with at least one [[wordPattern]] word.
     *
     * Dictionary-join shape: the corpus's DISTINCT words are encoded once
     * (`merges.length` nested folds over the vocab-sized word table — the
@@ -256,43 +270,36 @@ object Vocab {
     * bytes/row), and degrades to a word-keyed shuffle join beyond that. The
     * per-doc sum partially aggregates map-side on the doc id.
     */
-  /** Tokenize whole documents in one codegen'd map pass: per-document token
-    * SEQUENCES in reading order — the emission shape packing/serialization
-    * consumes — and, being a pure row-local projection, it runs UNCHANGED on
-    * streams (tokenize-at-ingest).
+  /** Tokenize whole documents in one map pass: per-document token SEQUENCES
+    * in reading order — the emission shape packing/serialization consumes —
+    * and, being a pure row-local projection, it runs UNCHANGED on streams
+    * (tokenize-at-ingest).
     *
-    * The document becomes ONE sentinel-spaced symbol string (letters spaced
-    * individually, each word-boundary run collapsed to its own `</w>`
-    * symbol), and the merge table applies as the same flat replace chain as
-    * [[applyMerges]]. Tokenizing the concatenation equals concatenating the
-    * per-word tokenizations because no merge can act across a word
-    * boundary: a trained merge never has `</w>` as its LEFT operand (pair
-    * extraction ends at the word marker, so `</w>` only ever appears as a
-    * right element), and any other cross-word pair is separated by the
-    * `</w>` symbol sitting between the words. Documents with no `[a-z]`
-    * letters tokenize to the empty array.
+    * The document's [[wordPattern]] runs flatten into ONE symbol array
+    * (each run's characters plus its own `</w>` marker), and the merge
+    * table applies to the joined sentinel-spaced string as the same flat
+    * codegen'd replace chain as [[applyMerges]]. Tokenizing the
+    * concatenation equals concatenating the per-word tokenizations because
+    * no merge can act across a run boundary: a trained merge never has
+    * `</w>` as its LEFT operand (pair extraction ends at the word marker,
+    * so `</w>` only ever appears as a right element), and any other
+    * cross-run pair is separated by the `</w>` symbol sitting between the
+    * runs — including runs adjacent in the raw text ("abc123" splits into
+    * two marked runs with no whitespace needed). Documents with no
+    * [[wordPattern]] match tokenize to the empty array.
     */
   def bpeTokenizeDocs(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    // U+0001 as the boundary sentinel: a byte [a-z]+ never matches, and
-    // the [^a-z]+ collapse swallows any pathological occurrence in input
-    val sep = "\u0001"
-    val letters = regexp_replace(lower(col(textCol)), "^[^a-z]+", "")
-    // trailing '.' guarantees a final separator run -> a closing </w>
-    val marked = regexp_replace(concat(letters, lit(".")), "[^a-z]+", sep)
-    val spaced = regexp_replace(marked, "(.)", " $1 ")
-    val s0 = replace(spaced, lit(s" $sep "), lit(" </w> "))
-    val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
-      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
-    }
-    val tokens = when(letters === "", array().cast("array<string>"))
-      .otherwise(filter(split(sN, " "), t => t =!= ""))
-    df.select(col(idCol), tokens.as("tokens"))
+    val symsDoc = expr(
+      s"""flatten(transform(regexp_extract_all(lower($textCol), '$wordPattern', 0),
+         |  w -> concat(filter(split(w, '(?!^)'), s -> s <> ''), array('</w>'))))"""
+        .stripMargin)
+    df.select(col(idCol), applyMerges(symsDoc, merges).as("tokens"))
   }
 
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+    val words = expr(s"regexp_extract_all(lower($textCol), '$wordPattern', 0)")
     val syms = expr(
       "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")
     val dict = df.select(explode(words).as("word")).distinct()

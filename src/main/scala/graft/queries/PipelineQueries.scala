@@ -18,6 +18,24 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
+  /** Mixed-script plant for the BPE family: every 13th document gains digit
+    * and punctuation runs, so the extended pre-tokenization classes
+    * ([[Vocab.wordPattern]]) are exercised by the oracled gate — the raw
+    * corpus is pure `[a-z ]` and would never produce a non-letter symbol.
+    * Planted identically in DuckDB (`bdocs` CTE in [[bpeCtes]]).
+    */
+  private val bpePlant = " 2024 v2.0 err#404 12 12 12"
+  /** The identical pre-tokenization class pattern on the DuckDB side — the
+    * string embeds `\t`-style escapes that Spark's literal parser and RE2
+    * both resolve to the same explicit whitespace set (see the
+    * [[Vocab.wordPattern]] scaladoc for why `\s` is avoided).
+    */
+  private val duckWordPattern = graft.operators.Vocab.wordPattern
+  private def bpeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(bpePlant)))
+        .otherwise(col("text")))
+
   /** Trained BPE merge table, memoized per sfDir: text_bpe and
     * text_bpe_encode both need it, and the training loop (8 shuffles + 8
     * checkpoints) is the expensive part — one Verify run should pay it once.
@@ -26,7 +44,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
   private def trainedBpe(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     bpeCache.getOrElseUpdate(dir,
-      Vocab.bpeTrain(docs(s, dir), "text", numMerges = 8)
+      Vocab.bpeTrain(bpeDocs(s, dir), "text", numMerges = 8)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq)
@@ -980,14 +998,14 @@ object PipelineQueries {
     // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
     "text_bpe_encode" -> ((s, dir) => {
       val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
-      Vocab.bpeEncode(docs(s, dir), "text", m)
+      Vocab.bpeEncode(bpeDocs(s, dir), "text", m)
         .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
     }),
     // per-document token counts under the trained tokenizer: encode the
     // distinct-word dictionary once, join back onto (doc, word) rows
     "text_bpe_docs" -> ((s, dir) => {
       val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
-      Vocab.bpeTokenCounts(docs(s, dir), "doc_id", "text", m)
+      Vocab.bpeTokenCounts(bpeDocs(s, dir), "doc_id", "text", m)
         .orderBy(col("doc_id"))
     }),
     // per-document token SEQUENCES (reading order) in one stateless map
@@ -995,7 +1013,7 @@ object PipelineQueries {
     // a stream (StreamingSpec parity test)
     "text_bpe_tokenize" -> ((s, dir) => {
       val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
-      Vocab.bpeTokenizeDocs(docs(s, dir), "doc_id", "text", m)
+      Vocab.bpeTokenizeDocs(bpeDocs(s, dir), "doc_id", "text", m)
         .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
         .orderBy(col("doc_id"))
@@ -1612,12 +1630,16 @@ object PipelineQueries {
     */
   private def bpeCtes(numMerges: Int): String = {
     val base =
-      """w0 AS (
+      s"""bdocs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |         THEN text || '$bpePlant' ELSE text END AS text
+        |  FROM documents),
+        |w0 AS (
         |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-        |    FROM documents) GROUP BY word),
+        |    SELECT unnest(regexp_extract_all(lower(text), '$duckWordPattern')) AS word
+        |    FROM bdocs) GROUP BY word),
         |s0 AS (
-        |  SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') || ' </w> ' AS s,
+        |  SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS s,
         |         cnt
         |  FROM w0)""".stripMargin
     val iters = (1 to numMerges).map { i =>
@@ -2627,29 +2649,25 @@ object PipelineQueries {
     // word -> token-count dictionary from the final merge state, joined
     // back onto per-document word occurrences (same shape as the Spark
     // dictionary join)
-    // the doc-level sentinel-string pipeline, mirrored step for step (same
-    // regex/replace semantics in both engines; chr(1) = the  sentinel)
+    // the doc-level symbol pipeline, mirrored step for step: per-run char
+    // split + </w> marker flattened into one sentinel-spaced string, then
+    // the same replace chain as the word table (same regex/replace
+    // semantics in both engines)
     "text_bpe_tokenize" ->
       s"""WITH ${bpeCtes(8)},
-         |d0 AS (
-         |  SELECT doc_id,
-         |         regexp_replace(lower(text), '^[^a-z]+', '') AS letters
-         |  FROM documents),
          |d1 AS (
-         |  SELECT doc_id, letters,
-         |         replace(regexp_replace(regexp_replace(letters || '.',
-         |                   '[^a-z]+', chr(1), 'g'), '(.)', ' ${"\\1"} ', 'g'),
-         |                 ' ' || chr(1) || ' ', ' </w> ') AS s
-         |  FROM d0),
+         |  SELECT doc_id,
+         |         ' ' || array_to_string(flatten(list_transform(
+         |                 regexp_extract_all(lower(text), '$duckWordPattern'),
+         |                 w -> list_append(regexp_extract_all(w, '.'), '</w>'))),
+         |               '  ') || ' ' AS s
+         |  FROM bdocs),
          |${(1 to 8).map(i =>
-             s"d${i + 1} AS (SELECT doc_id, letters, " +
+             s"d${i + 1} AS (SELECT doc_id, " +
              s"replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s " +
              s"FROM d$i, m$i AS m)").mkString(",\n")},
          |t AS (
-         |  SELECT doc_id,
-         |         CASE WHEN letters = '' THEN []
-         |              ELSE list_filter(string_split(s, ' '), x -> x <> '')
-         |         END AS tokens
+         |  SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS tokens
          |  FROM d9)
          |SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
          |       array_to_string(list_slice(tokens, 1, 5), ' ') AS head_tokens
@@ -2662,8 +2680,8 @@ object PipelineQueries {
          |  FROM s8),
          |dw AS (
          |  SELECT doc_id,
-         |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         |  FROM documents)
+         |         unnest(regexp_extract_all(lower(text), '$duckWordPattern')) AS word
+         |  FROM bdocs)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(word_tokens) AS BIGINT) AS n_tokens
          |FROM dw JOIN dict USING (word)

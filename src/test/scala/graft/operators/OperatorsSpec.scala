@@ -2092,12 +2092,13 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == List((1L, 3L, 3L), (2L, 1L, 3L), (3L, 2L, 4L)))
   }
 
-  test("bpe doc tokenization: reading-order sequences, boundary-safe, punctuation-robust") {
+  test("bpe doc tokenization: reading-order sequences, boundary-safe, every class marked") {
     val merges = Seq(("a", "b"), ("ab", "</w>"))
     val corpus = Seq(
       (1L, "ab ab ab"), (2L, "abc"), (3L, "ab abc"),
-      (4L, "Ab, ABC!"),  // case/punctuation collapse to the same words
-      (5L, "123 .,;")    // no letters -> empty token sequence
+      (4L, "Ab, ABC!"),  // case folds; punctuation is its own marked run
+      (5L, "123 .,;"),   // digit and punctuation runs tokenize too
+      (6L, "")           // nothing matches -> empty token sequence
     ).toDF("doc_id", "text")
     val got = Vocab.bpeTokenizeDocs(corpus, "doc_id", "text", merges)
       .orderBy($"doc_id").as[(Long, Seq[String])].collect().toMap
@@ -2106,8 +2107,34 @@ class OperatorsSpec extends SparkFunSuite {
     // no merge acts across the word boundary: ab's closing </w> does not
     // chain with abc's leading ab
     assert(got(3L) == Seq("ab</w>", "ab", "c", "</w>"))
-    assert(got(4L) == got(3L))
-    assert(got(5L) == Seq.empty)
+    assert(got(4L) == Seq("ab</w>", ",", "</w>", "ab", "c", "</w>", "!", "</w>"))
+    assert(got(5L) == Seq("1", "2", "3", "</w>", ".", ",", ";", "</w>"))
+    assert(got(6L) == Seq.empty)
+  }
+
+  test("bpe pre-tokenization classes: rank-1 merge hand-computed on digits, class boundaries need no whitespace") {
+    // words: '2023' x3, 'ab' x1, '!?' x1. Pair counts: (2,0)=(0,2)=(2,3)=
+    // (3,</w>)=3; (a,b)=(b,</w>)=(!,?)=(?,</w>)=1. The argmax ties at 3 and
+    // breaks on (l, r) ascending — '0' < '2' < '3' — so rank 1 is ('0','2').
+    val corpus = Seq((1L, "2023 2023 2023 ab !?")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges.head == ((1, "0", "2", 3L)))
+    // after the merge '2023' is [2, 02, 3, </w>]: (2,02)=(02,3)=(3,</w>)=3,
+    // tie breaks to l='02' (the digit-merged symbol sorts before '2')
+    assert(merges(1) == ((2, "02", "3", 3L)))
+    // adjacent runs of different classes split with no whitespace between
+    val toks = Vocab.bpeTokenizeDocs(Seq((7L, "ab12!x")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq.empty)
+      .select($"tokens").as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "</w>", "1", "2", "</w>", "!", "</w>", "x", "</w>"))
+    // a trained digit merge applies inside doc tokenization, and never
+    // across the class boundary ('.' separates the 2 and 0 of 'x2.0')
+    val toks2 = Vocab.bpeTokenizeDocs(Seq((8L, "2023 x2.0")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("0", "2")))
+      .select($"tokens").as[Seq[String]].head()
+    assert(toks2 == Seq("2", "02", "3", "</w>", "x", "</w>", "2", "</w>",
+      ".", "</w>", "0", "</w>"))
   }
 
   test("bpe doc tokenization agrees with the dictionary-join token counts") {
