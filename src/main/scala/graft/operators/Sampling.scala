@@ -209,9 +209,13 @@ object Sampling {
     val agg = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("tokens"),
         first(target).as("_target"))
-    val w = Window.partitionBy() // singleton total: |keys| rows, broadcast-cheap
-    agg
-      .withColumn("natural_share", col("tokens") / sum(col("tokens")).over(w))
+    // corpus total as a 1-row aggregate + broadcast cross join, NOT an
+    // empty-partition window: same |keys|-row cost, but no all-rows-to-one-
+    // partition WindowExec (and no its warning); the aggregate's exchange
+    // is reused between `agg` and the total, so the corpus scans once
+    val total = agg.agg(sum(col("tokens")).as("_total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("natural_share", col("tokens") / col("_total"))
       .withColumn("ratio", round(col("_target") / col("natural_share"), 6))
       .select(col(keyCol), col("n_docs"), col("tokens"),
         round(col("natural_share"), 6).as("natural_share"),
@@ -308,15 +312,20 @@ object Sampling {
   def temperatureTargets(df: DataFrame, keyCol: String, tokenCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val w = Window.partitionBy() // singleton total: |keys| rows
-    df.groupBy(col(keyCol))
+    // both normalizers as 1-row aggregates + broadcast cross joins (see
+    // mixturePlan) — the token total before the pow, the tempered total
+    // after it; exchange reuse keeps the corpus scan single
+    val base = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("tokens"))
-      .withColumn("natural_share", col("tokens") / sum(col("tokens")).over(w))
+    val total = base.agg(sum(col("tokens")).as("_tot"))
+    val tempered = base.crossJoin(broadcast(total))
+      .withColumn("natural_share", col("tokens") / col("_tot"))
       .withColumn("_t", pow(col("natural_share"), alpha))
-      .withColumn("target_share", col("_t") / sum(col("_t")).over(w))
+    val temperedTotal = tempered.agg(sum(col("_t")).as("_ttot"))
+    tempered.crossJoin(broadcast(temperedTotal))
       .select(col(keyCol), col("n_docs"), col("tokens"),
         round(col("natural_share"), 6).as("natural_share"),
-        round(col("target_share"), 6).as("target_share"))
+        round(col("_t") / col("_ttot"), 6).as("target_share"))
   }
 
   /** Curriculum staging (Bengio et al. 2009, "Curriculum Learning"): assign
