@@ -205,13 +205,7 @@ object Dedup {
     VectorFunctions.register(df.sparkSession)
     val fp = TextAnalysis.winnowHashes(df, idCol, textCol, k, w)
       .localCheckpoint(eager = false) // both sides of the self-join
-    // uncapped callers (oracle parity) skip the counting machinery entirely
-    // — same pattern as the LSH bucket caps
-    val pruned = if (maxBucket >= Int.MaxValue) fp else {
-      val ok = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") <= maxBucket).select(col("fp_hash"))
-      fp.join(ok, Seq("fp_hash"), "left_semi")
-    }
+    val pruned = capBuckets(fp, Seq("fp_hash"), maxBucket)
     val cands = pruned.select(col("fp_hash"), col(idCol).as("id_a"))
       .join(pruned.select(col("fp_hash"), col(idCol).as("id_b")), Seq("fp_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -355,6 +349,25 @@ object Dedup {
     case other => throw new IllegalArgumentException(
       s"no compaction rule for an index bucketed on ${other.mkString(", ")}")
   }
+
+  /** Skew guard shared by every batch candidate self-join (minhash bands,
+    * simhash chunks, substring windows, winnow fingerprints): drop rows
+    * whose bucket — the given key columns — holds more than `maxBucket`
+    * rows. Aggregate + left-semi join-back, the same form the incremental
+    * probes use against their bucketed indexes: the groupBy partially
+    * aggregates map-side so its shuffle carries one row per BUCKET, where
+    * the count window this replaces exchanged and sorted every ROW.
+    * `maxBucket >= Int.MaxValue` skips the machinery entirely —
+    * oracle-parity runs pay no tautological join.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket >= Int.MaxValue) rows
+    else {
+      val ok = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucket).select(keys.map(col): _*)
+      rows.join(ok, keys, "left_semi")
+    }
 
   /** Compact ANY accreted index of the persisted family — exact/paragraph
     * content-hash tables, the minhash band table, winnow fingerprint and
@@ -551,14 +564,8 @@ object Dedup {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     VectorFunctions.register(df.sparkSession)
     val rows = windowRows(df, idCol, textCol, windowTokens)
-    val capped = (
-      if (maxBucket >= Int.MaxValue) rows
-      else rows
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    ).localCheckpoint(eager = false) // both sides of the self-join
+    val capped = capBuckets(rows, Seq("h"), maxBucket)
+      .localCheckpoint(eager = false) // both sides of the self-join
     capped.select(col("h"), col(idCol).as("id_a"))
       .join(capped.select(col("h"), col(idCol).as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
@@ -706,20 +713,12 @@ object Dedup {
     // ride through the LSH shuffles.
     val bandRows = bandRowsOf(sets, idCol, bands, rowsPerBand)
 
-    // cap pathological buckets (boilerplate shingle collisions) — skew guard.
-    // Skipped entirely when the cap is effectively off (oracle-gated runs):
-    // the count window costs an exchange + sort that a tautological filter
-    // would still pay. lazy checkpoint: `buckets` is both sides of the
-    // self-join below, and without it the banding explode (+ window) runs
-    // twice
-    val capped =
-      if (maxBucket >= Int.MaxValue) bandRows
-      else bandRows
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    val buckets = capped.localCheckpoint(eager = false)
+    // cap pathological buckets (boilerplate shingle collisions) — skew
+    // guard, shared [[capBuckets]] form. lazy checkpoint: `buckets` is both
+    // sides of the self-join below, and without it the banding explode
+    // (+ cap) runs twice
+    val buckets = capBuckets(bandRows, Seq("band", "band_hash"), maxBucket)
+      .localCheckpoint(eager = false)
 
     // candidate id pairs, deduped BEFORE the (expensive) exact verify so a
     // pair colliding in many bands is verified once
@@ -927,17 +926,11 @@ object Dedup {
       .select(col(idCol), col("simhash"), posexplode(
         expr(s"transform(sequence(0, ${chunks - 1}), c -> shiftrightunsigned(simhash, c * $width) & $chunkMask)"))
         .as(Seq("chunk", "chunk_val")))
-    // cap pathological buckets; skip the count window entirely when the cap
-    // is off (same pattern as minhashDedup). lazy checkpoint: both sides of
-    // the self-join read this, so the sketch pass (+ window) runs once
-    val capped =
-      if (maxBucket >= Int.MaxValue) sk
-      else sk
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    val buckets = capped.localCheckpoint(eager = false)
+    // cap pathological buckets — shared [[capBuckets]] form. lazy
+    // checkpoint: both sides of the self-join read this, so the sketch
+    // pass (+ cap) runs once
+    val buckets = capBuckets(sk, Seq("chunk", "chunk_val"), maxBucket)
+      .localCheckpoint(eager = false)
     val a = buckets.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = buckets.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "chunk_val"))
