@@ -1556,6 +1556,28 @@ object PipelineQueries {
       StreamOps.runToMemory(s, secured, "sec_stream_mask_out",
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("event_id"))
+    }),
+    // the BASELINE north star made concrete: the policy layer and the
+    // training-data funnel compose on ONE DataFrame plan. The RLS predicate
+    // injected by SecurityContext prunes the corpus UNDER the funnel's text
+    // scan (parquet pushdown through the security Project — spec-pinned in
+    // SecurityContextSpec), and the MASK_HASH on the provenance column
+    // rides into the curated output. No checkpoint between the layers: the
+    // join's curated side is survivor-sized (AQE broadcasts it), so the
+    // provenance branch re-scans only (doc_id, source, lang) — column
+    // pruning through the same security Project.
+    "sec_pipeline_curate" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      docs(s, dir).createOrReplaceTempView("documents_sec_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "curator", "spark_catalog", "default", "documents_sec_q", "lang = 'en'"))
+      ctx.policyManager.addPolicy(graft.policy.DataMaskPolicy(
+        "curator", "spark_catalog", "default", "documents_sec_q", "source", "MASK_HASH"))
+      val secured = ctx.dfMixed("curator",
+        "SELECT doc_id, text, source FROM documents_sec_q")
+      TextAnalysis.curate(secured, "doc_id", "text", minWords = 30, minStopHits = 1)
+        .join(secured.select(col("doc_id"), col("source")), "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -3203,6 +3225,19 @@ object PipelineQueries {
         |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // the policy predicate and mask spliced AHEAD of the identical curate
+    // CTEs — the oracle states what "curate a policy-scoped corpus" means
+    "sec_pipeline_curate" -> {
+      val spliced = "WITH secdocs AS (\n" +
+        "  SELECT doc_id, text, sha256(source) AS source\n" +
+        "  FROM documents WHERE lang = 'en'),\n" +
+        duckCurate.stripPrefix("WITH ").replace("FROM documents", "FROM secdocs")
+      s"""$spliced
+        |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac, sd.source
+        |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
+        |JOIN secdocs sd ON sd.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin
+    },
     // the end-to-end training-prep oracle: the curate CTEs, then the
     // pipeline_mix hex-threshold keep, then the pipeline_pack shard/window
     // arithmetic — each stage is the already-proven fragment, composed

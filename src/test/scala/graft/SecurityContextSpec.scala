@@ -395,6 +395,35 @@ class SecurityContextSpec extends SparkFunSuite {
       s"unreferenced column not pruned from the scan:\n$physical")
   }
 
+  test("policy filter pushes under the curation funnel's scan (sec_pipeline_curate composition)") {
+    // the security Project (mask) sits between the funnel and the relation;
+    // the injected RLS predicate must still reach the parquet scan's
+    // PushedFilters, and the funnel's column needs must prune the scan
+    graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val c2 = new SecurityContext(spark)
+    c2.policyManager.addPolicy(RowFilterPolicy(
+      "curator", "spark_catalog", "default", "documents", "lang = 'en'"))
+    c2.policyManager.addPolicy(DataMaskPolicy(
+      "curator", "spark_catalog", "default", "documents", "source", "MASK_HASH"))
+    val secured = c2.dfMixed("curator",
+      "SELECT doc_id, text, source FROM documents")
+    // qualityFilter is the funnel's gate WITHOUT curate's checkpoint barrier
+    // (the barrier wraps the already-pushed-down scan in a LogicalRDD, so
+    // the batch plan string can't show it; the checkpointed stage runs the
+    // IDENTICAL scan asserted here)
+    val funneled = graft.operators.TextAnalysis.qualityFilter(secured, "text",
+      minWords = 30, minStopHits = 1)
+      .select("doc_id", "text")
+    val physical = funneled.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("lang"),
+      s"policy predicate not pushed under the funnel:\n$physical")
+    // the funnel needs (doc_id, text) + the filter column; the masked but
+    // unconsumed source column must be pruned out of the scan
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(physical).getOrElse("")
+    assert(!readSchema.contains("source"),
+      s"masked-but-unused column not pruned from the funnel scan:\n$readSchema")
+  }
+
   test("policies on base tables apply through persistent SQL views (no view bypass)") {
     val c = ctx
     spark.sql("DROP VIEW IF EXISTS pv_view")
