@@ -196,27 +196,129 @@ object Vocab {
     * Shape at scale: the corpus is scanned ONCE (pre-tokenization with
     * map-side partial word counts); every iteration then runs over the
     * distinct-WORD table — vocab-sized (~1e7-1e8 rows at 100 TB), never
-    * corpus-sized. Per iteration: one pair-explode + hash aggregate (shuffle
-    * carries distinct (l, r) pairs per partition), a 1-row argmax collect
-    * (the only driver materialization, bounded at one row x numMerges), and
-    * a map-only merge fold. The word table is eagerly localCheckpoint'ed
-    * each iteration — same fixpoint discipline as [[Dedup.components]]: the
-    * next pair count reads materialized partitions instead of replaying the
-    * whole merge lineage (which would make iteration k cost O(k)).
+    * corpus-sized. The per-iteration strategy is ADAPTIVE on the measured
+    * vocab size (one count after the pre-tokenization scan):
+    *
+    *  - below [[DeltaVocabCutoff]] distinct words, the full recount
+    *    ([[bpeTrainRecount]]): re-explode every word's pairs and
+    *    re-aggregate — two Spark jobs per iteration, and at a small vocab
+    *    the explode is trivial, so fixed job overhead dominates and
+    *    anything fancier LOSES (measured in PLANS.md: the delta form is
+    *    ~2.4x slower on the ~50-word sf0.01 corpus);
+    *  - at or above the cutoff, delta pair-count maintenance
+    *    ([[bpeTrainDelta]]), the classic BPE trainer optimization: after
+    *    choosing merge (a, b), only words whose symbol array CONTAINS the
+    *    pair re-count (pre-merge pairs subtract, post-merge pairs add,
+    *    folded into the running counts), and the argmax reads the
+    *    maintained table instead of re-exploding the whole vocab — the
+    *    regime every real tokenizer-training corpus is in (measured ~3x
+    *    at a 200k-word vocab, PLANS.md).
+    *
+    * Both loops are merge-for-merge IDENTICAL (property-spec-pinned over
+    * seeded corpora): the maintained table holds exactly the recount's
+    * values, so the deterministic (count desc, lhs, rhs) argmax picks the
+    * same pair, and the adaptive switch can never change a result.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = df.sparkSession
-    val pairExpr = expr(
-      """zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1),
-        |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)
-    var words = wordSymbols(df, textCol).localCheckpoint()
+    val words = wordSymbols(df, textCol).localCheckpoint()
+    if (words.count() < DeltaVocabCutoff) recountLoop(words, numMerges)
+    else deltaLoop(words, numMerges)
+  }
+
+  /** Vocab size above which [[bpeTrain]] switches from full recount to
+    * delta pair-count maintenance. The crossover is where the per-iteration
+    * pair explode of the WHOLE word table stops being trivial relative to
+    * the fixed cost of the delta loop's one extra Spark job — order 1e5 by
+    * the PLANS.md measurements (recount wins clearly at 5e1, delta at 2e5).
+    */
+  private[graft] val DeltaVocabCutoff = 100000L
+
+  private def pairExpr = expr(
+    """zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1),
+      |         (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)
+
+  private def pairsOf(ws: DataFrame): DataFrame = ws
+    .select(explode(pairExpr).as("p"), col("cnt"))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum("cnt").as("c"))
+
+  /** Adjacent-pair containment test, built with Column literals rather than
+    * SQL text: symbols from the punctuation class may contain quotes or
+    * regex metacharacters.
+    */
+  private def hasPair(a: String, b: String): Column = exists(
+    zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      (x, y) => x === lit(a) && y === lit(b)),
+    p => p)
+
+  /** Delta-maintenance training loop over a prepared (syms, cnt) word table
+    * — see [[bpeTrain]] for when it wins. Each iteration: a bounded 1-row
+    * argmax collect on the MAINTAINED pair table, one map-only checkpointed
+    * step that carries the pre-merge array, merged array and affected flag
+    * together (partition and job count stay constant per iteration — a
+    * filter+union split here would double the partitions every rank,
+    * measured blow-up), and one pair-vocab-sized counts merge reading old
+    * and new pairs from the same materialized rows.
+    */
+  private def deltaLoop(words0: DataFrame, numMerges: Int): DataFrame = {
+    val spark = words0.sparkSession
+    var words = words0
+    var counts = pairsOf(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to numMerges if !exhausted) {
-      val top = words.select(explode(pairExpr).as("p"), col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
+      val top = counts
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, c))
+        val prevWords = words
+        val prevCounts = counts
+        val step = words
+          .withColumn("_had", hasPair(a, b))
+          .withColumn("_old", col("syms"))
+          .withColumn("syms",
+            when(col("_had"), mergePair(col("syms"), a, b)).otherwise(col("syms")))
+          .localCheckpoint()
+        val changed = step.filter(col("_had"))
+        counts = counts
+          .unionAll(pairsOf(changed))
+          .unionAll(pairsOf(changed.withColumn("syms", col("_old")))
+            .select(col("l"), col("r"), (-col("c")).as("c")))
+          .groupBy(col("l"), col("r")).agg(sum("c").as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        // next iteration's words: a projection OVER the materialized step,
+        // not a fresh checkpoint
+        words = step.select(col("syms"), col("cnt"))
+        Seq(prevWords, prevCounts).foreach(_.unpersist())
+      }
+    }
+    words.unpersist()
+    counts.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** Full-recount training loop over a prepared (syms, cnt) word table:
+    * every iteration re-explodes every word's pairs and re-aggregates from
+    * scratch — the definitionally-correct form, and the FASTER one below
+    * the vocab cutoff (see [[bpeTrain]]). The word table is eagerly
+    * localCheckpoint'ed each iteration — same fixpoint discipline as
+    * [[Dedup.components]]: the next pair count reads materialized
+    * partitions instead of replaying the whole merge lineage.
+    */
+  private def recountLoop(words0: DataFrame, numMerges: Int): DataFrame = {
+    val spark = words0.sparkSession
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val top = pairsOf(words)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true // every word is a single symbol
@@ -232,6 +334,22 @@ object Vocab {
     words.unpersist()
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** The two loops behind [[bpeTrain]]'s adaptive switch, exposed for the
+    * property spec (which pins them merge-for-merge identical on seeded
+    * corpora) and for the PLANS.md crossover measurement.
+    */
+  private[graft] def bpeTrainDelta(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    deltaLoop(wordSymbols(df, textCol).localCheckpoint(), numMerges)
+  }
+
+  private[graft] def bpeTrainRecount(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    recountLoop(wordSymbols(df, textCol).localCheckpoint(), numMerges)
   }
 
   /** Apply a trained merge table to a corpus: tokenize every distinct word by

@@ -2137,6 +2137,30 @@ class OperatorsSpec extends SparkFunSuite {
       ".", "</w>", "0", "</w>"))
   }
 
+  test("bpe delta pair-count maintenance trains identically to the full recount on seeded corpora") {
+    // random words over a 3-letter alphabet + digits force heavy pair
+    // collisions, deep merge chains and argmax ties — the regime where a
+    // delta-maintenance bug (stale count, missed affected word, wrong
+    // subtraction) would change a merge choice
+    val gen = org.scalacheck.Gen.listOfN(120,
+      org.scalacheck.Gen.chooseNum(0, 5).map(n => "ab1"(n % 3).toString * (1 + n % 4)))
+    (1 to 4).foreach { round =>
+      val wordsList = gen.apply(org.scalacheck.Gen.Parameters.default,
+          org.scalacheck.rng.Seed(round * 77L))
+        .getOrElse(List.fill(120)("ab"))
+      val corpus = wordsList.grouped(12).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      // the delta loop called DIRECTLY — bpeTrain's adaptive switch would
+      // route a tiny corpus to the recount loop and test nothing
+      val delta = Vocab.bpeTrainDelta(corpus, "text", numMerges = 12)
+        .as[(Int, String, String, Long)].collect().toList
+      val recount = Vocab.bpeTrainRecount(corpus, "text", numMerges = 12)
+        .as[(Int, String, String, Long)].collect().toList
+      assert(delta == recount, s"round $round diverged:\n$delta\nvs\n$recount")
+    }
+  }
+
   test("bpe doc tokenization agrees with the dictionary-join token counts") {
     val corpus = docs // the shared 5-doc fixture
     val merges = Vocab.bpeTrain(corpus, "text", numMerges = 6)
