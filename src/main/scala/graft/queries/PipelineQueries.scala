@@ -1557,6 +1557,41 @@ object PipelineQueries {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("event_id"))
     }),
+    // streaming chain reconciliation on the planted a~b~c transitive chain
+    // (14 distinct words = 12 trigrams; +1 word links .923/.929, a~c .857
+    // stays unlinked at threshold 0.9): the stream keeps {1, 3} because the
+    // b-bridge (2) was dropped against a and never indexed; reconcileCurate
+    // re-discovers the bridge from the quarantine and emits 3 as the late
+    // drop. Every output value is hand-derived from that arithmetic, so the
+    // oracle is the constant table.
+    "stream_reconcile" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = "the quick brown foxes jumped over seven lazy sleeping dogs near quiet green rivers"
+      val docs3 = Seq((1L, base), (2L, base + " alpha"), (3L, base + " alpha betaa"))
+      val all = docs3.toDF("doc_id", "text")
+      Seq("vq_rc_ex_idx", "vq_rc_lsh_idx", "vq_rc_lsh_idx_sets",
+        "vq_rc_lsh_idx_meta", "vq_rc_sink", "vq_rc_quar")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Dedup.exactWriteBucketed(all.limit(0).withColumn("k", col("text")),
+        "vq_rc_ex_idx", "doc_id", "k", numBuckets = 4)
+      Dedup.minhashWriteBucketed(all.limit(0), "vq_rc_lsh_idx", "doc_id",
+        "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingCurate(stream, "vq_rc_ex_idx", "vq_rc_lsh_idx",
+        "doc_id", "text", "vq_rc_sink", bench = None,
+        minWords = 5, minStopHits = 1, maxBucket = Int.MaxValue,
+        threshold = 0.9, quarantineTable = Some("vq_rc_quar"))
+      try docs3.foreach { d => mem.addData(d); q.processAllAvailable() }
+      finally q.stop()
+      val lateDrop = StreamOps.reconcileCurate(s, "vq_rc_sink", "vq_rc_lsh_idx",
+        "vq_rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
+      s.table("vq_rc_sink").select(lit("sink").as("phase"), col("doc_id"))
+        .unionAll(lateDrop.select(lit("late_drop").as("phase"), col("doc_id")))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
     // the BASELINE north star made concrete: the policy layer and the
     // training-data funnel compose on ONE DataFrame plan. The RLS predicate
     // injected by SecurityContext prunes the corpus UNDER the funnel's text
@@ -3225,6 +3260,13 @@ object PipelineQueries {
         |SELECT k.doc_id, k.n_words, k.dlf AS dup_line_frac
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // hand-derived from the planted chain arithmetic (see the query
+    // comment): stream keeps {1, 3}, reconciliation late-drops 3
+    "stream_reconcile" ->
+      """SELECT 'late_drop' AS phase, CAST(3 AS BIGINT) AS doc_id
+        |UNION ALL SELECT 'sink', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'sink', CAST(3 AS BIGINT)
+        |ORDER BY phase, doc_id""".stripMargin,
     // the policy predicate and mask spliced AHEAD of the identical curate
     // CTEs — the oracle states what "curate a policy-scoped corpus" means
     "sec_pipeline_curate" -> {

@@ -280,8 +280,12 @@ object StreamOps {
     * semantic gap is transitive chains that SPAN batches (a~b, b~c, a≁c in
     * three different batches): batch components keep only `a`; streaming
     * keeps `a` and `c`, because `b` was dropped and therefore never indexed.
-    * Replays re-append (the parquet sink is not idempotent), as with every
-    * ingest in this family.
+    * Passing `quarantineTable` closes that gap OFFLINE: fuzzy-dropped docs
+    * append there verbatim, and a periodic [[reconcileCurate]] re-discovers
+    * the spanning links and emits the late drop set (StreamingSpec pins
+    * stream + reconcile ≡ batch on the a~b~c chain). Replays re-append
+    * (the parquet sink is not idempotent), as with every ingest in this
+    * family.
     *
     * EAGER at call time when `bench` is given: the Bloom filter build runs
     * two actions on the small bench side ([[graft.operators.Contamination.buildBloom]]).
@@ -292,7 +296,8 @@ object StreamOps {
       minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2,
       maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
       ngram: Int = 5, maxBucket: Int = 100, threshold: Double = 0.7,
-      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+      extendIndex: Boolean = true,
+      quarantineTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Contamination, Dedup, TextAnalysis}
     val bloomFlag = "_graft_bloom"
     val fpKey = "_graft_fp_key"
@@ -343,12 +348,71 @@ object StreamOps {
         .localCheckpoint(eager = false) // sink append + LSH index append
       survivors.drop(fpKey).write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(sinkTable)
+      // fuzzy-dropped docs (local pass + index probe) quarantine verbatim:
+      // the evidence [[reconcileCurate]] needs to close transitive chains
+      // that span batches — a dropped doc is in neither the sink nor the
+      // LSH index, so without this record its links are unrecoverable
+      quarantineTable.foreach { qt =>
+        exactSurvivors.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+          .drop(fpKey)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(qt)
+      }
       if (extendIndex) {
         Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol, fpKey)
         Dedup.minhashAppendToIndex(survivors, lshIndexTable, idCol, textCol)
       }
     }
     gated.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
+  /** Close the streaming funnel's cross-batch transitive-chain gap as a
+    * BATCH job: re-run full pair discovery over the sink survivors PLUS the
+    * quarantined fuzzy drops (banded with the parameters pinned in the LSH
+    * index's meta table, exactly as every probe was), run connected
+    * components over the accumulated evidence, and emit the LATE-LINKED
+    * drop set — sink rows whose component holds a smaller-id sink member
+    * they were only connected to through a quarantined doc (a~b, b~c in
+    * three different batches: the stream kept `a` and `c`; this discovers
+    * the b-bridge and emits `c`).
+    *
+    * Keeper policy: the minimum id AMONG SINK MEMBERS of each component —
+    * a component whose global minimum is a quarantined doc cannot
+    * resurrect it (its content was never admitted), so the earliest
+    * admitted member stands. With id-ordered ingest this equals the batch
+    * funnel's min-id keeper set exactly (spec-pinned on the chain corpus).
+    *
+    * Scale shape: one banding pass over |sink| + |quarantine| (hashes only
+    * on the wire), the LSH self-join with the usual bucket cap, pointer-
+    * jumping components over the pair graph, and one |sink|-keyed
+    * aggregate. Run it at reconciliation cadence (per epoch/day), never
+    * per batch — the whole point is that the streaming path stays
+    * batch-sized and this pass amortizes the chain closure.
+    */
+  def reconcileCurate(spark: SparkSession, sinkTable: String,
+      lshIndexTable: String, quarantineTable: String, idCol: String,
+      textCol: String, maxBucket: Int = 100,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.operators.Dedup
+    graft.functions.VectorFunctions.register(spark)
+    val (shingleSize, bands, rowsPerBand, _) =
+      Dedup.readIndexMeta(spark, lshIndexTable)
+    val sink = spark.table(sinkTable).select(col(idCol), col(textCol))
+    val quarantine = spark.table(quarantineTable)
+      .select(col(idCol), col(textCol)).distinct() // replays re-append
+    val sets = sink.unionByName(quarantine)
+      .select(col(idCol),
+        expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .localCheckpoint(eager = false) // banding + both verify sides
+    val pairs = Dedup.minhashDedupFromSets(sets, idCol, bands, rowsPerBand,
+      maxBucket, threshold)
+    val comps = Dedup.components(pairs).withColumnRenamed("id", idCol)
+    val sinkMembers = sink.select(col(idCol)).join(comps, Seq(idCol))
+    val keepers = sinkMembers.groupBy(col("label"))
+      .agg(min(col(idCol)).as("_keep"))
+    sinkMembers.join(keepers, "label")
+      .filter(col(idCol) =!= col("_keep"))
+      .select(col(idCol))
   }
 
   /** Stream-stream interval join: every left event joined to right events of

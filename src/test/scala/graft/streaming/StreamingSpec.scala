@@ -748,4 +748,62 @@ class StreamingSpec extends SparkFunSuite {
         .collect().toSet == expect)
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("reconcileCurate closes the cross-batch a~b~c chain: stream + reconcile equals batch curateFull") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+
+    // the known semantic gap, planted exactly: 14 distinct words give 12
+    // distinct trigrams; each extension adds one trigram, so at threshold
+    // 0.9 the trigram jaccards are a~b 12/13=.923 and b~c 13/14=.929 (both
+    // linked) but a~c 12/14=.857 (NOT linked) — a transitive chain whose
+    // middle arrives in its own batch
+    val base = "the quick brown foxes jumped over seven lazy sleeping dogs near quiet green rivers"
+    val a = (1L, base)
+    val b = (2L, base + " alpha")
+    val c = (3L, base + " alpha betaa")
+    val bench = Seq((100L, "completely unrelated benchmark sentence with different words entirely"))
+      .toDF("doc_id", "text")
+    val all = Seq(a, b, c).toDF("doc_id", "text")
+
+    // batch semantics: one component {a,b,c}, keeper = min id = a
+    val expect = TextAnalysis.curateFull(all, bench, "doc_id", "text",
+        minWords = 5, minStopHits = 1, maxBucket = Int.MaxValue,
+        jaccardThreshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expect == Set(1L), s"chain premise broken: batch keeps $expect")
+
+    val tables = Seq("rc_ex_idx", "rc_lsh_idx", "rc_lsh_idx_sets",
+      "rc_lsh_idx_meta", "rc_sink", "rc_quar")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.exactWriteBucketed(all.limit(0).withColumn("k", col("text")),
+        "rc_ex_idx", "doc_id", "k", numBuckets = 4)
+      Dedup.minhashWriteBucketed(all.limit(0), "rc_lsh_idx", "doc_id",
+        "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingCurate(stream, "rc_ex_idx", "rc_lsh_idx",
+        "doc_id", "text", "rc_sink", bench = Some(bench),
+        minWords = 5, minStopHits = 1, maxBucket = Int.MaxValue,
+        threshold = 0.9, quarantineTable = Some("rc_quar"))
+      try Seq(a, b, c).foreach { d => mem.addData(d); q.processAllAvailable() }
+      finally q.stop()
+
+      // the stream keeps a AND c: b was dropped against a, so c never met
+      // its only link; b is quarantined verbatim
+      val sink = spark.table("rc_sink").select("doc_id").as[Long].collect().toSet
+      assert(sink == Set(1L, 3L), s"stream premise broken: sink = $sink")
+      assert(spark.table("rc_quar").select("doc_id").as[Long].collect().toSet
+        == Set(2L))
+
+      val lateDrop = StreamOps.reconcileCurate(spark, "rc_sink", "rc_lsh_idx",
+          "rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
+        .as[Long].collect().toSet
+      assert(lateDrop == Set(3L), s"late drop set: $lateDrop")
+      assert(sink -- lateDrop == expect) // stream + reconcile ≡ batch
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
