@@ -1571,9 +1571,12 @@ object PipelineQueries {
       val base = "the quick brown foxes jumped over seven lazy sleeping dogs near quiet green rivers"
       val docs3 = Seq((1L, base), (2L, base + " alpha"), (3L, base + " alpha betaa"))
       val all = docs3.toDF("doc_id", "text")
+      // dropForOverwrite, not DROP TABLE: the warehouse DIRECTORY outlives
+      // the per-process catalog, and a leftover location fails the sink's
+      // first CREATE inside the stream
       Seq("vq_rc_ex_idx", "vq_rc_lsh_idx", "vq_rc_lsh_idx_sets",
         "vq_rc_lsh_idx_meta", "vq_rc_sink", "vq_rc_quar")
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(graft.sources.Sources.dropForOverwrite(s, _))
       Dedup.exactWriteBucketed(all.limit(0).withColumn("k", col("text")),
         "vq_rc_ex_idx", "doc_id", "k", numBuckets = 4)
       Dedup.minhashWriteBucketed(all.limit(0), "vq_rc_lsh_idx", "doc_id",

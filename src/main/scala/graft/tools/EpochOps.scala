@@ -33,8 +33,10 @@ object EpochOps {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
 
-    Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx", "ep_ivf_idx_centroids")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val epochTables = Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx",
+      "ep_ivf_idx_centroids", "ep_ivfpq_idx", "ep_ivfpq_idx_centroids",
+      "ep_ivfpq_idx_codebooks")
+    epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     // standing state: the persisted index family
     Dedup.exactWriteBucketed(corpus, "ep_ex_idx", "doc_id", "text", numBuckets = 4)
@@ -100,6 +102,35 @@ object EpochOps {
       .agg(avg(col("recall"))).as[Double].head()
     println(f"[recall] nprobe=4 recall@10=$recall%.3f (raise nprobe or rebuild wider if under target)")
 
+    // ---- 3b. codebook staleness: IVF-PQ self-score, re-train actuator ----
+    // the PQ index trains on the standing corpus; the epoch's vectors come
+    // from a DIFFERENT distribution (dimension order reversed — a stand-in
+    // for a new encoder version or domain) and append with the stale
+    // codebooks. The trigger is the EXCESS drift of the appended slice over
+    // the trained-on slice's own quantization floor — absolute self-score
+    // conflates floor and staleness; the difference isolates what a rebuild
+    // can actually recover.
+    val pqBase = embs.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val pqEpoch = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val pqSource = pqBase.unionByName(pqEpoch)
+    Similarity.ivfpqWriteBucketed(pqBase, "ep_ivfpq_idx", "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 64, numBuckets = 4, sampleSize = 256, iters = 5)
+    Similarity.ivfpqAppendToIndex(pqEpoch, "ep_ivfpq_idx", "vec_id", "embedding")
+    def pqDrift(slice: org.apache.spark.sql.DataFrame): Double = 1.0 - Similarity
+      .ivfpqSelfScore(spark, "ep_ivfpq_idx", slice, "vec_id", "embedding")
+      .agg(avg(col("self_score"))).as[Double].head()
+    val floor = pqDrift(pqBase)
+    val stale = pqDrift(pqEpoch)
+    println(f"[pq] quantization drift: trained-on slice $floor%.4f, appended slice $stale%.4f (excess = staleness)")
+    if (stale - floor > 0.01) {
+      Similarity.ivfpqRebuild(spark, "ep_ivfpq_idx", pqSource, "vec_id", "embedding")
+      println(f"[pq] staleness past tolerance -> codebooks re-trained: " +
+        f"trained-on ${pqDrift(pqBase)}%.4f, appended ${pqDrift(pqEpoch)}%.4f")
+    }
+
     // ---- 4. mixture drift -> resampling knobs -> APPLIED ----
     val targets = Sampling.temperatureTargets(batch, "lang", "n_chars", alpha = 0.5)
       .select(col("lang"), col("target_share")).as[(String, Double)].collect().toMap
@@ -124,8 +155,7 @@ object EpochOps {
       .orderBy(col("status"))
       .collect().foreach(r => println(s"[snapshot] $r"))
 
-    Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx", "ep_ivf_idx_centroids")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

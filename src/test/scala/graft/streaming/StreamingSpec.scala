@@ -777,7 +777,9 @@ class StreamingSpec extends SparkFunSuite {
 
     val tables = Seq("rc_ex_idx", "rc_lsh_idx", "rc_lsh_idx_sets",
       "rc_lsh_idx_meta", "rc_sink", "rc_quar")
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // dropForOverwrite: the warehouse directory outlives the per-process
+    // catalog; a leftover location would fail the sink's first CREATE
+    tables.foreach(graft.sources.Sources.dropForOverwrite(spark, _))
     try {
       Dedup.exactWriteBucketed(all.limit(0).withColumn("k", col("text")),
         "rc_ex_idx", "doc_id", "k", numBuckets = 4)
