@@ -184,6 +184,173 @@ object Dedup {
       numBuckets, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** The positional token-window front end of the span-dedup family: every
+    * document's words (lowercased, whitespace-split, empties dropped) plus
+    * one row per window start — `(idCol, _ws, _p, _h)` with `_h` the md5 of
+    * the space-joined `windowTokens`-token window starting at 1-based word
+    * position `_p`. Documents shorter than the window emit no window rows
+    * (sub-window duplication is document-level dedup's job). md5, not
+    * xxhash64: the corpus-wide winner pick must be engine-portable for the
+    * DuckDB oracle, exactly as in [[dedupParagraphs]].
+    */
+  private def spanWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), w -> w <> '')").as("_ws"))
+
+  /** Narrow (idCol, _p, _h) window rows over a prepared (idCol, _ws) frame
+    * — the word array never rides a window row (it would cost O(len^2) per
+    * document through the explode); pass `docs` checkpointed so the split
+    * is paid once for windows and reassembly both.
+    */
+  private def spanWindows(docs: DataFrame, idCol: String,
+      windowTokens: Int): DataFrame =
+    docs.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(_ws) >= $windowTokens
+           |THEN transform(sequence(1, size(_ws) - ${windowTokens - 1}),
+           |               i -> md5(array_join(slice(_ws, i, $windowTokens), ' ')))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin)))
+      .select(col(idCol), (col("pos") + 1).as("_p"), col("col").as("_h"))
+
+  /** Corpus-wide duplicated-SPAN removal (Lee, Ippolito, Nystrom et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better" §4.1
+    * — their ExactSubstr: duplicated token runs are cut OUT of documents,
+    * keeping one occurrence, while both documents otherwise survive; the
+    * granularity between whole-document dedup and nothing). Every
+    * `windowTokens`-token window that occurs elsewhere in the corpus keeps
+    * only its FIRST occurrence (min (doc id, position) — deterministic and
+    * engine-portable); a token is removed iff some non-first window covers
+    * it, and documents reassemble from surviving tokens in order. Output:
+    * (idCol, n_tokens, n_removed, clean_text) — every input document
+    * appears, a fully-covered one with empty clean_text.
+    *
+    * Scale shape, in shuffle order: (1) winners — groupBy the window md5
+    * with min(struct): boilerplate spans repeated 10^6 times collapse
+    * map-side to one row per partition, never a hot reduce key; (2) the
+    * non-first coordinates join back id-keyed (position skew cannot
+    * concentrate: a document holds at most its own length); (3) per-doc
+    * coverage is a higher-order-function map over the collected dup
+    * positions — row-local, no token ever leaves its document row. The
+    * window strings themselves never shuffle: only (id, pos, 16-byte md5)
+    * rows ride the exchanges.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val docs = spanWords(df, idCol, textCol)
+      .localCheckpoint(eager = false) // window explode + reassembly
+    val windows = spanWindows(docs, idCol, windowTokens)
+      .localCheckpoint(eager = false) // winner pick + join-back
+    val winners = windows
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"))
+      .select(col("_h"), col("_first")(idCol).as("_fid"),
+        col("_first")("_p").as("_fp"))
+    val dups = windows
+      .join(winners, Seq("_h"))
+      .filter(!(col(idCol) === col("_fid") && col("_p") === col("_fp")))
+      .groupBy(col(idCol)).agg(collect_list(col("_p")).as("_dp"))
+    reassembleSpans(docs.join(dups, Seq(idCol), "left"), idCol, windowTokens)
+  }
+
+  /** Shared reassembly of the span family: given (idCol, _ws, _dp?) drop
+    * every token covered by a dup-window start in `_dp` and rebuild the
+    * document. Pure row-local higher-order functions.
+    */
+  private def reassembleSpans(docs: DataFrame, idCol: String,
+      windowTokens: Int): DataFrame =
+    docs
+      .withColumn("_dp", coalesce(col("_dp"), expr("array()")))
+      .withColumn("_kept", when(size(col("_ws")) === 0,
+          expr("CAST(array() AS array<string>)"))
+        .otherwise(expr(
+          s"""filter(transform(sequence(1, size(_ws)),
+             |  j -> IF(exists(_dp, p -> p <= j AND j < p + $windowTokens),
+             |          NULL, element_at(_ws, j))),
+             |  t -> t IS NOT NULL)""".stripMargin)))
+      .select(col(idCol), size(col("_ws")).as("n_tokens"),
+        (size(col("_ws")) - size(col("_kept"))).as("n_removed"),
+        array_join(col("_kept"), " ").as("clean_text"))
+
+  /** Persist the span-window index of a corpus: one row per distinct window
+    * md5 with its first-occurrence coordinates, BUCKETED by the hash —
+    * the span member of the content-hash index family
+    * ([[exactWriteBucketed]] / [[paragraphWriteBucketed]]), so
+    * [[compactIndex]]'s content-hash rule and the accretion monitor apply
+    * unchanged. Increments probe with batch-sized shuffles only.
+    */
+  def spanWriteBucketed(corpus: DataFrame, table: String, idCol: String,
+      textCol: String, windowTokens: Int = 50, numBuckets: Int = 16): Unit = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val spark = corpus.sparkSession
+    Seq(table, s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((windowTokens, numBuckets)).toDF("window_tokens", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    val hashed = spanWindows(spanWords(corpus, idCol, textCol), idCol, windowTokens)
+      .groupBy(col("_h").as("content_hash"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"))
+      .select(col("content_hash"), col("_first")(idCol).as("first_id"),
+        col("_first")("_p").as("first_pos"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      numBuckets)
+  }
+
+  /** Incremental span removal against a [[spanWriteBucketed]] index: a
+    * batch token survives unless covered by a window that is in the INDEX
+    * or is a non-first occurrence WITHIN the batch (the same keep-first
+    * rule as [[dedupSpans]], with the corpus as prior context; window size
+    * from `<table>_meta`, never the caller). The index probe is a
+    * bucket-aligned join — only batch-sized rows shuffle. Output matches
+    * [[dedupSpans]].
+    */
+  def dedupSpansIncremental(batch: DataFrame, table: String, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val windowTokens = spark.table(s"${table}_meta").collect().head
+      .getAs[Int]("window_tokens")
+    val docs = spanWords(batch, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val windows = spanWindows(docs, idCol, windowTokens)
+      .localCheckpoint(eager = false)
+    // a window is dup if its hash is already indexed...
+    val inIndex = windows
+      .join(spark.table(table).select(col("content_hash").as("_h")), Seq("_h"),
+        "left_semi")
+      .select(col(idCol), col("_p"))
+    // ...or if an earlier batch occurrence exists (keep-first inside the
+    // batch, corpus precedence already handled above)
+    val batchFirst = windows.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"))
+    val laterInBatch = windows.join(batchFirst, Seq("_h"))
+      .filter(!(col(idCol) === col("_first")(idCol) &&
+        col("_p") === col("_first")("_p")))
+      .select(col(idCol), col("_p"))
+    val dups = inIndex.unionAll(laterInBatch).distinct()
+      .groupBy(col(idCol)).agg(collect_list(col("_p")).as("_dp"))
+    reassembleSpans(docs.join(dups, Seq(idCol), "left"), idCol, windowTokens)
+  }
+
+  /** Append a batch's span windows to a [[spanWriteBucketed]] index in
+    * place (window size from `<table>_meta`, same bucket layout) — pass the
+    * CLEANED documents, same contract as [[paragraphAppendToIndex]].
+    * Replay accretion compacts via [[compactIndex]]'s content-hash rule.
+    */
+  def spanAppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.table(s"${table}_meta").collect().head
+    val hashed = spanWindows(spanWords(docs, idCol, textCol), idCol,
+        meta.getAs[Int]("window_tokens"))
+      .groupBy(col("_h").as("content_hash"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"))
+      .select(col("content_hash"), col("_first")(idCol).as("first_id"),
+        col("_first")("_p").as("first_pos"))
+    graft.sources.Sources.writeBucketed(hashed, table, Seq("content_hash"),
+      meta.getAs[Int]("num_buckets"), org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Near-dup pairs via winnowing fingerprints
     * ([[TextAnalysis.winnowHashes]], Schleimer 2003): documents sharing ANY
     * selected window-minimum hash are candidates (the paper's guarantee:

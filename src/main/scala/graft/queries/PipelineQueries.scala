@@ -1024,6 +1024,40 @@ object PipelineQueries {
     // corpus-WIDE paragraph dedup (vs text_dedup_lines' within-doc scope):
     // planted shared paragraphs survive only in the first (doc_id, idx)
     // occurrence; each doc's own text-substring paragraph survives
+    // corpus-wide duplicated-SPAN removal (Lee et al. 2021 ExactSubstr —
+    // the granularity between whole-doc dedup and nothing): planted shared
+    // 8-token intro + parity-class codas, so the first doc overall and the
+    // first of each parity keep different spans than everyone else, over
+    // per-doc soup that keeps boundary windows unique
+    "text_dedup_spans" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), concat_ws(" ",
+        lit("alpha beta gamma delta epsilon zeta eta theta"),
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("evencoda one two three four five six seven eight"))
+          .otherwise(lit("oddcoda one two three four five six seven eight"))).as("text"))
+      Dedup.dedupSpans(shaped, "doc_id", "text", windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+    // incremental span removal against the persisted window index: batch
+    // docs are corpus clones plus a foreign 6-token tail, so every
+    // fully-original window is indexed (the clone's source is in the
+    // corpus) and exactly the tail survives — the closed form the oracle
+    // states directly
+    "dedup_spans_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.spanWriteBucketed(d, "vq_span_idx", "doc_id", "text",
+        windowTokens = 8, numBuckets = 8)
+      // tail's FIRST token is per-doc unique: two batch docs sharing their
+      // final original tokens would otherwise collide on the boundary
+      // windows and batch keep-first would eat the later doc's tail
+      val batch = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zorp"), col("doc_id"),
+            lit(" quux fennel marjoram tisane oolong")).as("text"))
+      Dedup.dedupSpansIncremental(batch, "vq_span_idx", "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "text_dedup_paragraphs" -> ((s, dir) => {
       val shaped = docs(s, dir).select(col("doc_id"), concat_ws("\n\n",
         lit("Common intro paragraph."),
@@ -2751,6 +2785,51 @@ object PipelineQueries {
     // corpus-wide keep-first paragraph dedup: DuckDB replays the same
     // (doc_id, idx)-ordered first-occurrence rule with a window, zipped
     // unnest supplies the paragraph index
+    // the identical shaping, window walk, keep-first pick and coverage
+    // filter restated in DuckDB — md5 window hashes make the winner pick
+    // engine-portable, row_number over (doc_id, p) is the min(struct)
+    "text_dedup_spans" ->
+      """WITH shaped AS (
+        |  SELECT doc_id,
+        |         'alpha beta gamma delta epsilon zeta eta theta ' || text ||
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN ' evencoda one two three four five six seven eight'
+        |              ELSE ' oddcoda one two three four five six seven eight' END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |      FROM shaped),
+        |win AS (SELECT doc_id, i AS p, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |              FROM w WHERE len(ws) >= 8)),
+        |mk AS (SELECT doc_id, p,
+        |              row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |       FROM win),
+        |dp AS (SELECT doc_id, list(p) AS dp FROM mk WHERE rn > 1 GROUP BY doc_id),
+        |base AS (SELECT w.doc_id, w.ws, len(w.ws) AS n_tokens, COALESCE(dp.dp, []) AS dp
+        |         FROM w LEFT JOIN dp USING (doc_id)),
+        |kept AS (SELECT doc_id, n_tokens,
+        |                list_filter(list_transform(range(1, n_tokens + 1),
+        |                  j -> CASE WHEN len(list_filter(dp, p -> p <= j AND j < p + 8)) > 0
+        |                            THEN NULL ELSE ws[j] END),
+        |                  t -> t IS NOT NULL) AS kt
+        |         FROM base)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(n_tokens - len(kt) AS INT) AS n_removed,
+        |       COALESCE(array_to_string(kt, ' '), '') AS clean_text
+        |FROM kept ORDER BY doc_id""".stripMargin,
+    // closed form from the construction: the clone's every fully-original
+    // window is indexed, original tokens are all covered, the foreign tail
+    // survives verbatim
+    "dedup_spans_incr" ->
+      """WITH w AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |           FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id + 1000000 AS doc_id,
+        |       CAST(len(ws) + 6 AS INT) AS n_tokens,
+        |       CAST(len(ws) AS INT) AS n_removed,
+        |       'zorp' || CAST(doc_id AS VARCHAR) ||
+        |         ' quux fennel marjoram tisane oolong' AS clean_text
+        |FROM w ORDER BY doc_id + 1000000""".stripMargin,
     "text_dedup_paragraphs" ->
       """WITH shaped AS (
         |  SELECT doc_id,

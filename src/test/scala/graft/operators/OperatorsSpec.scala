@@ -379,6 +379,64 @@ class OperatorsSpec extends SparkFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS compact_test_t")
   }
 
+  test("dedupSpans: duplicated token runs cut out keeping the first occurrence; self-repetition too") {
+    // hand-computable at window 3: docs 1 and 2 share the run 'p q r s'
+    // (two windows); doc 4 repeats 'm n o' three times
+    val docs = Seq(
+      (1L, "a b c p q r s d e"), // first occurrence of the shared run
+      (2L, "x y p q r s z"),     // later occurrence -> p q r s removed
+      (3L, "u v w"),             // exactly one window, unique -> untouched
+      (4L, "m n o m n o m n o")  // windows 4..7 repeat windows 1..3
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toList
+    assert(out == List(
+      (1L, 9, 0, "a b c p q r s d e"),
+      (2L, 7, 4, "x y z"),
+      (3L, 3, 0, "u v w"),
+      (4L, 9, 6, "m n o")))
+    // a sub-window doc is untouched even when its text appears inside
+    // another doc (document-level dedup's job, not span removal's)
+    val tiny = Dedup.dedupSpans(Seq((1L, "p q"), (2L, "p q r")).toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toList
+    assert(tiny == List((1L, 2, 0, "p q"), (2L, 3, 0, "p q r")))
+  }
+
+  test("dedupSpansIncremental: the corpus index is prior context, keep-first applies within the batch") {
+    val corpus = Seq((1L, "a b c p q r s d e")).toDF("doc_id", "text")
+    val tables = Seq("span_t", "span_t_meta", "span_t_compact", "span_t_old")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.spanWriteBucketed(corpus, "span_t", "doc_id", "text",
+        windowTokens = 3, numBuckets = 4)
+      val batch = Seq(
+        (12L, "x y p q r s z"),   // run indexed by the corpus -> removed
+        (13L, "f g h i j"),       // first batch occurrence of 'f g h i'
+        (14L, "k l f g h i m")    // later batch occurrence -> removed
+      ).toDF("doc_id", "text")
+      val out = Dedup.dedupSpansIncremental(batch, "span_t", "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toList
+      assert(out == List(
+        (12L, 7, 4, "x y z"),
+        (13L, 5, 0, "f g h i j"),
+        (14L, 7, 4, "k l m")))
+      // append + replay accretes; the generalized content-hash compaction
+      // rule applies unchanged to the span index
+      Dedup.spanAppendToIndex(batch, "span_t", "doc_id", "text")
+      Dedup.spanAppendToIndex(batch, "span_t", "doc_id", "text")
+      assert(Dedup.indexAccretion(spark, "span_t") > 1.3)
+      Dedup.compactIndex(spark, "span_t")
+      assert(math.abs(Dedup.indexAccretion(spark, "span_t") - 1.0) < 0.05)
+      // post-compaction probe: a replay of doc 12's text is fully covered
+      val again = Dedup.dedupSpansIncremental(
+          Seq((99L, "x y p q r s z")).toDF("doc_id", "text"),
+          "span_t", "doc_id", "text")
+        .as[(Long, Int, Int, String)].head()
+      assert(again == ((99L, 7, 7, "")))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def compactCorpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again"),
     (2L, "a completely different document about spark bucketed index layouts"),
