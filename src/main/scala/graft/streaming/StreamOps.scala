@@ -224,6 +224,52 @@ object StreamOps {
     docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming duplicated-SPAN removal against a persisted
+    * [[graft.operators.Dedup.spanWriteBucketed]] index — the span member
+    * of the streaming dedup family (exact / substring / semantic /
+    * paragraph / THIS): each micro-batch trims every token run the corpus
+    * or an earlier batch already holds
+    * ([[graft.operators.Dedup.dedupSpansIncremental]] — batch keep-first
+    * over corpus precedence), writes the trimmed documents to the sink,
+    * and appends the SURVIVING text's windows to the index so batch N+1
+    * also dedups against batch N's kept spans. Same replay caveat as the
+    * family: re-appended hashes accrete until
+    * [[graft.operators.Dedup.compactIndex]] rewrites the index.
+    */
+  def streamingSpanDedup(docsStream: DataFrame, indexTable: String,
+      idCol: String, textCol: String, sinkTable: String,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val cleaned = Dedup.dedupSpansIncremental(batch, indexTable, idCol, textCol)
+        .localCheckpoint(eager = false) // sink append + index append
+      cleaned.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex)
+        Dedup.spanAppendToIndex(cleaned.withColumnRenamed("clean_text", textCol),
+          indexTable, idCol, textCol)
+    }
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
+  /** Apply a [[reconcileCurate]] drop set: rewrite the sink WITHOUT the
+    * late-linked rows, swapped in recoverably
+    * ([[graft.sources.Sources.swapStaged]]) — the actuator half of the
+    * reconciliation loop, run at the same cadence as the measurement.
+    * Anti-join + full sink rewrite: parquet tables cannot delete in place,
+    * and a reconciliation pass that found drops is exactly when a compact
+    * rewrite is worth paying.
+    */
+  def applyReconcile(spark: SparkSession, sinkTable: String,
+      drops: DataFrame, idCol: String): Unit = {
+    val staged = s"${sinkTable}_reconciled"
+    graft.sources.Sources.dropForOverwrite(spark, staged)
+    spark.table(sinkTable)
+      .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.format("parquet").saveAsTable(staged)
+    graft.sources.Sources.swapStaged(spark, staged, sinkTable)
+  }
+
   /** Streaming ANN-index maintenance over a persisted
     * [[graft.operators.Similarity.ivfpqWriteBucketed]] IVF-PQ index: every
     * micro-batch of vectors is quantized with the index's PERSISTED coarse

@@ -803,9 +803,49 @@ class StreamingSpec extends SparkFunSuite {
 
       val lateDrop = StreamOps.reconcileCurate(spark, "rc_sink", "rc_lsh_idx",
           "rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
-        .as[Long].collect().toSet
-      assert(lateDrop == Set(3L), s"late drop set: $lateDrop")
-      assert(sink -- lateDrop == expect) // stream + reconcile ≡ batch
+      assert(lateDrop.as[Long].collect().toSet == Set(3L))
+      // the actuator half: rewrite the sink without the late drops through
+      // the recoverable staged swap
+      StreamOps.applyReconcile(spark, "rc_sink", lateDrop, "doc_id")
+      val reconciled = spark.table("rc_sink").select("doc_id").as[Long]
+        .collect().toSet
+      assert(reconciled == expect) // stream + reconcile ≡ batch, applied
+      assert(spark.table("rc_sink").columns.sorted.toSeq == Seq("doc_id", "text"))
+    } finally (tables :+ "rc_sink_reconciled" :+ "rc_sink_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("streaming span dedup trims cross-batch duplicated runs and matches the batch semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "a b c p q r s d e")).toDF("doc_id", "text")
+    val tables = Seq("ssp_idx", "ssp_idx_meta", "ssp_sink")
+    tables.foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    try {
+      Dedup.spanWriteBucketed(corpus, "ssp_idx", "doc_id", "text",
+        windowTokens = 3, numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingSpanDedup(stream, "ssp_idx", "doc_id", "text",
+        "ssp_sink")
+      try {
+        // batch 1: corpus run trimmed, fresh run 'f g h i j' survives
+        mem.addData((12L, "x y p q r s z"), (13L, "f g h i j"))
+        q.processAllAvailable()
+        // batch 2: doc 14 repeats batch 1's SURVIVING run -> trimmed via
+        // the extended index (cross-batch), plus the corpus run again
+        mem.addData((14L, "k l f g h i m"), (15L, "p q r s t"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("ssp_sink").orderBy("doc_id")
+        .as[(Long, Int, Int, String)].collect().toList
+      assert(got == List(
+        (12L, 7, 4, "x y z"),
+        (13L, 5, 0, "f g h i j"),
+        (14L, 7, 4, "k l m"),
+        (15L, 5, 4, "t")))
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
