@@ -388,31 +388,45 @@ object Vocab {
     * bytes/row), and degrades to a word-keyed shuffle join beyond that. The
     * per-doc sum partially aggregates map-side on the doc id.
     */
-  /** Tokenize whole documents in one map pass: per-document token SEQUENCES
-    * in reading order — the emission shape packing/serialization consumes —
-    * and, being a pure row-local projection, it runs UNCHANGED on streams
-    * (tokenize-at-ingest).
+  /** Tokenize whole documents in one codegen'd map pass: per-document token
+    * SEQUENCES in reading order — the emission shape packing/serialization
+    * consumes — and, being a pure row-local projection, it runs UNCHANGED
+    * on streams (tokenize-at-ingest).
     *
-    * The document's [[wordPattern]] runs flatten into ONE symbol array
-    * (each run's characters plus its own `</w>` marker), and the merge
-    * table applies to the joined sentinel-spaced string as the same flat
-    * codegen'd replace chain as [[applyMerges]]. Tokenizing the
-    * concatenation equals concatenating the per-word tokenizations because
-    * no merge can act across a run boundary: a trained merge never has
-    * `</w>` as its LEFT operand (pair extraction ends at the word marker,
-    * so `</w>` only ever appears as a right element), and any other
-    * cross-run pair is separated by the `</w>` symbol sitting between the
-    * runs — including runs adjacent in the raw text ("abc123" splits into
-    * two marked runs with no whitespace needed). Documents with no
-    * [[wordPattern]] match tokenize to the empty array.
+    * The document becomes ONE sentinel-spaced symbol string: every
+    * [[wordPattern]] run gains a trailing U+0001 terminator (regex `$$0`
+    * replacement — runs are maximal because the classes are disjoint),
+    * whitespace drops, characters space out, and each terminator becomes
+    * the run's own `</w>` symbol; the merge table then applies as the same
+    * flat replace chain as [[applyMerges]]. Everything is regexp_replace /
+    * replace / split — whole-stage codegen, where the equivalent
+    * flatten-transform-over-runs form runs interpreted per word (measured
+    * 2.2x slower on text_bpe_tokenize at sf0.1). Input U+0001 itself is
+    * stripped up front (a control char has no tokenization value; keeping
+    * it would collide with the terminator).
+    *
+    * Tokenizing the concatenation equals concatenating the per-word
+    * tokenizations because no merge can act across a run boundary: a
+    * trained merge never has `</w>` as its LEFT operand (pair extraction
+    * ends at the word marker, so `</w>` only ever appears as a right
+    * element), and any other cross-run pair is separated by the `</w>`
+    * symbol between the runs — including runs adjacent in the raw text
+    * ("abc123" splits into two marked runs with no whitespace needed).
+    * Documents with no [[wordPattern]] match tokenize to the empty array.
     */
   def bpeTokenizeDocs(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val symsDoc = expr(
-      s"""flatten(transform(regexp_extract_all(lower($textCol), '$wordPattern', 0),
-         |  w -> concat(filter(split(w, '(?!^)'), s -> s <> ''), array('</w>'))))"""
-        .stripMargin)
-    df.select(col(idCol), applyMerges(symsDoc, merges).as("tokens"))
+    val sep = "\u0001"
+    val marked = regexp_replace(
+      regexp_replace(lower(col(textCol)), sep, ""), wordPattern, "$0" + sep)
+    val squeezed = regexp_replace(marked, "[ \\t\\n\\r]+", "")
+    val spaced = regexp_replace(squeezed, "(.)", " $1 ")
+    val s0 = replace(spaced, lit(s" $sep "), lit(" </w> "))
+    val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    df.select(col(idCol),
+      filter(split(sN, " "), t => t =!= "").as("tokens"))
   }
 
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
