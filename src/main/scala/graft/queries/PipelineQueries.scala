@@ -1567,6 +1567,60 @@ object PipelineQueries {
       try q.processAllAvailable() finally q.stop()
       s.table("sc_sink").select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // the reference's core scenario at full depth: the SAME planted corpus
+    // as stream_curate, but the stream first passes the policy layer — an
+    // RLS predicate (lang = 'en') injected by SecurityContext into the
+    // STREAMING plan before the funnel's stateless front end, so the
+    // policy-scoped corpus is what decontaminates, quality-gates and
+    // dedups. The oracle splices the predicate into the identical
+    // curateFull CTE chain.
+    "sec_stream_curate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val bench = d.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val base = corpus.unionAll(corpus.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text"), col("lang")))
+      val m1 = corpus.select(percentile_approx(col("doc_id"), lit(0.5), lit(100))
+        .cast("long")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scs").toFile
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val slices = Seq(
+        base.filter(col("doc_id") < m1),
+        base.filter(col("doc_id") >= m1 && col("doc_id") < 1000000),
+        base.filter(col("doc_id") >= 1000000))
+      val now = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val part = new java.io.File(tmpRoot, s"part$i")
+        sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
+        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(streamDir, s"b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(now - (slices.size - i) * 60000L)
+      }
+      val tables = Seq("scs_ex_idx", "scs_lsh_idx", "scs_lsh_idx_sets",
+        "scs_lsh_idx_meta", "scs_sink")
+      tables.foreach(graft.sources.Sources.dropForOverwrite(s, _))
+      Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+        "scs_ex_idx", "doc_id", "k", numBuckets = 4)
+      Dedup.minhashWriteBucketed(base.limit(0), "scs_lsh_idx", "doc_id",
+        "text", numBuckets = 4)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      stream.createOrReplaceTempView("documents_stream_sec_q")
+      val ctx = new graft.SecurityContext(s)
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "curator", "spark_catalog", "default", "documents_stream_sec_q",
+        "lang = 'en'"))
+      val secured = ctx.dfRowFilter("curator",
+        "SELECT doc_id, text FROM documents_stream_sec_q")
+      val q = StreamOps.streamingCurate(secured, "scs_ex_idx", "scs_lsh_idx",
+        "doc_id", "text", "scs_sink", bench = Some(bench),
+        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+        threshold = 0.9)
+      try q.processAllAvailable() finally q.stop()
+      s.table("scs_sink").select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
     "stream_window_agg" -> ((s, dir) => {
@@ -3488,6 +3542,16 @@ object PipelineQueries {
         |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.label = surv.doc_id
         |ORDER BY surv.doc_id""".stripMargin,
+    // the identical funnel CTEs with the policy predicate spliced into both
+    // arms of the planted base — what "curate a policy-scoped stream" means
+    "sec_stream_curate" ->
+      (curateFullCtes.replace("WHERE doc_id % 17 <> 0",
+          "WHERE doc_id % 17 <> 0 AND lang = 'en'") +
+        """
+          |SELECT surv.doc_id
+          |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+          |WHERE labels.id IS NULL OR labels.label = surv.doc_id
+          |ORDER BY surv.doc_id""".stripMargin),
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,
