@@ -739,6 +739,19 @@ object PipelineQueries {
           round(col("score"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // quantization-health gate: in the exact regime (sample = all members,
+    // iters = 0) every member's stored codes reconstruct its own normalized
+    // vector, so the self-score report reads exactly 1.0 per member — the
+    // provable invariant that oracles ivfpqSelfScore
+    "ann_ivfpq_selfscore_check" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfpqWriteBucketed(e, "graft_ivfpq_ss_gate", "vec_id", "embedding",
+        nlist = 4, m = 4, ksub = 64, numBuckets = 4, sampleSize = 64, iters = 0)
+      Similarity.ivfpqSelfScore(s, "graft_ivfpq_ss_gate", e, "vec_id", "embedding")
+        .select(col("vec_id"), round(col("self_score"), 9).as("self_score"))
+        .orderBy(col("vec_id"))
+    }),
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -1663,7 +1676,8 @@ object PipelineQueries {
       // the per-process catalog, and a leftover location fails the sink's
       // first CREATE inside the stream
       Seq("vq_rc_ex_idx", "vq_rc_lsh_idx", "vq_rc_lsh_idx_sets",
-        "vq_rc_lsh_idx_meta", "vq_rc_sink", "vq_rc_quar")
+        "vq_rc_lsh_idx_meta", "vq_rc_sink", "vq_rc_quar",
+        "vq_rc_sink_reconciled", "vq_rc_sink_old")
         .foreach(graft.sources.Sources.dropForOverwrite(s, _))
       Dedup.exactWriteBucketed(all.limit(0).withColumn("k", col("text")),
         "vq_rc_ex_idx", "doc_id", "k", numBuckets = 4)
@@ -1679,8 +1693,17 @@ object PipelineQueries {
       finally q.stop()
       val lateDrop = StreamOps.reconcileCurate(s, "vq_rc_sink", "vq_rc_lsh_idx",
         "vq_rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
-      s.table("vq_rc_sink").select(lit("sink").as("phase"), col("doc_id"))
-        .unionAll(lateDrop.select(lit("late_drop").as("phase"), col("doc_id")))
+      val sinkBefore = s.table("vq_rc_sink")
+        .select(lit("sink").as("phase"), col("doc_id")).localCheckpoint()
+      val drops = lateDrop.select(lit("late_drop").as("phase"), col("doc_id"))
+        .localCheckpoint()
+      // the actuator: rewrite the sink without the late drops (recoverable
+      // staged swap), then read the applied state back
+      StreamOps.applyReconcile(s, "vq_rc_sink", drops.select(col("doc_id")),
+        "doc_id")
+      sinkBefore.unionAll(drops)
+        .unionAll(s.table("vq_rc_sink")
+          .select(lit("reconciled").as("phase"), col("doc_id")))
         .orderBy(col("phase"), col("doc_id"))
     }),
     // the BASELINE north star made concrete: the policy layer and the
@@ -2240,6 +2263,13 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // distortion exactly 0 per member in the exact regime: 1.0 to the last
+    // rounded place for every nonzero-norm member
+    "ann_ivfpq_selfscore_check" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 64)
+        |SELECT vec_id, CAST(1.0 AS DOUBLE) AS self_score FROM c
+        |WHERE sqrt(list_dot_product(v, v)) > 0 ORDER BY vec_id""".stripMargin,
     // after the rebuild the index is in the same exact regime as the
     // _topk_check gate, so the oracle is the identical brute-force top-5 —
     // a hash MATCH here is only reachable through re-trained codebooks
@@ -3397,9 +3427,11 @@ object PipelineQueries {
         |FROM keepers k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
         |ORDER BY k.doc_id""".stripMargin,
     // hand-derived from the planted chain arithmetic (see the query
-    // comment): stream keeps {1, 3}, reconciliation late-drops 3
+    // comment): stream keeps {1, 3}, reconciliation late-drops 3, the
+    // applied sink holds exactly the batch keeper {1}
     "stream_reconcile" ->
       """SELECT 'late_drop' AS phase, CAST(3 AS BIGINT) AS doc_id
+        |UNION ALL SELECT 'reconciled', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sink', CAST(1 AS BIGINT)
         |UNION ALL SELECT 'sink', CAST(3 AS BIGINT)
         |ORDER BY phase, doc_id""".stripMargin,
