@@ -25,6 +25,52 @@ class TextPropertiesSpec extends SparkFunSuite {
   private def sample(n: Int): Seq[String] =
     Gen.listOfN(n, text).sample.getOrElse(Seq("alpha beta gamma"))
 
+  test("dedupSpans matches a sequential reference on collision-heavy random corpora") {
+    // tiny 6-word vocabulary at window 3 forces dense window collisions —
+    // cross-document, within-document, overlapping and chained — the
+    // regime where a winner-pick or coverage bug would diverge
+    val k = 3
+    def ref(docs: Seq[(Long, String)]): Map[Long, (Int, Int, String)] = {
+      val words = docs.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, _) <- docs.sortBy(_._1); ws = words(id);
+           p <- 1 to ws.length - k + 1) {
+        val w = ws.slice(p - 1, p - 1 + k).mkString(" ")
+        if (!firstSeen.contains(w)) firstSeen(w) = (id, p)
+      }
+      docs.map { case (id, _) =>
+        val ws = words(id)
+        val removed = (1 to ws.length - k + 1)
+          .filter { p =>
+            firstSeen(ws.slice(p - 1, p - 1 + k).mkString(" ")) != ((id, p))
+          }
+          .flatMap(p => p until p + k).toSet
+        val kept = (1 to ws.length).filterNot(removed).map(j => ws(j - 1))
+        id -> ((ws.length, ws.length - kept.length, kept.mkString(" ")))
+      }.toMap
+    }
+    val smallWord = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx")
+    val spanText = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, smallWord).map(_.mkString(" ")))
+    val gen = Gen.listOfN(20, spanText)
+    (1 to 4).foreach { round =>
+      val texts = gen.apply(org.scalacheck.Gen.Parameters.default,
+          org.scalacheck.rng.Seed(round * 31L))
+        .getOrElse(List.fill(20)("ax bx cx ax bx cx"))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          windowTokens = k)
+        .as[(Long, Int, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expect = ref(docs)
+      assert(got == expect, s"round $round diverged")
+      // the interesting regime actually occurred: something was removed
+      assert(expect.values.exists(_._2 > 0), s"round $round removed nothing")
+    }
+  }
+
   test("chunk: chunks minus overlap rebuild the token stream; sizes within bounds") {
     val cases = sample(60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = cases.toDF("doc_id", "text")
