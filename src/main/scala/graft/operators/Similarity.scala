@@ -623,7 +623,12 @@ object Similarity {
     * tolerance, the same measure-then-act discipline as [[ivfCellStats]].
     * One id-equi join between the codes-only index scan and the vector
     * source; the per-row LUT is the member's own, so nothing broadcasts.
-    * Output: (id, self_score).
+    * Every INDEX member appears in the report: a member whose raw vector is
+    * absent from `source` carries a NULL self_score — a health report must
+    * distinguish "cannot score without the vector" from "scored fine", and
+    * a silently shrinking report would hide exactly the coverage gap that
+    * would later fail [[ivfpqRebuild]]'s source check. Output:
+    * (id, self_score).
     */
   def ivfpqSelfScore(spark: SparkSession, table: String, source: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
@@ -633,12 +638,14 @@ object Similarity {
     val ksub = codebooks(0).length
     spark.table(table).select(col(idCol), col("_codes"))
       .join(source.select(col(idCol), col(vecCol))
-        .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0), Seq(idCol))
+        .filter(sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")) > 0),
+        Seq(idCol), "left_outer")
       .select(col(idCol),
-        columnOf(graft.functions.PqAdc(
-          expressionOf(col("_codes")),
-          graft.functions.PqLut(expressionOf(col(vecCol)), codebooks),
-          ksub)).as("self_score"))
+        when(col(vecCol).isNotNull,
+          columnOf(graft.functions.PqAdc(
+            expressionOf(col("_codes")),
+            graft.functions.PqLut(expressionOf(col(vecCol)), codebooks),
+            ksub))).as("self_score"))
   }
 
   /** The persisted PQ codebooks of an [[ivfpqWriteBucketed]] index. Bounded

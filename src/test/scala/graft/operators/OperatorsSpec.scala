@@ -2256,6 +2256,14 @@ class OperatorsSpec extends SparkFunSuite {
         s"old rows must be exact pre-rebuild: ${pre.filter(_._1 < 16)}")
       assert((16L until 32L).forall(i => pre(i) < 0.1),
         s"drifted rows must score near zero pre-rebuild: ${pre.filter(_._1 >= 16)}")
+      // report completeness: a member whose vector is missing from the
+      // source still appears, with a NULL score — the report must not
+      // silently shrink
+      val partial = Similarity.ivfpqSelfScore(spark, "ivfpq_rb_t", oldDf,
+        "vec_id", "embedding")
+      assert(partial.count() == 32)
+      assert(partial.filter($"self_score".isNull).select($"vec_id").as[Long]
+        .collect().toSet == (16L until 32L).toSet)
       // a source that does not cover every member id must be refused, and
       // the refusal must leave the live index untouched
       intercept[IllegalArgumentException] {
