@@ -512,6 +512,11 @@ object Dedup {
       allCols: Seq[String]): (Seq[String], Boolean) = bucketCols match {
     case Seq("content_hash") => (Seq("content_hash"), true)
     case Seq("h") | Seq("fp_hash") | Seq("band", "band_hash") => (allCols, false)
+    // an IVF/IVF-PQ index is bucketed on `_cell` — many rows per cell is
+    // its WHOLE content; keep-min "compaction" would collapse it to one
+    // row per cell. Its maintenance is ivfRebuild/ivfpqRebuild, never this.
+    case Seq("_cell") => throw new IllegalArgumentException(
+      "an IVF index is maintained by ivfRebuild/ivfpqRebuild, not compactIndex")
     case Seq(idLike) => (Seq(idLike), true)
     case other => throw new IllegalArgumentException(
       s"no compaction rule for an index bucketed on ${other.mkString(", ")}")

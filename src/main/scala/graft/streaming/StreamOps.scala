@@ -262,12 +262,16 @@ object StreamOps {
     */
   def applyReconcile(spark: SparkSession, sinkTable: String,
       drops: DataFrame, idCol: String): Unit = {
-    val staged = s"${sinkTable}_reconciled"
-    graft.sources.Sources.dropForOverwrite(spark, staged)
-    spark.table(sinkTable)
-      .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
-      .write.format("parquet").saveAsTable(staged)
-    graft.sources.Sources.swapStaged(spark, staged, sinkTable)
+    // empty drop set -> no-op: never pay a full sink rewrite for nothing
+    // (the common steady-state outcome of a reconciliation pass)
+    if (!drops.isEmpty) {
+      val staged = s"${sinkTable}_reconciled"
+      graft.sources.Sources.dropForOverwrite(spark, staged)
+      spark.table(sinkTable)
+        .join(drops.select(col(idCol)), Seq(idCol), "left_anti")
+        .write.format("parquet").saveAsTable(staged)
+      graft.sources.Sources.swapStaged(spark, staged, sinkTable)
+    }
   }
 
   /** Streaming ANN-index maintenance over a persisted

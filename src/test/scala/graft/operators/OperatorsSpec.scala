@@ -539,6 +539,19 @@ class OperatorsSpec extends SparkFunSuite {
     } finally dropIndexDebris(tables)
   }
 
+  test("compactIndex refuses an IVF _cell table: many rows per cell IS its content") {
+    spark.sql("DROP TABLE IF EXISTS cmp_ivf_guard")
+    try {
+      graft.sources.Sources.writeBucketed(
+        Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "_cell"),
+        "cmp_ivf_guard", Seq("_cell"), 2)
+      val e = intercept[IllegalArgumentException](
+        Dedup.compactIndex(spark, "cmp_ivf_guard"))
+      assert(e.getMessage.contains("ivfRebuild"))
+      assert(spark.table("cmp_ivf_guard").count() == 3) // untouched
+    } finally spark.sql("DROP TABLE IF EXISTS cmp_ivf_guard")
+  }
+
   test("hash split is deterministic; stratified take caps every group at k") {
     val ids = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en")).toDF("doc_id", "lang")
     val split = Sampling.hashSplit(ids, "doc_id")

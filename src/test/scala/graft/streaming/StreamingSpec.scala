@@ -804,6 +804,11 @@ class StreamingSpec extends SparkFunSuite {
       val lateDrop = StreamOps.reconcileCurate(spark, "rc_sink", "rc_lsh_idx",
           "rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
       assert(lateDrop.as[Long].collect().toSet == Set(3L))
+      // an empty drop set must be a no-op — never a full sink rewrite
+      StreamOps.applyReconcile(spark, "rc_sink",
+        lateDrop.filter($"doc_id" < 0), "doc_id")
+      assert(spark.table("rc_sink").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
       // the actuator half: rewrite the sink without the late drops through
       // the recoverable staged swap
       StreamOps.applyReconcile(spark, "rc_sink", lateDrop, "doc_id")
