@@ -254,7 +254,11 @@ object Dedup {
 
   /** Shared reassembly of the span family: given (idCol, _ws, _dp?) drop
     * every token covered by a dup-window start in `_dp` and rebuild the
-    * document. Pure row-local higher-order functions.
+    * document. Row-local, and LINEAR in the document: the removed
+    * positions expand to an explicit set and the survivors come from one
+    * hash-based `array_except` — an exists-per-token scan over the dup
+    * starts would be O(tokens x dups), quadratic on exactly the documents
+    * span removal is for (long, heavily duplicated ones).
     */
   private def reassembleSpans(docs: DataFrame, idCol: String,
       windowTokens: Int): DataFrame =
@@ -263,10 +267,11 @@ object Dedup {
       .withColumn("_kept", when(size(col("_ws")) === 0,
           expr("CAST(array() AS array<string>)"))
         .otherwise(expr(
-          s"""filter(transform(sequence(1, size(_ws)),
-             |  j -> IF(exists(_dp, p -> p <= j AND j < p + $windowTokens),
-             |          NULL, element_at(_ws, j))),
-             |  t -> t IS NOT NULL)""".stripMargin)))
+          s"""transform(
+             |  array_except(sequence(1, size(_ws)),
+             |    array_distinct(flatten(transform(_dp,
+             |      p -> sequence(p, p + ${windowTokens - 1}))))),
+             |  j -> element_at(_ws, j))""".stripMargin)))
       .select(col(idCol), size(col("_ws")).as("n_tokens"),
         (size(col("_ws")) - size(col("_kept"))).as("n_removed"),
         array_join(col("_kept"), " ").as("clean_text"))
