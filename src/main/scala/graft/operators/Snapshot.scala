@@ -46,4 +46,36 @@ object Snapshot {
       textCol: String): DataFrame =
     corpusDiff(prev, next, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Estimated pairwise key overlap between the corpus's sources — the
+    * dedup-PLANNING number ("how much of source B is already in source A",
+    * asked before scheduling any cross-source dedup) at sketch cost: one
+    * corpus pass builds a DataSketches HLL per source (`hll_sketch_agg`,
+    * mergeable map-side partials), and every pairwise union merges two
+    * kilobyte sketches — k sources cost one scan plus k^2 sketch merges,
+    * never a join of the corpora. Output per unordered pair
+    * (source_a < source_b): both distinct estimates, the union estimate,
+    * `overlap_est` = a + b - union (inclusion-exclusion, clamped at 0) and
+    * `jaccard_est` = overlap / union. Estimates are exact while a source's
+    * sketch stays in sparse mode and carry ~1% HLL error beyond (default
+    * lgK) — right for deciding WHICH dedup to run, never a substitute for
+    * running it. Deterministic: the sketch hash is seed-fixed, so the same
+    * corpus always reports the same estimates.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      keyCol: String): DataFrame = {
+    val sk = df.groupBy(col(sourceCol).as("_src"))
+      .agg(hll_sketch_agg(col(keyCol)).as("_sk"))
+    val a = sk.select(col("_src").as("source_a"), col("_sk").as("_ska"))
+    val b = sk.select(col("_src").as("source_b"), col("_sk").as("_skb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        hll_sketch_estimate(col("_ska")).as("n_a"),
+        hll_sketch_estimate(col("_skb")).as("n_b"),
+        hll_sketch_estimate(hll_union(col("_ska"), col("_skb"))).as("n_union"))
+      .withColumn("overlap_est",
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")))
+      .withColumn("jaccard_est",
+        round(col("overlap_est").cast("double") / col("n_union"), 6))
+  }
 }

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  /** Three planted sources over doc_id residue classes with closed-form
+    * pairwise overlaps: sa = residues 0-5, sb = 4-9, sc = evens — so
+    * sa∩sb = {4,5}, sa∩sc = {0,2,4}, sb∩sc = {4,6,8} of every 10 ids.
+    */
+  private def overlapPlant(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    d.filter(col("doc_id") % 10 < 6).select(lit("sa").as("src"), col("doc_id"))
+      .unionAll(d.filter(col("doc_id") % 10 >= 4).select(lit("sb"), col("doc_id")))
+      .unionAll(d.filter(col("doc_id") % 2 === 0).select(lit("sc"), col("doc_id")))
+  }
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
   /** Mixed-script plant for the BPE family: every 13th document gains digit
@@ -1037,6 +1048,32 @@ object PipelineQueries {
     // corpus-WIDE paragraph dedup (vs text_dedup_lines' within-doc scope):
     // planted shared paragraphs survive only in the first (doc_id, idx)
     // occurrence; each doc's own text-substring paragraph survives
+    // cross-source overlap planning at sketch cost: one HLL per planted
+    // source, pairwise sketch unions, inclusion-exclusion overlap — the
+    // number that decides WHICH cross-source dedup to schedule. Sources
+    // are planted residue classes of doc_id, so every pairwise overlap is
+    // known in closed form; the paired _check gates the estimates against
+    // the exact intersections.
+    "text_source_overlap" -> ((s, dir) => {
+      Snapshot.sourceOverlap(overlapPlant(s, dir), "src", "doc_id")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    "text_source_overlap_check" -> ((s, dir) => {
+      val mixed = overlapPlant(s, dir).localCheckpoint(eager = false)
+      val est = Snapshot.sourceOverlap(mixed, "src", "doc_id")
+      val exact = mixed.alias("x")
+        .join(mixed.alias("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          (abs(col("overlap_est") - coalesce(col("n_exact"), lit(0L))) <=
+            greatest(lit(2.0),
+              coalesce(col("n_exact"), lit(0L)).cast("double") * 0.05))
+            .as("overlap_ok"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
     // corpus-wide duplicated-SPAN removal (Lee et al. 2021 ExactSubstr —
     // the granularity between whole-doc dedup and nothing): planted shared
     // 8-token intro + parity-class codas, so the first doc overall and the
@@ -3283,6 +3320,13 @@ object PipelineQueries {
       """SELECT source, count(*) AS n_docs, true AS distinct_ok,
         |       true AS p50_ok, true AS p95_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the sketch estimates must sit within 5% of every planted exact
+    // intersection (estimates are sketch-deterministic, so this is stable)
+    "text_source_overlap_check" ->
+      """SELECT 'sa' AS source_a, 'sb' AS source_b, true AS overlap_ok
+        |UNION ALL SELECT 'sa', 'sc', true
+        |UNION ALL SELECT 'sb', 'sc', true
+        |ORDER BY source_a, source_b""".stripMargin,
     "text_boilerplate" ->
       s"""WITH g AS (
          |  SELECT doc_id,

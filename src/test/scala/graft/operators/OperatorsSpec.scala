@@ -539,6 +539,30 @@ class OperatorsSpec extends SparkFunSuite {
     } finally dropIndexDebris(tables)
   }
 
+  test("sourceOverlap: sketch estimates recover planted pairwise overlaps, deterministically") {
+    // sa = residues 0-5 (1200 ids), sb = 4-9 (1200), sc = evens (1000);
+    // exact overlaps: sa∩sb = 400, sa∩sc = 600, sb∩sc = 600
+    val ids = spark.range(0, 2000)
+    val mixed = ids.filter($"id" % 10 < 6).select(lit("sa").as("src"), $"id")
+      .unionAll(ids.filter($"id" % 10 >= 4).select(lit("sb").as("src"), $"id"))
+      .unionAll(ids.filter($"id" % 2 === 0).select(lit("sc").as("src"), $"id"))
+    def run() = Snapshot.sourceOverlap(mixed, "src", "id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = run()
+    val exact = Map(("sa", "sb") -> (1200L, 1200L, 2000L, 400L),
+      ("sa", "sc") -> (1200L, 1000L, 1600L, 600L),
+      ("sb", "sc") -> (1200L, 1000L, 1600L, 600L))
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, (na, nb, nu, ov)) =>
+      val (ea, eb, eu, eo) = exact(k)
+      assert(math.abs(na - ea) <= ea * 0.05 && math.abs(nb - eb) <= eb * 0.05
+        && math.abs(nu - eu) <= eu * 0.05 && math.abs(ov - eo) <= eo * 0.1,
+        s"$k: est ($na,$nb,$nu,$ov) vs exact ($ea,$eb,$eu,$eo)")
+    }
+    assert(run() == got) // sketch hashing is seed-fixed: stable estimates
+  }
+
   test("compactIndex refuses an IVF _cell table: many rows per cell IS its content") {
     spark.sql("DROP TABLE IF EXISTS cmp_ivf_guard")
     try {
