@@ -35,12 +35,14 @@ object EpochOps {
 
     val epochTables = Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx",
       "ep_ivf_idx_centroids", "ep_ivfpq_idx", "ep_ivfpq_idx_centroids",
-      "ep_ivfpq_idx_codebooks")
+      "ep_ivfpq_idx_codebooks", "ep_span_idx", "ep_span_idx_meta")
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     // standing state: the persisted index family
     Dedup.exactWriteBucketed(corpus, "ep_ex_idx", "doc_id", "text", numBuckets = 4)
     Dedup.paragraphWriteBucketed(corpus, "ep_para_idx", "doc_id", "text", numBuckets = 4)
+    Dedup.spanWriteBucketed(corpus, "ep_span_idx", "doc_id", "text",
+      windowTokens = 20, numBuckets = 4)
     Similarity.ivfWriteBucketed(embs.filter(col("vec_id") % 5 =!= 0),
       "ep_ivf_idx", "vec_id", "embedding", nlist = 16, numBuckets = 4)
 
@@ -60,15 +62,23 @@ object EpochOps {
       "doc_id", "text").localCheckpoint(eager = true) // see the note above
     Dedup.paragraphAppendToIndex(paraCleaned.withColumnRenamed("clean_text", "text"),
       "ep_para_idx", "doc_id", "text")
+    // span pass (Lee 2021 ExactSubstr granularity): trim token runs the
+    // standing corpus already holds, extend the window index with survivors
+    val spanCleaned = Dedup.dedupSpansIncremental(batch, "ep_span_idx",
+      "doc_id", "text").localCheckpoint(eager = true) // see the note above
+    Dedup.spanAppendToIndex(spanCleaned.withColumnRenamed("clean_text", "text"),
+      "ep_span_idx", "doc_id", "text")
     Similarity.ivfAppendToIndex(embs.filter(col("vec_id") % 5 === 0),
       "ep_ivf_idx", "vec_id", "embedding")
     println(s"[epoch] ingested ${exSurvivors.count()} exact-new docs of ${batch.count()}; " +
       s"paragraph pass kept ${paraCleaned.agg(sum(col("n_kept"))).head().getLong(0)} " +
-      s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs")
+      s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs; " +
+      s"span pass removed ${spanCleaned.agg(sum(col("n_removed"))).head().getLong(0)} " +
+      s"of ${spanCleaned.agg(sum(col("n_tokens"))).head().getLong(0)} tokens")
 
     // ---- 0. index hygiene: per-table accretion ratio, compaction when it
     // drifts — one generalized rule for the whole persisted family ----
-    Seq("ep_ex_idx", "ep_para_idx").foreach { t =>
+    Seq("ep_ex_idx", "ep_para_idx", "ep_span_idx").foreach { t =>
       val accretion = Dedup.indexAccretion(spark, t)
       println(f"[hygiene] $t accretion=$accretion%.3f")
       if (accretion > 1.1) {
