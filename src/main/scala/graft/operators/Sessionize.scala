@@ -160,4 +160,68 @@ object Sessionize extends Serializable {
     typed.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Ordered event funnel — the match_recognize-class question "who did
+    * stage 1, THEN stage 2, THEN stage 3" asked declaratively: per user,
+    * stage k's timestamp is the EARLIEST event of `stages(k-1)`'s type
+    * STRICTLY after the user's stage k-1 timestamp (earliest-qualifying
+    * semantics — deterministic, and the standard funnel definition). Output
+    * one row per user who entered the funnel: (userCol, ts_1..ts_k as epoch
+    * seconds, stage_reached); later stages are NULL once the chain breaks.
+    *
+    * Shape at scale: NO per-user ordering window anywhere — each stage is
+    * one equi-join on the user key plus a min aggregate (map-side partial),
+    * so k stages cost k user-keyed shuffles that AQE plans off the same
+    * exchange, and a hot user contributes counts, never a sort. This is
+    * the funnel at 100 TB of events: the per-stage filter prunes to that
+    * stage's type before anything shuffles.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val te = unix_timestamp(col(tsCol))
+    var cur = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(te).as("ts_1"))
+    var out = cur
+    for (i <- 2 to stages.size) {
+      val nxt = events.filter(col(typeCol) === stages(i - 1))
+        .select(col(userCol), te.as("_t"))
+        .join(cur.select(col(userCol), col(s"ts_${i - 1}")), Seq(userCol))
+        .filter(col("_t") > col(s"ts_${i - 1}"))
+        .groupBy(col(userCol)).agg(min(col("_t")).as(s"ts_$i"))
+      out = out.join(nxt, Seq(userCol), "left")
+      cur = nxt
+    }
+    // ascending fold so the HIGHEST reached stage's check ends up outermost
+    val reached = (2 to stages.size).foldLeft(lit(1)) { (acc, i) =>
+      when(col(s"ts_$i").isNotNull, i).otherwise(acc)
+    }
+    out.withColumn("stage_reached", reached)
+  }
+
+  /** The headline numbers over [[funnel]]: users reaching each stage and
+    * the step conversion rate — one bounded k-row aggregate over the
+    * per-user funnel.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, stages)
+    val aggs = count(lit(1)).as("n_1") +:
+      (2 to stages.size).map(i => count(col(s"ts_$i")).as(s"n_$i"))
+    val counts = f.agg(aggs.head, aggs.tail: _*)
+    counts.select(explode(array((1 to stages.size).map { i =>
+        val conv =
+          if (i == 1) lit(1.0)
+          else when(col(s"n_${i - 1}") > 0,
+            round(col(s"n_$i").cast("double") /
+              col(s"n_${i - 1}").cast("double"), 6))
+            .otherwise(lit(null).cast("double")) // an empty prior stage has no rate
+        struct(lit(i).as("stage"), lit(stages(i - 1)).as("event_type"),
+          col(s"n_$i").as("n_users"), conv.as("conversion"))
+      }: _*)).as("s"))
+      .select(col("s.stage"), col("s.event_type"), col("s.n_users"),
+        col("s.conversion"))
+  }
 }

@@ -1673,6 +1673,17 @@ object PipelineQueries {
     }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
+    // ordered view -> click -> purchase funnel, earliest-qualifying
+    // semantics: stage k is the first event of its type strictly after the
+    // user's stage k-1 time — per-user row with break-off stage
+    "events_funnel" -> ((s, dir) =>
+      Sessionize.funnel(Tables.df(s, dir, "events"), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+    "events_funnel_counts" -> ((s, dir) =>
+      Sessionize.funnelCounts(Tables.df(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
@@ -3628,6 +3639,36 @@ object PipelineQueries {
           |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
           |WHERE labels.id IS NULL OR labels.label = surv.doc_id
           |ORDER BY surv.doc_id""".stripMargin),
+    // the same sequential earliest-qualifying mins, one CTE per stage
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |s1 AS (SELECT user_id, min(te) AS ts_1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.te) AS ts_2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.te > s1.ts_1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.te) AS ts_3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.te > s2.ts_2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+        |       CAST(CASE WHEN s3.ts_3 IS NOT NULL THEN 3
+        |                 WHEN s2.ts_2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage_reached
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "events_funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |s1 AS (SELECT user_id, min(te) AS ts_1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.te) AS ts_2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.te > s1.ts_1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.te) AS ts_3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.te > s2.ts_2 GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users, CAST(1.0 AS DOUBLE) AS conversion FROM n
+        |UNION ALL SELECT 2, 'click', n2,
+        |  CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+        |ORDER BY stage""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,

@@ -539,6 +539,36 @@ class OperatorsSpec extends SparkFunSuite {
     } finally dropIndexDebris(tables)
   }
 
+  test("event funnel: earliest-qualifying ordered stages, strict ordering, chain breaks preserved") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full chain
+      (2L, "click", 5L), (2L, "view", 10L),                         // click BEFORE view: breaks at 1
+      (3L, "view", 10L), (3L, "purchase", 12L), (3L, "click", 15L), // purchase before click: stage 2
+      (4L, "click", 1L), (4L, "purchase", 2L),                      // never viewed: not in the funnel
+      (5L, "view", 10L), (5L, "click", 10L)                         // same second: strict > excludes
+    ).toDF("user_id", "event_type", "sec")
+      .select($"user_id", $"event_type", timestamp_seconds($"sec").as("ts"))
+    val f = Sessionize.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toList
+    assert(f == List(
+      (1L, Some(10L), Some(20L), Some(30L), 3),
+      (2L, Some(10L), None, None, 1),
+      (3L, Some(10L), Some(15L), None, 2),
+      (5L, Some(10L), None, None, 1)))
+    val c = Sessionize.funnelCounts(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)))).toList
+    assert(c == List(
+      (1, "view", 4L, Some(1.0)),
+      (2, "click", 2L, Some(0.5)),
+      (3, "purchase", 1L, Some(0.5))))
+  }
+
   test("sourceOverlap: sketch estimates recover planted pairwise overlaps, deterministically") {
     // sa = residues 0-5 (1200 ids), sb = 4-9 (1200), sc = evens (1000);
     // exact overlaps: sa∩sb = 400, sa∩sc = 600, sb∩sc = 600
