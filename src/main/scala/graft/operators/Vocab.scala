@@ -64,6 +64,50 @@ object Vocab {
           round(col("_no").cast("double") / col("_nt"), 6)).as("oov_rate"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing question "how many
+    * words cover X% of the corpus": for each requested share, the smallest
+    * k such that the top-k words (count desc, word asc, the [[topNgrams]]
+    * order) cover at least that share of word occurrences. Output:
+    * (share, vocab_size, covered_cnt, total_cnt, coverage), one row per
+    * requested share.
+    *
+    * Shape: the word-count aggregate compresses the corpus to vocab rows
+    * with map-side partials; the cumulative sum is ONE global-order window
+    * over that VOCAB-sized table — bounded by distinct words (1e7-1e8 at
+    * 100 TB), never corpus rows, the same boundedness argument as
+    * [[topNgrams]]' total order — and the per-share argmin is a
+    * |shares|-row aggregate. Total order (count desc, word asc) has no
+    * ties, so the RANGE frame equals ROWS and both engines walk the same
+    * prefix.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      shares: Seq[Double]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(s => s > 0.0 && s <= 1.0),
+      s"shares must be in (0, 1], got $shares")
+    val counts = df.select(explode(ngrams(textCol, 1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w").asc)
+    val ranked = counts
+      .withColumn("_k", row_number().over(win))
+      .withColumn("_cum", sum(col("cnt")).over(win))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    ranked.crossJoin(broadcast(total))
+      .select(explode(typedLit(shares)).as("share"), col("_k"), col("_cum"),
+        col("_total"))
+      .filter(col("_cum") >= col("share") * col("_total"))
+      .groupBy(col("share"))
+      .agg(min_by(struct(col("_k").as("vocab_size"),
+        col("_cum").as("covered_cnt"), col("_total").as("total_cnt")),
+        col("_k")).as("_r"))
+      .select(col("share"), col("_r.vocab_size"), col("_r.covered_cnt"),
+        col("_r.total_cnt"),
+        round(col("_r.covered_cnt").cast("double") / col("_r.total_cnt"), 6)
+          .as("coverage"))
+      .orderBy(col("share"))
+  }
+
   /** Top-k n-grams by document frequency (each document counts a term once —
     * array_distinct before the explode keeps the dedup map-side).
     */

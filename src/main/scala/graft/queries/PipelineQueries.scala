@@ -779,6 +779,10 @@ object PipelineQueries {
     "text_vocab" -> ((s, dir) =>
       Vocab.topNgrams(docs(s, dir), "text", n = 1, k = 100)),
     // per-doc OOV rate against the corpus' own top-100 vocabulary — the
+    // tokenizer sizing: smallest top-k vocabulary covering each target
+    // share of word occurrences (count-desc/word-asc prefix walk)
+    "text_vocab_coverage" -> ((s, dir) =>
+      Vocab.vocabCoverage(docs(s, dir), "text", Seq(0.5, 0.8, 0.95))),
     // tokenizer-health metric tracked per epoch (see Vocab.oovReport)
     "text_oov" -> ((s, dir) =>
       Vocab.oovReport(docs(s, dir), "doc_id", "text", k = 100)
@@ -2600,6 +2604,28 @@ object PipelineQueries {
         |           FROM documents)
         |SELECT ngram, count(*) AS cnt FROM w WHERE length(ngram) > 0
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
+    // the same prefix walk: cumulative counts in (cnt desc, word) order,
+    // per-share argmin over the ranks
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word),
+        |r AS (SELECT word, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, word) AS k,
+        |             sum(cnt) OVER (ORDER BY cnt DESC, word
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |sh AS (SELECT CAST(unnest([0.5, 0.8, 0.95]) AS DOUBLE) AS share),
+        |hit AS (SELECT sh.share, r.k, r.cum, t.total
+        |        FROM sh, r, t WHERE r.cum >= sh.share * t.total),
+        |m AS (SELECT share, min(k) AS vocab_size FROM hit GROUP BY share)
+        |SELECT m.share, CAST(m.vocab_size AS INT) AS vocab_size,
+        |       CAST(r.cum AS BIGINT) AS covered_cnt,
+        |       CAST(t.total AS BIGINT) AS total_cnt,
+        |       round(CAST(r.cum AS DOUBLE) / t.total, 6) AS coverage
+        |FROM m JOIN r ON r.k = m.vocab_size, t
+        |ORDER BY m.share""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(n_chars), 6) AS avg_chars,

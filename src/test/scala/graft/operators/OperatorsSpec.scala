@@ -539,6 +539,21 @@ class OperatorsSpec extends SparkFunSuite {
     } finally dropIndexDebris(tables)
   }
 
+  test("vocabCoverage: smallest covering prefix per share, hand-computed") {
+    // counts a:4 b:2 c:1 d:1, total 8 -> cum 4, 6, 7, 8
+    val corpus = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val got = Vocab.vocabCoverage(corpus, "text", Seq(0.5, 0.75, 0.9, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    assert(got == List(
+      (0.5, 1, 4L, 8L, 0.5),   // 'a' alone hits exactly half
+      (0.75, 2, 6L, 8L, 0.75),
+      (0.9, 4, 8L, 8L, 1.0),   // 7/8 misses 0.9: the full vocab is needed
+      (1.0, 4, 8L, 8L, 1.0)))
+    intercept[IllegalArgumentException](
+      Vocab.vocabCoverage(corpus, "text", Seq(0.0)))
+  }
+
   test("event funnel: earliest-qualifying ordered stages, strict ordering, chain breaks preserved") {
     val ev = Seq(
       (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full chain
