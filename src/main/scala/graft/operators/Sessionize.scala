@@ -177,22 +177,33 @@ object Sessionize extends Serializable {
     * stage's type before anything shuffles.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String],
+      windowSeconds: Long = Long.MaxValue): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got $stages")
+    require(windowSeconds > 0, s"windowSeconds must be > 0, got $windowSeconds")
     val te = unix_timestamp(col(tsCol))
+    // cur carries (user, ts_1, ts of the latest stage): ts_1 is the funnel
+    // ENTRY, against which the conversion window is measured — the
+    // standard product definition; Long.MaxValue disables the bound
     var cur = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(te).as("ts_1"))
     var out = cur
     for (i <- 2 to stages.size) {
+      val inWindow =
+        if (windowSeconds == Long.MaxValue) lit(true)
+        else col("_t") <= col("ts_1") + windowSeconds
       val nxt = events.filter(col(typeCol) === stages(i - 1))
         .select(col(userCol), te.as("_t"))
-        .join(cur.select(col(userCol), col(s"ts_${i - 1}")), Seq(userCol))
-        .filter(col("_t") > col(s"ts_${i - 1}"))
-        .groupBy(col(userCol)).agg(min(col("_t")).as(s"ts_$i"))
-      out = out.join(nxt, Seq(userCol), "left")
-      cur = nxt
+        .join(cur, Seq(userCol))
+        .filter(col("_t") > col(s"ts_${i - 1}") && inWindow)
+        .groupBy(col(userCol))
+        // ts_1 is constant per user; min() just carries it through the agg
+        .agg(min(col("_t")).as(s"ts_$i"), min(col("ts_1")).as("ts_1"))
+      out = out.join(nxt.select(col(userCol), col(s"ts_$i")),
+        Seq(userCol), "left")
+      cur = nxt.select(col(userCol), col("ts_1"), col(s"ts_$i"))
     }
     // ascending fold so the HIGHEST reached stage's check ends up outermost
     val reached = (2 to stages.size).foldLeft(lit(1)) { (acc, i) =>
@@ -206,8 +217,9 @@ object Sessionize extends Serializable {
     * per-user funnel.
     */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
-    val f = funnel(events, userCol, typeCol, tsCol, stages)
+      tsCol: String, stages: Seq[String],
+      windowSeconds: Long = Long.MaxValue): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, stages, windowSeconds)
     val aggs = count(lit(1)).as("n_1") +:
       (2 to stages.size).map(i => count(col(s"ts_$i")).as(s"n_$i"))
     val counts = f.agg(aggs.head, aggs.tail: _*)

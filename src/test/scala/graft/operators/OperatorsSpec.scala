@@ -582,6 +582,14 @@ class OperatorsSpec extends SparkFunSuite {
       (1, "view", 4L, Some(1.0)),
       (2, "click", 2L, Some(0.5)),
       (3, "purchase", 1L, Some(0.5))))
+    // conversion window measured from the ENTRY: user 1's purchase at +20s
+    // falls outside a 15-second window even though the click (+10) is in
+    val fw = Sessionize.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 15)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)), r.getInt(4))).toList
+    assert(fw == List(
+      (1L, None, 2), (2L, None, 1), (3L, None, 2), (5L, None, 1)))
   }
 
   test("sourceOverlap: sketch estimates recover planted pairwise overlaps, deterministically") {
