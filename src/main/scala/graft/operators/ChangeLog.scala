@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog (CDC) replay — the offline analog of the reference's
+  * mysql-cdc-backed tables (AbstractBasicTest.java:179-187): the reference
+  * demonstrates its security rewrite on a table whose rows arrive as a
+  * change stream, delegating the log-to-state materialization to Flink's
+  * connector. Here the rewrite already applies unchanged (policy injection
+  * is plan-level and source-agnostic); these operators supply the
+  * materialization itself — turning a (key, seq, op, payload) change log
+  * into the current-state table a query reads — so a changelog-shaped
+  * source gets first-class batch AND streaming treatment without a live
+  * database.
+  *
+  * Scale: materialization is ONE key-partitioned exchange with map-side
+  * partial `max_by`, so the wire carries one (key, seq, payload) pair per
+  * key per task — never the log. The textbook form, a window `row_number()
+  * OVER (PARTITION BY key ORDER BY seq DESC)`, shuffles EVERY log row and
+  * then sorts each key's full history. Physically the aggregate is a
+  * SortAggregate (a struct-valued max_by buffer is not UnsafeRow-mutable,
+  * so HashAggregate cannot apply): each input split spill-sorts by the
+  * grouping key locally before partial aggregation, and the post-exchange
+  * sort sees only the per-task partials. We keep the declarative form
+  * rather than an ObjectHashAggregate TypedImperativeAggregate because the
+  * latter falls back to sort-based past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
+  * 128) distinct keys per partition — a changelog has millions. The same
+  * aggregate runs unmodified as a Structured Streaming Complete-mode
+  * query, giving the continuously-maintained state table
+  * ([[graft.streaming.StreamOps.runToMemory]] drains it for the parity
+  * gate).
+  *
+  * Determinism contract: the `seqCols` tuple must be unique per key (a
+  * commit timestamp plus a log sequence number, as in any real CDC feed);
+  * ties would make "latest" engine-dependent.
+  */
+object ChangeLog {
+
+  private def seqStruct(seqCols: Seq[String]): Column =
+    struct(seqCols.map(col): _*)
+
+  /** Latest log row per key as one struct — shared kernel of
+    * [[materialize]] and [[compact]].
+    */
+  private def latestPerKey(log: DataFrame, keyCol: String,
+      seqCols: Seq[String], opCol: String,
+      valueCols: Seq[String]): DataFrame =
+    log.groupBy(col(keyCol))
+      .agg(max_by(struct((opCol +: valueCols).map(col): _*),
+        seqStruct(seqCols)).as("_last"))
+
+  /** Current visible state of a changelog: per key, the payload of the row
+    * with the greatest `seqCols` tuple; keys whose latest op is `deleteOp`
+    * are absent (the delete won). Output: (`keyCol`, `valueCols`*).
+    */
+  def materialize(log: DataFrame, keyCol: String, seqCols: Seq[String],
+      opCol: String, valueCols: Seq[String],
+      deleteOp: String = "D"): DataFrame =
+    latestPerKey(log, keyCol, seqCols, opCol, valueCols)
+      .filter(col(s"_last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +: valueCols.map(c => col(s"_last.$c").as(c)): _*)
+
+  /** State as of a point in the log: rows with `seqCols.head` <= `asOf`
+    * replayed through [[materialize]] — time travel over the changelog.
+    * The bound lands in the scan's PushedFilters, so historical replays
+    * prune the log at the source.
+    */
+  def stateAsOf(log: DataFrame, keyCol: String, seqCols: Seq[String],
+      opCol: String, valueCols: Seq[String], asOf: Column,
+      deleteOp: String = "D"): DataFrame =
+    materialize(log.filter(col(seqCols.head) <= asOf), keyCol, seqCols,
+      opCol, valueCols, deleteOp)
+
+  /** Kafka-style log compaction: the latest row per key INCLUDING deletes
+    * (a replayer still needs the tombstone to know the key died). Output:
+    * (`keyCol`, `opCol`, `valueCols`*) — replaying this compacted log
+    * through [[materialize]] yields the same state as replaying the full
+    * log, at one row per ever-seen key.
+    */
+  def compact(log: DataFrame, keyCol: String, seqCols: Seq[String],
+      opCol: String, valueCols: Seq[String]): DataFrame =
+    latestPerKey(log, keyCol, seqCols, opCol, valueCols)
+      .select(col(keyCol) +:
+        (opCol +: valueCols).map(c => col(s"_last.$c").as(c)): _*)
+
+  /** Derive a changelog from two snapshots of the same table — the inverse
+    * of [[materialize]], and the Flink-retract-stream bridge: emit 'I' for
+    * keys only in `next` (payload = next), 'D' for keys only in `prev`
+    * (payload = the dying row, as Flink's -D carries it), 'U' for keys in
+    * both whose payload differs null-safely. Unchanged keys emit nothing.
+    * Replaying [[fromSnapshots]](a, b) over state a via [[materialize]]
+    * reproduces state b — the spec pins that round trip.
+    *
+    * Scale: same join class as [[Snapshot.corpusDiff]] — two narrow
+    * key+payload streams full-outer-joined on the key; with both snapshots
+    * bucketed by key the exchange disappears.
+    */
+  def fromSnapshots(prev: DataFrame, next: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(keyCol).as("_pk") +:
+      valueCols.map(c => col(c).as(s"_p_$c")): _*)
+    val n = next.select(col(keyCol).as("_nk") +:
+      valueCols.map(c => col(c).as(s"_n_$c")): _*)
+    val pPay = struct(valueCols.map(c => col(s"_p_$c")): _*)
+    val nPay = struct(valueCols.map(c => col(s"_n_$c")): _*)
+    p.join(n, col("_pk") === col("_nk"), "full_outer")
+      .withColumn("op",
+        when(col("_pk").isNull, "I")
+          .when(col("_nk").isNull, "D")
+          .when(!(pPay <=> nPay), "U"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("_nk"), col("_pk")).as(keyCol) +: col("op") +:
+        valueCols.map(c =>
+          when(col("op") === "D", col(s"_p_$c"))
+            .otherwise(col(s"_n_$c")).as(c)): _*)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, ChangeLog, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -28,6 +28,19 @@ object PipelineQueries {
       .unionAll(d.filter(col("doc_id") % 2 === 0).select(lit("sc"), col("doc_id")))
   }
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+
+  /** The events table reinterpreted as a user-profile changelog for the
+    * [[ChangeLog]] family: signup inserts the profile, error deletes it
+    * (account wipe), every other event upserts — key `user_id`, sequence
+    * (ts, event_id) (unique: event_id is). The same mapping is stated in
+    * SQL in the `cdcLogCte` oracle fragment.
+    */
+  private def changelogOf(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("op"),
+      col("value"), col("props"))
 
   /** Mixed-script plant for the BPE family: every 13th document gains digit
     * and punctuation runs, so the extended pre-tokenization classes
@@ -1677,6 +1690,44 @@ object PipelineQueries {
     }),
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.df(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)),
+    // changelog replay: current visible state (latest op per key wins,
+    // tombstoned keys absent) — one max_by shuffle, no per-key sort
+    "cdc_materialize" -> ((s, dir) =>
+      ChangeLog.materialize(changelogOf(Tables.df(s, dir, "events")),
+          "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"))
+        .orderBy(col("user_id"))),
+    // time travel: the state the table had mid-month, replayed from the
+    // seq-pruned log (the bound reaches PushedFilters)
+    "cdc_state_asof" -> ((s, dir) =>
+      ChangeLog.stateAsOf(changelogOf(Tables.df(s, dir, "events")),
+          "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .orderBy(col("user_id"))),
+    // Kafka-style compaction: latest row per key INCLUDING tombstones
+    "cdc_compact" -> ((s, dir) =>
+      ChangeLog.compact(changelogOf(Tables.df(s, dir, "events")),
+          "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"))
+        .orderBy(col("user_id"))),
+    // the inverse: derive the I/U/D changelog between two corpus epochs
+    // (prev drops %11 ids -> I; next drops %7 -> D; %5 texts edited -> U)
+    "cdc_from_snapshots" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val prev = base.filter(col("doc_id") % 11 =!= 0)
+      val next = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      ChangeLog.fromSnapshots(prev, next, "doc_id", Seq("text", "source"))
+        .orderBy(col("doc_id"))
+    }),
+    // the SAME materialize aggregate as a Complete-mode streaming query:
+    // the continuously-maintained state table, drained for batch parity
+    "stream_cdc_materialize" -> ((s, dir) => {
+      val st = ChangeLog.materialize(
+        changelogOf(StreamOps.eventsStream(s, dir)),
+        "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"))
+      StreamOps.runToMemory(s, st, "stream_cdc_out", statePartitions = Some(8))
+        .orderBy(col("user_id"))
+    }),
     // ordered view -> click -> purchase funnel, earliest-qualifying
     // semantics: stage k is the first event of its type strictly after the
     // user's stage k-1 time — per-user row with break-off stage
@@ -1888,6 +1939,18 @@ object PipelineQueries {
     * quality gate -> exact dedup -> fuzzy components), shared by the batch
     * and streaming funnel oracles, which differ only in the final SELECT.
     */
+  /** The [[changelogOf]] mapping stated in SQL — shared head of the
+    * `cdc_*` oracles.
+    */
+  private val cdcLogCte: String =
+    """log AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type = 'error' THEN 'D'
+      |              ELSE 'U' END AS op,
+      |         value, props
+      |  FROM events)""".stripMargin
+
   private val curateFullCtes: String =
     s"""WITH RECURSIVE base0 AS (
     |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
@@ -3695,6 +3758,48 @@ object PipelineQueries {
         |UNION ALL SELECT 3, 'purchase', n3,
         |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
         |ORDER BY stage""".stripMargin,
+    "cdc_materialize" ->
+      s"""WITH $cdcLogCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM log)
+         |SELECT user_id, value, props FROM r WHERE rk = 1 AND op <> 'D'
+         |ORDER BY user_id""".stripMargin,
+    "cdc_state_asof" ->
+      s"""WITH $cdcLogCte,
+         |b AS (SELECT * FROM log WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM b)
+         |SELECT user_id, value, props FROM r WHERE rk = 1 AND op <> 'D'
+         |ORDER BY user_id""".stripMargin,
+    "cdc_compact" ->
+      s"""WITH $cdcLogCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM log)
+         |SELECT user_id, op, value, props FROM r WHERE rk = 1
+         |ORDER BY user_id""".stripMargin,
+    "cdc_from_snapshots" ->
+      """WITH prev AS (SELECT doc_id, text, source FROM documents
+        |              WHERE doc_id % 11 <> 0),
+        |nxt AS (SELECT doc_id,
+        |               CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                    ELSE text END AS text, source
+        |        FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(n.doc_id, p.doc_id) AS doc_id,
+        |         CASE WHEN p.doc_id IS NULL THEN 'I'
+        |              WHEN n.doc_id IS NULL THEN 'D'
+        |              WHEN (p.text IS DISTINCT FROM n.text)
+        |                OR (p.source IS DISTINCT FROM n.source) THEN 'U' END AS op,
+        |         CASE WHEN n.doc_id IS NULL THEN p.text ELSE n.text END AS text,
+        |         CASE WHEN n.doc_id IS NULL THEN p.source ELSE n.source END AS source
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
+        |WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "stream_cdc_materialize" ->
+      s"""WITH $cdcLogCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM log)
+         |SELECT user_id, value, props FROM r WHERE rk = 1 AND op <> 'D'
+         |ORDER BY user_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,

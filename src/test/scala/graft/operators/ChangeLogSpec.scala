@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** [[ChangeLog]] — changelog replay semantics on hand-computed logs, plus
+  * the two structural invariants: compaction is replay-equivalent, and
+  * fromSnapshots is materialize's inverse (replaying the derived changelog
+  * over the previous state reproduces the next state).
+  */
+class ChangeLogSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // (key, seq, op, v): key 1 inserted then updated; key 2 inserted then
+  // deleted; key 3 deleted then re-inserted (delete must NOT win when it is
+  // not latest); key 4 delete-only (tombstone for a key never seen alive)
+  private def log = Seq(
+    (1L, 10L, "I", "a"), (1L, 20L, "U", "b"),
+    (2L, 10L, "I", "c"), (2L, 30L, "D", null.asInstanceOf[String]),
+    (3L, 10L, "D", null.asInstanceOf[String]), (3L, 15L, "I", "d"),
+    (4L, 5L, "D", null.asInstanceOf[String])
+  ).toDF("k", "seq", "op", "v")
+
+  test("materialize: latest op wins, tombstoned keys absent") {
+    val got = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "b"), (3L, "d")))
+  }
+
+  test("stateAsOf replays only the seq-bounded prefix") {
+    val got = ChangeLog.stateAsOf(log, "k", Seq("seq"), "op", Seq("v"),
+        lit(12L)).orderBy("k").as[(Long, String)].collect().toSeq
+    // at seq 12: key 1 still 'a', key 2 alive 'c', key 3 still tombstoned
+    assert(got === Seq((1L, "a"), (2L, "c")))
+  }
+
+  test("compact keeps tombstones and is replay-equivalent to the full log") {
+    val compacted = ChangeLog.compact(log, "k", Seq("seq"), "op", Seq("v"))
+    assert(compacted.count() === 4) // one row per ever-seen key
+    assert(compacted.filter(col("op") === "D").select("k")
+      .as[Long].collect().toSet === Set(2L, 4L))
+    // replaying the compacted log (seq collapsed to one rank) = full replay
+    val replayed = ChangeLog.materialize(
+        compacted.withColumn("seq", lit(0L)), "k", Seq("seq"), "op", Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(replayed === Seq((1L, "b"), (3L, "d")))
+  }
+
+  test("seq tuple breaks timestamp ties deterministically") {
+    val tied = Seq((1L, 10L, 1L, "U", "x"), (1L, 10L, 2L, "U", "y"))
+      .toDF("k", "ts", "lsn", "op", "v")
+    val got = ChangeLog.materialize(tied, "k", Seq("ts", "lsn"), "op", Seq("v"))
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "y")))
+  }
+
+  test("fromSnapshots emits I/U/D and round-trips through materialize") {
+    val prev = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("k", "v", "src")
+    val next = Seq((1L, "a", "s1"), (2L, "B", "s1"), (4L, "e", "s3"))
+      .toDF("k", "v", "src")
+    val delta = ChangeLog.fromSnapshots(prev, next, "k", Seq("v", "src"))
+    val ops = delta.orderBy("k").select("k", "op")
+      .as[(Long, String)].collect().toSeq
+    assert(ops === Seq((2L, "U"), (3L, "D"), (4L, "I")))
+    // D carries the dying row's payload (Flink -D semantics)
+    assert(delta.filter(col("k") === 3L).select("v").as[String].head() === "c")
+    // round trip: prev (as an 'I' log at rank 0) + delta (rank 1) -> next
+    val asLog = prev.select(col("k"), lit(0L).as("seq"), lit("I").as("op"),
+        col("v"), col("src"))
+      .unionAll(delta.select(col("k"), lit(1L).as("seq"), col("op"),
+        col("v"), col("src")))
+    val replayed = ChangeLog.materialize(asLog, "k", Seq("seq"), "op",
+        Seq("v", "src")).orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    val want = next.orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(replayed === want)
+  }
+
+  test("null-safe change detection: value moving to/from NULL is a U") {
+    val prev = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val next = Seq((1L, Option.empty[String]), (2L, Option("b")))
+      .toDF("k", "v")
+    val ops = ChangeLog.fromSnapshots(prev, next, "k", Seq("v"))
+      .orderBy("k").select("k", "op").as[(Long, String)].collect().toSeq
+    assert(ops === Seq((1L, "U"), (2L, "U")))
+  }
+
+  test("materialize plans one exchange, partially aggregated map-side") {
+    val plan = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"expected exactly one exchange in:\n$plan")
+    // the partial max_by must run BELOW the exchange (the wire carries one
+    // (key, seq, payload) per key per task, not the log)
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_max_by")
+    assert(partialAt > exchangeAt && partialAt >= 0,
+      s"expected map-side partial_max_by under the exchange in:\n$plan")
+  }
+}
