@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -362,4 +362,79 @@ object Sampling {
     }
     df.withColumn("stage", stage)
   }
+
+  /** Importance weights for target-aware data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" — the
+    * unigram-vocabulary variant): score every raw document by how much more
+    * likely its words are under the TARGET distribution than under the raw
+    * pool, `logweight(d) = sum_w n_dw * (ln p_t(w) - ln p_r(w))` with add-1
+    * smoothing over the target vocabulary V. Words outside V contribute 0
+    * (both distributions are only estimated on V; `n_invocab` exposes how
+    * much of each document the score actually saw — a document with
+    * n_invocab = 0 scores 0.0 by construction and stays in the output, the
+    * lesson of oovReport's silent drop). p_r is estimated from the
+    * V-restricted raw token counts, p_t from the target sample:
+    * p_t(w) = (ct_w+1)/(Tt+|V|), p_r(w) = (cr_w+1)/(Tr+|V|).
+    *
+    * Scale: the target sample is curated and small by definition — its
+    * vocabulary-sized count table broadcasts. The raw corpus is touched by
+    * exactly two map-side-combinable aggregations ((doc, word) then doc) and
+    * one broadcast join against the |V|-row log-ratio table; no raw-side
+    * exchange carries anything wider than (doc_id, word, count). The
+    * normalizer constants (Tt, Tr, |V|) are 1-row aggregates
+    * crossJoin(broadcast(...))-ed in, the warning-free form
+    * [[temperatureTargets]] uses. Output: (idCol, n_invocab, logweight
+    * rounded to 4 — one rounding point per document keeps the cross-engine
+    * libm ulp noise far below the grid).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"): _*)
+        .filter(col("_w") =!= "")
+    // target vocabulary with counts; Tt and |V| as a 1-row aggregate
+    val tCnt = toks(target).groupBy(col("_w")).agg(count(lit(1)).as("_ct"))
+    val tTot = tCnt.agg(sum(col("_ct")).as("_tt"),
+      count(lit(1)).as("_v"))
+    // per-(doc, word) counts over raw; V-restricted via the broadcast join
+    val dw = toks(raw, col(idCol)).groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_ndw"))
+      .join(broadcast(tCnt), "_w")
+    // V-restricted raw word counts -> the |V|-row log-ratio table
+    val rCnt = dw.groupBy(col("_w"))
+      .agg(sum(col("_ndw")).as("_cr"), first(col("_ct")).as("_ct"))
+    val rTot = rCnt.agg(sum(col("_cr")).as("_tr"))
+    val lr = rCnt.crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("_w"),
+        (log((col("_ct") + 1).cast("double") / (col("_tt") + col("_v"))) -
+         log((col("_cr") + 1).cast("double") / (col("_tr") + col("_v"))))
+          .as("_llr"))
+    val scored = dw.join(broadcast(lr), "_w")
+      .groupBy(col(idCol))
+      .agg(sum(col("_ndw")).as("n_invocab"),
+        sum(col("_ndw") * col("_llr")).as("_lw"))
+    // every raw id stays in the report, OOV-only documents at 0.0
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        round(coalesce(col("_lw"), lit(0.0)), 4).as("logweight"))
+  }
+
+  /** Top-k selection over [[dsirWeights]]: the k raw documents most
+    * target-like by log importance weight (ties broken by id — the
+    * deterministic analog of the paper's Gumbel resampling; emitting ranks
+    * and ids only keeps the gate independent of float noise). Output:
+    * (rank, idCol).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    dsirWeights(raw, target, idCol, textCol)
+      .orderBy(col("logweight").desc, col(idCol))
+      .limit(k)
+      // the global window ranks the ALREADY-limited k rows (TakeOrdered
+      // upstream) — a singleton window over k rows, never the corpus
+      .select(row_number().over(Window.orderBy(col("logweight").desc,
+        col(idCol))).as("rank"), col(idCol))
 }

@@ -893,6 +893,18 @@ object PipelineQueries {
       Sampling.stratifiedTake(docs(s, dir), Seq("lang"), "doc_id", 20)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // DSIR importance weights: every 19th doc is the target sample, the
+    // rest are the raw pool scored against it (unigram likelihood ratio)
+    "dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(docs(s, dir).filter(col("doc_id") % 19 =!= 0),
+          docs(s, dir).filter(col("doc_id") % 19 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // top-50 most target-like raw docs (rank over the ROUNDED weight —
+    // duplicate texts tie exactly and fall back to the id tiebreak)
+    "dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(docs(s, dir).filter(col("doc_id") % 19 =!= 0),
+          docs(s, dir).filter(col("doc_id") % 19 === 0), "doc_id", "text", 50)
+        .orderBy(col("rank"))),
     // Leakage-proof split over the planted corpus: near-dup cluster members
     // (the +1000000 clones and organic near-dups) provably share a split —
     // the eval-contamination guard a per-row hash split cannot give.
@@ -1939,6 +1951,34 @@ object PipelineQueries {
     * quality gate -> exact dedup -> fuzzy components), shared by the batch
     * and streaming funnel oracles, which differ only in the final SELECT.
     */
+  /** The DSIR estimation pipeline in SQL — shared by the `dsir_*` oracles.
+    * Mirrors [[graft.operators.Sampling.dsirWeights]] term by term: target
+    * vocabulary counts, V-restricted raw counts, smoothed log ratios, the
+    * per-doc weighted sum, and the left join that keeps OOV-only docs.
+    */
+  private val dsirCtes: String =
+    s"""tw AS (SELECT unnest(list_filter($duckWords, x -> x <> '')) AS w
+       |       FROM documents WHERE doc_id % 19 = 0),
+       |tc AS (SELECT w, count(*) AS ct FROM tw GROUP BY w),
+       |tt AS (SELECT sum(ct) AS tt, count(*) AS v FROM tc),
+       |dw AS (SELECT doc_id, w, count(*) AS ndw
+       |       FROM (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS w
+       |             FROM documents WHERE doc_id % 19 <> 0)
+       |       GROUP BY doc_id, w),
+       |dwv AS (SELECT dw.doc_id, dw.w, dw.ndw, tc.ct FROM dw JOIN tc USING (w)),
+       |rc AS (SELECT w, sum(ndw) AS cr, any_value(ct) AS ct FROM dwv GROUP BY w),
+       |rt AS (SELECT sum(cr) AS tr FROM rc),
+       |lr AS (SELECT w, ln(CAST(ct + 1 AS DOUBLE) / (tt + v))
+       |              - ln(CAST(cr + 1 AS DOUBLE) / (tr + v)) AS llr
+       |       FROM rc, tt, rt),
+       |sc AS (SELECT doc_id, sum(ndw) AS n_invocab, sum(ndw * llr) AS lw
+       |       FROM dwv JOIN lr USING (w) GROUP BY doc_id),
+       |ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 19 <> 0),
+       |wts AS (SELECT ids.doc_id,
+       |               CAST(coalesce(sc.n_invocab, 0) AS BIGINT) AS n_invocab,
+       |               round(coalesce(sc.lw, 0.0), 4) AS logweight
+       |        FROM ids LEFT JOIN sc USING (doc_id))""".stripMargin
+
   /** The [[changelogOf]] mapping stated in SQL — shared head of the
     * `cdc_*` oracles.
     */
@@ -2855,6 +2895,15 @@ object PipelineQueries {
         |                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |           FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_invocab, logweight FROM wts ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""WITH $dsirCtes,
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY logweight DESC,
+         |        doc_id) AS rank FROM wts)
+         |SELECT CAST(rank AS INT) AS rank, doc_id FROM r WHERE rank <= 50
+         |ORDER BY rank""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, len($duckWords) AS n_tokens,
          |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish
