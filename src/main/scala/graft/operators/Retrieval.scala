@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the keyword side of the
+  * dedup/curation toolbox (the dense side is [[Similarity]]'s ANN family).
+  * BM25 (Robertson-Spärck Jones probabilistic relevance, the Okapi form
+  * with Lucene's +1 idf floor so scores never go negative) is the standard
+  * "find the documents about X" primitive a curation loop reaches for when
+  * auditing what a filter kept or hunting contamination by topic.
+  *
+  * Scale: the posting build prunes to the query vocabulary BEFORE the tf
+  * aggregation (a broadcast semi-join against the distinct query terms), so
+  * the term-keyed exchanges carry only postings that can score — at 100 TB
+  * the full corpus is tokenized once map-side and everything that survives
+  * is proportional to the hit set, not the corpus. Document lengths are the
+  * only corpus-keyed aggregate (narrow (id, count) rows, map-side combined);
+  * N and avgdl are a 1-row aggregate crossJoin(broadcast(...))-ed in. The
+  * |query-terms|-row idf table broadcasts. For a standing query workload
+  * the (term, doc, tf) posting table would persist bucketed by term — this
+  * operator is the ad-hoc path.
+  */
+object Retrieval {
+
+  /** Top-k documents per query by BM25. `queries` is (query_id, term) rows
+    * — multi-term queries are multiple rows. Output: (query_id, rank,
+    * idCol, score) with score rounded to 4 (one rounding point per (query,
+    * doc); ranking runs over the ROUNDED score so duplicate texts tie
+    * exactly and fall to the id tiebreak, and the per-query rank window
+    * only ever sees that query's hit set). N and avgdl count documents
+    * with at least one token — an empty document can never match, so it
+    * does not dilute idf.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val dlen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    val stats = dlen.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val hitToks = toks.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val tf = hitToks.groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dlen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
+      // constants as the same IEEE ops the oracle writes: (k1 + 1.0) folded
+      // in double, (1 - b) exact for the default 0.75
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * (lit(k1) + lit(1.0))) /
+          (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+}

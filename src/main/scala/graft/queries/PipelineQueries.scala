@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, ChangeLog, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, ChangeLog, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1038,6 +1038,15 @@ object PipelineQueries {
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
         .orderBy(col("doc_id"), col("term"))),
+    // BM25 top-10 per planted keyword query (terms from the corpus's fixed
+    // vocabulary, so the plant holds at every SF)
+    "text_bm25_topk" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // distributed BPE merge training: 8 (global-argmax, merge-everywhere)
     // iterations over the distinct-word table; the oracle unrolls the same
     // 8 iterations in DuckDB (one string-replace merge per rank — see
@@ -2898,6 +2907,30 @@ object PipelineQueries {
     "dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_invocab, logweight FROM wts ORDER BY doc_id""".stripMargin,
+    // BM25 stated term by term; constants written as the same IEEE ops the
+    // Spark side folds ((1.2 + 1.0), 0.25, 0.75) so both engines produce
+    // bit-identical doubles before the single 4dp rounding point
+    "text_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
+         |              FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+         |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+         |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |                * (tf.tf * (1.2 + 1.0))
+         |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
+         |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+         |            JOIN dlen USING (doc_id), st
+         |       GROUP BY q.query_id, tf.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "dsir_select" ->
       s"""WITH $dsirCtes,
          |r AS (SELECT doc_id, row_number() OVER (ORDER BY logweight DESC,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** [[Retrieval.bm25TopK]] on a hand-computed corpus. N=3 (d4 is empty and
+  * must not dilute idf), avgdl = (4+2+3)/3 = 3.
+  * For the single-term query "cat" (df=2): idf = ln((3-2+0.5)/(2+0.5)+1)
+  * = ln(1.6) = 0.470004.
+  *   d1: tf=2, dl=4 -> 0.470004 * (2*2.2) / (2 + 1.2*(0.25+0.75*4/3))
+  *      = 0.470004 * 4.4 / 3.5 = 0.590862 -> 0.5909
+  *   d2: tf=1, dl=2 -> 0.470004 * 2.2 / (1 + 1.2*(0.25+0.5)) = 0.544215
+  *      -> 0.5442 (the length norm narrows but does not close d1's tf lead)
+  */
+class RetrievalSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "cat cat dog bird"),
+    (2L, "cat fish"),
+    (3L, "dog dog bird"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK matches hand-computed scores, ranks and hit sets") {
+    val q = Seq((1, "cat")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", q, 10)
+      .orderBy("rank").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)) === Seq((1, 1L), (2, 2L)))
+    assert(math.abs(got(0)._4 - 0.5909) < 1e-9)
+    assert(math.abs(got(1)._4 - 0.5442) < 1e-9)
+  }
+
+  test("multi-term query sums per-term contributions; k caps per query") {
+    val q = Seq((7, "cat"), (7, "dog")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", q, 2)
+    assert(got.count() === 2)
+    // d1 contains both terms, so it must outrank single-term docs
+    assert(got.filter(col("rank") === 1).select("doc_id").as[Long].head() === 1L)
+  }
+
+  test("a term absent from the corpus contributes nothing and a query of only absent terms returns no rows") {
+    val q = Seq((9, "unicorn")).toDF("query_id", "term")
+    assert(Retrieval.bm25TopK(corpus, "doc_id", "text", q, 5).count() === 0)
+  }
+
+  test("identical documents tie on the rounded score and break by id") {
+    val dup = corpus.unionAll(Seq((5L, "cat fish")).toDF("doc_id", "text"))
+    val q = Seq((1, "fish")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(dup, "doc_id", "text", q, 5)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(2L, 5L))
+  }
+
+  test("query terms and idf table broadcast; corpus never joins itself") {
+    val q = Seq((1, "cat")).toDF("query_id", "term")
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast exchanges in:\n$plan")
+  }
+}
