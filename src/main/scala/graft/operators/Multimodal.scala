@@ -161,4 +161,63 @@ object Multimodal {
       .select(col("media_id"), col("format"),
         posexplode(frames).as(Seq("frame_no", "frame")))
   }
+
+  /** Gear content-defined chunk fingerprints per payload (see
+    * [[graft.functions.GearOps]]): (media_id, chunks array<struct<length,
+    * fp>>). Pure map-side — the payload is chunked where it was read and
+    * only (length, 64-bit fp) pairs survive the projection, the same
+    * bytes-never-shuffle rule as [[dedupExact]].
+    */
+  def chunkFingerprints(media: DataFrame, idCol: String, payloadCol: String,
+      minSize: Int, maxSize: Int, maskBits: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    media.select(col(idCol),
+      columnOf(graft.functions.GearChunks(expressionOf(col(payloadCol)),
+        minSize, maxSize, maskBits)).as("chunks"))
+  }
+
+  /** Per-payload chunking invariants, all DuckDB-checkable against the
+    * payload alone: chunk lengths partition the payload (sum_len ==
+    * octet_length), no chunk exceeds maxSize, and only the final chunk may
+    * run under minSize. Output: (idCol, n_chunks, sum_len, bounds_ok).
+    */
+  def chunkCheck(media: DataFrame, idCol: String, payloadCol: String,
+      minSize: Int, maxSize: Int, maskBits: Int): DataFrame =
+    chunkFingerprints(media, idCol, payloadCol, minSize, maxSize, maskBits)
+      .select(col(idCol),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        aggregate(col("chunks"), lit(0L),
+          (acc, c) => acc + c.getField("length")).as("sum_len"),
+        (forall(col("chunks"), c => c.getField("length") <= maxSize) &&
+          forall(slice(col("chunks"), lit(1),
+            greatest(size(col("chunks")) - 1, lit(0))),
+            c => c.getField("length") >= minSize)).as("bounds_ok"))
+
+  /** Corpus-level chunk-dedup report — the storage/scan savings estimate
+    * that decides whether chunk-granularity dedup is worth scheduling (the
+    * [[Snapshot.sourceOverlap]] role, at sub-payload granularity): total vs
+    * distinct chunk counts and bytes, plus the savings ratio. Distinct
+    * bytes credit each fingerprint its first seen length (FNV-64 collisions
+    * are the usual dedup-store gamble; this is an ESTIMATOR, the dedup
+    * itself would verify bytes). One map-side chunking pass, one
+    * fp-keyed aggregate of (fp, length) pairs, one 1-row rollup.
+    */
+  def chunkDedupReport(media: DataFrame, idCol: String, payloadCol: String,
+      minSize: Int, maxSize: Int, maskBits: Int): DataFrame = {
+    val perFp = chunkFingerprints(media, idCol, payloadCol, minSize, maxSize,
+        maskBits)
+      .select(explode(col("chunks")).as("c"))
+      .select(col("c.fp").as("fp"), col("c.length").cast("long").as("len"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("_copies"), min(col("len")).as("_len"),
+        sum(col("len")).as("_bytes"))
+    perFp.agg(
+      sum(col("_copies")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("_bytes")).as("total_bytes"),
+      sum(col("_len")).as("distinct_bytes"))
+      .withColumn("savings",
+        round(lit(1.0) - col("distinct_bytes").cast("double") /
+          col("total_bytes"), 6))
+  }
 }

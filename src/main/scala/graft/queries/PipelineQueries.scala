@@ -1436,6 +1436,49 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), lit(-1.0).as("cosine"))
       planted.unionAll(fp).orderBy(col("id_a"), col("id_b"))
     }),
+    // Gear CDC chunk-dedup savings estimate over the planted (every payload
+    // cloned) media corpus: 1-row report — chunk boundaries are not
+    // SQL-expressible, so this is rows-only; the two _check gates below
+    // carry the oracled guarantees
+    "mm_chunk_dedup" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(planted(s, dir), "doc_id", "text")
+      Multimodal.chunkDedupReport(media, "media_id", "payload",
+        minSize = 32, maxSize = 256, maskBits = 6)
+    }),
+    // oracled reconstruction invariant: chunk lengths partition the payload
+    // exactly (sum == octet_length) and sizes respect the bounds
+    "mm_chunk_check" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.chunkCheck(media, "media_id", "payload",
+          minSize = 32, maxSize = 256, maskBits = 6)
+        .select(col("media_id"), col("sum_len"), col("bounds_ok"))
+        .orderBy(col("media_id"))
+    }),
+    // oracled content-determinism gate: fingerprint-sequence equality must
+    // coincide with payload equality — identical clones (+1000000) always
+    // match, reversed clones (+2000000, same bytes different order) match
+    // exactly when the text is its own reverse (DuckDB states that side)
+    "mm_chunk_dedup_check" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val trio = base
+        .unionAll(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text")))
+        .unionAll(base.select((col("doc_id") + 2000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+      val fps = Multimodal.chunkFingerprints(
+        Multimodal.withFakeMedia(trio, "doc_id", "text"),
+        "media_id", "payload", minSize = 32, maxSize = 256, maskBits = 6)
+      val a = fps.filter(col("media_id") < 1000000)
+        .select(col("media_id").as("id_a"), col("chunks").as("_ca"))
+      val b = fps.filter(col("media_id") >= 1000000)
+        .select((col("media_id") % 1000000).as("id_a"),
+          when(col("media_id") < 2000000, "clone").otherwise("reversed")
+            .as("kind"),
+          col("chunks").as("_cb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("kind"), (col("_ca") === col("_cb")).as("same"))
+        .orderBy(col("id_a"), col("kind"))
+    }),
     // end-to-end preprocess composition: language ID + quality score ->
     // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
     // per-document features. One declarative plan with ONE pass over the
@@ -3534,6 +3577,20 @@ object PipelineQueries {
         |SELECT min(media_id) AS keep_id, md5(text) AS content_hash,
         |       count(*) AS n_copies
         |FROM m GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // chunk lengths must partition the payload byte-exactly; encode() is
+    // DuckDB's UTF-8 VARCHAR->BLOB, the same bytes withFakeMedia produces
+    "mm_chunk_check" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS sum_len,
+        |       true AS bounds_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // fingerprint-sequence equality <=> payload equality: clones always
+    // match; reversed payloads match exactly for palindromic texts
+    "mm_chunk_dedup_check" ->
+      """SELECT doc_id AS id_a, 'clone' AS kind, true AS same FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'reversed', text = reverse(text) FROM documents
+        |ORDER BY id_a, kind""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
         |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
