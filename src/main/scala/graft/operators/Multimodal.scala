@@ -220,4 +220,128 @@ object Multimodal {
         round(lit(1.0) - col("distinct_bytes").cast("double") /
           col("total_bytes"), 6))
   }
+
+  /** Per-payload DISTINCT chunk-fingerprint rows `(chunk_fp, id)` — the
+    * probe/index currency of the chunk family. The distinct runs map-side
+    * inside the payload's own row (`array_distinct` over the fp array), so
+    * unlike a relational `.distinct()` it costs no exchange; payload bytes
+    * never leave the scan.
+    */
+  private def chunkFpRows(media: DataFrame, idCol: String, payloadCol: String,
+      minSize: Int, maxSize: Int, maskBits: Int): DataFrame =
+    chunkFingerprints(media, idCol, payloadCol, minSize, maxSize, maskBits)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(col("chunks"), c => c.getField("fp")))
+          .as("_fps"))
+      .select(explode(col("_fps")).as("chunk_fp"), col("id"))
+
+  /** Persist the chunk-fingerprint index: one row per (distinct chunk fp,
+    * payload id), BUCKETED by `chunk_fp`, with `<table>_meta` pinning the
+    * chunking parameters so a probe or append can never chunk with a
+    * different geometry than the index was built with (the same meta
+    * discipline as every other persisted index family). 64-bit FNV fps make
+    * the index rows 16 bytes each regardless of media size — the 100 TB
+    * media corpus indexes at chunk-count x 16 bytes, and probes shuffle
+    * batch-sized data only.
+    */
+  def chunkWriteBucketed(media: DataFrame, table: String, idCol: String,
+      payloadCol: String, minSize: Int = 16, maxSize: Int = 64,
+      maskBits: Int = 4, numBuckets: Int = 16): Unit = {
+    val spark = media.sparkSession
+    Seq(table, s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((minSize, maxSize, maskBits, numBuckets))
+      .toDF("min_size", "max_size", "mask_bits", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    graft.sources.Sources.writeBucketed(
+      chunkFpRows(media, idCol, payloadCol, minSize, maxSize, maskBits),
+      table, Seq("chunk_fp"), numBuckets)
+  }
+
+  private def chunkIndexMeta(spark: SparkSession,
+      table: String): (Int, Int, Int, Int) = {
+    val m = spark.table(s"${table}_meta").collect().head
+    (m.getAs[Int]("min_size"), m.getAs[Int]("max_size"),
+      m.getAs[Int]("mask_bits"), m.getAs[Int]("num_buckets"))
+  }
+
+  /** Chunk-containment evidence of a new batch against a
+    * [[chunkWriteBucketed]] index: `(batch_id, corpus_id, containment)` for
+    * every batch/corpus pair where `containment` — the fraction of the batch
+    * payload's DISTINCT chunk fps present among the indexed payload's fps —
+    * reaches `threshold`. An identical payload scores exactly 1.0 against
+    * its indexed source; a payload extended with a tail keeps every complete
+    * chunk before the edit (chunking is prefix-deterministic), which is the
+    * CDC property the whole family exists for. Chunking parameters come from
+    * `<table>_meta`, never the caller.
+    *
+    * Zero-chunk batch payloads (empty media) emit no pairs — containment is
+    * undefined, the caller's survivor anti-join keeps them.
+    *
+    * Containment is computed over distinct fps, so a highly repetitive
+    * payload (one chunk content repeated) concentrates into few distinct fps
+    * and a tail edit can swing the ratio more than its byte share — the
+    * multiset refinement would need per-fp counts in the index; documented,
+    * not built (repetitive payloads are what [[graft.operators.TextAnalysis]]
+    * quality gates remove upstream).
+    *
+    * `maxPostings` caps a chunk fp's index posting list (a ubiquitous chunk
+    * — a zero run, a shared header — would otherwise fan every batch row
+    * out to the whole corpus): the cap groupBy runs on the bucketing key, so
+    * it costs no exchange, exactly like the other families' skew caps.
+    * Only batch-sized data shuffles; the index is read pre-bucketed.
+    */
+  def chunkPairsIncremental(batch: DataFrame, table: String, idCol: String,
+      payloadCol: String, threshold: Double,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val (minSize, maxSize, maskBits, _) = chunkIndexMeta(spark, table)
+    // the batch denominator |distinct fps| is the fp array's size, read in
+    // the same row BEFORE the explode — no window, no exchange
+    val bfp = chunkFingerprints(batch, idCol, payloadCol, minSize, maxSize,
+        maskBits)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(col("chunks"), c => c.getField("fp")))
+          .as("_fps"))
+      .select(col("id"), size(col("_fps")).as("_n"),
+        explode(col("_fps")).as("chunk_fp"))
+    val index0 = spark.table(table)
+    val index =
+      if (maxPostings >= Int.MaxValue) index0
+      else {
+        val ok = index0.groupBy(col("chunk_fp"))
+          .agg(count(lit(1)).as("_p")).filter(col("_p") <= maxPostings)
+          .select(col("chunk_fp"))
+        index0.join(ok, Seq("chunk_fp"), "left_semi")
+      }
+    // countDistinct, not count: an accreted index (replayed appends before
+    // the next compaction) duplicates (chunk_fp, id) rows, and a plain count
+    // would push containment past 1.0 — the probe stays correct under
+    // accretion, compaction remains purely a scan-width matter
+    bfp.join(index.withColumnRenamed("id", "corpus_id"), Seq("chunk_fp"))
+      .groupBy(col("id").as("batch_id"), col("corpus_id"))
+      .agg(countDistinct(col("chunk_fp")).as("_shared"), max(col("_n")).as("_nb"))
+      .filter(col("_shared") >= col("_nb") * threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        (col("_shared").cast("double") / col("_nb")).as("containment"))
+  }
+
+  /** Append new payloads' chunk fps to a [[chunkWriteBucketed]] index in
+    * place (parameters and bucket layout from `<table>_meta`), so the next
+    * [[chunkPairsIncremental]] batch probes the original corpus plus every
+    * earlier batch's survivors. Replayed appends accrete duplicate rows;
+    * [[Dedup.compactIndex]] collapses them (full-row distinct — many ids
+    * legitimately share a chunk fp, this is an evidence table).
+    */
+  def chunkAppendToIndex(media: DataFrame, table: String, idCol: String,
+      payloadCol: String): Unit = {
+    val spark = media.sparkSession
+    val (minSize, maxSize, maskBits, numBuckets) = chunkIndexMeta(spark, table)
+    graft.sources.Sources.writeBucketed(
+      chunkFpRows(media, idCol, payloadCol, minSize, maxSize, maskBits),
+      table, Seq("chunk_fp"), numBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
 }

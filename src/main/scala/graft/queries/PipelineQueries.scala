@@ -1479,6 +1479,46 @@ object PipelineQueries {
         .select(col("id_a"), col("kind"), (col("_ca") === col("_cb")).as("same"))
         .orderBy(col("id_a"), col("kind"))
     }),
+    // chunk-fp INDEX family (7th persisted incremental index): exact clones
+    // probe at containment 1.0 against their indexed source and drop; fresh
+    // payloads (md5-derived text, no 16-byte run shared with the corpus)
+    // emit no pairs and survive — the survivor set is SQL-stated
+    "dedup_chunk_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Multimodal.chunkWriteBucketed(
+        Multimodal.withFakeMedia(d, "doc_id", "text"),
+        "graft_chunk_gate", "media_id", "payload")
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(md5(col("text")), md5(concat(col("text"), lit("x"))))
+            .as("text")))
+      val media = Multimodal.withFakeMedia(batch, "doc_id", "text")
+      val pairs = Multimodal.chunkPairsIncremental(media, "graft_chunk_gate",
+        "media_id", "payload", threshold = 0.5)
+      media.join(pairs.select(col("batch_id").as("media_id")),
+          Seq("media_id"), "left_anti")
+        .select(col("media_id")).orderBy(col("media_id"))
+    }),
+    // CDC robustness gate: a payload extended with a 24-byte tail keeps all
+    // its complete chunks (prefix-deterministic boundaries), so against its
+    // own source containment >= (n-1)/((n-1)+6) — >= 0.5 once the source has
+    // >= 7 chunks, guaranteed at >= 448 payload bytes (max chunk 64). DuckDB
+    // states that every such doc must be detected at threshold 0.4
+    "dedup_chunk_tail_check" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(octet_length(col("text")) >= 448)
+      Multimodal.chunkWriteBucketed(
+        Multimodal.withFakeMedia(d, "doc_id", "text"),
+        "graft_chunk_tail_gate", "media_id", "payload")
+      val batch = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graft-tail-0123456789ab")).as("text"))
+      val pairs = Multimodal.chunkPairsIncremental(
+        Multimodal.withFakeMedia(batch, "doc_id", "text"),
+        "graft_chunk_tail_gate", "media_id", "payload", threshold = 0.4)
+      pairs.filter(col("corpus_id") === col("batch_id") - 1000000)
+        .select(col("batch_id"), lit(true).as("detected"))
+        .orderBy(col("batch_id"))
+    }),
     // end-to-end preprocess composition: language ID + quality score ->
     // quality gate -> exact dedup (keep min doc_id per fingerprint) ->
     // per-document features. One declarative plan with ONE pass over the
@@ -3591,6 +3631,23 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, 'reversed', text = reverse(text) FROM documents
         |ORDER BY id_a, kind""".stripMargin,
+    // exact clones always probe at containment 1.0 >= 0.5 and drop; fresh
+    // md5-derived payloads share no 16-byte run with the corpus and survive
+    // (clones of empty payloads would survive too — none at this sf)
+    "dedup_chunk_incr" ->
+      """SELECT doc_id + 2000000 AS media_id FROM documents
+        |WHERE octet_length(encode(text)) > 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 FROM documents
+        |WHERE octet_length(encode(text)) = 0
+        |ORDER BY media_id""".stripMargin,
+    // prefix-deterministic chunking: a 24-byte tail leaves >= n-1 of the
+    // source's n >= 7 chunks intact, so detection at threshold 0.4 is
+    // guaranteed for every doc with a >= 448-byte payload
+    "dedup_chunk_tail_check" ->
+      """SELECT doc_id + 1000000 AS batch_id, true AS detected
+        |FROM documents WHERE octet_length(encode(text)) >= 448
+        |ORDER BY batch_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/rgb8' AS format,
         |       CAST(length(text) % 64 + 1 AS INT) AS width, 16 AS height,
