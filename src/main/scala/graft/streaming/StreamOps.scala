@@ -192,6 +192,42 @@ object StreamOps {
     vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming CHUNK-dedup ingest over a persisted
+    * [[graft.operators.Multimodal.chunkWriteBucketed]] chunk-fp index —
+    * the binary-payload member of the self-deduplicating-ingest family
+    * (exact / substring / semantic / paragraph / span / THIS). Each
+    * micro-batch of media drops payloads whose distinct-chunk containment
+    * against the index reaches `threshold`
+    * ([[graft.operators.Multimodal.chunkPairsIncremental]] — chunk
+    * geometry from the index's meta, never the caller), appends survivors
+    * to `sinkTable`, and (when `extendIndex`) appends their chunk fps back
+    * into the index's bucket layout — so a re-encoded copy arriving in
+    * batch N+1 of a payload first seen in batch N is caught. Zero-chunk
+    * (empty) payloads always pass and are never indexed, like the
+    * under-window docs in [[streamingSubstringDedup]]. Same replay caveat
+    * as the family: re-appended fps accrete (probes stay correct — the
+    * containment count is distinct) until
+    * [[graft.operators.Dedup.compactIndex]] rewrites the index.
+    */
+  def streamingChunkDedup(mediaStream: DataFrame, indexTable: String,
+      idCol: String, payloadCol: String, sinkTable: String,
+      threshold: Double = 0.5, maxPostings: Int = Int.MaxValue,
+      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Multimodal
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val dupIds = Multimodal.chunkPairsIncremental(batch, indexTable, idCol,
+        payloadCol, threshold, maxPostings)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = false) // sink append + index append
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(sinkTable)
+      if (extendIndex)
+        Multimodal.chunkAppendToIndex(survivors, indexTable, idCol, payloadCol)
+    }
+    mediaStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** Streaming PARAGRAPH-dedup ingest over a persisted
     * [[graft.operators.Dedup.paragraphWriteBucketed]] index — the
     * sub-document member of the self-deduplicating-ingest family. Each

@@ -853,4 +853,53 @@ class StreamingSpec extends SparkFunSuite {
         (15L, 5, 4, "t")))
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  /** High-entropy deterministic ASCII text on disjoint per-seed windows —
+    * the ChunkSpec generator discipline (low-entropy or seed-shifted texts
+    * would share chunks by construction).
+    */
+  private def chunkText(n: Int, seed: Int): String =
+    new String(Array.tabulate(n) { i =>
+      var z = i + seed * 1000003L + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ('0' + ((z ^ (z >>> 31)) & 63)).toChar
+    })
+
+  test("streaming chunk dedup drops indexed and cross-batch payload clones, extends the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Multimodal
+    def media(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.withFakeMedia(df, "doc_id", "text")
+    val corpus = Seq((1L, chunkText(1200, 1)), (2L, chunkText(900, 2)))
+      .toDF("doc_id", "text")
+    val tables = Seq("chk_stream_t", "chk_stream_t_meta", "t_chk_sink")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Multimodal.chunkWriteBucketed(media(corpus), "chk_stream_t",
+        "media_id", "payload", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = media(mem.toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("text")))
+      val q = StreamOps.streamingChunkDedup(stream, "chk_stream_t",
+        "media_id", "payload", "t_chk_sink")
+      try {
+        // batch 1: 101 clones indexed payload 1 (dropped); 102 is fresh
+        // (kept, fps appended)
+        mem.addData((101L, chunkText(1200, 1)), (102L, chunkText(1000, 9)))
+        q.processAllAvailable()
+        // batch 2: 103 clones batch 1's SURVIVOR 102 — only the extended
+        // index can know that; 104 is fresh
+        mem.addData((103L, chunkText(1000, 9)), (104L, chunkText(1100, 14)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.table("t_chk_sink").select("media_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(102L, 104L))
+      assert(spark.table("chk_stream_t").select("id").as[Long]
+        .collect().toSet == Set(1L, 2L, 102L, 104L))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
