@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Boilerplate, ChangeLog, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
+import graft.operators.{AsofJoin, Boilerplate, ChangeLog, Clustering, Contamination, Dedup, LanguageModel, Multimodal, Packing, QualityModel, RangeJoin, Retrieval, Sampling, Sessionize, Similarity, SkewJoin, Snapshot, TextAnalysis, Vocab}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -788,6 +788,16 @@ object PipelineQueries {
         TextAnalysis.punctCount(col("text")).as("n_punct"),
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
+        .orderBy(col("doc_id"))),
+    // learned quality filter (Brown 2020-style LR): label a FAT-MARGIN
+    // subset (<=250 / >=350 payload bytes, the middle excluded), train
+    // distributed LR over the feature columns, predict the subset back —
+    // separable-with-margin training data must come back perfectly
+    // classified, which DuckDB states from the labeling rule alone
+    "quality_lr_check" -> ((s, dir) =>
+      QualityModel.trainPredictRoundTrip(docs(s, dir), "doc_id", "text",
+        when(octet_length(col("text")) <= 250, 0)
+          .when(octet_length(col("text")) >= 350, 1))
         .orderBy(col("doc_id"))),
     "text_vocab" -> ((s, dir) =>
       Vocab.topNgrams(docs(s, dir), "text", n = 1, k = 100)),
@@ -3024,6 +3034,16 @@ object PipelineQueries {
       s"""SELECT doc_id, len($duckWords) AS n_tokens,
          |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted fat-margin rule is linearly separable in feature space
+    // (f_len is monotone in length below the clip), so the trained model
+    // must classify every training doc by the rule itself
+    "quality_lr_check" ->
+      """SELECT doc_id,
+        |       CASE WHEN octet_length(encode(text)) >= 350 THEN 1 ELSE 0 END AS label,
+        |       CASE WHEN octet_length(encode(text)) >= 350 THEN 1 ELSE 0 END AS quality_pred
+        |FROM documents
+        |WHERE octet_length(encode(text)) <= 250 OR octet_length(encode(text)) >= 350
+        |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id,
