@@ -35,6 +35,52 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,;:!?'\"()-]", ""))
 
+  /** DEFLATE length of the column's UTF-8 bytes
+    * ([[graft.functions.DeflateLength]]). */
+  def deflateLen(c: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.DeflateLength(expressionOf(c), level))
+  }
+
+  /** Shannon byte entropy (bits/byte) of the column's UTF-8 bytes
+    * ([[graft.functions.ByteEntropy]]). */
+  def byteEntropy(c: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.ByteEntropy(expressionOf(c)))
+  }
+
+  /** Per-document compression-ratio quality signals: DEFLATE ratio and byte
+    * entropy — the two-tailed garbage detector (repetitive boilerplate
+    * compresses far below natural prose; random-looking bytes barely
+    * compress). Pure map-side byte loops over the scanned rows; values are
+    * deterministic for a given zlib build, so gates assert ORDERINGS
+    * between planted entropy classes, never raw byte counts.
+    * Output: (idCol, n_bytes, deflate_bytes, compress_ratio, byte_entropy).
+    */
+  def compressionReport(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      octet_length(t).as("n_bytes"),
+      deflateLen(t, level).as("deflate_bytes"),
+      round(deflateLen(t, level).cast("double") /
+        greatest(octet_length(t), lit(1)).cast("double"), 6)
+        .as("compress_ratio"),
+      round(byteEntropy(t), 6).as("byte_entropy"))
+  }
+
+  /** Keep documents whose compression ratio sits in the natural-language
+    * band — drops both tails (repetitive below `minRatio`, random-ish above
+    * `maxRatio`). A plain pushable filter over [[compressionReport]]'s
+    * columns.
+    */
+  def compressionFilter(df: DataFrame, textCol: String,
+      minRatio: Double, maxRatio: Double, level: Int = 6): DataFrame = {
+    val ratio = deflateLen(col(textCol), level).cast("double") /
+      greatest(octet_length(col(textCol)), lit(1)).cast("double")
+    df.filter(ratio.between(minRatio, maxRatio))
+  }
+
   private val StopWords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "on",
     "for", "with", "as", "by", "at", "it", "this", "that")

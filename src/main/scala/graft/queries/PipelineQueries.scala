@@ -789,6 +789,36 @@ object PipelineQueries {
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
         .orderBy(col("doc_id"))),
+    // per-doc compression-ratio signals: zlib output length is not
+    // SQL-expressible, so the report is rows-only; the oracled _check below
+    // carries the guarantees
+    "text_compress" -> ((s, dir) =>
+      TextAnalysis.compressionReport(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    // planted entropy classes: for EVERY doc build a repetitive twin (10-char
+    // prefix recycled to full length) and a random-ish twin (md5 chain cut
+    // to full length); corpus-mean DEFLATE ratios must order
+    // repetitive < original < random, and the repetitive twin's byte
+    // entropy must sit below the original's. DuckDB states the orderings.
+    "text_compress_check" -> ((s, dir) => {
+      val rep = expr("substring(repeat(substring(text, 1, 10), 60), 1, octet_length(text))")
+      val rnd = expr("substring(concat(" +
+        (0 until 18).map(i => s"md5(text || '$i')").mkString(", ") +
+        "), 1, octet_length(text))")
+      def ratio(c: org.apache.spark.sql.Column) = TextAnalysis.deflateLen(c).cast("double") /
+        greatest(octet_length(c), lit(1)).cast("double")
+      docs(s, dir)
+        .select(ratio(col("text")).as("r_orig"), ratio(rep).as("r_rep"),
+          ratio(rnd).as("r_rnd"),
+          TextAnalysis.byteEntropy(rep).as("e_rep"),
+          TextAnalysis.byteEntropy(col("text")).as("e_orig"))
+        .agg(avg(col("r_rep")).as("_rr"), avg(col("r_orig")).as("_ro"),
+          avg(col("r_rnd")).as("_rn"), avg(col("e_rep")).as("_er"),
+          avg(col("e_orig")).as("_eo"))
+        .select((col("_rr") < col("_ro")).as("rep_below_orig"),
+          (col("_ro") < col("_rn")).as("orig_below_rnd"),
+          (col("_er") < col("_eo")).as("rep_entropy_below_orig"))
+    }),
     // learned quality filter (Brown 2020-style LR): label a FAT-MARGIN
     // subset (<=250 / >=350 payload bytes, the middle excluded), train
     // distributed LR over the feature columns, predict the subset back —
@@ -3034,6 +3064,11 @@ object PipelineQueries {
       s"""SELECT doc_id, len($duckWords) AS n_tokens,
          |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // entropy-class orderings are properties of DEFLATE itself on the
+    // planted twins; DuckDB states the expected booleans
+    "text_compress_check" ->
+      """SELECT true AS rep_below_orig, true AS orig_below_rnd,
+        |       true AS rep_entropy_below_orig""".stripMargin,
     // the planted fat-margin rule is linearly separable in feature space
     // (f_len is monotone in length below the clip), so the trained model
     // must classify every training doc by the rule itself
