@@ -197,4 +197,39 @@ object Contamination {
       .select(col(idCol)).distinct()
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the fifth mode (exact n-gram / Bloom /
+    * paragraph / fuzzy winnow / THIS): drop every corpus row whose
+    * embedding reaches cosine `threshold` against ANY eval-set vector.
+    * Catches the overlap the lexical modes cannot: paraphrased or
+    * re-formatted benchmark items that embed next to their source (the
+    * SemDeDup/decontamination argument of Abbas 2023 applied eval-side).
+    *
+    * Eval sets are small by definition, so the normalized eval side
+    * BROADCASTS and the corpus is scanned once, each row scoring its
+    * |eval| cosines map-side — a broadcast nested-loop threshold probe, no
+    * corpus shuffle. The flagged-id set (contaminated rows only) is the
+    * only thing that shuffles for the anti-join. For an eval set too big
+    * to broadcast, build an IVF index over the EVAL set and probe with
+    * [[Dedup.semanticDedupIncremental]] instead — same quarantine
+    * semantics, cell-blocked recall trade.
+    *
+    * Zero-norm vectors on either side are skipped (cosine undefined —
+    * 0/0), matching [[Dedup.cosinePairs]]: a zero-norm corpus row can
+    * never be flagged.
+    */
+  def dropSemanticContaminated(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, evalVecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val ev = eval.select(col(evalVecCol).as("_ev"))
+      .filter(expr("sqrt(graft_vec_dot(_ev, _ev))") > 0)
+    val flagged = corpus
+      .select(col(idCol), col(vecCol).as("_cv"))
+      .filter(expr("sqrt(graft_vec_dot(_cv, _cv))") > 0)
+      .crossJoin(broadcast(ev))
+      .filter(Similarity.cosine("_cv", "_ev") >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

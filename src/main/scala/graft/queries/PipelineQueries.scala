@@ -1315,6 +1315,18 @@ object PipelineQueries {
     // broadcast bit set, so the corpus pass is scan -> project with ZERO
     // shuffles and no join at all (rows-only here; the _check gate below
     // proves the no-false-negative guarantee against the exact oracle)
+    // fifth decontamination mode, SEMANTIC: every 10th vector plays the
+    // eval set; corpus rows embedding at cosine >= 0.99 against any eval
+    // vector are quarantined, survivors listed — exact-cosine semantics,
+    // fully SQL-stated
+    "text_decontam_semantic" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val evalSet = e.filter(col("vec_id") % 10 === 0)
+        .select(col("embedding").as("ev"))
+      Contamination.dropSemanticContaminated(e, evalSet, "vec_id",
+          "embedding", "ev", threshold = 0.99)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     "text_decontam_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
       Contamination.reportBloom(
@@ -3598,6 +3610,20 @@ object PipelineQueries {
         |bad AS (SELECT DISTINCT doc_id FROM se WHERE para IN (SELECT para FROM evp))
         |SELECT doc_id FROM shaped
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
+    "text_decontam_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+        |  WHERE sqrt(list_dot_product(v, v)) > 0),
+        |ev AS (SELECT v, nrm FROM n WHERE vec_id % 10 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT c.vec_id FROM n c JOIN ev e
+        |  ON list_dot_product(c.v, e.v) / (c.nrm * e.nrm) >= 0.99)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+        |ORDER BY vec_id""".stripMargin,
     "text_decontam" ->
       s"""WITH g AS (
          |  SELECT doc_id,

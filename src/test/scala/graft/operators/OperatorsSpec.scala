@@ -343,6 +343,26 @@ class OperatorsSpec extends SparkFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS eval_para_idx")
   }
 
+  test("semantic decontamination: cosine proximity to the eval set quarantines; zero-norm rows never flag") {
+    val evalSet = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("ev")
+    val corpus = Seq(
+      (1L, Array(10f, 0f, 0f)),     // same direction as eval -> cosine 1.0
+      (2L, Array(0.99f, 0.15f, 0f)),// close but below 0.999
+      (3L, Array(0f, 1f, 0f)),      // orthogonal
+      (4L, Array(0f, 0f, 0f))       // zero norm: undefined cosine, survives
+    ).toDF("vec_id", "embedding")
+    val kept = Contamination.dropSemanticContaminated(corpus, evalSet,
+        "vec_id", "embedding", "ev", threshold = 0.999)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // the eval side rides a broadcast nested-loop probe: the corpus scan
+    // must not exchange before the flagging join
+    val plan = Contamination.dropSemanticContaminated(corpus, evalSet,
+        "vec_id", "embedding", "ev", 0.999)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("index compaction: accreted duplicate hashes collapse, layout and probe results unchanged") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     spark.sql("DROP TABLE IF EXISTS compact_test_t")
