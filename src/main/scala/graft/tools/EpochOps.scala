@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Sampling, Similarity, Snapshot, TextAnalysis, Vocab}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextAnalysis, Vocab}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -35,7 +35,8 @@ object EpochOps {
 
     val epochTables = Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx",
       "ep_ivf_idx_centroids", "ep_ivfpq_idx", "ep_ivfpq_idx_centroids",
-      "ep_ivfpq_idx_codebooks", "ep_span_idx", "ep_span_idx_meta")
+      "ep_ivfpq_idx_codebooks", "ep_span_idx", "ep_span_idx_meta",
+      "ep_chunk_idx", "ep_chunk_idx_meta")
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     // standing state: the persisted index family
@@ -45,6 +46,10 @@ object EpochOps {
       windowTokens = 20, numBuckets = 4)
     Similarity.ivfWriteBucketed(embs.filter(col("vec_id") % 5 =!= 0),
       "ep_ivf_idx", "vec_id", "embedding", nlist = 16, numBuckets = 4)
+    // binary-payload side: the chunk-fp index over the corpus' fake media
+    Multimodal.chunkWriteBucketed(
+      Multimodal.withFakeMedia(corpus, "doc_id", "text"),
+      "ep_chunk_idx", "media_id", "payload", numBuckets = 4)
 
     // ---- the epoch: ingest the batch through the incremental operators ----
     // EAGER checkpoint before the append: the survivor plan contains an
@@ -70,6 +75,15 @@ object EpochOps {
       "ep_span_idx", "doc_id", "text")
     Similarity.ivfAppendToIndex(embs.filter(col("vec_id") % 5 === 0),
       "ep_ivf_idx", "vec_id", "embedding")
+    // chunk pass: payload-level containment probe, survivors' fps appended
+    val batchMedia = Multimodal.withFakeMedia(batch, "doc_id", "text")
+    val chunkDups = Multimodal.chunkPairsIncremental(batchMedia, "ep_chunk_idx",
+      "media_id", "payload", threshold = 0.5)
+      .select(col("batch_id").as("media_id")).distinct()
+    val chunkSurvivors = batchMedia.join(chunkDups, Seq("media_id"), "left_anti")
+      .localCheckpoint(eager = true) // see the note above
+    Multimodal.chunkAppendToIndex(chunkSurvivors, "ep_chunk_idx", "media_id", "payload")
+    println(s"[epoch] chunk pass kept ${chunkSurvivors.count()} payloads of ${batchMedia.count()}")
     println(s"[epoch] ingested ${exSurvivors.count()} exact-new docs of ${batch.count()}; " +
       s"paragraph pass kept ${paraCleaned.agg(sum(col("n_kept"))).head().getLong(0)} " +
       s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs; " +
@@ -78,7 +92,7 @@ object EpochOps {
 
     // ---- 0. index hygiene: per-table accretion ratio, compaction when it
     // drifts — one generalized rule for the whole persisted family ----
-    Seq("ep_ex_idx", "ep_para_idx", "ep_span_idx").foreach { t =>
+    Seq("ep_ex_idx", "ep_para_idx", "ep_span_idx", "ep_chunk_idx").foreach { t =>
       val accretion = Dedup.indexAccretion(spark, t)
       println(f"[hygiene] $t accretion=$accretion%.3f")
       if (accretion > 1.1) {
