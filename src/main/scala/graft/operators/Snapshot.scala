@@ -78,4 +78,51 @@ object Snapshot {
       .withColumn("jaccard_est",
         round(col("overlap_est").cast("double") / col("n_union"), 6))
   }
+
+  /** Unigram-distribution DRIFT between two corpus snapshots — the
+    * governance question before retraining a tokenizer or reweighting a
+    * mixture: "did the word distribution move?". KL(new || old) over the
+    * OLD snapshot's top-`k` vocabulary (count desc, word asc — total order,
+    * no ties) with add-one smoothing on both sides, plus the new snapshot's
+    * out-of-vocabulary token mass.
+    *
+    * 100 TB shape: both corpora compress to vocabulary-sized count tables
+    * map-side (one partial-aggregated shuffle each); the top-k is a bounded
+    * TakeOrdered; every later join/aggregate runs over <= k rows broadcast.
+    * KL is exact (not sketched) and fully SQL-expressible, so the gate is
+    * hash-oracled. Output 1 row:
+    * (n_vocab, kl_new_vs_old, oov_mass_new).
+    */
+  def unigramDrift(old: DataFrame, next: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+        .filter(col("_w") =!= "")
+    val vocab = toks(old).groupBy(col("_w"))
+      .agg(count(lit(1)).as("_co"))
+      .orderBy(col("_co").desc, col("_w")).limit(k)
+    val newCnt = toks(next).groupBy(col("_w"))
+      .agg(count(lit(1)).as("_cn"))
+    val newTotAll = newCnt.agg(sum(col("_cn")).as("_tn_all"))
+    // V-restricted counts; absent-in-new vocab words still contribute their
+    // smoothed mass, hence the LEFT join from the vocabulary side
+    val joined = vocab.join(newCnt, Seq("_w"), "left")
+      .select(col("_w"), col("_co"),
+        coalesce(col("_cn"), lit(0L)).as("_cn"))
+    val tot = joined.agg(sum(col("_co")).as("_to"), sum(col("_cn")).as("_tv"),
+      count(lit(1)).as("_k"))
+    joined.crossJoin(broadcast(tot)).crossJoin(broadcast(newTotAll))
+      .select(
+        ((col("_cn") + 1).cast("double") / (col("_tv") + col("_k")))
+          .as("_pn"),
+        ((col("_co") + 1).cast("double") / (col("_to") + col("_k")))
+          .as("_po"),
+        col("_k"), col("_tv"), col("_tn_all"))
+      .agg(max(col("_k")).as("n_vocab"),
+        round(sum(col("_pn") * log(col("_pn") / col("_po"))), 6)
+          .as("kl_new_vs_old"),
+        round(lit(1.0) - max(col("_tv")).cast("double") /
+          greatest(max(col("_tn_all")), lit(1L)).cast("double"), 6)
+          .as("oov_mass_new"))
+  }
 }

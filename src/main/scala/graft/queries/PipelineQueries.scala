@@ -789,6 +789,10 @@ object PipelineQueries {
         TextAnalysis.stopwordCount("text").as("n_stop"),
         TextAnalysis.qualityScore("text").as("score"))
         .orderBy(col("doc_id"))),
+    // Flesch-Kincaid readability — closed-form heuristic, hash-oracled
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readabilityReport(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // per-doc compression-ratio signals: zlib output length is not
     // SQL-expressible, so the report is rows-only; the oracled _check below
     // carries the guarantees
@@ -1022,6 +1026,13 @@ object PipelineQueries {
     // epoch (every 10th doc removed, every 7th surviving doc edited, 50
     // added): the dataset-versioning audit. Fingerprints reduce each side
     // to (id, md5) in the scan; the join never moves text.
+    // unigram drift: the English-only slice against the full corpus — a
+    // 1-row exact-KL governance report over the old snapshot's top-200
+    // vocabulary, hash-oracled end to end
+    "corpus_drift_kl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Snapshot.unigramDrift(d, d.filter(col("lang") === "en"), "text", k = 200)
+    }),
     "corpus_diff" -> ((s, dir) => {
       val prev = docs(s, dir)
       val next = prev.filter(col("doc_id") % 10 =!= 0)
@@ -2953,6 +2964,27 @@ object PipelineQueries {
         |            THEN round(round(t / ns, 6) - floor(round(t / ns, 6)), 6)
         |            ELSE 1.0 END AS last_epoch_keep
         |FROM b ORDER BY lang""".stripMargin,
+    "corpus_drift_kl" ->
+      s"""WITH otoks AS (
+         |  SELECT unnest($duckWords) AS w FROM documents),
+         |of AS (SELECT w, count(*) AS co FROM otoks WHERE w <> '' GROUP BY w),
+         |vocab AS (SELECT w, co FROM of ORDER BY co DESC, w LIMIT 200),
+         |ntoks AS (
+         |  SELECT unnest($duckWords) AS w FROM documents WHERE lang = 'en'),
+         |nf AS (SELECT w, count(*) AS cn FROM ntoks WHERE w <> '' GROUP BY w),
+         |ntot AS (SELECT count(*) AS tn_all FROM ntoks WHERE w <> ''),
+         |j AS (SELECT v.w, v.co, coalesce(nf.cn, 0) AS cn
+         |      FROM vocab v LEFT JOIN nf USING (w)),
+         |tot AS (SELECT sum(co) AS t_o, sum(cn) AS tv, count(*) AS k FROM j),
+         |p AS (SELECT (cn + 1.0) / (tot.tv + tot.k) AS pn,
+         |             (co + 1.0) / (tot.t_o + tot.k) AS po,
+         |             tot.k AS k, tot.tv AS tv, ntot.tn_all AS tn_all
+         |      FROM j, tot, ntot)
+         |SELECT max(k) AS n_vocab,
+         |       round(sum(pn * ln(pn / po)), 6) AS kl_new_vs_old,
+         |       round(1.0 - CAST(max(tv) AS DOUBLE) / greatest(max(tn_all), 1), 6)
+         |         AS oov_mass_new
+         |FROM p""".stripMargin,
     "corpus_diff" ->
       """WITH newt AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
@@ -3076,6 +3108,21 @@ object PipelineQueries {
       s"""SELECT doc_id, len($duckWords) AS n_tokens,
          |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same tokenization as the Spark side: whitespace tokens (min 1),
+    // [.!?]+ sentence runs (min 1), [aeiouy]+ vowel groups as syllables
+    "text_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         greatest(len(string_split_regex(trim(text), '\s+')), 1) AS w,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |       CAST(s AS BIGINT) AS n_sentences,
+        |       CAST(y AS BIGINT) AS n_syllables,
+        |       round(0.39 * (CAST(w AS DOUBLE) / s)
+        |             + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6) AS fk_grade
+        |FROM f ORDER BY doc_id""".stripMargin,
     // entropy-class orderings are properties of DEFLATE itself on the
     // planted twins; DuckDB states the expected booleans
     "text_compress_check" ->

@@ -636,6 +636,33 @@ class OperatorsSpec extends SparkFunSuite {
     assert(run() == got) // sketch hashing is seed-fixed: stable estimates
   }
 
+  test("unigramDrift: zero for an identical snapshot, positive under shift, OOV mass exact") {
+    val old = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
+    val same = Snapshot.unigramDrift(old, old, "text", k = 10)
+      .as[(Long, Double, Double)].head()
+    assert(same === ((4L, 0.0, 0.0))) // 4 distinct words, identical dists
+    // the new snapshot shifts mass to beta and brings one OOV word
+    val next = Seq((3L, "beta beta beta novel")).toDF("doc_id", "text")
+    val drift = Snapshot.unigramDrift(old, next, "text", k = 10)
+      .as[(Long, Double, Double)].head()
+    assert(drift._1 === 4L)
+    assert(drift._2 > 0.0)
+    assert(math.abs(drift._3 - 0.25) < 1e-9) // 1 OOV token of 4
+  }
+
+  test("readabilityReport: hand-computed components") {
+    val df = Seq((1L, "The cat sat. The cat ran!"),
+      (2L, "xz")) // no vowels, no sentence punctuation -> floors
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityReport(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    // doc 1: 6 words, 2 sentences, vowel groups: e,a,a,e,a,a = 6
+    assert(got(0) === ((1L, 6L, 2L, 6L,
+      math.rint((0.39 * 3.0 + 11.8 * 1.0 - 15.59) * 1e6) / 1e6)))
+    // doc 2: floors words=1, sentences=1, zero vowel groups
+    assert(got(1)._2 === 1L && got(1)._3 === 1L && got(1)._4 === 0L)
+  }
+
   test("compactIndex refuses an IVF _cell table: many rows per cell IS its content") {
     spark.sql("DROP TABLE IF EXISTS cmp_ivf_guard")
     try {
