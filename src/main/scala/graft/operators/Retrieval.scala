@@ -67,4 +67,34 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    * per-query ranked lists — typically the lexical [[bm25TopK]] and a
+    * dense [[Similarity]] top-k — by `sum over lists of 1 / (k0 + rank)`.
+    * Rank-only on purpose: BM25 scores and cosines are incomparable
+    * scales, ranks always fuse. Hybrid retrieval is the audit tool a
+    * curation loop wants when neither side alone is trustworthy (lexical
+    * misses paraphrase, dense misses rare exact terms).
+    *
+    * Inputs are `(query_id, rank, idCol)` lists. Cost is nothing at any
+    * corpus size: each retriever already reduced to top-k rows per query,
+    * so the union, the fuse aggregate and the per-query rank window all
+    * run over <= |lists| * k rows per query. The rank window orders by the
+    * ROUNDED fused score (then id), so near-ties break identically
+    * everywhere, the [[bm25TopK]] discipline.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val all = rankings
+      .map(_.select(col("query_id"), col("rank"), col(idCol)))
+      .reduce(_ unionAll _)
+    val fused = all.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("rrf_score"))
+  }
 }

@@ -1098,6 +1098,24 @@ object PipelineQueries {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // hybrid retrieval: BM25 (lexical, over documents) and brute cosine
+    // (dense, over embeddings) fused by reciprocal rank — rank-only math,
+    // so the fusion is exactly SQL-stated on top of the two oracled sides
+    "ret_hybrid_rrf" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      val lex = Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
+        .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      val e = embs(s, dir)
+      val qv = e.filter(col("vec_id").between(1, 3))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dense = Similarity.bruteForceTopK(e, qv, "vec_id", "embedding",
+          "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("id"))
+      Retrieval.rrfFuse(Seq(lex, dense), "id", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // distributed BPE merge training: 8 (global-argmax, merge-everywhere)
     // iterations over the distinct-word table; the oracle unrolls the same
     // 8 iterations in DuckDB (one string-replace merge per rank — see
@@ -3097,6 +3115,46 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY score DESC, doc_id) AS rank FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the two retriever CTEs are the text_bm25_topk / ann_brute_topk
+    // formulations; fusion adds 1/(60+rank) per list, rounds, re-ranks
+    "ret_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
+         |              FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+         |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+         |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |                * (tf.tf * (1.2 + 1.0))
+         |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
+         |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+         |            JOIN dlen USING (doc_id), st
+         |       GROUP BY q.query_id, tf.doc_id),
+         |lex AS (SELECT query_id, doc_id AS id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |        FROM sc QUALIFY rank <= 10),
+         |qv AS (SELECT vec_id AS query_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings WHERE vec_id BETWEEN 1 AND 3),
+         |ds AS (SELECT qv.query_id, e.vec_id,
+         |              list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v) AS cosine
+         |       FROM embeddings e CROSS JOIN qv),
+         |dense AS (SELECT query_id, vec_id AS id, row_number() OVER (
+         |            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |          FROM ds QUALIFY rank <= 10),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+         |f AS (SELECT query_id, id,
+         |             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+         |      FROM u GROUP BY query_id, id),
+         |r AS (SELECT query_id, id, rrf_score, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rrf_score DESC, id) AS rank
+         |      FROM f)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, rrf_score
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "dsir_select" ->
       s"""WITH $dsirCtes,

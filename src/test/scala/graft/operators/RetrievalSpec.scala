@@ -59,4 +59,24 @@ class RetrievalSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastExchange"),
       s"expected broadcast exchanges in:\n$plan")
   }
+
+  test("rrfFuse: hand-computed fusion, agreement beats either single list") {
+    // list A ranks (10, 20, 30); list B ranks (20, 10, 40):
+    // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 -> exact tie at rounded
+    // score, id tiebreak puts 10 first; 30 and 40 trail with one vote each
+    val a = Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L))
+      .toDF("query_id", "rank", "id")
+    val b = Seq((1, 1, 20L), (1, 2, 10L), (1, 3, 40L))
+      .toDF("query_id", "rank", "id")
+    val got = Retrieval.rrfFuse(Seq(a, b), "id", k = 10)
+      .orderBy("rank").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got.map(_._3) === Seq(10L, 20L, 30L, 40L))
+    val two = math.rint((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6
+    assert(got(0)._4 === two && got(1)._4 === two)
+    assert(got(2)._4 === math.rint(1.0 / 63 * 1e6) / 1e6)
+    // single-list degenerate: fusion preserves the input order
+    val solo = Retrieval.rrfFuse(Seq(a), "id", k = 2)
+      .orderBy("rank").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(solo.map(_._3) === Seq(10L, 20L))
+  }
 }
