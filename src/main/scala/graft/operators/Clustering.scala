@@ -189,4 +189,41 @@ object Clustering {
     predicted.join(broadcast(q.select(col("query_id"), col("_qlabel").as("label"))), "query_id")
       .select(col("query_id").as("vec_id"), col("label"), col("predicted"), col("votes"))
   }
+
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
+    * the near-boundary pairs a triplet/InfoNCE loss learns most from
+    * (Schroff 2015's semi-hard selection, batch-free form). The label
+    * filter runs BEFORE the rank window, so every returned row is a true
+    * negative and the window never wastes rank positions on positives.
+    *
+    * Same scan shape as [[Similarity.bruteForceTopK]]: anchors broadcast
+    * against one corpus scan, and the rank-`<= k` filter rewrites to a
+    * map-side top-k (WindowGroupLimit) so the exchange carries k rows per
+    * (anchor, partition). Anchors are a bounded training-batch-sized set by
+    * construction; for corpus-sized anchor sets, mine per-batch. Zero-norm
+    * vectors drop (cosine undefined), as everywhere in the family.
+    * Output: (query_id, rank, idCol, cosine, label).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val c = corpus
+      .withColumn("_cnorm", sqrt(expr(s"graft_vec_dot($vecCol, $vecCol)")))
+      .filter(col("_cnorm") > 0)
+    val q = anchors.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"), col(labelCol).as("_qlabel"))
+      .withColumn("_qnorm", sqrt(expr("graft_vec_dot(_qv, _qv)")))
+      .filter(col("_qnorm") > 0)
+    val scored = c.join(broadcast(q))
+      .filter(col(labelCol) =!= col("_qlabel")) // negatives only, pre-rank
+      .select(col("query_id"), col(idCol).as("vec_id"), col(labelCol),
+        (expr(s"graft_vec_dot($vecCol, _qv)") / (col("_cnorm") * col("_qnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cosine"), col(labelCol))
+  }
 }

@@ -584,6 +584,17 @@ object PipelineQueries {
         e.filter(col("vec_id") < 100), k = 10)
         .orderBy(col("vec_id"))
     }),
+    // contrastive-training miner: per anchor, the 5 most-similar vectors of
+    // a DIFFERENT label — exact cosine, label filter ahead of the rank
+    // window, hash-oracled like the brute ANN gate
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Clustering.hardNegatives(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 20), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("label"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // Johnson-Lindenstrauss sign projection 64 -> 8 dims: a pure narrow map
     // (matrix rides inside the MatVec expression), exploded to rows so the
     // oracle compares scalars, not list formatting.
@@ -2390,6 +2401,21 @@ object PipelineQueries {
          |SELECT a.cell, count(*) AS n_members, round(sum(d.dist), 6) AS inertia
          |FROM a4 a JOIN d4 d ON d.vec_id = a.vec_id AND d.cell = a.cell
          |GROUP BY a.cell ORDER BY a.cell""".stripMargin,
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id, e.label,
+        |             list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cosine
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label <> q.qlabel),
+        |r AS (SELECT query_id, vec_id, label, cosine,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+        |       round(cosine, 6) AS cosine, label
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

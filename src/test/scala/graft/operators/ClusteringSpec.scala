@@ -145,4 +145,28 @@ class ClusteringSpec extends SparkFunSuite {
       assert(pr > orig * 0.4 && pr < orig * 1.9, s"vec $id: $orig -> $pr")
     }
   }
+
+  test("hardNegatives: only other-label rows rank; the closest negative leads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f), 0),     // anchor
+      (2L, Array(0.99f, 0.1f), 0),// same label: NEVER a negative, however close
+      (3L, Array(0.9f, 0.4f), 1), // hard negative (closest other-label)
+      (4L, Array(0f, 1f), 1),     // easy negative
+      (5L, Array(0f, 0f), 1)      // zero norm: dropped
+    ).toDF("vec_id", "embedding", "label")
+    val got = Clustering.hardNegatives(df, "vec_id", "embedding", "label",
+        df.filter($"vec_id" === 1), k = 10)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Double, Int)].collect().toSeq
+    assert(got.map(_._3) === Seq(3L, 4L))
+    assert(got.map(_._5).forall(_ == 1))
+    assert(got(0)._4 > got(1)._4)
+    // the label filter must sit under the rank window: no same-label row
+    // may consume a rank position even when k is tight
+    val tight = Clustering.hardNegatives(df, "vec_id", "embedding", "label",
+        df.filter($"vec_id" === 1), k = 1)
+      .as[(Long, Int, Long, Double, Int)].collect()
+    assert(tight.length === 1 && tight.head._3 === 3L)
+  }
 }
