@@ -79,6 +79,49 @@ object Snapshot {
         round(col("overlap_est").cast("double") / col("n_union"), 6))
   }
 
+  /** Per-source corpus DATASHEET (Gebru 2021 "Datasheets for Datasets" —
+    * the composition/profile section, generated not hand-written): one row
+    * per source with document/token mass, length percentiles, mean quality,
+    * exact-duplication rate and language mix entropy. The governance
+    * artifact that ships WITH a corpus snapshot; every column is an exact
+    * aggregate (hash-oracled), not a sketch.
+    *
+    * One scan: all columns fold into a single groupBy(source) — tokens,
+    * quality and md5 are computed in the scan projection; the exact
+    * percentile and distinct-hash count keep per-group state bounded by
+    * group size, and the language entropy folds the per-(source, lang)
+    * counts gathered by a first tiny aggregate. At 100 TB the shuffle
+    * carries one partial-aggregate row per (source, partition).
+    */
+  def datasheet(docs: DataFrame, sourceCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), col(langCol).as("_lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("_toks"),
+      length(col(textCol)).as("_chars"),
+      TextAnalysis.qualityScore(textCol).as("_q"),
+      md5(col(textCol)).as("_h"))
+    val main = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_toks")).as("n_tokens"),
+      percentile(col("_chars"), lit(0.5)).cast("long").as("p50_chars"),
+      round(avg(col("_q")), 6).as("mean_quality"),
+      countDistinct(col("_h")).as("_distinct"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("_distinct").cast("double") / col("n_docs"), 6))
+    // entropy over the (source, lang) count table — |sources| x |langs|
+    // rows; a plain re-aggregate, no window (the mixture-ops discipline)
+    val sl = base.groupBy(col("source"), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val stot = sl.groupBy(col("source")).agg(sum(col("_c")).as("_t"))
+    val langEnt = sl.join(stot, Seq("source"))
+      .select(col("source"), (col("_c").cast("double") / col("_t")).as("_p"))
+      .groupBy(col("source"))
+      .agg(round(-sum(col("_p") * log2(col("_p"))), 6).as("lang_entropy"))
+    main.join(langEnt, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p50_chars"),
+        col("mean_quality"), col("dup_rate"), col("lang_entropy"))
+  }
+
   /** Unigram-distribution DRIFT between two corpus snapshots — the
     * governance question before retraining a tokenizer or reweighting a
     * mixture: "did the word distribution move?". KL(new || old) over the

@@ -1037,6 +1037,12 @@ object PipelineQueries {
     // epoch (every 10th doc removed, every 7th surviving doc edited, 50
     // added): the dataset-versioning audit. Fingerprints reduce each side
     // to (id, md5) in the scan; the join never moves text.
+    // generated per-source datasheet (Gebru 2021 composition section):
+    // doc/token mass, median length, mean quality, exact dup rate, language
+    // entropy — every column an exact aggregate, hash-oracled
+    "corpus_datasheet" -> ((s, dir) =>
+      Snapshot.datasheet(docs(s, dir), "source", "lang", "text")
+        .orderBy(col("source"))),
     // unigram drift: the English-only slice against the full corpus — a
     // 1-row exact-KL governance report over the old snapshot's top-200
     // vocabulary, hash-oracled end to end
@@ -1355,13 +1361,13 @@ object PipelineQueries {
     // broadcast bit set, so the corpus pass is scan -> project with ZERO
     // shuffles and no join at all (rows-only here; the _check gate below
     // proves the no-false-negative guarantee against the exact oracle)
-    // fifth decontamination mode, SEMANTIC: every 10th vector plays the
-    // eval set; corpus rows embedding at cosine >= 0.99 against any eval
-    // vector are quarantined, survivors listed — exact-cosine semantics,
-    // fully SQL-stated
+    // fifth decontamination mode, SEMANTIC: a FIXED 50-vector slice plays
+    // the eval set (eval sets do not grow with the corpus — keeping the
+    // probe linear in corpus size); corpus rows embedding at cosine >= 0.99
+    // against any eval vector are quarantined, survivors listed
     "text_decontam_semantic" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val evalSet = e.filter(col("vec_id") % 10 === 0)
+      val evalSet = e.filter(col("vec_id") < 50)
         .select(col("embedding").as("ev"))
       Contamination.dropSemanticContaminated(e, evalSet, "vec_id",
           "embedding", "ev", threshold = 0.99)
@@ -3008,6 +3014,39 @@ object PipelineQueries {
         |            THEN round(round(t / ns, 6) - floor(round(t / ns, 6)), 6)
         |            ELSE 1.0 END AS last_epoch_keep
         |FROM b ORDER BY lang""".stripMargin,
+    // same per-doc quality formula as text_quality; entropy over the
+    // (source, lang) count table; percentile == quantile_cont
+    "corpus_datasheet" ->
+      s"""WITH b AS (
+         |  SELECT source, lang,
+         |         CAST(length(text) AS DOUBLE) AS nc,
+         |         CAST(len($duckWords) AS DOUBLE) AS nt,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS np,
+         |         CAST(len(list_filter($duckWords, w -> list_contains($duckStop, w))) AS DOUBLE) AS ns,
+         |         length(text) AS chars, md5(text) AS h
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, chars, h, nt,
+         |         round((least(nc / 200.0, 1.0) * 0.4
+         |                + (CASE WHEN nc / greatest(nt, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |                + least(ns / greatest(nt, 1.0) * 5.0, 1.0) * 0.3)
+         |               * (1.0 - least(np / greatest(nc, 1.0) * 2.0, 1.0)), 6) AS qs
+         |  FROM b),
+         |m AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |         CAST(quantile_cont(chars, 0.5) AS BIGINT) AS p50_chars,
+         |         round(avg(qs), 6) AS mean_quality,
+         |         round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate
+         |  FROM q GROUP BY source),
+         |sl AS (SELECT source, lang, count(*) AS c FROM b GROUP BY source, lang),
+         |st AS (SELECT source, sum(c) AS t FROM sl GROUP BY source),
+         |e AS (SELECT sl.source,
+         |             round(-sum((CAST(c AS DOUBLE) / t) * log2(CAST(c AS DOUBLE) / t)), 6) AS lang_entropy
+         |      FROM sl JOIN st USING (source) GROUP BY sl.source)
+         |SELECT m.source, n_docs, n_tokens, p50_chars, mean_quality,
+         |       dup_rate, lang_entropy
+         |FROM m JOIN e ON m.source = e.source ORDER BY m.source""".stripMargin,
     "corpus_drift_kl" ->
       s"""WITH otoks AS (
          |  SELECT unnest($duckWords) AS w FROM documents),
@@ -3748,7 +3787,7 @@ object PipelineQueries {
         |n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
         |  WHERE sqrt(list_dot_product(v, v)) > 0),
-        |ev AS (SELECT v, nrm FROM n WHERE vec_id % 10 = 0),
+        |ev AS (SELECT v, nrm FROM n WHERE vec_id < 50),
         |flagged AS (
         |  SELECT DISTINCT c.vec_id FROM n c JOIN ev e
         |  ON list_dot_product(c.v, e.v) / (c.nrm * e.nrm) >= 0.99)

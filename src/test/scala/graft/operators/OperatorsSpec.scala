@@ -636,6 +636,26 @@ class OperatorsSpec extends SparkFunSuite {
     assert(run() == got) // sketch hashing is seed-fixed: stable estimates
   }
 
+  test("datasheet: hand-computed per-source composition row") {
+    val df = Seq(
+      (1L, "web", "en", "one two three four"),
+      (2L, "web", "en", "one two three four"), // exact dup of 1
+      (3L, "web", "fr", "cinq six sept"),
+      (4L, "book", "en", "lone document here")).toDF("doc_id", "source", "lang", "text")
+    val got = Snapshot.datasheet(df, "source", "lang", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    val (book, web) = (got(0), got(1))
+    assert(book._1 === "book" && book._2 === 1L && book._3 === 3L)
+    assert(book._6 === 0.0 && book._7 === 0.0) // no dups, single language
+    assert(web._2 === 3L && web._3 === 4L + 4L + 3L)
+    assert(math.abs(web._6 - (1.0 - 2.0 / 3.0)) < 1e-6) // 2 distinct of 3
+    // lang mix 2:1 -> H = -(2/3)log2(2/3) - (1/3)log2(1/3)
+    val h = -(2.0 / 3) * (math.log(2.0 / 3) / math.log(2)) -
+      (1.0 / 3) * (math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(web._7 - h) < 1e-6)
+  }
+
   test("unigramDrift: zero for an identical snapshot, positive under shift, OOV mass exact") {
     val old = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text")
     val same = Snapshot.unigramDrift(old, old, "text", k = 10)
