@@ -190,6 +190,41 @@ object Clustering {
       .select(col("query_id").as("vec_id"), col("label"), col("predicted"), col("votes"))
   }
 
+  /** Data pruning by PROTOTYPE DISTANCE (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): score each example by squared distance to its
+    * own k-means centroid and keep the `n` hardest (far from prototype —
+    * the big-data regime) or easiest (near — the small-data regime). The
+    * self-supervised pruning metric that beat random selection in that
+    * paper, here over the corpus' embedding column with the [[kmeans]]
+    * centroids as prototypes.
+    *
+    * Shape: assignment + distance are one narrow map against the broadcast
+    * k-row centroid table (centroids ride in the plan); the global top-n is
+    * a TakeOrdered — map-side partial top-n per partition, n rows to the
+    * driver side of the exchange, never a full sort. Output:
+    * (idCol, cell, proto_dist) in selection order.
+    */
+  def pruneByPrototype(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], n: Int,
+      hardest: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "_centroid"))
+    val dist = df.select(col(idCol), col(vecCol),
+        assignCol(vecCol, centroids).as("cell"))
+      .join(cdf, Seq("cell"))
+      .withColumn("_d", expr(
+        s"aggregate(zip_with($vecCol, _centroid, (p, q) -> " +
+          "(CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), " +
+          "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+    val ordered =
+      if (hardest) dist.orderBy(col("_d").desc, col(idCol))
+      else dist.orderBy(col("_d").asc, col(idCol))
+    ordered.limit(n)
+      .select(col(idCol), col("cell"), round(col("_d"), 6).as("proto_dist"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive/embedding training: for each
     * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
     * the near-boundary pairs a triplet/InfoNCE loss learns most from

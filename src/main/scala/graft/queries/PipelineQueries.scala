@@ -575,6 +575,12 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_members"), round(sum(col("_d")), 6).as("inertia"))
         .orderBy(col("cell"))
     }),
+    // Sorscher 2022 prototype-distance pruning: the 50 HARDEST examples
+    // (farthest from their own k-means centroid) — the big-data-regime
+    // selection; shares the fitted Lloyd run with emb_kmeans
+    "emb_prune_hard" -> ((s, dir) =>
+      Clustering.pruneByPrototype(embs(s, dir), "vec_id", "embedding",
+        fittedKmeans(s, dir), n = 50, hardest = true)),
     // Leave-one-out kNN label vote on the first 100 vectors against the
     // full corpus: the label-quality audit (label != predicted rows are
     // suspect labels). Broadcast queries, one corpus scan, map-side top-k.
@@ -2407,6 +2413,13 @@ object PipelineQueries {
          |SELECT a.cell, count(*) AS n_members, round(sum(d.dist), 6) AS inertia
          |FROM a4 a JOIN d4 d ON d.vec_id = a.vec_id AND d.cell = a.cell
          |GROUP BY a.cell ORDER BY a.cell""".stripMargin,
+    // the d4/a4 CTEs already carry each vector's own-cell distance; the
+    // prune is their global hardest-50 in (dist desc, id) order
+    "emb_prune_hard" ->
+      s"""$kmeansCtes
+         |SELECT a.vec_id, a.cell, round(d.dist, 6) AS proto_dist
+         |FROM a4 a JOIN d4 d ON d.vec_id = a.vec_id AND d.cell = a.cell
+         |ORDER BY d.dist DESC, a.vec_id LIMIT 50""".stripMargin,
     "emb_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -146,6 +146,30 @@ class ClusteringSpec extends SparkFunSuite {
     }
   }
 
+  test("pruneByPrototype: distance is to the OWN centroid; hardest/easiest and TakeOrdered plan") {
+    import spark.implicits._
+    // one tight blob at (0,0) plus a far outlier; prototype = blob centroid
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)), (3L, Array(0f, 0.1f)),
+      (4L, Array(10f, 10f))).toDF("vec_id", "embedding")
+    val centroids = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val hard = Clustering.pruneByPrototype(df, "vec_id", "embedding",
+        centroids, n = 2, hardest = true)
+      .as[(Long, Int, Double)].collect()
+    // 4 sits ON its own centroid (dist 0); the hardest are the blob's edge
+    // members — prototype distance is to the OWN cell's centroid
+    assert(hard.map(_._1).toSet === Set(2L, 3L))
+    assert(hard.forall(r => math.abs(r._3 - 0.01) < 1e-6))
+    val easy = Clustering.pruneByPrototype(df, "vec_id", "embedding",
+        centroids, n = 2, hardest = false)
+      .as[(Long, Int, Double)].collect()
+    assert(easy.map(_._1).toSeq === Seq(1L, 4L)) // both exactly on centroids
+    // no full sort: the global top-n must plan as TakeOrdered
+    val plan = Clustering.pruneByPrototype(df, "vec_id", "embedding",
+        centroids, n = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hardNegatives: only other-label rows rank; the closest negative leads") {
     import spark.implicits._
     val df = Seq(
