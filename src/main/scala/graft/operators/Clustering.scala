@@ -225,6 +225,59 @@ object Clustering {
       .select(col(idCol), col("cell"), round(col("_d"), 6).as("proto_dist"))
   }
 
+  /** k-CENTER GREEDY coreset (Gonzalez 1985 2-approximation; Sener &
+    * Savarese 2018 used exactly this selection for active-learning
+    * coresets): pick the min-id row first, then repeatedly the row farthest
+    * (max min-squared-distance) from every chosen center — the DIVERSE
+    * subset, the complement of [[pruneByPrototype]]'s density-based pick.
+    * Returns (center_rank, idCol, radius): `radius` is the max-min distance
+    * at selection time, i.e. the coverage-radius curve that tells an
+    * operator when k is enough (the 2-approx bound is on exactly this
+    * value).
+    *
+    * The algorithm is inherently sequential in k, so the driver holds the
+    * k chosen vectors (k x dim doubles — bounded by construction) and each
+    * round is ONE corpus pass: the min-over-centers distance is a `least(
+    * ...)` column built from the centers chosen so far (they ride in the
+    * plan as literals), and the argmax is a 1-row TakeOrdered. Total cost
+    * O(k) passes / O(k^2) distance terms — the standard trade until k is
+    * large enough to persist a running min-distance column instead.
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).cache()
+    try {
+      val first = rows.orderBy(col("id")).limit(1)
+        .as[(Long, Array[Float])].head()
+      val centers = scala.collection.mutable.ArrayBuffer(
+        (0, first._1, 0.0, first._2.map(_.toDouble)))
+      def distTo(c: Array[Double]): Column = {
+        val arr = c.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
+        expr(s"aggregate(zip_with(v, $arr, (p, q) -> " +
+          "(CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), " +
+          "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+      }
+      var r = 1
+      while (r < k) {
+        val dists = centers.map(c => distTo(c._4)).toSeq
+        val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+        val far = rows.select(col("id"), col("v"), minDist.as("d"))
+          .orderBy(col("d").desc, col("id"))
+          .limit(1).as[(Long, Array[Float], Double)].head()
+        centers += ((r, far._1, far._3, far._2.map(_.toDouble)))
+        r += 1
+      }
+      // HALF_UP to match the engines' round() (the gates' discipline)
+      centers.toSeq.map(c => (c._1, c._2,
+          BigDecimal(c._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("center_rank", idCol, "radius")
+    } finally rows.unpersist()
+  }
+
   /** HARD-NEGATIVE mining for contrastive/embedding training: for each
     * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
     * the near-boundary pairs a triplet/InfoNCE loss learns most from

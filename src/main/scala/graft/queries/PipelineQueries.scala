@@ -575,6 +575,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_members"), round(sum(col("_d")), 6).as("inertia"))
         .orderBy(col("cell"))
     }),
+    // Gonzalez k-center greedy: 6 maximally-diverse embeddings + the
+    // coverage-radius curve; sequential in k by nature, one corpus pass
+    // per round, 1-row TakeOrdered argmax each
+    "emb_kcenter" -> ((s, dir) =>
+      Clustering.kCenterGreedy(embs(s, dir), "vec_id", "embedding", k = 6)),
     // Sorscher 2022 prototype-distance pruning: the 50 HARDEST examples
     // (farthest from their own k-means centroid) — the big-data-regime
     // selection; shares the fitted Lloyd run with emb_kmeans
@@ -2405,7 +2410,60 @@ object PipelineQueries {
        |      WHERE rn = 1)""".stripMargin
   }
 
+  /** Unrolled Gonzalez k-center greedy for k=6: per round, the distance
+    * table to the newest center, the incremental least() fold, and a 1-row
+    * argmax pick — the same relational-replay style as [[kmeansCtes]].
+    */
+  private val kcenterSql: String = {
+    // c1..c5 are the chosen centers; each m_r carries the radius at
+    // selection; min*b folds the incremental least() over rounds.
+    s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |c1 AS (SELECT u.i, u.x AS c FROM u
+       |       WHERE u.vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |e0 AS (SELECT u.vec_id, sum((u.x - c.c) * (u.x - c.c)) AS d
+       |       FROM u JOIN c1 c ON u.i = c.i GROUP BY u.vec_id),
+       |m1 AS (SELECT vec_id, d FROM e0 ORDER BY d DESC, vec_id LIMIT 1),
+       |c2 AS (SELECT u.i, u.x AS c FROM u
+       |       WHERE u.vec_id = (SELECT vec_id FROM m1)),
+       |e1b AS (SELECT u.vec_id, sum((u.x - c.c) * (u.x - c.c)) AS d
+       |       FROM u JOIN c2 c ON u.i = c.i GROUP BY u.vec_id),
+       |min1b AS (SELECT e0.vec_id, least(e0.d, e1b.d) AS d
+       |       FROM e0 JOIN e1b USING (vec_id)),
+       |m2 AS (SELECT vec_id, d FROM min1b ORDER BY d DESC, vec_id LIMIT 1),
+       |c3 AS (SELECT u.i, u.x AS c FROM u
+       |       WHERE u.vec_id = (SELECT vec_id FROM m2)),
+       |e2b AS (SELECT u.vec_id, sum((u.x - c.c) * (u.x - c.c)) AS d
+       |       FROM u JOIN c3 c ON u.i = c.i GROUP BY u.vec_id),
+       |min2b AS (SELECT m.vec_id, least(m.d, e2b.d) AS d
+       |       FROM min1b m JOIN e2b USING (vec_id)),
+       |m3 AS (SELECT vec_id, d FROM min2b ORDER BY d DESC, vec_id LIMIT 1),
+       |c4 AS (SELECT u.i, u.x AS c FROM u
+       |       WHERE u.vec_id = (SELECT vec_id FROM m3)),
+       |e3b AS (SELECT u.vec_id, sum((u.x - c.c) * (u.x - c.c)) AS d
+       |       FROM u JOIN c4 c ON u.i = c.i GROUP BY u.vec_id),
+       |min3b AS (SELECT m.vec_id, least(m.d, e3b.d) AS d
+       |       FROM min2b m JOIN e3b USING (vec_id)),
+       |m4 AS (SELECT vec_id, d FROM min3b ORDER BY d DESC, vec_id LIMIT 1),
+       |c5 AS (SELECT u.i, u.x AS c FROM u
+       |       WHERE u.vec_id = (SELECT vec_id FROM m4)),
+       |e4b AS (SELECT u.vec_id, sum((u.x - c.c) * (u.x - c.c)) AS d
+       |       FROM u JOIN c5 c ON u.i = c.i GROUP BY u.vec_id),
+       |min4b AS (SELECT m.vec_id, least(m.d, e4b.d) AS d
+       |       FROM min3b m JOIN e4b USING (vec_id)),
+       |m5 AS (SELECT vec_id, d FROM min4b ORDER BY d DESC, vec_id LIMIT 1)
+       |SELECT 0 AS center_rank,
+       |       (SELECT min(vec_id) FROM embeddings) AS vec_id, 0.0 AS radius
+       |UNION ALL SELECT 1, vec_id, round(d, 6) FROM m1
+       |UNION ALL SELECT 2, vec_id, round(d, 6) FROM m2
+       |UNION ALL SELECT 3, vec_id, round(d, 6) FROM m3
+       |UNION ALL SELECT 4, vec_id, round(d, 6) FROM m4
+       |UNION ALL SELECT 5, vec_id, round(d, 6) FROM m5
+       |ORDER BY center_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_kcenter" -> kcenterSql,
     "emb_kmeans" ->
       s"$kmeansCtes\nSELECT vec_id, cell FROM a4 ORDER BY vec_id",
     "emb_kmeans_stats" ->

@@ -170,6 +170,27 @@ class ClusteringSpec extends SparkFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("kCenterGreedy: picks the planted extremes, radius curve is non-increasing") {
+    import spark.implicits._
+    // four far corners + a dense blob near the first corner: greedy must
+    // pick each remaining corner before any blob member
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)), (3L, Array(0f, 0.1f)),
+      (10L, Array(100f, 0f)), (11L, Array(0f, 100f)), (12L, Array(100f, 100f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kCenterGreedy(df, "vec_id", "embedding", k = 4)
+      .orderBy("center_rank").as[(Int, Long, Double)].collect().toSeq
+    assert(got.head === ((0, 1L, 0.0))) // deterministic min-id start
+    assert(got.map(_._2).toSet === Set(1L, 10L, 11L, 12L))
+    // corner 12 is farthest from (0,0): picked first, radius 2*100^2
+    assert(got(1)._2 === 12L && math.abs(got(1)._3 - 20000.0) < 1e-6)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    // k=1 degenerates to the seed row alone
+    assert(Clustering.kCenterGreedy(df, "vec_id", "embedding", 1)
+      .as[(Int, Long, Double)].collect().toSeq === Seq((0, 1L, 0.0)))
+  }
+
   test("hardNegatives: only other-label rows rank; the closest negative leads") {
     import spark.implicits._
     val df = Seq(
