@@ -504,6 +504,46 @@ class StreamingSpec extends SparkFunSuite {
     assert(spark.table("t_stream_quality").columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("compression filter and LR scoring run unchanged on a stream (stateless gates)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.Tables.df(spark, dir, "documents")
+      .select($"doc_id", $"text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchDf = docs.toSeq.toDF("doc_id", "text")
+    // a model fitted OFFLINE scores the stream as plain column arithmetic
+    val model = graft.operators.QualityModel.trainLR(
+      graft.operators.QualityModel.withFeatures(batchDf, "text")
+        .withColumn("_y", (octet_length($"text") >= 300).cast("double")),
+      graft.operators.QualityModel.featureColumns("text").map(_._1), "_y")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val gated = graft.operators.QualityModel.scoreWithModel(
+      graft.operators.TextAnalysis.compressionFilter(stream, "text",
+        minRatio = 0.2, maxRatio = 0.8),
+      "text", model)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_stream_lr").start()
+    try {
+      mem.addData(docs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_stream_lr")
+      .select("doc_id", "quality_prob", "quality_pred")
+      .as[(Long, Double, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val expected = graft.operators.QualityModel.scoreWithModel(
+      graft.operators.TextAnalysis.compressionFilter(batchDf, "text", 0.2, 0.8),
+      "text", model)
+      .select("doc_id", "quality_prob", "quality_pred")
+      .as[(Long, Double, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("C4 cleaning runs unchanged on a stream and matches the batch output") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
