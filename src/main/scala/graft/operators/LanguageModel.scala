@@ -109,6 +109,74 @@ object LanguageModel {
       model: DataFrame, oovNlpQ: Long = 20723266L): DataFrame =
     scoreWithModel(df, idCol, textCol, model, oovNlpQ)
 
+  /** Interpolated Kneser-Ney trigram model (Kneser & Ney 1995, in the
+    * interpolated form Chen & Goodman 1999 found best — the smoothing KenLM
+    * itself uses, which makes this the faithful CCNet-filter estimator
+    * where [[charTrigramModel]] is the plain MLE): each seen trigram's
+    * probability is its discounted MLE plus the context's freed mass times
+    * the CONTINUATION bigram probability — "how many contexts does this
+    * continuation complete" rather than "how often did it occur", the
+    * correction that stops high-count-but-one-context grams from being
+    * overestimated.
+    *
+    *   P(c|ab) = max(c(abc)-D,0)/c(ab·) + D·N1+(ab·)/c(ab·) · Pc(c|b)
+    *   Pc(c|b) = max(N1+(·bc)-D,0)/N1+(·b·) + D·N1+(b·)/N1+(·b·) · Pc(c)
+    *   Pc(c)   = N1+(·c) / N1+(··)      (over distinct suffix-bigram types)
+    *
+    * Every N1+ table is an aggregate over the distinct-trigram-TYPE table,
+    * so the whole build stays alphabet-bounded like the MLE model: one
+    * corpus count aggregate, then type-level (broadcast-sized) joins.
+    * Same quantized `nlp_q` output contract, so [[perplexityScore]] /
+    * [[selfScoreKN]] scoring is unchanged map-side arithmetic. Unseen
+    * trigrams still cost the flat `oovNlpQ` at scoring time — the full
+    * three-level backoff lookup for unseen grams would need a multi-level
+    * broadcast map; the interpolated values above already carry the
+    * continuation mass for every SEEN gram, which is where the estimator
+    * differs from MLE.
+    */
+  def knTrigramModel(corpus: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val grams = corpus.select(explode(charTrigrams(col(textCol))).as("gram"))
+    val c3 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
+      .select(col("gram"), col("c3"),
+        substring(col("gram"), 1, 2).as("p2"),
+        substring(col("gram"), 2, 2).as("s2"),
+        substring(col("gram"), 2, 1).as("b"),
+        substring(col("gram"), 3, 1).as("c"))
+    val ctx = c3.groupBy(col("p2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n_after"))
+    val sfx = c3.groupBy(col("s2")).agg(count(lit(1)).as("n_left"))
+    val mid = sfx.groupBy(substring(col("s2"), 1, 1).as("b"))
+      .agg(sum(col("n_left")).as("cbdot"), count(lit(1)).as("n_s2_b"))
+    val endc = sfx.groupBy(substring(col("s2"), 2, 1).as("c"))
+      .agg(count(lit(1)).as("n_end"))
+    val tot = sfx.agg(count(lit(1)).as("n_tot"))
+    val d = lit(discount)
+    val pcont1 = col("n_end").cast("double") / col("n_tot")
+    val pcont2 = greatest(col("n_left") - d, lit(0.0)) / col("cbdot") +
+      d * col("n_s2_b") / col("cbdot") * pcont1
+    val pkn = greatest(col("c3") - d, lit(0.0)) / col("c2") +
+      d * col("n_after") / col("c2") * pcont2
+    c3.join(ctx, Seq("p2"))
+      .join(broadcast(sfx), Seq("s2"))
+      .join(broadcast(mid), Seq("b"))
+      .join(broadcast(endc), Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("gram"), col("c3"), pkn.as("p_kn"),
+        (-round(log(pkn) * 1e6)).cast("long").as("nlp_q"))
+  }
+
+  /** [[selfScore]] with the Kneser-Ney estimator: score a corpus against
+    * its own interpolated-KN trigram model. No OOV parameter — every gram
+    * of the corpus is in its own model by construction.
+    */
+  def selfScoreKN(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreWithModel(df, idCol, textCol,
+      knTrigramModel(df, textCol, discount), oovNlpQ = 0L)
+
   /** Score a corpus against a model trained on ITSELF (the common
     * filter-bootstrap shape): identical results to charTrigramModel +
     * perplexityScore. The corpus is read twice (model counts, then the

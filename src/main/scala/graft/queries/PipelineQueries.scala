@@ -1303,6 +1303,12 @@ object PipelineQueries {
     "text_perplexity" -> ((s, dir) =>
       LanguageModel.selfScore(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // the same filter with the interpolated Kneser-Ney estimator (the
+    // smoothing KenLM uses) instead of plain MLE — continuation-weighted
+    // discounting, alphabet-bounded model, identical scoring contract
+    "text_perplexity_kn" -> ((s, dir) =>
+      LanguageModel.selfScoreKN(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // token-window chunking (50-token chunks, 10-token overlap): the
     // standard context-window prep step; one generator, no shuffle
     "text_chunk" -> ((s, dir) =>
@@ -3679,6 +3685,44 @@ object PipelineQueries {
         |m AS (SELECT gram,
         |             -CAST(round(ln(CAST(c3 AS DOUBLE) / c2) * 1000000) AS BIGINT) AS nlp_q
         |      FROM c3 JOIN c2 ON substring(gram, 1, 2) = p2),
+        |sc AS (SELECT g.doc_id, count(*) AS n_grams, sum(m.nlp_q) AS s
+        |       FROM g JOIN m USING (gram) GROUP BY g.doc_id)
+        |SELECT t.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+        |       CASE WHEN coalesce(sc.n_grams, 0) > 0
+        |            THEN round(CAST(sc.s AS DOUBLE) / (sc.n_grams * 1000000.0), 6)
+        |            ELSE 0.0 END AS avg_nll
+        |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the KN formula written in the SAME association order as the Spark
+    // expression, so the doubles agree bit for bit before quantization
+    "text_perplexity_kn" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, length(s) - 1),
+        |                                   i -> substring(s, i, 3))) AS gram
+        |      FROM t),
+        |c3 AS (SELECT gram, count(*) AS c3 FROM g GROUP BY gram),
+        |ctx AS (SELECT substring(gram, 1, 2) AS p2, sum(c3) AS c2,
+        |               count(*) AS nafter FROM c3 GROUP BY 1),
+        |sfx AS (SELECT substring(gram, 2, 2) AS s2, count(*) AS nleft
+        |        FROM c3 GROUP BY 1),
+        |mid AS (SELECT substring(s2, 1, 1) AS b, sum(nleft) AS cbdot,
+        |               count(*) AS ns2b FROM sfx GROUP BY 1),
+        |endc AS (SELECT substring(s2, 2, 1) AS c, count(*) AS nend
+        |         FROM sfx GROUP BY 1),
+        |tot AS (SELECT count(*) AS ntot FROM sfx),
+        |m AS (SELECT c3.gram,
+        |             -CAST(round(ln(
+        |                greatest(c3.c3 - 0.75, 0.0) / ctx.c2
+        |                + 0.75 * ctx.nafter / ctx.c2 *
+        |                  (greatest(sfx.nleft - 0.75, 0.0) / mid.cbdot
+        |                   + 0.75 * mid.ns2b / mid.cbdot *
+        |                     (CAST(endc.nend AS DOUBLE) / tot.ntot))
+        |              ) * 1000000) AS BIGINT) AS nlp_q
+        |      FROM c3
+        |      JOIN ctx ON substring(c3.gram, 1, 2) = ctx.p2
+        |      JOIN sfx ON substring(c3.gram, 2, 2) = sfx.s2
+        |      JOIN mid ON substring(c3.gram, 2, 1) = mid.b
+        |      JOIN endc ON substring(c3.gram, 3, 1) = endc.c, tot),
         |sc AS (SELECT g.doc_id, count(*) AS n_grams, sum(m.nlp_q) AS s
         |       FROM g JOIN m USING (gram) GROUP BY g.doc_id)
         |SELECT t.doc_id, coalesce(sc.n_grams, 0) AS n_grams,

@@ -1557,6 +1557,38 @@ class OperatorsSpec extends SparkFunSuite {
     assert(self == Seq((1L, 2L, 0.287682), (2L, 2L, 0.836988)))
   }
 
+  test("Kneser-Ney model: hand-derived probabilities, discounted below MLE, context mass bounded") {
+    // corpus "abcabc": types abc(2), bca(1), cab(1); every N1+ table is 1s,
+    // so the interpolation unrolls by hand:
+    //   Pc(any) = 1/3; Pc2 = .25/1 + .75*(1/3) = .5
+    //   P(c|ab) = (2-.75)/2 + .75*(1/2)*.5 = .8125
+    //   P(a|bc) = P(b|ca) = .25/1 + .75*1*.5 = .625
+    val corpus = Seq((1L, "abcabc")).toDF("doc_id", "text")
+    val m = LanguageModel.knTrigramModel(corpus, "text")
+      .orderBy($"gram").as[(String, Long, Double, Long)].collect().toSeq
+    assert(m.map(_._1) == Seq("abc", "bca", "cab"))
+    assert(math.abs(m(0)._3 - 0.8125) < 1e-12)
+    assert(math.abs(m(1)._3 - 0.625) < 1e-12 && math.abs(m(2)._3 - 0.625) < 1e-12)
+    // discounting: every seen gram sits strictly below its MLE estimate
+    // (here MLE(abc|ab) = 1.0, MLE(bca)=MLE(cab)=1.0)
+    assert(m.forall(_._3 < 1.0))
+    // per-context mass over SEEN continuations stays within 1 (the gap is
+    // the backoff mass reserved for unseen continuations)
+    val mass = LanguageModel.knTrigramModel(
+        Seq((1L, "the cat sat on the mat the cat ran")).toDF("doc_id", "text"), "text")
+      .groupBy(substring($"gram", 1, 2)).agg(sum($"p_kn").as("s"))
+      .as[(String, Double)].collect()
+    assert(mass.forall(_._2 <= 1.0 + 1e-9), mass.filter(_._2 > 1).mkString(","))
+    // scoring contract identical to the MLE path: selfScoreKN row shape
+    val sc = LanguageModel.selfScoreKN(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    assert(sc._2 === 4L) // 4 trigram tokens in "abcabc"
+    // avg_nll = (q(.8125)*2 + q(.625)*2) / 4e6 with q = round(-ln(p)*1e6)
+    val q1 = math.round(-math.log(0.8125) * 1e6)
+    val q2 = math.round(-math.log(0.625) * 1e6)
+    assert(math.abs(sc._3 - (2 * q1 + 2 * q2) / 4e6) < 1e-6)
+  }
+
   test("charTrigrams expression matches the HOF formulation, incl. unicode") {
     val df = Seq(
       "The Quick Brown FOX",
