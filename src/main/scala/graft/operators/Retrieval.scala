@@ -68,6 +68,72 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick `k` candidates maximizing
+    * `lambda * relevance - (1 - lambda) * max cosine to already-picked` —
+    * the standard diversity-aware re-rank that stops a RAG context window
+    * from filling with near-duplicates of the same passage.
+    *
+    * Input is a RETRIEVER'S OUTPUT — (queryIdCol, idCol, vecCol, relCol)
+    * rows, top-k-bounded per query by construction — so the inherently
+    * sequential greedy runs inside `flatMapGroups` over one query's
+    * candidates: per-group state is the candidate list itself, the shuffle
+    * is the (query, candidate) rows the retriever already produced, and no
+    * stage touches anything corpus-sized. Ties (equal MMR score) keep the
+    * earlier candidate in (relevance desc, id asc) base order; zero-norm
+    * vectors contribute similarity 0. Output: (queryIdCol, rank, idCol,
+    * mmr_score rounded to 6).
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda out of [0,1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates.select(col(queryIdCol).cast("long"),
+        col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(relCol).cast("double"))
+      .as[(Long, Long, Array[Float], Double)]
+    ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cand = it.toArray.sortBy(c => (-c._4, c._2))
+      val norms = cand.map(c =>
+        math.sqrt(c._3.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+      def cos(i: Int, j: Int): Double =
+        if (norms(i) == 0 || norms(j) == 0) 0.0
+        else {
+          var s = 0.0; var d = 0
+          val (a, b) = (cand(i)._3, cand(j)._3)
+          val n = math.min(a.length, b.length)
+          while (d < n) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+          s / (norms(i) * norms(j))
+        }
+      val used = Array.fill(cand.length)(false)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      var rank = 1
+      while (rank <= k && picked.size < cand.length) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cand.length) {
+          if (!used(i)) {
+            val maxSim =
+              if (picked.isEmpty) 0.0
+              else picked.map(j => cos(i, j)).max
+            val score = lambda * cand(i)._4 - (1 - lambda) * maxSim
+            if (score > bestScore) { bestScore = score; best = i }
+          }
+          i += 1
+        }
+        used(best) = true; picked += best
+        out += ((q, rank, cand(best)._2,
+          BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        rank += 1
+      }
+      out
+    }.toDF(queryIdCol, "rank", idCol, "mmr_score")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
     * per-query ranked lists — typically the lexical [[bm25TopK]] and a
     * dense [[Similarity]] top-k — by `sum over lists of 1 / (k0 + rank)`.

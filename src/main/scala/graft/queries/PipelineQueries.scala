@@ -1126,6 +1126,34 @@ object PipelineQueries {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // MMR diversity re-rank over the dense retriever's top-20: sequential
+    // greedy per query (bounded candidate sets inside flatMapGroups) —
+    // rows-only; the _check gate below carries the oracled guarantees
+    "ret_mmr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val qv = e.filter(col("vec_id").between(1, 3))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cands = Similarity.bruteForceTopK(e, qv, "vec_id", "embedding",
+          "query_id", "qv", k = 20)
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Retrieval.mmrRerank(cands, "query_id", "vec_id", "embedding",
+          "cosine", k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // planted-orthogonal-groups gate: 3 duplicate groups x 3 members with
+    // descending relevance at lambda=0.5 — MMR must take one member per
+    // group (relevance order) before any second member, with exactly the
+    // 0.5*rel or 0.5*rel-0.5 scores; DuckDB states the whole table
+    "ret_mmr_check" -> ((s, dir) => {
+      val base = s.range(0, 9).select(col("id"),
+        lit(1L).as("query_id"),
+        (lit(1.0) - col("id") * lit(0.05)).as("rel"),
+        expr("transform(sequence(0, 7), j -> CAST(CASE WHEN j = CAST(id % 3 AS INT) " +
+          "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("vec"))
+      Retrieval.mmrRerank(base, "query_id", "id", "vec", "rel",
+          k = 6, lambda = 0.5)
+        .orderBy(col("rank"))
+    }),
     // hybrid retrieval: BM25 (lexical, over documents) and brute cosine
     // (dense, over embeddings) fused by reciprocal rank — rank-only math,
     // so the fusion is exactly SQL-stated on top of the two oracled sides
@@ -3258,6 +3286,20 @@ object PipelineQueries {
          |        ORDER BY score DESC, doc_id) AS rank FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // one member per orthogonal group in relevance order, then seconds at
+    // the 0.5 duplicate penalty — the greedy's exact arithmetic
+    "ret_mmr_check" ->
+      """WITH c AS (SELECT range AS id, 1.0 - range * 0.05 AS rel,
+        |                  range % 3 AS g FROM range(0, 9)),
+        |r AS (SELECT id, rel, g,
+        |             row_number() OVER (PARTITION BY g ORDER BY id) AS m
+        |      FROM c),
+        |o AS (SELECT *, row_number() OVER (ORDER BY m, rel DESC, id) AS rank
+        |      FROM r)
+        |SELECT CAST(1 AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, id,
+        |       round(0.5 * rel - CASE WHEN m > 1 THEN 0.5 ELSE 0.0 END, 6)
+        |         AS mmr_score
+        |FROM o WHERE rank <= 6 ORDER BY rank""".stripMargin,
     // the two retriever CTEs are the text_bm25_topk / ann_brute_topk
     // formulations; fusion adds 1/(60+rank) per list, rounds, re-ranks
     "ret_hybrid_rrf" ->

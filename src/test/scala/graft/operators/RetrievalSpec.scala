@@ -60,6 +60,27 @@ class RetrievalSpec extends SparkFunSuite {
       s"expected broadcast exchanges in:\n$plan")
   }
 
+  test("mmrRerank: duplicates deferred, lambda=1 degenerates to relevance order, k caps") {
+    val cands = Seq(
+      (1L, 10L, Array(1f, 0f), 0.9), // top relevance
+      (1L, 11L, Array(1f, 0f), 0.8), // exact duplicate of 10
+      (1L, 12L, Array(0f, 1f), 0.5), // orthogonal, lower relevance
+      (1L, 13L, Array(0f, 0f), 0.4)  // zero norm: similarity 0 to anything
+    ).toDF("query_id", "id", "vec", "rel")
+    val got = Retrieval.mmrRerank(cands, "query_id", "id", "vec", "rel",
+        k = 4, lambda = 0.5)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    // 10 first; then 12 (0.25) beats the duplicate 11 (0.4-0.5 = -0.1);
+    // zero-norm 13 scores 0.2 < 0.25 but beats the duplicate too
+    assert(got.map(_._3) === Seq(10L, 12L, 13L, 11L))
+    assert(got.map(_._4) === Seq(0.45, 0.25, 0.2, -0.1))
+    // lambda=1: pure relevance, duplicates not penalized
+    val pure = Retrieval.mmrRerank(cands, "query_id", "id", "vec", "rel",
+        k = 2, lambda = 1.0)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(pure.map(_._3) === Seq(10L, 11L))
+  }
+
   test("rrfFuse: hand-computed fusion, agreement beats either single list") {
     // list A ranks (10, 20, 30); list B ranks (20, 10, 40):
     // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 -> exact tie at rounded
