@@ -136,6 +136,38 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w))
   }
 
+  /** Export MANIFEST for a [[shardAssign]] layout: one row per shard with
+    * document/token/byte mass and an ORDER-FREE content checksum (bit_xor
+    * of each document's leading-8-hex md5 value) — what a training job
+    * reads to verify a shard set before consuming it, and what makes a
+    * re-export comparable to the original without re-reading payloads.
+    * Every column is a plain aggregate over the shard key: one map-side
+    * combined shuffle of |shards| rows per partition, corpus-size-free.
+    * bit_xor (not sum) keeps the checksum closed under the 64-bit domain
+    * and insensitive to row order and partitioning by construction.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, epoch: Int = 0): DataFrame = {
+    val hexes = Seq(1, 2, 3, 4, 5, 6, 7, 8)
+    def hexVal(c: org.apache.spark.sql.Column) =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val digest = md5(col(textCol))
+    val docHash = hexes
+      .map(i => hexVal(substring(digest, i, 1)).cast("long"))
+      .reduce(_ * 16 + _)
+    shardAssign(df, idCol, nShards, epoch)
+      .select(col("shard"),
+        TextAnalysis.tokenCount(col(textCol)).as("_toks"),
+        octet_length(col(textCol)).cast("long").as("_bytes"),
+        docHash.as("_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_toks")).as("n_tokens"),
+        sum(col("_bytes")).as("n_bytes"),
+        expr("bit_xor(_h)").as("checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Deterministic stratified take: at most k rows per group, chosen by
     * md5(id) order — a reproducible "reservoir" any engine replays
     * identically. Balances skewed groups (languages, sources, labels)

@@ -1086,6 +1086,10 @@ object PipelineQueries {
       Snapshot.diffSummary(prev, next, "doc_id", "text")
         .orderBy(col("status"))
     }),
+    // per-shard export manifest: mass + an order-free bit_xor content
+    // checksum — the pre-consume integrity record for a shard set
+    "pipeline_shard_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(docs(s, dir), "doc_id", "text", nShards = 8)),
     "pipeline_shard" -> ((s, dir) =>
       Sampling.shardAssign(docs(s, dir), "doc_id", 8)
         .select(col("doc_id"), col("shard"),
@@ -3240,6 +3244,27 @@ object PipelineQueries {
         |       CAST(hv2 % 8 AS INTEGER) AS shard_e2,
         |       row_number() OVER (PARTITION BY hv2 % 8 ORDER BY d2, doc_id) AS pos_e2
         |FROM v ORDER BY doc_id""".stripMargin,
+    // same shard arithmetic as pipeline_shard; the checksum folds each
+    // doc's leading-8-hex md5(text) value with bit_xor (order-free)
+    "pipeline_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS d,
+         |         md5(text) AS dt FROM documents),
+         |v AS (
+         |  SELECT doc_id, text, dt,
+         |      (strpos('0123456789abcdef', substr(d,1,1)) - 1) * 4096
+         |    + (strpos('0123456789abcdef', substr(d,2,1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substr(d,3,1)) - 1) * 16
+         |    + (strpos('0123456789abcdef', substr(d,4,1)) - 1) AS hv,
+         |      list_reduce([CAST(strpos('0123456789abcdef', substr(dt, i, 1)) - 1 AS BIGINT)
+         |                   for i in range(1, 9)],
+         |                  (a, b) -> a * 16 + b) AS dochash
+         |  FROM h)
+         |SELECT CAST(hv % 8 AS INTEGER) AS shard, count(*) AS n_docs,
+         |       CAST(sum(len($duckWords)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+         |       bit_xor(dochash) AS checksum
+         |FROM v GROUP BY 1 ORDER BY shard""".stripMargin,
     "pipeline_shard" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents),

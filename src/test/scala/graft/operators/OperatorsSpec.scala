@@ -636,6 +636,26 @@ class OperatorsSpec extends SparkFunSuite {
     assert(run() == got) // sketch hashing is seed-fixed: stable estimates
   }
 
+  test("shardManifest: masses partition the corpus, checksum is order-free and content-sensitive") {
+    val df = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps zeta"),
+      (4L, "eta")).toDF("doc_id", "text")
+    val m = Sampling.shardManifest(df, "doc_id", "text", nShards = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(m.map(_._2).sum === 4L) // every doc in exactly one shard
+    assert(m.map(_._3).sum === 7L) // token masses partition
+    // order/partitioning-free: a repartitioned input gives the same manifest
+    val m2 = Sampling.shardManifest(df.repartition(5), "doc_id", "text", 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(m === m2)
+    // content-sensitive: editing one doc flips exactly its shard's checksum
+    val edited = Seq((1L, "alpha beta!"), (2L, "gamma"), (3L, "delta eps zeta"),
+      (4L, "eta")).toDF("doc_id", "text")
+    val me = Sampling.shardManifest(edited, "doc_id", "text", 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(m.map(_._1) === me.map(_._1))
+    assert(m.zip(me).count { case (a, b) => a._5 != b._5 } === 1)
+  }
+
   test("datasheet: hand-computed per-source composition row") {
     val df = Seq(
       (1L, "web", "en", "one two three four"),
