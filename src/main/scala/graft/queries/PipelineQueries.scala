@@ -1209,6 +1209,20 @@ object PipelineQueries {
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // tokenizer INTEGRITY: concatenating the token stream and stripping the
+    // word markers must reproduce the normalized input exactly (lowercased,
+    // whitespace removed) for EVERY document — the lossless-encode property
+    // a tokenizer must hold before its counts mean anything
+    "text_bpe_roundtrip" -> ((s, dir) => {
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+      val toks = Vocab.bpeTokenizeDocs(bpeDocs(s, dir), "doc_id", "text", m)
+      bpeDocs(s, dir).join(toks, Seq("doc_id"))
+        .select(col("doc_id"),
+          (replace(array_join(col("tokens"), ""), lit("</w>"), lit("")) ===
+            regexp_replace(regexp_replace(lower(col("text")), "\\u0001", ""),
+              "[ \\t\\n\\r]+", "")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
     // repeats are planted on doc_id residue classes (the corpus is
     // single-line, see text_c4_filter): kept-line counts span 3/4/5, so the
     // keep-first filter provably discriminates
@@ -3512,6 +3526,11 @@ object PipelineQueries {
     // dictionary join)
     // the doc-level symbol pipeline, mirrored step for step: per-run char
     // split + </w> marker flattened into one sentinel-spaced string, then
+    // losslessness is a property of the marker scheme itself: strip </w>,
+    // concatenate, and the normalized input must come back for every doc
+    "text_bpe_roundtrip" ->
+      """SELECT doc_id, true AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the same replace chain as the word table (same regex/replace
     // semantics in both engines)
     "text_bpe_tokenize" ->

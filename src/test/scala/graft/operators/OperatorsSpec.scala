@@ -2404,6 +2404,26 @@ class OperatorsSpec extends SparkFunSuite {
       ".", "</w>", "0", "</w>"))
   }
 
+  test("bpe tokenization is lossless: strip markers + concat reproduces the normalized input") {
+    // mixed classes, unicode, a stray U+0001 (scrubbed pre-tokenization),
+    // tabs/newlines, and a doc that is ONLY whitespace
+    val docs = Seq(
+      (1L, "Ab 12!x\tYZ\nmixed."),
+      (2L, "café weird"),
+      (3L, " \t\n "),
+      (4L, "2023 x2.0 end-of-line")).toDF("doc_id", "text")
+    val got = Vocab.bpeTokenizeDocs(docs, "doc_id", "text", Seq(("0", "2")))
+      .join(docs, Seq("doc_id"))
+      .select($"doc_id",
+        replace(array_join($"tokens", ""), lit("</w>"), lit("")).as("detok"),
+        regexp_replace(regexp_replace(lower($"text"), "\\u0001", ""),
+          "[ \\t\\n\\r]+", "").as("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, detok, want) =>
+      assert(detok === want, s"doc $id: '$detok' != '$want'")
+    }
+  }
+
   test("bpe delta pair-count maintenance trains identically to the full recount on seeded corpora") {
     // random words over a 3-letter alphabet + digits force heavy pair
     // collisions, deep merge chains and argmax ties — the regime where a
