@@ -103,7 +103,12 @@ object Snapshot {
     val main = base.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("_toks")).as("n_tokens"),
-      percentile(col("_chars"), lit(0.5)).cast("long").as("p50_chars"),
+      // rounded DOUBLE, not an integer cast: CAST-to-long truncates toward
+      // zero in Spark while DuckDB's CAST(... AS BIGINT) rounds to nearest,
+      // so an even-count group with an X.5 interpolated median would diverge
+      // between engine and oracle. round(...,6) is engine-agnostic (the
+      // text_stats discipline).
+      round(percentile(col("_chars"), lit(0.5)), 6).as("p50_chars"),
       round(avg(col("_q")), 6).as("mean_quality"),
       countDistinct(col("_h")).as("_distinct"))
       .withColumn("dup_rate",

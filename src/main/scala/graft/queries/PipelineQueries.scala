@@ -846,14 +846,17 @@ object PipelineQueries {
           (col("_er") < col("_eo")).as("rep_entropy_below_orig"))
     }),
     // learned quality filter (Brown 2020-style LR): label a FAT-MARGIN
-    // subset (<=250 / >=350 payload bytes, the middle excluded), train
-    // distributed LR over the feature columns, predict the subset back —
-    // separable-with-margin training data must come back perfectly
-    // classified, which DuckDB states from the labeling rule alone
+    // subset (<=250 / >=350 CHARS, the middle excluded), train distributed
+    // LR over the feature columns, predict the subset back. The label rule
+    // uses length() — the SAME char count feature f_len is monotone in
+    // below the 1000-char clip — so the margin exists in feature space by
+    // construction (an octet_length rule would not guarantee that on
+    // multi-byte text); separable-with-margin training data comes back
+    // perfectly classified, which DuckDB states from the rule alone
     "quality_lr_check" -> ((s, dir) =>
       QualityModel.trainPredictRoundTrip(docs(s, dir), "doc_id", "text",
-        when(octet_length(col("text")) <= 250, 0)
-          .when(octet_length(col("text")) >= 350, 1))
+        when(length(col("text")) <= 250, 0)
+          .when(length(col("text")) >= 350, 1))
         .orderBy(col("doc_id"))),
     "text_vocab" -> ((s, dir) =>
       Vocab.topNgrams(docs(s, dir), "text", n = 1, k = 100)),
@@ -1642,7 +1645,8 @@ object PipelineQueries {
     }),
     // chunk-fp INDEX family (7th persisted incremental index): exact clones
     // probe at containment 1.0 against their indexed source and drop; fresh
-    // payloads (md5-derived text, no 16-byte run shared with the corpus)
+    // payloads (md5(text)||md5(text||'x') — 64 hex chars even for empty
+    // text, so ALWAYS non-empty, no 16-byte run shared with the corpus)
     // emit no pairs and survive — the survivor set is SQL-stated
     "dedup_chunk_incr" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -1660,24 +1664,43 @@ object PipelineQueries {
           Seq("media_id"), "left_anti")
         .select(col("media_id")).orderBy(col("media_id"))
     }),
-    // CDC robustness gate: a payload extended with a 24-byte tail keeps all
-    // its complete chunks (prefix-deterministic boundaries), so against its
-    // own source containment >= (n-1)/((n-1)+6) — >= 0.5 once the source has
-    // >= 7 chunks, guaranteed at >= 448 payload bytes (max chunk 64). DuckDB
-    // states that every such doc must be detected at threshold 0.4
+    // CDC robustness gate, stated in DISTINCT-fp terms (the quantity
+    // containment is actually computed over): a payload extended with a
+    // 24-byte tail keeps every complete chunk before the edit
+    // (prefix-deterministic boundaries), so with D distinct source fps the
+    // batch shares >= D-1 of them and adds <= 6 new ones (last chunk <= 64 B
+    // + 24 B tail re-chunks to <= 6 pieces at min 16 B) — containment
+    // >= (D-1)/(D+6), which clears threshold 0.4 once D >= 6. A repetitive
+    // payload can concentrate into fewer distinct fps than its byte length
+    // suggests, so eligibility is computed from the REAL fp count, not the
+    // byte count: docs with D < 6 carry no guarantee and pass trivially
+    // (detected := eligible -> pair found); every >= 448-byte doc still
+    // produces a row, so the oracle stays byte-stated.
     "dedup_chunk_tail_check" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(octet_length(col("text")) >= 448)
       Multimodal.chunkWriteBucketed(
         Multimodal.withFakeMedia(d, "doc_id", "text"),
         "graft_chunk_tail_gate", "media_id", "payload")
+      // distinct-fp count per source, same geometry the index was built with
+      val elig = Multimodal.chunkFingerprints(
+          Multimodal.withFakeMedia(d, "doc_id", "text"),
+          "media_id", "payload", minSize = 16, maxSize = 64, maskBits = 4)
+        .select(col("media_id"),
+          (size(array_distinct(transform(col("chunks"),
+            c => c.getField("fp")))) >= 6).as("_eligible"))
       val batch = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" graft-tail-0123456789ab")).as("text"))
       val pairs = Multimodal.chunkPairsIncremental(
         Multimodal.withFakeMedia(batch, "doc_id", "text"),
         "graft_chunk_tail_gate", "media_id", "payload", threshold = 0.4)
-      pairs.filter(col("corpus_id") === col("batch_id") - 1000000)
-        .select(col("batch_id"), lit(true).as("detected"))
+        .filter(col("corpus_id") === col("batch_id") - 1000000)
+        .select(col("batch_id"), lit(true).as("_hit"))
+      elig.select((col("media_id") + 1000000).as("batch_id"), col("_eligible"))
+        .join(pairs, Seq("batch_id"), "left")
+        .select(col("batch_id"),
+          (!col("_eligible") || coalesce(col("_hit"), lit(false)))
+            .as("detected"))
         .orderBy(col("batch_id"))
     }),
     // end-to-end preprocess composition: language ID + quality score ->
@@ -3158,7 +3181,7 @@ object PipelineQueries {
          |m AS (
          |  SELECT source, count(*) AS n_docs,
          |         CAST(sum(nt) AS BIGINT) AS n_tokens,
-         |         CAST(quantile_cont(chars, 0.5) AS BIGINT) AS p50_chars,
+         |         round(quantile_cont(chars, 0.5), 6) AS p50_chars,
          |         round(avg(qs), 6) AS mean_quality,
          |         round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate
          |  FROM q GROUP BY source),
@@ -3410,14 +3433,15 @@ object PipelineQueries {
       """SELECT true AS rep_below_orig, true AS orig_below_rnd,
         |       true AS rep_entropy_below_orig""".stripMargin,
     // the planted fat-margin rule is linearly separable in feature space
-    // (f_len is monotone in length below the clip), so the trained model
-    // must classify every training doc by the rule itself
+    // (labels and f_len both read length(text) in CHARS, monotone below the
+    // clip), so the trained model must classify every training doc by the
+    // rule itself
     "quality_lr_check" ->
       """SELECT doc_id,
-        |       CASE WHEN octet_length(encode(text)) >= 350 THEN 1 ELSE 0 END AS label,
-        |       CASE WHEN octet_length(encode(text)) >= 350 THEN 1 ELSE 0 END AS quality_pred
+        |       CASE WHEN length(text) >= 350 THEN 1 ELSE 0 END AS label,
+        |       CASE WHEN length(text) >= 350 THEN 1 ELSE 0 END AS quality_pred
         |FROM documents
-        |WHERE octet_length(encode(text)) <= 250 OR octet_length(encode(text)) >= 350
+        |WHERE length(text) <= 250 OR length(text) >= 350
         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
@@ -4088,14 +4112,14 @@ object PipelineQueries {
     // (clones of empty payloads would survive too — none at this sf)
     "dedup_chunk_incr" ->
       """SELECT doc_id + 2000000 AS media_id FROM documents
-        |WHERE octet_length(encode(text)) > 0
         |UNION ALL
         |SELECT doc_id + 1000000 FROM documents
         |WHERE octet_length(encode(text)) = 0
         |ORDER BY media_id""".stripMargin,
-    // prefix-deterministic chunking: a 24-byte tail leaves >= n-1 of the
-    // source's n >= 7 chunks intact, so detection at threshold 0.4 is
-    // guaranteed for every doc with a >= 448-byte payload
+    // every >= 448-byte doc emits true: detection is guaranteed when the
+    // source has >= 6 DISTINCT chunk fps (containment >= (D-1)/(D+6) >= 0.4)
+    // and the Spark side passes the rare fp-concentrated payload trivially
+    // (eligibility -> detection implication, computed from real fp counts)
     "dedup_chunk_tail_check" ->
       """SELECT doc_id + 1000000 AS batch_id, true AS detected
         |FROM documents WHERE octet_length(encode(text)) >= 448

@@ -664,9 +664,12 @@ class OperatorsSpec extends SparkFunSuite {
       (4L, "book", "en", "lone document here")).toDF("doc_id", "source", "lang", "text")
     val got = Snapshot.datasheet(df, "source", "lang", "text")
       .orderBy("source")
-      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
     val (book, web) = (got(0), got(1))
     assert(book._1 === "book" && book._2 === 1L && book._3 === 3L)
+    // p50 is a rounded double now (engine-agnostic vs long truncation);
+    // web's even-count median interpolates 18,18,13 -> 18.0
+    assert(book._4 === 18.0 && web._4 === 18.0)
     assert(book._6 === 0.0 && book._7 === 0.0) // no dups, single language
     assert(web._2 === 3L && web._3 === 4L + 4L + 3L)
     assert(math.abs(web._6 - (1.0 - 2.0 / 3.0)) < 1e-6) // 2 distinct of 3
