@@ -45,12 +45,35 @@ object Bench {
       t
     }
 
-    // warm the JVM/classloaders/parquet footer caches and the streaming
-    // machinery (state store, micro-batch planner) on tiny inputs, so
-    // per-query numbers measure the engine, not first-call JIT
+    // ---- quiesce phase (all untimed) ------------------------------------
+    // The r09e artifact showed the suite's FIRST family paying 3-4x its
+    // solo time (cold JVM, cold page cache, first-call JIT of the vector
+    // expression paths) — with alphabetical order that cost always landed
+    // on ann_*. The protocol now (a) warms broadly before timing anything
+    // and (b) runs the suite in a seeded-shuffle order so any residual
+    // cold cost is not concentrated on one family.
+    //
+    // 1. JVM/classloader/rule-pipeline warmup on a tiny query
     once("sec_rls_basic")
-    // prefer the sibling sf0.001 dir for a cheap stream warmup; fall back to
-    // the bench dir itself so the warmup never silently no-ops
+    // 2. page-cache + parquet-footer warmup: scan every input table once
+    //    (cheap relative to the suite — a single pass over data the suite
+    //    reads tens of times)
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath).write.format("noop")
+          .mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] table warmup ${f.getName}: ${e.getMessage}") }
+      }
+    // 3. first-call JIT of the heavy family entry points: one representative
+    //    per expensive code path (vector/k-means, minhash banding, BPE merge
+    //    loop) — untimed, so the timed suite measures the engine, not JIT
+    Seq("ann_brute_topk", "dedup_minhash", "text_bpe")
+      .filter(SparkEntry.queries.contains).foreach(once)
+    // 4. streaming machinery (state store, micro-batch planner) on tiny
+    //    inputs; prefer the sibling sf0.001 dir, fall back to the bench dir
+    //    itself so the warmup never silently no-ops
     val warmDir = {
       val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (tiny.isDirectory) tiny.getPath else sfDir
@@ -61,10 +84,17 @@ object Bench {
       "bench_stream_warmup", statePartitions = Some(2))
     catch { case e: Throwable => System.err.println(s"[bench] stream warmup: ${e.getMessage}") }
 
+    // ---- timed suite ----------------------------------------------------
     // optional comma-separated query filter for local iteration; unset (the
     // driver's mode) runs the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // deterministic seeded shuffle: same order at every SF and on every
+    // refresh (comparable artifacts), but alphabetical family clusters are
+    // broken up so no family sits at a structurally unlucky suite position.
+    // SPARK_GRAFT_BENCH_SEED varies the order for protocol-noise probes.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
+    val names = new scala.util.Random(seed)
+      .shuffle(SparkEntry.queries.keys.toSeq.sorted)
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> once(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
