@@ -503,10 +503,11 @@ object Dedup {
     *  - `content_hash` (exact / paragraph dedup): membership index, probes
     *    anti-join on the hash — one row per distinct hash, keep-min payload
     *    (the earliest provenance under the family's column order).
-    *  - `h` / `fp_hash` / `(band, band_hash)` / `chunk_fp` (substring /
-    *    winnow / minhash-LSH / media chunk): EVIDENCE tables — many ids
-    *    legitimately share a bucket, so the key is the full row; replayed
-    *    appends collapse to distinct rows and nothing else may merge.
+    *  - `h` / `fp_hash` / `(band, band_hash)` / `chunk_fp` / `term`
+    *    (substring / winnow / minhash-LSH / media chunk / BM25 posting):
+    *    EVIDENCE tables — many ids legitimately share a bucket, so the key
+    *    is the full row; replayed appends collapse to distinct rows and
+    *    nothing else may merge.
     *  - any other single column (the `_sets` verify tables, bucketed by the
     *    id): one row per id, keep-min payload — the keep-first canonical
     *    pick, identical to what the verify join would read anyway.
@@ -517,7 +518,7 @@ object Dedup {
       allCols: Seq[String]): (Seq[String], Boolean) = bucketCols match {
     case Seq("content_hash") => (Seq("content_hash"), true)
     case Seq("h") | Seq("fp_hash") | Seq("band", "band_hash") |
-         Seq("chunk_fp") => (allCols, false)
+         Seq("chunk_fp") | Seq("term") => (allCols, false)
     // an IVF/IVF-PQ index is bucketed on `_cell` — many rows per cell is
     // its WHOLE content; keep-min "compaction" would collapse it to one
     // row per cell. Its maintenance is ivfRebuild/ivfpqRebuild, never this.

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * the term-keyed exchanges carry only postings that can score — at 100 TB
   * the full corpus is tokenized once map-side and everything that survives
   * is proportional to the hit set, not the corpus. Document lengths are the
-  * only corpus-keyed aggregate (narrow (id, count) rows, map-side combined);
-  * N and avgdl are a 1-row aggregate crossJoin(broadcast(...))-ed in. The
-  * |query-terms|-row idf table broadcasts. For a standing query workload
-  * the (term, doc, tf) posting table would persist bucketed by term — this
-  * operator is the ad-hoc path.
+  * only corpus-keyed aggregate (narrow (id, count) rows, map-side combined,
+  * then broadcast-semi-pruned to the hit set before any join); N and avgdl
+  * are a 1-row aggregate crossJoin(broadcast(...))-ed in. The
+  * |query-terms|-row idf table broadcasts.
+  *
+  * [[bm25TopK]] is the ad-hoc path (one-off audits — tokenize, score,
+  * discard). A STANDING query workload uses the persisted posting index —
+  * [[bm25WriteBucketed]] / [[bm25AppendToIndex]] / [[bm25TopKFromIndex]],
+  * the 8th member of the incremental index family: (term, doc, tf, dl)
+  * rows bucketed by term, so a probe never re-tokenizes the corpus and its
+  * posting-side aggregates run exchange-free on the bucket key.
   */
 object Retrieval {
 
@@ -44,18 +50,163 @@ object Retrieval {
     val qTerms = queries.select(col("query_id"), col("term")).distinct()
     val hitToks = toks.join(broadcast(qTerms.select(col("term")).distinct()),
       Seq("term"), "left_semi")
+    // checkpointed: tf feeds both the scoring join and the hit-id prune of
+    // dlen below — without it the query-vocab semi-join + aggregation would
+    // re-run the tokenize scan
     val tf = hitToks.groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("_tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    // prune dlen to the HIT SET before joining it in (broadcast left-semi:
+    // no extra corpus exchange) — stats above already read the full dlen,
+    // so N/avgdl stay corpus-wide while everything joined downstream is
+    // proportional to the hit set
+    val dlenHit = dlen.join(
+      broadcast(tf.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
     val scored = tf
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(dlen, Seq(idCol))
+      .join(dlenHit, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
       // constants as the same IEEE ops the oracle writes: (k1 + 1.0) folded
       // in double, (1 - b) exact for the default 0.75
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * (lit(k1) + lit(1.0))) /
+          (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** Tokenized (id, dl, term) rows: the document length rides every token
+    * row (array size read BEFORE the explode, in the same projection), so
+    * posting-index builds never need a second corpus-keyed aggregate+join
+    * to attach lengths. Empty tokens are excluded from both the terms and
+    * the length, matching [[bm25TopK]]'s tokenizer exactly.
+    */
+  private def tokensWithDl(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+          .as("_ts"))
+      .select(col(idCol), size(col("_ts")).as("dl"),
+        explode(col("_ts")).as("term"))
+
+  /** Persist the BM25 posting index: one `(term, id, tf, dl)` row per
+    * distinct (term, document) pair, BUCKETED by `term` and sorted within
+    * buckets, so a probe's posting-side aggregates are exchange-free and
+    * its query-vocabulary filter prunes both buckets and parquet row
+    * groups. `<table>_meta` pins the scoring parameters (k1, b) and the
+    * bucket count; `<table>_stats` holds one `(n_docs, sum_dl, batch_fp)`
+    * row per build/append — N and avgdl are the SUM of that tiny table, so
+    * appends maintain corpus statistics without ever re-reading the corpus
+    * (`batch_fp`, a sum of per-doc id hashes, makes replayed appends
+    * distinguishable from legitimately identical batches so the probe's
+    * `distinct()` on stats stays exact under accretion).
+    *
+    * Scale: the build tokenizes the corpus once map-side; its only
+    * exchange is the (term, id) tf aggregation that the bucketed write
+    * needs anyway. Index size is one narrow row per distinct (term, doc) —
+    * the classic posting-list representation, ~24 B/row — and every later
+    * probe touches only the buckets its query vocabulary hashes to.
+    */
+  def bm25WriteBucketed(docs: DataFrame, table: String, idCol: String,
+      textCol: String, k1: Double = 1.2, b: Double = 0.75,
+      numBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    Seq(table, s"${table}_stats", s"${table}_meta")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    import spark.implicits._
+    Seq((k1, b, numBuckets)).toDF("k1", "b", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${table}_meta")
+    writePostings(docs, table, idCol, textCol, numBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Append new documents' postings + a stats delta row to a
+    * [[bm25WriteBucketed]] index in place (bucket layout from
+    * `<table>_meta`), completing the family's build/probe/append symmetry:
+    * each batch's survivors extend the index the next probe reads, and N /
+    * avgdl follow from the appended stats row — no corpus re-read, no
+    * index rewrite. Replayed appends accrete duplicate posting rows;
+    * probes stay exact under accretion (per-(term, id) max collapses
+    * byte-identical replays) and [[Dedup.compactIndex]] reclaims the scan
+    * width.
+    */
+  def bm25AppendToIndex(docs: DataFrame, table: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val numBuckets = spark.table(s"${table}_meta")
+      .collect().head.getAs[Int]("num_buckets")
+    writePostings(docs, table, idCol, textCol, numBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def writePostings(docs: DataFrame, table: String, idCol: String,
+      textCol: String, numBuckets: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    // checkpointed: the tokenize scan feeds the posting aggregation AND the
+    // 1-row stats aggregate
+    val toks = tokensWithDl(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
+    graft.sources.Sources.writeBucketed(
+      toks.groupBy(col("term"), col(idCol))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+      table, Seq("term"), numBuckets, mode)
+    toks.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        bit_xor(xxhash64(col(idCol))).as("batch_fp"))
+      .write.mode(mode).saveAsTable(s"${table}_stats")
+  }
+
+  /** Top-k BM25 over a persisted [[bm25WriteBucketed]] posting index — the
+    * standing-workload path: no corpus scan, no tokenize, scoring
+    * parameters from `<table>_meta`, N/avgdl from the summed
+    * `<table>_stats` rows. Identical output contract (and identical
+    * scores) to [[bm25TopK]] over the same indexed corpus.
+    *
+    * Plan shape, probe-sized by construction: the distinct query terms
+    * (driver-collected — bounded by the query workload's vocabulary, the
+    * quantity that was broadcast already) push an `In` filter into the
+    * posting scan, so parquet prunes buckets AND row groups before any
+    * operator runs; the per-(term, id) collapse (exact under index
+    * accretion) and the per-term document frequency both aggregate ON the
+    * bucket key — zero exchange; everything downstream of the scan is
+    * proportional to the hit set. The only shuffles in the whole plan are
+    * the final per-(query, doc) sum and the per-query rank window.
+    */
+  def bm25TopKFromIndex(queries: DataFrame, table: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${table}_meta").collect().head
+    val (k1, b) = (meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val terms = qTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val stats = spark.table(s"${table}_stats").distinct()
+      .agg(sum(col("n_docs")).as("_n"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_docs")).cast("double")).as("_avgdl"))
+    // In-filter on the bucket+sort key: bucket pruning + row-group pruning
+    // at the scan; max() collapses replay-accreted duplicate rows exactly
+    val tf = spark.table(table)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col(idCol))
+      .agg(max(col("tf")).as("_tf"), max(col("dl")).as("_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1))
       .withColumn("_s",
         col("_idf") * (col("_tf") * (lit(k1) + lit(1.0))) /
           (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))))

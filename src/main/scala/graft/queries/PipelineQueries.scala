@@ -1133,6 +1133,24 @@ object PipelineQueries {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", q, 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the persisted posting index (8th incremental family): build on the
+    // %3 != 0 two-thirds of the corpus, APPEND the remaining third, probe
+    // with the same query set — scores and ranks must equal the ad-hoc
+    // full-corpus bm25TopK, which is what the oracle states (appends
+    // extend postings AND the summed stats rows, so df/N/avgdl all read
+    // the full corpus)
+    "text_bm25_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.bm25WriteBucketed(d.filter(col("doc_id") % 3 =!= 0),
+        "graft_bm25_gate", "doc_id", "text")
+      Retrieval.bm25AppendToIndex(d.filter(col("doc_id") % 3 === 0),
+        "graft_bm25_gate", "doc_id", "text")
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopKFromIndex(q, "graft_bm25_gate", "doc_id", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // MMR diversity re-rank over the dense retriever's top-20: sequential
     // greedy per query (bounded candidate sets inside flatMapGroups) —
     // rows-only; the _check gate below carries the oracled guarantees
@@ -2232,6 +2250,33 @@ object PipelineQueries {
     * vocabulary counts, V-restricted raw counts, smoothed log ratios, the
     * per-doc weighted sum, and the left join that keeps OOV-only docs.
     */
+  /** The full-corpus BM25 top-10 oracle over the planted 7-term query set:
+    * shared by `text_bm25_topk` (ad-hoc path) and `text_bm25_incr` (the
+    * persisted posting index built from a partition of the corpus), since
+    * build+append+probe must reproduce the ad-hoc computation exactly.
+    */
+  private lazy val bm25TopkSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
+       |              FROM documents),
+       |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+       |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+       |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+       |                * (tf.tf * (1.2 + 1.0))
+       |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
+       |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |            JOIN dlen USING (doc_id), st
+       |       GROUP BY q.query_id, tf.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val dsirCtes: String =
     s"""tw AS (SELECT unnest(list_filter($duckWords, x -> x <> '')) AS w
        |       FROM documents WHERE doc_id % 19 = 0),
@@ -3327,27 +3372,10 @@ object PipelineQueries {
     // BM25 stated term by term; constants written as the same IEEE ops the
     // Spark side folds ((1.2 + 1.0), 0.25, 0.75) so both engines produce
     // bit-identical doubles before the single 4dp rounding point
-    "text_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
-         |              FROM documents),
-         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
-         |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
-         |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
-         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
-         |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
-         |                * (tf.tf * (1.2 + 1.0))
-         |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
-         |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
-         |            JOIN dlen USING (doc_id), st
-         |       GROUP BY q.query_id, tf.doc_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id) AS rank FROM sc)
-         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_bm25_topk" -> bm25TopkSql,
+    // the index path (build two-thirds + append one-third + probe) must
+    // reproduce the full-corpus ad-hoc computation exactly — same oracle
+    "text_bm25_incr" -> bm25TopkSql,
     // one member per orthogonal group in relevance order, then seconds at
     // the 0.5 duplicate penalty — the greedy's exact arithmetic
     "ret_mmr_check" ->

@@ -36,7 +36,8 @@ object EpochOps {
     val epochTables = Seq("ep_ex_idx", "ep_para_idx", "ep_ivf_idx",
       "ep_ivf_idx_centroids", "ep_ivfpq_idx", "ep_ivfpq_idx_centroids",
       "ep_ivfpq_idx_codebooks", "ep_span_idx", "ep_span_idx_meta",
-      "ep_chunk_idx", "ep_chunk_idx_meta")
+      "ep_chunk_idx", "ep_chunk_idx_meta",
+      "ep_bm25_idx", "ep_bm25_idx_stats", "ep_bm25_idx_meta")
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     // standing state: the persisted index family
@@ -50,6 +51,9 @@ object EpochOps {
     Multimodal.chunkWriteBucketed(
       Multimodal.withFakeMedia(corpus, "doc_id", "text"),
       "ep_chunk_idx", "media_id", "payload", numBuckets = 4)
+    // lexical retrieval side: the BM25 posting index over the corpus
+    graft.operators.Retrieval.bm25WriteBucketed(corpus, "ep_bm25_idx",
+      "doc_id", "text", numBuckets = 4)
 
     // ---- the epoch: ingest the batch through the incremental operators ----
     // EAGER checkpoint before the append: the survivor plan contains an
@@ -84,6 +88,15 @@ object EpochOps {
       .localCheckpoint(eager = true) // see the note above
     Multimodal.chunkAppendToIndex(chunkSurvivors, "ep_chunk_idx", "media_id", "payload")
     println(s"[epoch] chunk pass kept ${chunkSurvivors.count()} payloads of ${batchMedia.count()}")
+    // lexical side: the exact-pass survivors' postings extend the BM25
+    // index (no probe needed — postings are additive evidence, and a
+    // standing-query audit below reads the refreshed index)
+    graft.operators.Retrieval.bm25AppendToIndex(exSurvivors, "ep_bm25_idx",
+      "doc_id", "text")
+    val bm25Audit = graft.operators.Retrieval.bm25TopKFromIndex(
+      Seq((1, "hash"), (1, "join")).toDF("query_id", "term"),
+      "ep_bm25_idx", "doc_id", 5)
+    println(s"[epoch] bm25 standing-query audit hits=${bm25Audit.count()}")
     println(s"[epoch] ingested ${exSurvivors.count()} exact-new docs of ${batch.count()}; " +
       s"paragraph pass kept ${paraCleaned.agg(sum(col("n_kept"))).head().getLong(0)} " +
       s"of ${paraCleaned.agg(sum(col("n_paras"))).head().getLong(0)} paragraphs; " +
@@ -92,7 +105,8 @@ object EpochOps {
 
     // ---- 0. index hygiene: per-table accretion ratio, compaction when it
     // drifts — one generalized rule for the whole persisted family ----
-    Seq("ep_ex_idx", "ep_para_idx", "ep_span_idx", "ep_chunk_idx").foreach { t =>
+    Seq("ep_ex_idx", "ep_para_idx", "ep_span_idx", "ep_chunk_idx",
+        "ep_bm25_idx").foreach { t =>
       val accretion = Dedup.indexAccretion(spark, t)
       println(f"[hygiene] $t accretion=$accretion%.3f")
       if (accretion > 1.1) {

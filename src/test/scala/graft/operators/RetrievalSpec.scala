@@ -81,6 +81,52 @@ class RetrievalSpec extends SparkFunSuite {
     assert(pure.map(_._3) === Seq(10L, 11L))
   }
 
+  test("bm25 posting index: build+append+probe equals ad-hoc; replayed appends and compaction change nothing") {
+    Seq("bm25_t", "bm25_t_stats", "bm25_t_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Retrieval.bm25WriteBucketed(corpus.filter(col("doc_id") <= 2),
+      "bm25_t", "doc_id", "text", numBuckets = 4)
+    Retrieval.bm25AppendToIndex(corpus.filter(col("doc_id") > 2),
+      "bm25_t", "doc_id", "text")
+    val q = Seq((1, "cat"), (7, "cat"), (7, "dog")).toDF("query_id", "term")
+    val adhoc = Retrieval.bm25TopK(corpus, "doc_id", "text", q, 10)
+      .collect().toSet
+    def probe() = Retrieval.bm25TopKFromIndex(q, "bm25_t", "doc_id", 10)
+      .collect().toSet
+    assert(probe() === adhoc)
+    // replayed append: per-(term, id) max collapses the duplicate posting
+    // rows and the stats distinct() collapses the identical delta row —
+    // scores must not move
+    Retrieval.bm25AppendToIndex(corpus.filter(col("doc_id") > 2),
+      "bm25_t", "doc_id", "text")
+    assert(probe() === adhoc)
+    // accretion is visible, compaction reclaims it, probe still exact
+    assert(Dedup.indexAccretion(spark, "bm25_t") > 1.2)
+    Dedup.compactIndex(spark, "bm25_t")
+    assert(Dedup.indexAccretion(spark, "bm25_t") <= 1.05)
+    assert(probe() === adhoc)
+  }
+
+  test("bm25 index probe plan: In-filter prunes buckets, posting aggregates are exchange-free on the bucket key") {
+    Seq("bm25_p", "bm25_p_stats", "bm25_p_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Retrieval.bm25WriteBucketed(corpus, "bm25_p", "doc_id", "text",
+      numBuckets = 8)
+    val q = Seq((1, "cat")).toDF("query_id", "term")
+    val probe = Retrieval.bm25TopKFromIndex(q, "bm25_p", "doc_id", 10)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    // the query-vocab In filter reaches the posting scan and prunes buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"expected bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt)
+    // no exchange keyed on `term`: both the per-(term, id) collapse and the
+    // df aggregate run inside the scan's bucket partitioning — the only
+    // shuffles left are hit-set-sized (final score groupBy, rank window)
+    assert(!plan.contains("hashpartitioning(term"),
+      s"posting-side aggregate shuffled on term:\n$plan")
+  }
+
   test("rrfFuse: hand-computed fusion, agreement beats either single list") {
     // list A ranks (10, 20, 30); list B ranks (20, 10, 40):
     // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 -> exact tie at rounded
