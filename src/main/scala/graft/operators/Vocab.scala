@@ -156,20 +156,22 @@ object Vocab {
         round(col("score"), 6).as("score"))
   }
 
-  /** BPE pre-tokenization classes: maximal lowercase-letter runs, digit
-    * runs, and non-alphanumeric non-whitespace runs (the GPT-2-style class
-    * split — "v2.0" pre-tokenizes as `v` / `2` / `.` / `0`, never merging
-    * across a class boundary). Whitespace is spelled as an explicit
-    * character set (space, tab, newline, carriage return) rather than `\\s`
-    * because Java and RE2 disagree on `\\s`'s exact membership and the
-    * DuckDB oracle must tokenize bit-identically. Symbols therefore never
-    * contain a space — the invariant the sentinel-replace merge trick and
-    * the cross-engine oracle both rely on. A merged symbol can also never
-    * collide with the `</w>` marker: forming the three characters `<`,`/`,
-    * `w` adjacently would need a letter inside a punctuation run, which the
-    * class split forbids.
+  /** BPE pre-tokenization classes: maximal letter runs (CASE-PRESERVING —
+    * a production tokenizer never normalizes; byte-level BPE has no
+    * lowercasing, and "The" / "the" must stay distinct trainable tokens),
+    * digit runs, and non-alphanumeric non-whitespace runs (the GPT-2-style
+    * class split — "v2.0" pre-tokenizes as `v` / `2` / `.` / `0`, never
+    * merging across a class boundary). Whitespace is spelled as an
+    * explicit character set (space, tab, newline, carriage return) rather
+    * than `\\s` because Java and RE2 disagree on `\\s`'s exact membership
+    * and the DuckDB oracle must tokenize bit-identically. Symbols
+    * therefore never contain a space — the invariant the sentinel-replace
+    * merge trick and the cross-engine oracle both rely on. A merged symbol
+    * can also never collide with the `</w>` marker: forming the three
+    * characters `<`,`/`,`w` adjacently would need a letter (either case)
+    * inside a punctuation run, which the class split forbids.
     */
-  private[graft] val wordPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]+"
+  private[graft] val wordPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]+"
 
   /** Pre-tokenize to the distinct-word table with per-class runs split to
     * single-character symbols plus a separate end-of-word marker (the
@@ -180,7 +182,7 @@ object Vocab {
     */
   private def wordSymbols(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(expr(
-        s"regexp_extract_all(lower($textCol), '$wordPattern', 0)")).as("word"))
+        s"regexp_extract_all($textCol, '$wordPattern', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // split on the zero-width '(?!^)' also matches at end-of-string, so
       // Spark (limit -1) keeps a trailing '' element — filter it, or the
@@ -462,7 +464,7 @@ object Vocab {
       merges: Seq[(String, String)]): DataFrame = {
     val sep = "\u0001"
     val marked = regexp_replace(
-      regexp_replace(lower(col(textCol)), sep, ""), wordPattern, "$0" + sep)
+      regexp_replace(col(textCol), sep, ""), wordPattern, "$0" + sep)
     val squeezed = regexp_replace(marked, "[ \\t\\n\\r]+", "")
     val spaced = regexp_replace(squeezed, "(.)", " $1 ")
     val s0 = replace(spaced, lit(s" $sep "), lit(" </w> "))
@@ -475,7 +477,7 @@ object Vocab {
 
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = expr(s"regexp_extract_all(lower($textCol), '$wordPattern', 0)")
+    val words = expr(s"regexp_extract_all($textCol, '$wordPattern', 0)")
     val syms = expr(
       "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")
     val dict = df.select(explode(words).as("word")).distinct()

@@ -42,13 +42,16 @@ object PipelineQueries {
         .otherwise("U").as("op"),
       col("value"), col("props"))
 
-  /** Mixed-script plant for the BPE family: every 13th document gains digit
-    * and punctuation runs, so the extended pre-tokenization classes
-    * ([[Vocab.wordPattern]]) are exercised by the oracled gate — the raw
-    * corpus is pure `[a-z ]` and would never produce a non-letter symbol.
-    * Planted identically in DuckDB (`bdocs` CTE in [[bpeCtes]]).
+  /** Mixed-script plant for the BPE family: every 13th document gains
+    * digit, punctuation AND mixed-case runs, so the extended
+    * pre-tokenization classes ([[Vocab.wordPattern]]) and the
+    * case-preserving tokenizer are exercised by the oracled gate — the raw
+    * corpus is pure `[a-z ]` and would never produce a non-letter or
+    * uppercase symbol on its own ("The"/"THE"/"the" must train and encode
+    * as distinct words). Planted identically in DuckDB (`bdocs` CTE in
+    * [[bpeCtes]]).
     */
-  private val bpePlant = " 2024 v2.0 err#404 12 12 12"
+  private val bpePlant = " 2024 v2.0 err#404 12 12 12 The THE the NaN"
   /** The identical pre-tokenization class pattern on the DuckDB side — the
     * string embeds `\t`-style escapes that Spark's literal parser and RE2
     * both resolve to the same explicit whitespace set (see the
@@ -1231,16 +1234,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
     // tokenizer INTEGRITY: concatenating the token stream and stripping the
-    // word markers must reproduce the normalized input exactly (lowercased,
-    // whitespace removed) for EVERY document — the lossless-encode property
-    // a tokenizer must hold before its counts mean anything
+    // word markers must reproduce the RAW input exactly (whitespace
+    // removed, nothing else — the tokenizer is case-preserving and never
+    // normalizes) for EVERY document — the lossless-encode property a
+    // tokenizer must hold before its output can feed training
     "text_bpe_roundtrip" -> ((s, dir) => {
       val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
       val toks = Vocab.bpeTokenizeDocs(bpeDocs(s, dir), "doc_id", "text", m)
       bpeDocs(s, dir).join(toks, Seq("doc_id"))
         .select(col("doc_id"),
           (replace(array_join(col("tokens"), ""), lit("</w>"), lit("")) ===
-            regexp_replace(regexp_replace(lower(col("text")), "\\u0001", ""),
+            regexp_replace(regexp_replace(col("text"), "\\u0001", ""),
               "[ \\t\\n\\r]+", "")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
     }),
@@ -2216,7 +2220,7 @@ object PipelineQueries {
         |  FROM documents),
         |w0 AS (
         |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_extract_all(lower(text), '$duckWordPattern')) AS word
+        |    SELECT unnest(regexp_extract_all(text, '$duckWordPattern')) AS word
         |    FROM bdocs) GROUP BY word),
         |s0 AS (
         |  SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS s,
@@ -3590,7 +3594,7 @@ object PipelineQueries {
          |d1 AS (
          |  SELECT doc_id,
          |         ' ' || array_to_string(flatten(list_transform(
-         |                 regexp_extract_all(lower(text), '$duckWordPattern'),
+         |                 regexp_extract_all(text, '$duckWordPattern'),
          |                 w -> list_append(regexp_extract_all(w, '.'), '</w>'))),
          |               '  ') || ' ' AS s
          |  FROM bdocs),
@@ -3612,7 +3616,7 @@ object PipelineQueries {
          |  FROM s8),
          |dw AS (
          |  SELECT doc_id,
-         |         unnest(regexp_extract_all(lower(text), '$duckWordPattern')) AS word
+         |         unnest(regexp_extract_all(text, '$duckWordPattern')) AS word
          |  FROM bdocs)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(word_tokens) AS BIGINT) AS n_tokens

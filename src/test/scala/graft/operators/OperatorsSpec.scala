@@ -2366,7 +2366,7 @@ class OperatorsSpec extends SparkFunSuite {
     val merges = Seq(("a", "b"), ("ab", "</w>"))
     val corpus = Seq(
       (1L, "ab ab ab"), (2L, "abc"), (3L, "ab abc"),
-      (4L, "Ab, ABC!"),  // case folds; punctuation is its own marked run
+      (4L, "Ab, ABC!"),  // case PRESERVED; punctuation is its own marked run
       (5L, "123 .,;"),   // digit and punctuation runs tokenize too
       (6L, "")           // nothing matches -> empty token sequence
     ).toDF("doc_id", "text")
@@ -2377,7 +2377,10 @@ class OperatorsSpec extends SparkFunSuite {
     // no merge acts across the word boundary: ab's closing </w> does not
     // chain with abc's leading ab
     assert(got(3L) == Seq("ab</w>", "ab", "c", "</w>"))
-    assert(got(4L) == Seq("ab</w>", ",", "</w>", "ab", "c", "</w>", "!", "</w>"))
+    // merges are case-sensitive: the trained (a, b) does not touch "Ab",
+    // and "ABC" stays three uppercase symbols — no normalization anywhere
+    assert(got(4L) == Seq("A", "b", "</w>", ",", "</w>",
+      "A", "B", "C", "</w>", "!", "</w>"))
     assert(got(5L) == Seq("1", "2", "3", "</w>", ".", ",", ";", "</w>"))
     assert(got(6L) == Seq.empty)
   }
@@ -2407,7 +2410,24 @@ class OperatorsSpec extends SparkFunSuite {
       ".", "</w>", "0", "</w>"))
   }
 
-  test("bpe tokenization is lossless: strip markers + concat reproduces the normalized input") {
+  test("bpe case preservation: The/the are distinct trainable words, hand-computed merges") {
+    // words: 'The' x3, 'the' x1. Pair counts: (T,h)=3, (t,h)=1, (h,e)=4,
+    // (e,</w>)=4 — the argmax ties at 4 and breaks (l, r) ascending, and
+    // '</w>' < 'e' ... actually compare left symbols: 'e' < 'h', so rank 1
+    // is (e, </w>, 4); after it 'The'=[T,h,e</w>], 'the'=[t,h,e</w>] and
+    // rank 2 is the unique max (h, e</w>, 4). A case-folding tokenizer
+    // would have counted (t,h)=4 instead — this pins that it doesn't.
+    val corpus = Seq((1L, "The The The the")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(corpus, "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges == List((1, "e", "</w>", 4L), (2, "h", "e</w>", 4L)))
+    val toks = Vocab.bpeEncode(corpus, "text",
+        merges.map { case (_, l, r, _) => (l, r) })
+      .as[(String, Long)].collect().toMap
+    assert(toks == Map("T" -> 3L, "t" -> 1L, "he</w>" -> 4L))
+  }
+
+  test("bpe tokenization is lossless: strip markers + concat reproduces the RAW input") {
     // mixed classes, unicode, a stray U+0001 (scrubbed pre-tokenization),
     // tabs/newlines, and a doc that is ONLY whitespace
     val docs = Seq(
@@ -2419,7 +2439,8 @@ class OperatorsSpec extends SparkFunSuite {
       .join(docs, Seq("doc_id"))
       .select($"doc_id",
         replace(array_join($"tokens", ""), lit("</w>"), lit("")).as("detok"),
-        regexp_replace(regexp_replace(lower($"text"), "\\u0001", ""),
+        // raw text, case intact — the tokenizer never normalizes
+        regexp_replace(regexp_replace($"text", "\\u0001", ""),
           "[ \\t\\n\\r]+", "").as("want"))
       .as[(Long, String, String)].collect()
     got.foreach { case (id, detok, want) =>
@@ -2428,12 +2449,13 @@ class OperatorsSpec extends SparkFunSuite {
   }
 
   test("bpe delta pair-count maintenance trains identically to the full recount on seeded corpora") {
-    // random words over a 3-letter alphabet + digits force heavy pair
-    // collisions, deep merge chains and argmax ties — the regime where a
-    // delta-maintenance bug (stale count, missed affected word, wrong
-    // subtraction) would change a merge choice
+    // random words over a MIXED-CASE 3-symbol alphabet + digits force heavy
+    // pair collisions, deep merge chains and argmax ties — the regime where
+    // a delta-maintenance bug (stale count, missed affected word, wrong
+    // subtraction) would change a merge choice; the uppercase member also
+    // pins that both loops pre-tokenize case-preservingly
     val gen = org.scalacheck.Gen.listOfN(120,
-      org.scalacheck.Gen.chooseNum(0, 5).map(n => "ab1"(n % 3).toString * (1 + n % 4)))
+      org.scalacheck.Gen.chooseNum(0, 5).map(n => "aB1"(n % 3).toString * (1 + n % 4)))
     (1 to 4).foreach { round =>
       val wordsList = gen.apply(org.scalacheck.Gen.Parameters.default,
           org.scalacheck.rng.Seed(round * 77L))
