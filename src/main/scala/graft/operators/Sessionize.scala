@@ -175,6 +175,16 @@ object Sessionize extends Serializable {
     * exchange, and a hot user contributes counts, never a sort. This is
     * the funnel at 100 TB of events: the per-stage filter prunes to that
     * stage's type before anything shuffles.
+    *
+    * The accumulation is one LEFT JOIN per stage onto the per-user frame —
+    * a k-join plan. That is the right trade for product funnels (k <= ~10:
+    * each join is user-keyed on an already-reduced frame, and every stage
+    * is prunable to its own event type before shuffling). It is NOT the
+    * shape for large k: at k in the hundreds the join chain's plan depth
+    * and repeated user-keyed exchanges dominate, and a single conditional
+    * aggregate over type-tagged events (one shuffle, per-user state = k
+    * timestamps) wins — if you need a 100-stage "funnel" you are really
+    * sessionizing; use [[sessionize]] / [[sessionizeStream]] instead.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String],

@@ -1776,6 +1776,23 @@ object PipelineQueries {
           round(col("tokens").cast("double") / (col("n_packs") * lit(2048.0)), 6))
         .orderBy(col("shard"))
     }),
+    // the shape a real pretraining shard job runs: packing on the TRAINED
+    // tokenizer's counts (bpeTokenCounts dictionary join), not the
+    // whitespace proxy — budget overruns against the real token count are
+    // what the context window actually suffers. Output is the per-pack
+    // fill report (doc count, token sum, fill rate), which hash-checks the
+    // full assignment at pack granularity.
+    "pipeline_pack_bpe" -> ((s, dir) => {
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+      val d = Vocab.bpeTokenCounts(bpeDocs(s, dir), "doc_id", "text", m)
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .withColumn("fill",
+          round(col("pack_tokens").cast("double") / lit(2048.0), 6))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
     // boundary-splitting packing (published pretraining semantics): the
     // token stream is cut at EXACTLY 2048 within each shard, documents
     // straddling a boundary emit one segment row per pack — all arithmetic
@@ -4241,6 +4258,31 @@ object PipelineQueries {
          |       CAST(sum(toks) AS BIGINT) AS tokens,
          |       round(CAST(sum(toks) AS DOUBLE) / (count(*) * 2048.0), 6) AS avg_fill
          |FROM pk GROUP BY shard ORDER BY shard""".stripMargin,
+    // the same shard/window/pack arithmetic as pipeline_pack, fed by the
+    // trained tokenizer's dictionary-join counts (text_bpe_docs' t CTE)
+    "pipeline_pack_bpe" ->
+      s"""WITH ${bpeCtes(8)},
+         |dict AS (
+         |  SELECT word, len(list_filter(string_split(s, ' '), x -> x <> ''))
+         |           AS word_tokens
+         |  FROM s8),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(text, '$duckWordPattern')) AS word
+         |  FROM bdocs),
+         |t AS (SELECT doc_id, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+         |      FROM dw JOIN dict USING (word) GROUP BY doc_id),
+         |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
+         |             sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+         |               - n_tokens AS tokens_before
+         |      FROM t),
+         |pk AS (SELECT shard, CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id,
+         |              count(*) AS n_docs, sum(n_tokens) AS toks
+         |       FROM p GROUP BY shard, pack_id)
+         |SELECT shard, pack_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(toks AS BIGINT) AS pack_tokens,
+         |       round(CAST(toks AS DOUBLE) / 2048.0, 6) AS fill
+         |FROM pk ORDER BY shard, pack_id""".stripMargin,
     "pipeline_pack_segments" ->
       s"""WITH t AS (SELECT doc_id, len($duckWords) AS n_tokens FROM documents),
          |p AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard,
