@@ -493,6 +493,107 @@ case class TrigramScore(child: Expression,
   override def prettyName: String = "graft_trigram_score"
 }
 
+/** The Kneser-Ney backoff tables that ride next to the trigram map in
+  * [[TrigramScoreBackoff]]'s broadcast: per-level quantized negative
+  * log-probabilities (`round(-ln(x) * 1e6)`), so chained backoff scores
+  * are integer SUMS of independently-quantized factors — deterministic in
+  * any evaluation order, and restatable join-side and in SQL. Keys:
+  * `ctx` by the 2-char prefix (the context's freed-mass weight
+  * `D*N1+(ab.)/c(ab.)`), `cbg` by the 2-char suffix (the continuation
+  * bigram probability), `blam` by the middle char (the continuation
+  * level's own freed mass `D*N1+(b.)/N1+(.b.)`), `uni` by the last char
+  * (the continuation unigram). All four are alphabet-bounded like the
+  * trigram model itself (|A|^2 / |A|^2 / |A| / |A| rows).
+  */
+case class KnBackoffMaps(ctx: Map[String, Long], cbg: Map[String, Long],
+    blam: Map[String, Long], uni: Map[String, Long]) extends Serializable
+
+/** [[TrigramScore]] completed with the interpolated-KN backoff chain for
+  * UNSEEN grams (Chen & Goodman 1999 §3; the flat-OOV scorer treats every
+  * unseen gram as equally improbable, which mis-ranks eval text whose
+  * grams are unseen-but-plausible continuations). Per gram `abc`:
+  *
+  *   seen abc                      -> tri(abc)
+  *   else, ab seen                 -> ctx(ab) + Pc-chain(bc)
+  *   else (ab unseen, no mass to
+  *   discount: pure backoff)       -> Pc-chain(bc)
+  *
+  *   Pc-chain(bc): cbg(bc) if seen; else blam(b) + uni(c) if both seen;
+  *   else uni(c) if c seen; else the flat `oovNlpQ` — and a missing
+  *   Pc-chain makes the whole gram cost `oovNlpQ` (never a bare lambda).
+  *
+  * The identical chain is restated with joins in
+  * [[graft.operators.LanguageModel]]'s size-guard fallback and pinned
+  * equal by spec.
+  */
+case class TrigramScoreBackoff(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[Map[String, Long]],
+    backoff: org.apache.spark.broadcast.Broadcast[KnBackoffMaps],
+    oovNlpQ: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_trigram_score_backoff expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("nlp_sum", LongType, nullable = false)))
+  private def toTable(m: Map[String, Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val t = new java.util.HashMap[UTF8String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, q) => t.put(UTF8String.fromString(k), q) }
+    t
+  }
+  @transient private lazy val tri = toTable(model.value)
+  @transient private lazy val ctx = toTable(backoff.value.ctx)
+  @transient private lazy val cbg = toTable(backoff.value.cbg)
+  @transient private lazy val blam = toTable(backoff.value.blam)
+  @transient private lazy val uni = toTable(backoff.value.uni)
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].trim().toLowerCase()
+    val n = s.numChars()
+    if (n < 3) return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L))
+    val bytes = s.getBytes
+    val starts = VectorOps.charStarts(bytes, n)
+    var sum = 0L
+    var i = 0
+    while (i < n - 2) {
+      val g = UTF8String.fromBytes(bytes, starts(i), starts(i + 3) - starts(i))
+      val q = tri.get(g)
+      if (q != null) sum += q.longValue()
+      else {
+        val ab = UTF8String.fromBytes(bytes, starts(i), starts(i + 2) - starts(i))
+        val bc = UTF8String.fromBytes(bytes, starts(i + 1), starts(i + 3) - starts(i + 1))
+        val c = UTF8String.fromBytes(bytes, starts(i + 2), starts(i + 3) - starts(i + 2))
+        // continuation chain: cbg, else blam+uni, else uni, else miss
+        val pcbg = cbg.get(bc)
+        val chain: java.lang.Long =
+          if (pcbg != null) pcbg
+          else {
+            val b = UTF8String.fromBytes(bytes, starts(i + 1),
+              starts(i + 2) - starts(i + 1))
+            val l1 = blam.get(b)
+            val p1 = uni.get(c)
+            if (l1 != null && p1 != null) java.lang.Long.valueOf(l1 + p1)
+            else if (p1 != null) p1
+            else null
+          }
+        val l2 = ctx.get(ab)
+        sum +=
+          (if (chain == null) oovNlpQ
+           else if (l2 != null) l2.longValue() + chain.longValue()
+           else chain.longValue())
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((n - 2).toLong, sum))
+  }
+  override protected def withNewChildInternal(c: Expression): TrigramScoreBackoff = copy(child = c)
+  override def prettyName: String = "graft_trigram_score_backoff"
+}
+
 /** Unicode NFC normalization (java.text.Normalizer) — canonical composition
   * so visually-identical strings (e.g. 'é' as U+00E9 vs 'e'+U+0301) hash,
   * dedup and join identically. Map-side scalar; DuckDB's nfc_normalize is

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * expression ([[graft.functions.TrigramScore]]): one projection over the
   * corpus, zero scoring-side shuffles, no per-gram rows anywhere outside
   * the model build's partial aggregation. (The bounded model collect is
-  * the same class of driver action as the IVF centroid seed.)
+  * the same class of driver action as the IVF centroid seed.) The
+  * "alphabet-bounded" claim is Latin-centric — a genuinely multilingual
+  * corpus can reach 1e7+ distinct char trigrams — so every scorer is
+  * size-guarded: past [[MaxBroadcastModelRows]] it switches to a
+  * broadcast-join plan with identical (spec-pinned) scores and no
+  * driver-side model.
   *
   * Determinism: floating-point sums are order-dependent, so summing raw
   * log-probs per document would not reproduce across engines or
@@ -66,29 +71,115 @@ object LanguageModel {
         (-round(log(col("c3") / col("c2")) * 1e6)).cast("long").as("nlp_q"))
   }
 
-  /** Map-side scoring shared by [[perplexityScore]] and [[selfScore]]: the
-    * model (alphabet-bounded, see the object scaladoc) is collected once
-    * and broadcast INSIDE a [[graft.functions.TrigramScore]] expression, so
-    * scoring is a pure projection — no per-gram rows, no join, no scoring
-    * shuffle at any corpus size. The quantized integer sums are the same
-    * arithmetic the old explode→join→re-aggregate pipeline produced
-    * (order-free by construction), asserted equal in OperatorsSpec.
+  /** Model row count above which scoring falls back from the collected
+    * driver map to a broadcast-join plan. The in-expression map is the
+    * fast path — one projection, zero scoring shuffles — but it holds the
+    * WHOLE model on the driver and in every executor's deserialized task:
+    * ~50 B/entry means 2e6 rows ≈ 100 MB of JVM map, the point where the
+    * "alphabet-bounded" assumption (Latin-centric: a genuinely
+    * multilingual corpus reaches 1e7+ distinct char trigrams) stops
+    * holding and driver memory becomes the limiting factor. Above it the
+    * model stays a DataFrame and scoring joins exploded grams against it
+    * — per-gram rows exist, but only inside one join+aggregate stage, and
+    * the integer-quantized arithmetic is identical (spec-pinned).
+    */
+  val MaxBroadcastModelRows: Long = 2000000L
+
+  /** Map-side scoring shared by [[perplexityScore]], [[selfScore]] and the
+    * KN scorers: the model (alphabet-bounded, see the object scaladoc) is
+    * collected once and broadcast INSIDE a
+    * [[graft.functions.TrigramScore]] / `TrigramScoreBackoff` expression,
+    * so scoring is a pure projection — no per-gram rows, no join, no
+    * scoring shuffle at any corpus size. The quantized integer sums are
+    * the same arithmetic the old explode→join→re-aggregate pipeline
+    * produced (order-free by construction), asserted equal in
+    * OperatorsSpec.
+    *
+    * SIZE-GUARDED: the model row count is measured BEFORE collecting;
+    * past `maxBroadcastRows` the scorer switches to
+    * [[scoreWithModelJoin]] — same scores (integer sums commute), no
+    * driver-side model.
     */
   private def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, oovNlpQ: Long): DataFrame = {
+      model0: DataFrame, oovNlpQ: Long,
+      backoff: Option[DataFrame] = None,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val model = model0.localCheckpoint(eager = false)
+    if (model.count() > maxBroadcastRows)
+      return scoreWithModelJoin(df, idCol, textCol, model, backoff, oovNlpQ)
     val entries = model.select(col("gram"), col("nlp_q")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bc = df.sparkSession.sparkContext.broadcast(entries)
+    val sc = df.sparkSession.sparkContext
+    val bc = sc.broadcast(entries)
+    val scoreExpr = backoff match {
+      case None =>
+        graft.functions.TrigramScore(expressionOf(col(textCol)), bc, oovNlpQ)
+      case Some(bt) =>
+        def m(kind: String) = bt.filter(col("kind") === kind)
+          .select(col("key"), col("nlp_q")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maps = graft.functions.KnBackoffMaps(
+          m("ctx"), m("cbg"), m("blam"), m("uni"))
+        graft.functions.TrigramScoreBackoff(
+          expressionOf(col(textCol)), bc, sc.broadcast(maps), oovNlpQ)
+    }
     df
-      .select(col(idCol),
-        columnOf(graft.functions.TrigramScore(
-          expressionOf(col(textCol)), bc, oovNlpQ)).as("_ts"))
+      .select(col(idCol), columnOf(scoreExpr).as("_ts"))
       .select(col(idCol),
         coalesce(col("_ts.n_grams"), lit(0L)).as("n_grams"),
         when(coalesce(col("_ts.n_grams"), lit(0L)) > 0,
           round(col("_ts.nlp_sum").cast("double")
             / (col("_ts.n_grams") * lit(1e6)), 6))
+          .otherwise(lit(0.0)).as("avg_nll"))
+  }
+
+  /** The size-guard fallback: scoring as explode → broadcast-join against
+    * the model DataFrame → per-doc integer re-aggregate. The model never
+    * touches the driver; the backoff chain (when present) is the same
+    * priority ladder as `TrigramScoreBackoff`, restated with left joins on
+    * the (still alphabet-bounded, hence broadcast) per-level tables.
+    * Identical scores to the map path — every factor is quantized to an
+    * integer model-side, and integer sums commute.
+    */
+  private def scoreWithModelJoin(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, backoff: Option[DataFrame],
+      oovNlpQ: Long): DataFrame = {
+    val base = df.select(col(idCol), charTrigrams(col(textCol)).as("_gs"))
+      .localCheckpoint(eager = false)
+    val per = base.select(col(idCol), explode(col("_gs")).as("gram"))
+      .join(model.select(col("gram"), col("nlp_q").as("_t")), Seq("gram"), "left")
+    val withNlp = backoff match {
+      case None => per.withColumn("_nlp", coalesce(col("_t"), lit(oovNlpQ)))
+      case Some(bt) =>
+        def tbl(kind: String, keyName: String, valName: String) =
+          broadcast(bt.filter(col("kind") === kind)
+            .select(col("key").as(keyName), col("nlp_q").as(valName)))
+        val chained = per
+          .withColumn("_ab", substring(col("gram"), 1, 2))
+          .withColumn("_bc", substring(col("gram"), 2, 2))
+          .withColumn("_b", substring(col("gram"), 2, 1))
+          .withColumn("_c", substring(col("gram"), 3, 1))
+          .join(tbl("ctx", "_ab", "_l2"), Seq("_ab"), "left")
+          .join(tbl("cbg", "_bc", "_pcbg"), Seq("_bc"), "left")
+          .join(tbl("blam", "_b", "_l1"), Seq("_b"), "left")
+          .join(tbl("uni", "_c", "_p1"), Seq("_c"), "left")
+        val chain = coalesce(col("_pcbg"),
+          when(col("_l1").isNotNull && col("_p1").isNotNull,
+            col("_l1") + col("_p1")),
+          col("_p1"))
+        chained.withColumn("_nlp", coalesce(col("_t"),
+          when(chain.isNull, lit(oovNlpQ))
+            .otherwise(when(col("_l2").isNotNull, col("_l2") + chain)
+              .otherwise(chain))))
+    }
+    val sums = withNlp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_nlp")).as("_sum"))
+    base.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        when(coalesce(col("_n"), lit(0L)) > 0,
+          round(col("_sum").cast("double") / (col("_n") * lit(1e6)), 6))
           .otherwise(lit(0.0)).as("avg_nll"))
   }
 
@@ -106,8 +197,10 @@ object LanguageModel {
     * is broadcast — alphabet-bounded, see the object scaladoc.
     */
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, oovNlpQ: Long = 20723266L): DataFrame =
-    scoreWithModel(df, idCol, textCol, model, oovNlpQ)
+      model: DataFrame, oovNlpQ: Long = 20723266L,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame =
+    scoreWithModel(df, idCol, textCol, model, oovNlpQ,
+      maxBroadcastRows = maxBroadcastRows)
 
   /** Interpolated Kneser-Ney trigram model (Kneser & Ney 1995, in the
     * interpolated form Chen & Goodman 1999 found best — the smoothing KenLM
@@ -127,12 +220,10 @@ object LanguageModel {
     * so the whole build stays alphabet-bounded like the MLE model: one
     * corpus count aggregate, then type-level (broadcast-sized) joins.
     * Same quantized `nlp_q` output contract, so [[perplexityScore]] /
-    * [[selfScoreKN]] scoring is unchanged map-side arithmetic. Unseen
-    * trigrams still cost the flat `oovNlpQ` at scoring time — the full
-    * three-level backoff lookup for unseen grams would need a multi-level
-    * broadcast map; the interpolated values above already carry the
-    * continuation mass for every SEEN gram, which is where the estimator
-    * differs from MLE.
+    * [[selfScoreKN]] scoring is unchanged map-side arithmetic. UNSEEN
+    * trigrams at scoring time take the full backoff chain when the
+    * [[knBackoffTables]] ride along ([[perplexityScoreKN]]); without them
+    * they cost the flat `oovNlpQ`.
     */
   def knTrigramModel(corpus: DataFrame, textCol: String,
       discount: Double = 0.75): DataFrame = {
@@ -167,6 +258,73 @@ object LanguageModel {
       .select(col("gram"), col("c3"), pkn.as("p_kn"),
         (-round(log(pkn) * 1e6)).cast("long").as("nlp_q"))
   }
+
+  /** The per-level Kneser-Ney backoff tables as one `(kind, key, nlp_q)`
+    * frame, each value independently quantized (`round(-ln(x) * 1e6)`) so
+    * chained scores are integer sums (see
+    * [[graft.functions.TrigramScoreBackoff]] for the chain):
+    *
+    *  - `ctx`  (key = 2-char prefix):   lambda2 = D * N1+(ab.) / c(ab.)
+    *  - `cbg`  (key = 2-char suffix):   Pc(c|b), the continuation bigram
+    *  - `blam` (key = middle char):     lambda1 = D * N1+(b.) / N1+(.b.)
+    *  - `uni`  (key = last char):       Pc(c) = N1+(.c) / N1+(..)
+    *
+    * All four are aggregates over the distinct-trigram-TYPE table —
+    * |A|^2 + |A|^2 + |A| + |A| rows, strictly smaller than the trigram
+    * model they complete.
+    */
+  def knBackoffTables(corpus: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val grams = corpus.select(explode(charTrigrams(col(textCol))).as("gram"))
+    val c3 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
+      .select(col("gram"), col("c3"),
+        substring(col("gram"), 1, 2).as("p2"),
+        substring(col("gram"), 2, 2).as("s2"))
+      .localCheckpoint(eager = false)
+    val d = lit(discount)
+    def q(p: Column): Column = (-round(log(p) * 1e6)).cast("long")
+    val ctx = c3.groupBy(col("p2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n_after"))
+      .select(lit("ctx").as("kind"), col("p2").as("key"),
+        q(d * col("n_after") / col("c2")).as("nlp_q"))
+    val sfx = c3.groupBy(col("s2")).agg(count(lit(1)).as("n_left"))
+      .localCheckpoint(eager = false)
+    val mid = sfx.groupBy(substring(col("s2"), 1, 1).as("b"))
+      .agg(sum(col("n_left")).as("cbdot"), count(lit(1)).as("n_s2_b"))
+    val endc = sfx.groupBy(substring(col("s2"), 2, 1).as("c"))
+      .agg(count(lit(1)).as("n_end"))
+    val tot = sfx.agg(count(lit(1)).as("n_tot"))
+    val pcont1 = col("n_end").cast("double") / col("n_tot")
+    val cbg = sfx
+      .select(col("s2"), col("n_left"),
+        substring(col("s2"), 1, 1).as("b"), substring(col("s2"), 2, 1).as("c"))
+      .join(broadcast(mid), Seq("b"))
+      .join(broadcast(endc), Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(lit("cbg").as("kind"), col("s2").as("key"),
+        q(greatest(col("n_left") - d, lit(0.0)) / col("cbdot") +
+          d * col("n_s2_b") / col("cbdot") * pcont1).as("nlp_q"))
+    val blam = mid.select(lit("blam").as("kind"), col("b").as("key"),
+      q(d * col("n_s2_b") / col("cbdot")).as("nlp_q"))
+    val uni = endc.crossJoin(broadcast(tot))
+      .select(lit("uni").as("kind"), col("c").as("key"), q(pcont1).as("nlp_q"))
+    ctx.unionAll(cbg).unionAll(blam).unionAll(uni)
+  }
+
+  /** Score documents against a [[knTrigramModel]] WITH the backoff chain
+    * for unseen grams: a gram absent from the model costs the interpolated
+    * continuation estimate ([[graft.functions.TrigramScoreBackoff]]'s
+    * priority ladder) instead of the flat `oovNlpQ`, which only remains as
+    * the floor for grams whose every backoff level is unseen. Same output
+    * contract and the same size guard as [[perplexityScore]].
+    */
+  def perplexityScoreKN(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, backoff: DataFrame, oovNlpQ: Long = 20723266L,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame =
+    scoreWithModel(df, idCol, textCol, model, oovNlpQ, Some(backoff),
+      maxBroadcastRows)
 
   /** [[selfScore]] with the Kneser-Ney estimator: score a corpus against
     * its own interpolated-KN trigram model. No OOV parameter — every gram

@@ -1380,6 +1380,22 @@ object PipelineQueries {
     "text_perplexity_kn" -> ((s, dir) =>
       LanguageModel.selfScoreKN(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    // the UNSEEN-gram backoff chain, oracled: train KN on the corpus, score
+    // a planted eval set — each doc rotated by 2 chars (novel seam grams
+    // whose components are seen -> the continuation ladder fires) plus a
+    // ' zxz' tail (x and z are outside the corpus alphabet -> every level
+    // misses, the flat-OOV floor fires). DuckDB restates the full priority
+    // ladder with per-level quantized left joins.
+    "text_perplexity_kn_oov" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val model = LanguageModel.knTrigramModel(d, "text")
+      val backoff = LanguageModel.knBackoffTables(d, "text")
+      val eval = d.select(col("doc_id"),
+        concat(expr("substring(text, 3)"), expr("substring(text, 1, 2)"),
+          lit(" zxz")).as("text"))
+      LanguageModel.perplexityScoreKN(eval, "doc_id", "text", model, backoff)
+        .orderBy(col("doc_id"))
+    }),
     // token-window chunking (50-token chunks, 10-token overlap): the
     // standard context-window prep step; one generator, no shuffle
     "text_chunk" -> ((s, dir) =>
@@ -3889,6 +3905,86 @@ object PipelineQueries {
         |            THEN round(CAST(sc.s AS DOUBLE) / (sc.n_grams * 1000000.0), 6)
         |            ELSE 0.0 END AS avg_nll
         |FROM t LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the backoff ladder restated level by level: tri hit, else
+    // ctx-lambda + continuation chain (cbg, else blam+uni, else uni),
+    // else the flat floor — every factor quantized independently so the
+    // chain is an integer sum, exactly the TrigramScoreBackoff contract
+    "text_perplexity_kn_oov" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, length(s) - 1),
+        |                                   i -> substring(s, i, 3))) AS gram
+        |      FROM t),
+        |c3 AS (SELECT gram, count(*) AS c3 FROM g GROUP BY gram),
+        |ctx AS (SELECT substring(gram, 1, 2) AS p2, sum(c3) AS c2,
+        |               count(*) AS nafter FROM c3 GROUP BY 1),
+        |sfx AS (SELECT substring(gram, 2, 2) AS s2, count(*) AS nleft
+        |        FROM c3 GROUP BY 1),
+        |mid AS (SELECT substring(s2, 1, 1) AS b, sum(nleft) AS cbdot,
+        |               count(*) AS ns2b FROM sfx GROUP BY 1),
+        |endc AS (SELECT substring(s2, 2, 1) AS c, count(*) AS nend
+        |         FROM sfx GROUP BY 1),
+        |tot AS (SELECT count(*) AS ntot FROM sfx),
+        |m AS (SELECT c3.gram,
+        |             -CAST(round(ln(
+        |                greatest(c3.c3 - 0.75, 0.0) / ctx.c2
+        |                + 0.75 * ctx.nafter / ctx.c2 *
+        |                  (greatest(sfx.nleft - 0.75, 0.0) / mid.cbdot
+        |                   + 0.75 * mid.ns2b / mid.cbdot *
+        |                     (CAST(endc.nend AS DOUBLE) / tot.ntot))
+        |              ) * 1000000) AS BIGINT) AS nlp_q
+        |      FROM c3
+        |      JOIN ctx ON substring(c3.gram, 1, 2) = ctx.p2
+        |      JOIN sfx ON substring(c3.gram, 2, 2) = sfx.s2
+        |      JOIN mid ON substring(c3.gram, 2, 1) = mid.b
+        |      JOIN endc ON substring(c3.gram, 3, 1) = endc.c, tot),
+        |l2t AS (SELECT p2, -CAST(round(ln(0.75 * nafter / c2) * 1000000)
+        |                   AS BIGINT) AS l2 FROM ctx),
+        |cbgt AS (SELECT sfx.s2,
+        |                -CAST(round(ln(
+        |                   greatest(sfx.nleft - 0.75, 0.0) / mid.cbdot
+        |                   + 0.75 * mid.ns2b / mid.cbdot *
+        |                     (CAST(endc.nend AS DOUBLE) / tot.ntot)) * 1000000)
+        |                 AS BIGINT) AS cbg
+        |         FROM sfx JOIN mid ON substring(sfx.s2, 1, 1) = mid.b
+        |                  JOIN endc ON substring(sfx.s2, 2, 1) = endc.c, tot),
+        |l1t AS (SELECT b, -CAST(round(ln(0.75 * ns2b / cbdot) * 1000000)
+        |                  AS BIGINT) AS l1 FROM mid),
+        |p1t AS (SELECT c, -CAST(round(ln(CAST(nend AS DOUBLE) / tot.ntot)
+        |                  * 1000000) AS BIGINT) AS p1 FROM endc, tot),
+        |ev AS (SELECT doc_id,
+        |              lower(trim(substring(text, 3) || substring(text, 1, 2)
+        |                         || ' zxz')) AS s
+        |       FROM documents),
+        |eg AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, length(s) - 1),
+        |                                    i -> substring(s, i, 3))) AS gram
+        |       FROM ev),
+        |scg0 AS (SELECT eg.doc_id, m.nlp_q AS tri, l2t.l2 AS l2,
+        |                coalesce(cbgt.cbg,
+        |                         CASE WHEN l1t.l1 IS NOT NULL
+        |                                   AND p1t.p1 IS NOT NULL
+        |                              THEN l1t.l1 + p1t.p1 END,
+        |                         p1t.p1) AS chain
+        |         FROM eg
+        |         LEFT JOIN m USING (gram)
+        |         LEFT JOIN l2t ON substring(eg.gram, 1, 2) = l2t.p2
+        |         LEFT JOIN cbgt ON substring(eg.gram, 2, 2) = cbgt.s2
+        |         LEFT JOIN l1t ON substring(eg.gram, 2, 1) = l1t.b
+        |         LEFT JOIN p1t ON substring(eg.gram, 3, 1) = p1t.c),
+        |scg AS (SELECT doc_id,
+        |               CASE WHEN tri IS NOT NULL THEN tri
+        |                    WHEN chain IS NULL THEN 20723266
+        |                    WHEN l2 IS NOT NULL THEN l2 + chain
+        |                    ELSE chain END AS nlp
+        |        FROM scg0),
+        |sc AS (SELECT doc_id, count(*) AS n_grams, sum(nlp) AS s
+        |       FROM scg GROUP BY doc_id)
+        |SELECT ev.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+        |       CASE WHEN coalesce(sc.n_grams, 0) > 0
+        |            THEN round(CAST(sc.s AS DOUBLE) / (sc.n_grams * 1000000.0), 6)
+        |            ELSE 0.0 END AS avg_nll
+        |FROM ev LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     // chunk grid replicated with list slicing; range(0) yields no rows for
     // token-less docs, matching Spark's explode of an empty chunk array
     "text_chunk" ->

@@ -1612,6 +1612,69 @@ class OperatorsSpec extends SparkFunSuite {
     assert(math.abs(sc._3 - (2 * q1 + 2 * q2) / 4e6) < 1e-6)
   }
 
+  test("KN backoff chain: unseen grams score through the continuation ladder, hand-derived") {
+    // corpus "abcabc" -> model {abc, bca, cab}; every N1+ count is 1, so
+    // the backoff tables unroll by hand (q(p) = round(-ln(p)*1e6)):
+    //   ctx:  lambda2(ab) = .75*1/2 = .375; lambda2(bc) = lambda2(ca) = .75
+    //   cbg:  Pc(s2) = .25/1 + .75*1/1*(1/3) = .5   for s2 in {bc, ca, ab}
+    //   blam: lambda1 = .75*1/1 = .75 for b in {a, b, c}
+    //   uni:  Pc(c) = 1/3 for c in {a, b, c}
+    val corpus = Seq((1L, "abcabc")).toDF("doc_id", "text")
+    val model = LanguageModel.knTrigramModel(corpus, "text")
+    val backoff = LanguageModel.knBackoffTables(corpus, "text")
+    val eval = Seq(
+      (1L, "aab"), // unseen gram, ab-suffix seen as cbg, aa-context unseen:
+                   //   score = q(.5) = 693147
+      (2L, "abb"), // unseen gram, ab-context SEEN, bb-suffix unseen,
+                   //   b/b seen at blam/uni:
+                   //   q(.375) + q(.75) + q(1/3) = 980829+287682+1098612
+      (3L, "xyz"), // every level unseen -> the flat OOV floor
+      (4L, "abc")  // seen gram: the interpolated model value q(.8125)
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.perplexityScoreKN(eval, "doc_id", "text",
+        model, backoff)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0.693147),
+      (2L, 1L, 2.367123),
+      (3L, 1L, 20.723266),
+      (4L, 1L, 0.207639))) // round(-ln(.8125)*1e6) = 207639
+    // the verdict shape: a held-out gram scores BETWEEN its continuation
+    // bound and the flat-OOV ceiling — unseen-but-plausible beats gibberish
+    assert(got(0)._3 > got(3)._3 && got(0)._3 < got(2)._3)
+    assert(got(1)._3 > got(0)._3 && got(1)._3 < got(2)._3)
+  }
+
+  test("trigram size guard: past the row threshold scoring joins instead of collecting, identical scores") {
+    // a wide-alphabet corpus (CJK + accents + ASCII) — the regime where the
+    // driver-map 'alphabet-bounded' assumption breaks; the guard is forced
+    // with a tiny threshold so the join path actually runs here
+    val corpus = Seq(
+      (1L, "中文字符测试也要过关"), (2L, "héllo wörld hello world"),
+      (3L, "the quick brown fox"), (4L, "中文 and ascii mixed 混合")
+    ).toDF("doc_id", "text")
+    val eval = corpus.unionAll(Seq(
+      (5L, "unseen gibberish zzqq"), (6L, ""), (7L, "字符测试 novel 新词"))
+      .toDF("doc_id", "text"))
+    val mle = LanguageModel.charTrigramModel(corpus, "text")
+    val viaMap = LanguageModel.perplexityScore(eval, "doc_id", "text", mle)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaJoin = LanguageModel.perplexityScore(eval, "doc_id", "text", mle,
+        maxBroadcastRows = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaJoin == viaMap)
+    // and with the KN backoff chain in play (every ladder branch exercised:
+    // seen grams, seen-suffix, seen-context, full misses, empty doc)
+    val kn = LanguageModel.knTrigramModel(corpus, "text")
+    val bt = LanguageModel.knBackoffTables(corpus, "text")
+    val knMap = LanguageModel.perplexityScoreKN(eval, "doc_id", "text", kn, bt)
+      .as[(Long, Long, Double)].collect().toSet
+    val knJoin = LanguageModel.perplexityScoreKN(eval, "doc_id", "text", kn, bt,
+        maxBroadcastRows = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(knJoin == knMap)
+  }
+
   test("charTrigrams expression matches the HOF formulation, incl. unicode") {
     val df = Seq(
       "The Quick Brown FOX",
