@@ -303,6 +303,17 @@ object PipelineQueries {
         k = 4, w = 4, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
+    // the CAPPED winnow path, oracled — the shape actually run at scale
+    // (fingerprint buckets holding > 50 docs are dropped before the
+    // candidate self-join, on BOTH engines, so parity holds at every SF
+    // while candidate growth stays bucket-bounded instead of quadratic in
+    // the planted-clone count; the uncapped query above keeps the
+    // no-skew-guard parity evidence)
+    "dedup_winnow_capped" -> ((s, dir) =>
+      Dedup.winnowPairs(planted(s, dir), "doc_id", "text", threshold = 0.6,
+        k = 4, w = 4, maxBucket = 50)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
     // incremental winnow overlap: the corpus fingerprint index is built
     // once; a clone batch (ids +1000000) probes it — every clone must find
     // its original at jaccard 1 plus any natural contiguous-overlap pairs
@@ -3018,6 +3029,47 @@ object PipelineQueries {
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |wsets AS (SELECT doc_id, list_distinct(ws) AS wset FROM t)
+        |SELECT c.id_a, c.id_b,
+        |       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.wset, b.wset))), 6) AS jaccard
+        |FROM cands c
+        |JOIN wsets a ON a.doc_id = c.id_a
+        |JOIN wsets b ON b.doc_id = c.id_b
+        |WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the same replay with the skew guard restated: fingerprint buckets
+    // holding more than 50 docs drop out of the candidate join on both
+    // engines (HAVING on the distinct (doc, h) rows — the exact capBuckets
+    // rule), so the capped production path is parity-gated at every SF
+    "dedup_winnow_capped" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (SELECT doc_id, text,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM base),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 4
+        |              THEN [md5(array_to_string(ws[i:i+3], ' ')) for i in range(1, len(ws) - 2)]
+        |              ELSE [] END AS hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) >= 4
+        |              THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)])
+        |              WHEN len(hs) > 0 THEN [list_min(hs)]
+        |              ELSE [] END AS sel
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        |ok AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 50),
+        |e2 AS (SELECT e.doc_id, e.h FROM e JOIN ok USING (h)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id),
         |wsets AS (SELECT doc_id, list_distinct(ws) AS wset FROM t)
         |SELECT c.id_a, c.id_b,
         |       round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
