@@ -58,7 +58,7 @@ object Bench {
     // 2. page-cache + parquet-footer warmup: scan every input table once
     //    (cheap relative to the suite — a single pass over data the suite
     //    reads tens of times)
-    new java.io.File(sfDir).listFiles()
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet"))
       .foreach { f =>
         try spark.read.parquet(f.getPath).write.format("noop")
