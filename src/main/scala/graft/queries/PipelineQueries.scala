@@ -1165,6 +1165,40 @@ object PipelineQueries {
       Retrieval.bm25TopKFromIndex(q, "graft_bm25_gate", "doc_id", 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // streaming ingest parity for the posting index: the %3 == 0 third of
+    // the corpus arrives as THREE micro-batches (doc_id % 9 residues) via
+    // streamingBm25Ingest; the probe after processAllAvailable must equal
+    // the full-corpus ad-hoc BM25 — i.e. three stats-delta appends sum to
+    // exactly what one batch append (text_bm25_incr) or a monolithic
+    // build would produce. Same oracle as the ad-hoc path.
+    "stream_bm25_ingest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.bm25WriteBucketed(d.filter(col("doc_id") % 3 =!= 0),
+        "graft_bm25_stream", "doc_id", "text")
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bm25s").toFile
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val rest = d.filter(col("doc_id") % 3 === 0)
+      val now = System.currentTimeMillis()
+      Seq(0, 3, 6).zipWithIndex.foreach { case (res, i) =>
+        val part = new java.io.File(tmpRoot, s"part$i")
+        rest.filter(col("doc_id") % 9 === res)
+          .coalesce(1).write.mode("overwrite").parquet(part.getPath)
+        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(streamDir, s"b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(now - (3 - i) * 60000L)
+      }
+      val stream = s.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      val q = StreamOps.streamingBm25Ingest(stream, "graft_bm25_stream",
+        "doc_id", "text")
+      try q.processAllAvailable() finally q.stop()
+      val queries = s.createDataFrame(Seq((1, "hash"), (1, "join"),
+        (2, "window"), (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopKFromIndex(queries, "graft_bm25_stream", "doc_id", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // MMR diversity re-rank over the dense retriever's top-20: sequential
     // greedy per query (bounded candidate sets inside flatMapGroups) —
     // rows-only; the _check gate below carries the oracled guarantees
@@ -3465,6 +3499,8 @@ object PipelineQueries {
     // the index path (build two-thirds + append one-third + probe) must
     // reproduce the full-corpus ad-hoc computation exactly — same oracle
     "text_bm25_incr" -> bm25TopkSql,
+    // three micro-batch appends == one batch append == monolithic build
+    "stream_bm25_ingest" -> bm25TopkSql,
     // one member per orthogonal group in relevance order, then seconds at
     // the 0.5 duplicate penalty — the greedy's exact arithmetic
     "ret_mmr_check" ->

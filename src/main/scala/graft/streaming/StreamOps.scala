@@ -329,6 +329,27 @@ object StreamOps {
     vecsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** Streaming ingest into a persisted
+    * [[graft.operators.Retrieval.bm25WriteBucketed]] posting index: each
+    * micro-batch's postings land in the index's bucket layout and its
+    * (n_docs, sum_dl) stats delta row appends — a continuous document feed
+    * keeps the lexical index queryable with batch-sized work per
+    * increment, the same ingest contract as the other incremental
+    * families. Batch slicing cannot change probe results: postings are
+    * per-document and parameter-free, df is recomputed from the postings
+    * at probe time, and N/avgdl are the SUM of the stats deltas — so N
+    * micro-batches append exactly what one batch append would
+    * (parity-gated by `stream_bm25_ingest`). Replayed epochs accrete
+    * duplicate rows; probes stay exact under accretion and
+    * [[graft.operators.Dedup.compactIndex]] reclaims the width.
+    */
+  def streamingBm25Ingest(docsStream: DataFrame, indexTable: String,
+      idCol: String, textCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.Retrieval.bm25AppendToIndex(batch, indexTable, idCol, textCol)
+    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** The COMPOSED streaming curation funnel — the continuous-ingest shape of
     * the batch [[graft.operators.TextAnalysis.curateFull]] pipeline, stage
     * for stage:

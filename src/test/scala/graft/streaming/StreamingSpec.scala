@@ -357,6 +357,46 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming BM25 ingest: micro-batch appends probe identically to one batch append") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "cat cat dog bird"), (2L, "cat fish")).toDF("doc_id", "text")
+    val newDocs = Seq((3L, "dog dog bird cat"), (4L, "fish bird"), (5L, "cat dog"))
+    val tables = Seq("bm25_stream_t", "bm25_stream_t_stats", "bm25_stream_t_meta",
+      "bm25_batch_t", "bm25_batch_t_stats", "bm25_batch_t_meta")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.operators.Retrieval.bm25WriteBucketed(corpus, "bm25_stream_t",
+        "doc_id", "text", numBuckets = 4)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      val q = StreamOps.streamingBm25Ingest(stream, "bm25_stream_t", "doc_id", "text")
+      try {
+        mem.addData(newDocs(0)); q.processAllAvailable()
+        mem.addData(newDocs(1), newDocs(2)); q.processAllAvailable()
+      } finally q.stop()
+      // two stats-delta rows landed (one per micro-batch) and the summed
+      // corpus statistics equal the batch-append path's
+      assert(spark.table("bm25_stream_t_stats").count() === 3) // build + 2 batches
+      graft.operators.Retrieval.bm25WriteBucketed(corpus, "bm25_batch_t",
+        "doc_id", "text", numBuckets = 4)
+      graft.operators.Retrieval.bm25AppendToIndex(newDocs.toDF("doc_id", "text"),
+        "bm25_batch_t", "doc_id", "text")
+      val queries = Seq((1, "cat"), (2, "bird"), (2, "fish")).toDF("query_id", "term")
+      val viaStream = graft.operators.Retrieval.bm25TopKFromIndex(queries,
+        "bm25_stream_t", "doc_id", 10).collect().toSet
+      val viaBatch = graft.operators.Retrieval.bm25TopKFromIndex(queries,
+        "bm25_batch_t", "doc_id", 10).collect().toSet
+      assert(viaStream == viaBatch && viaStream.nonEmpty)
+      // and both equal the ad-hoc path over the full corpus
+      val adhoc = graft.operators.Retrieval.bm25TopK(
+        corpus.unionAll(newDocs.toDF("doc_id", "text")), "doc_id", "text",
+        queries, 10).collect().toSet
+      assert(viaStream == adhoc)
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming semantic dedup drops indexed near-dups and extends the IVF index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
