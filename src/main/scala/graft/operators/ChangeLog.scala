@@ -97,6 +97,88 @@ object ChangeLog {
     * key+payload streams full-outer-joined on the key; with both snapshots
     * bucketed by key the exchange disappears.
     */
+  /** [[fromSnapshots]] with BOTH row images — the Debezium before/after
+    * shape: per change, `op` plus `<c>_before` and `<c>_after` for every
+    * value column ('I' rows have null befores, 'D' rows null afters, 'U'
+    * rows both). This is the changelog shape incremental AGGREGATE
+    * maintenance needs: an update can only be applied to a standing
+    * aggregate by retracting the old image and adding the new one, and the
+    * single-image [[fromSnapshots]] form cannot say what to retract.
+    */
+  def fromSnapshotsFull(prev: DataFrame, next: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(keyCol).as("_pk") +:
+      valueCols.map(c => col(c).as(s"_p_$c")): _*)
+    val n = next.select(col(keyCol).as("_nk") +:
+      valueCols.map(c => col(c).as(s"_n_$c")): _*)
+    val pPay = struct(valueCols.map(c => col(s"_p_$c")): _*)
+    val nPay = struct(valueCols.map(c => col(s"_n_$c")): _*)
+    p.join(n, col("_pk") === col("_nk"), "full_outer")
+      .withColumn("op",
+        when(col("_pk").isNull, "I")
+          .when(col("_nk").isNull, "D")
+          .when(!(pPay <=> nPay), "U"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("_nk"), col("_pk")).as(keyCol) +: col("op") +:
+        (valueCols.map(c => col(s"_p_$c").as(s"${c}_before")) ++
+          valueCols.map(c => col(s"_n_$c").as(s"${c}_after"))): _*)
+  }
+
+  /** A grouped distributive-aggregate STATE table — `(groupCol, n_rows,
+    * sum_<c> per aggCol)` — the standing side [[applyAggDeltas]] maintains.
+    * At scale this persists bucketed by `groupCol`, so every later delta
+    * application joins exchange-free on the state side.
+    */
+  def aggState(df: DataFrame, groupCol: String,
+      aggCols: Seq[String]): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        aggCols.map(c => sum(col(c).cast("long")).as(s"sum_$c")): _*)
+
+  /** Per-group aggregate DELTAS from a [[fromSnapshotsFull]] changelog —
+    * the retract-stream decomposition (every 'U' is a -old/+new pair, 'I'
+    * is +new, 'D' is -old), folded to one `(groupCol, d_rows, d_<c>)` row
+    * per touched group. A row MOVING between groups maintains both sides
+    * naturally (-1 in the old group, +1 in the new). The shuffle carries
+    * signed change rows — CHANGE-sized, never base-table-sized — which is
+    * the whole point of incremental view maintenance: refreshing a 100 TB
+    * table's aggregate after a million-row change batch costs work
+    * proportional to the batch.
+    */
+  def aggDeltas(changes: DataFrame, opCol: String, groupCol: String,
+      aggCols: Seq[String]): DataFrame = {
+    val retract = changes.filter(col(opCol).isin("D", "U"))
+      .select(lit(-1L).as("_sign") +:
+        col(s"${groupCol}_before").as(groupCol) +:
+        aggCols.map(c => col(s"${c}_before").as(c)): _*)
+    val add = changes.filter(col(opCol).isin("I", "U"))
+      .select(lit(1L).as("_sign") +:
+        col(s"${groupCol}_after").as(groupCol) +:
+        aggCols.map(c => col(s"${c}_after").as(c)): _*)
+    retract.unionAll(add).groupBy(col(groupCol))
+      .agg(sum(col("_sign")).as("d_rows"),
+        aggCols.map(c =>
+          sum(col(c).cast("long") * col("_sign")).as(s"d_$c")): _*)
+  }
+
+  /** Apply [[aggDeltas]] to a standing [[aggState]] table WITHOUT touching
+    * the base data: full-outer join on the group, add counts and sums,
+    * drop groups whose row count reaches zero (a died group leaves the
+    * state). Maintained state == recomputed state for any distributive
+    * aggregate — spec-pinned, and `cdc_agg_maintain` oracles the full
+    * snapshot-diff → retract → apply chain against a DuckDB recompute.
+    */
+  def applyAggDeltas(state: DataFrame, deltas: DataFrame, groupCol: String,
+      aggCols: Seq[String]): DataFrame =
+    state.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol) +:
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L)))
+          .as("n_rows") +:
+        aggCols.map(c =>
+          (coalesce(col(s"sum_$c"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L)))
+            .as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0)
+
   def fromSnapshots(prev: DataFrame, next: DataFrame, keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     val p = prev.select(col(keyCol).as("_pk") +:

@@ -246,4 +246,38 @@ object Sessionize extends Serializable {
       .select(col("s.stage"), col("s.event_type"), col("s.n_users"),
         col("s.conversion"))
   }
+
+  /** Cohort retention matrix — the other standard product-analytics read
+    * over an event log (the funnel asks "who progressed", this asks "who
+    * came back"): users cohorted by the period of their FIRST event, one
+    * row per (cohort, period_offset) with the count of cohort members
+    * active in that period. `period` is "week" (Monday-aligned, the
+    * default) or "day".
+    *
+    * Two aggregates and a user-keyed join, nothing event-sized after the
+    * first map: the (user, period) activity table is `distinct`-collapsed
+    * map-side before the join, the first-event table is one min-aggregate
+    * per user, both shuffles are user-keyed so AQE plans the join off the
+    * same exchange, and the final matrix aggregate is |cohorts| x
+    * |offsets| rows. A hot user contributes one row per active period,
+    * never a sort. Both engines truncate weeks to Monday, so the matrix
+    * is engine-portable (oracled in `events_retention`).
+    */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      period: String = "week"): DataFrame = {
+    val perDays = period match {
+      case "week" => 7
+      case "day" => 1
+      case other => throw new IllegalArgumentException(
+        s"retention period must be 'week' or 'day', got $other")
+    }
+    val bucket = to_date(date_trunc(period, col(tsCol)))
+    val firstP = events.groupBy(col(userCol)).agg(min(bucket).as("cohort"))
+    val active = events.select(col(userCol), bucket.as("_p")).distinct()
+    active.join(firstP, Seq(userCol))
+      .groupBy(col("cohort"),
+        (datediff(col("_p"), col("cohort")) / lit(perDays)).cast("int")
+          .as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -2127,6 +2127,33 @@ object PipelineQueries {
       Sessionize.funnelCounts(Tables.df(s, dir, "events"), "user_id",
           "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
+    // weekly cohort retention matrix (who came back, per first-event
+    // cohort) — Monday-aligned week truncation in both engines
+    "events_retention" -> ((s, dir) =>
+      Sessionize.retentionMatrix(Tables.df(s, dir, "events"), "user_id",
+          "ts", period = "week")
+        .orderBy(col("cohort"), col("period_offset"))),
+    // incremental aggregate maintenance over the CDC family: snapshot A's
+    // per-lang (count, sum chars) state, diffed-with-both-images against
+    // snapshot B (inserts: %3 rows absent from A; deletes: %7 rows absent
+    // from B; updates: %5 rows gain 11 chars), retract-decomposed and
+    // APPLIED to the state — must equal a recompute over B, which is what
+    // DuckDB states. The change batch is the only thing that shuffles.
+    "cdc_agg_maintain" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"))
+      val prev = d.filter(col("doc_id") % 3 =!= 0)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("chars") + 11)
+            .otherwise(col("chars")).as("chars"))
+      val state0 = ChangeLog.aggState(prev, "lang", Seq("chars"))
+      val deltas = ChangeLog.aggDeltas(
+        ChangeLog.fromSnapshotsFull(prev, next, "doc_id", Seq("lang", "chars")),
+        "op", "lang", Seq("chars"))
+      ChangeLog.applyAggDeltas(state0, deltas, "lang", Seq("chars"))
+        .orderBy(col("lang"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
@@ -4688,6 +4715,27 @@ object PipelineQueries {
         |UNION ALL SELECT 3, 'purchase', n3,
         |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
         |ORDER BY stage""".stripMargin,
+    // both engines truncate weeks to Monday; datediff is an exact multiple
+    // of 7 between two week-truncated dates
+    "events_retention" ->
+      """WITH b AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+        |           FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM b GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, p FROM b)
+        |SELECT f.cohort,
+        |       CAST(date_diff('day', f.cohort, a.p) / 7 AS INT) AS period_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+    // maintained state must equal the recompute over snapshot B — the
+    // incremental-view-maintenance contract, stated directly
+    "cdc_agg_maintain" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |                  CASE WHEN doc_id % 5 = 0 THEN length(text) + 11
+        |                       ELSE length(text) END AS chars
+        |           FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT lang, count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     "cdc_materialize" ->
       s"""WITH $cdcLogCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -87,6 +87,37 @@ class ChangeLogSpec extends SparkFunSuite {
     assert(ops === Seq((1L, "U"), (2L, "U")))
   }
 
+  test("incremental aggregate maintenance: maintained state equals recompute across insert/update/delete/group-move/group-death") {
+    // prev: g1 holds rows 1 (v=10) and 2 (v=20); g2 holds row 3 (v=5);
+    //       g3 holds row 4 (v=7) — g3 will DIE.
+    // next: row 1 updated in place (v=15), row 2 MOVES g1 -> g2 (v=20),
+    //       row 4 deleted (g3 empties), row 5 inserted into NEW group g4.
+    val prev = Seq((1L, "g1", 10), (2L, "g1", 20), (3L, "g2", 5),
+      (4L, "g3", 7)).toDF("id", "g", "v")
+    val next = Seq((1L, "g1", 15), (2L, "g2", 20), (3L, "g2", 5),
+      (5L, "g4", 9)).toDF("id", "g", "v")
+    val full = ChangeLog.fromSnapshotsFull(prev, next, "id", Seq("g", "v"))
+    // both images present exactly where defined
+    val ops = full.select("id", "op").as[(Long, String)].collect().toMap
+    assert(ops === Map(1L -> "U", 2L -> "U", 4L -> "D", 5L -> "I"))
+    val maintained = ChangeLog.applyAggDeltas(
+        ChangeLog.aggState(prev, "g", Seq("v")),
+        ChangeLog.aggDeltas(full, "op", "g", Seq("v")), "g", Seq("v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val recomputed = ChangeLog.aggState(next, "g", Seq("v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(maintained === recomputed)
+    // and by hand: g1 lost the moved row, kept the updated one; g2 gained
+    // it; g3 is GONE (row count reached zero); g4 is new
+    assert(maintained === Seq(("g1", 1L, 15L), ("g2", 2L, 25L), ("g4", 1L, 9L)))
+    // empty delta batch: state passes through unchanged
+    val none = ChangeLog.applyAggDeltas(ChangeLog.aggState(prev, "g", Seq("v")),
+        ChangeLog.aggDeltas(full.limit(0), "op", "g", Seq("v")), "g", Seq("v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(none === ChangeLog.aggState(prev, "g", Seq("v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq)
+  }
+
   test("materialize plans one exchange, partially aggregated map-side") {
     val plan = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
       .queryExecution.executedPlan.toString

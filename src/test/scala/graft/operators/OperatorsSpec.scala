@@ -612,6 +612,34 @@ class OperatorsSpec extends SparkFunSuite {
       (1L, None, 2), (2L, None, 1), (3L, None, 2), (5L, None, 1)))
   }
 
+  test("retention matrix: weekly cohorts hand-computed, repeat activity collapses, day grain") {
+    // weeks (Monday-aligned): 2024-01-01 and 2024-01-08.
+    // u1 first week 1, active weeks 1 and 2 (twice in week 2 — counts once)
+    // u2 first week 1, active week 1 only
+    // u3 first week 2, active week 2
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-08 09:00:00"),
+      (1L, "2024-01-10 09:00:00"),
+      (2L, "2024-01-03 12:00:00"),
+      (3L, "2024-01-09 08:00:00")
+    ).toDF("user_id", "s").select($"user_id", $"s".cast("timestamp").as("ts"))
+    val got = Sessionize.retentionMatrix(ev, "user_id", "ts", "week")
+      .orderBy("cohort", "period_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toList
+    assert(got == List(
+      ("2024-01-01", 0, 2L), // u1, u2 in their cohort week
+      ("2024-01-01", 1, 1L), // only u1 returned
+      ("2024-01-08", 0, 1L))) // u3's own cohort week
+    // day grain: u1's Jan 8 and Jan 10 activity become offsets 6 and 8
+    val day = Sessionize.retentionMatrix(ev.filter($"user_id" === 1), "user_id",
+        "ts", "day")
+      .orderBy("period_offset")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    assert(day == List((0, 1L), (6, 1L), (8, 1L)))
+    intercept[IllegalArgumentException](
+      Sessionize.retentionMatrix(ev, "user_id", "ts", "month"))
+  }
+
   test("sourceOverlap: sketch estimates recover planted pairwise overlaps, deterministically") {
     // sa = residues 0-5 (1200 ids), sb = 4-9 (1200), sc = evens (1000);
     // exact overlaps: sa∩sb = 400, sa∩sc = 600, sb∩sc = 600
