@@ -161,6 +161,48 @@ object ChangeLog {
           sum(col(c).cast("long") * col("_sign")).as(s"d_$c")): _*)
   }
 
+  /** Persist an [[aggState]] table BUCKETED by the group key — the
+    * standing side of continuous maintenance
+    * ([[graft.streaming.StreamOps.streamingAggMaintain]]): every delta
+    * application joins it exchange-free, and the rewrite-and-swap refresh
+    * keeps the same layout (spec read back from the catalog).
+    */
+  def aggStateWriteBucketed(df: DataFrame, table: String, groupCol: String,
+      aggCols: Seq[String], numBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    graft.sources.Sources.dropForOverwrite(spark, table)
+    graft.sources.Sources.writeBucketed(
+      aggState(df, groupCol, aggCols), table, Seq(groupCol), numBuckets)
+  }
+
+  /** One maintenance step against a persisted [[aggStateWriteBucketed]]
+    * table: fold the change batch to deltas, apply, rewrite the state
+    * under a staged name in the SAME bucket layout and swap — the
+    * recoverable-rename discipline every index actuator uses, so a crash
+    * mid-refresh always leaves a complete state one RENAME away. The
+    * rewrite is state-sized (|groups| rows — the AGGREGATE, not the base
+    * table), the join is exchange-free on the bucketed side, and
+    * everything else is change-sized.
+    */
+  def maintainAggTable(changes: DataFrame, stateTable: String, opCol: String,
+      groupCol: String, aggCols: Seq[String]): Unit = {
+    val spark = changes.sparkSession
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$stateTable is not a bucketed agg-state table"))
+    val next = applyAggDeltas(spark.table(stateTable),
+        aggDeltas(changes, opCol, groupCol, aggCols), groupCol, aggCols)
+      // EAGER: the new state reads the table the swap below replaces — it
+      // must be materialized before the old state moves aside
+      .localCheckpoint(eager = true)
+    val staged = s"${stateTable}_staged"
+    graft.sources.Sources.dropForOverwrite(spark, staged)
+    graft.sources.Sources.writeBucketed(next, staged,
+      spec.bucketColumnNames, spec.numBuckets)
+    graft.sources.Sources.swapStaged(spark, staged, stateTable)
+  }
+
   /** Apply [[aggDeltas]] to a standing [[aggState]] table WITHOUT touching
     * the base data: full-outer join on the group, add counts and sums,
     * drop groups whose row count reaches zero (a died group leaves the

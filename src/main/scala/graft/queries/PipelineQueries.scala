@@ -2154,6 +2154,46 @@ object PipelineQueries {
       ChangeLog.applyAggDeltas(state0, deltas, "lang", Seq("chars"))
         .orderBy(col("lang"))
     }),
+    // continuous IVM parity: the SAME snapshot diff as cdc_agg_maintain
+    // arrives as three micro-batches (doc_id % 3 residues — each changed
+    // key appears in exactly one batch) against a persisted bucketed state
+    // table; after processAllAvailable the state must equal the recompute
+    // over snapshot B. Same oracle as the batch path.
+    "stream_cdc_agg_maintain" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"))
+      val prev = d.filter(col("doc_id") % 3 =!= 0)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("chars") + 11)
+            .otherwise(col("chars")).as("chars"))
+      Seq("graft_ivm_state", "graft_ivm_state_staged", "graft_ivm_state_old")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      ChangeLog.aggStateWriteBucketed(prev, "graft_ivm_state", "lang",
+        Seq("chars"), numBuckets = 4)
+      val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
+        Seq("lang", "chars"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivm").toFile
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val now = System.currentTimeMillis()
+      Seq(0, 1, 2).foreach { res =>
+        val part = new java.io.File(tmpRoot, s"part$res")
+        changes.filter(col("doc_id") % 3 === res)
+          .coalesce(1).write.mode("overwrite").parquet(part.getPath)
+        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(streamDir, s"b$res.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(now - (3 - res) * 60000L)
+      }
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      val q = StreamOps.streamingAggMaintain(stream, "graft_ivm_state",
+        "op", "lang", Seq("chars"))
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_ivm_state")
+        .select(col("lang"), col("n_rows"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
@@ -2385,6 +2425,19 @@ object PipelineQueries {
        |        ORDER BY score DESC, doc_id) AS rank FROM sc)
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The IVM contract oracle: maintained aggregate state (batch or
+    * streaming micro-batch path) must equal a fresh recompute over
+    * snapshot B — inserts are the %3 rows absent from A, deletes the %7
+    * rows absent from B, updates the %5 rows that gained 11 chars.
+    */
+  private val ivmRecomputeSql: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |                  CASE WHEN doc_id % 5 = 0 THEN length(text) + 11
+      |                       ELSE length(text) END AS chars
+      |           FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT lang, count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin
 
   private val dsirCtes: String =
     s"""tw AS (SELECT unnest(list_filter($duckWords, x -> x <> '')) AS w
@@ -4729,13 +4782,9 @@ object PipelineQueries {
         |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
     // maintained state must equal the recompute over snapshot B — the
     // incremental-view-maintenance contract, stated directly
-    "cdc_agg_maintain" ->
-      """WITH b AS (SELECT doc_id, lang,
-        |                  CASE WHEN doc_id % 5 = 0 THEN length(text) + 11
-        |                       ELSE length(text) END AS chars
-        |           FROM documents WHERE doc_id % 7 <> 0)
-        |SELECT lang, count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars
-        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "cdc_agg_maintain" -> ivmRecomputeSql,
+    // three micro-batch maintenance steps == one batch step == recompute
+    "stream_cdc_agg_maintain" -> ivmRecomputeSql,
     "cdc_materialize" ->
       s"""WITH $cdcLogCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -350,6 +350,29 @@ object StreamOps {
     docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** CONTINUOUS incremental view maintenance: a before/after changelog
+    * stream ([[graft.operators.ChangeLog.fromSnapshotsFull]] shape, or any
+    * Debezium-like feed) keeps a persisted
+    * [[graft.operators.ChangeLog.aggStateWriteBucketed]] aggregate current
+    * — each micro-batch folds to signed deltas and the state table is
+    * rewritten-and-swapped in its own bucket layout
+    * ([[graft.operators.ChangeLog.maintainAggTable]]). Per batch the work
+    * is change-sized plus one state-sized (|groups|-row) rewrite; the base
+    * table is never read. Batch slicing cannot change the result: delta
+    * addition is associative and each key's change appears once per
+    * snapshot diff (parity-gated by `stream_cdc_agg_maintain` and the
+    * spec). A replayed micro-batch DOES double-apply — exactly-once needs
+    * a checkpointed sink; documented like the other ingest replays.
+    */
+  def streamingAggMaintain(changeStream: DataFrame, stateTable: String,
+      opCol: String, groupCol: String,
+      aggCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.ChangeLog.maintainAggTable(batch, stateTable, opCol,
+        groupCol, aggCols)
+    changeStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** The COMPOSED streaming curation funnel — the continuous-ingest shape of
     * the batch [[graft.operators.TextAnalysis.curateFull]] pipeline, stage
     * for stage:

@@ -397,6 +397,47 @@ class StreamingSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming aggregate maintenance: micro-batched changelog keeps the persisted state equal to recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.ChangeLog
+    val prev = Seq((1L, "g1", 10), (2L, "g1", 20), (3L, "g2", 5),
+      (4L, "g3", 7)).toDF("id", "g", "v")
+    val next = Seq((1L, "g1", 15), (2L, "g2", 20), (3L, "g2", 5),
+      (5L, "g4", 9)).toDF("id", "g", "v")
+    val tables = Seq("ivm_state_t", "ivm_state_t_staged", "ivm_state_t_old")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      ChangeLog.aggStateWriteBucketed(prev, "ivm_state_t", "g", Seq("v"),
+        numBuckets = 4)
+      val changes = ChangeLog.fromSnapshotsFull(prev, next, "id", Seq("g", "v"))
+        .as[(Long, String, Option[String], Option[Int], Option[String], Option[Int])]
+        .collect()
+      // hand-split: the U/D rows first, the insert in its own later batch
+      val mem = MemoryStream[(Long, String, Option[String], Option[Int], Option[String], Option[Int])]
+      val stream = mem.toDF().select(col("_1").as("id"), col("_2").as("op"),
+        col("_3").as("g_before"), col("_4").as("v_before"),
+        col("_5").as("g_after"), col("_6").as("v_after"))
+      val q = StreamOps.streamingAggMaintain(stream, "ivm_state_t", "op",
+        "g", Seq("v"))
+      try {
+        mem.addData(changes.filter(_._2 != "I").toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(changes.filter(_._2 == "I").toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val maintained = spark.table("ivm_state_t")
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(maintained === Seq(("g1", 1L, 15L), ("g2", 2L, 25L), ("g4", 1L, 9L)))
+      // the swap preserved the bucket layout for the next exchange-free join
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser
+          .parseTableIdentifier("ivm_state_t")).bucketSpec
+      assert(spec.exists(s => s.bucketColumnNames == Seq("g") && s.numBuckets == 4))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming semantic dedup drops indexed near-dups and extends the IVF index") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
