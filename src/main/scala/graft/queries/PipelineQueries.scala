@@ -1227,6 +1227,26 @@ object PipelineQueries {
           k = 6, lambda = 0.5)
         .orderBy(col("rank"))
     }),
+    // passage-level retrieval (the RAG prep shape): chunk every document
+    // into 50-token/10-overlap passages, score passages with BM25, return
+    // top passages per query with their (doc, chunk) provenance. Passage
+    // ids are doc_id*100000+chunk_id (chunk counts are corpus-bounded far
+    // below 1e5 per doc; a longer-doc deployment widens the multiplier) —
+    // composition of two already-oracled operators, re-stated end to end
+    "ret_passage_bm25" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      val passages = TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 50, overlap = 10)
+        .select((col("doc_id") * 100000 + col("chunk_id")).as("pid"),
+          col("chunk_text"))
+      Retrieval.bm25TopK(passages, "pid", "chunk_text", q, 10)
+        .select(col("query_id"), col("rank"),
+          expr("pid div 100000").as("doc_id"),
+          expr("CAST(pid % 100000 AS INT)").as("chunk_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // hybrid retrieval: BM25 (lexical, over documents) and brute cosine
     // (dense, over embeddings) fused by reciprocal rank — rank-only math,
     // so the fusion is exactly SQL-stated on top of the two oracled sides
@@ -2133,6 +2153,24 @@ object PipelineQueries {
       Sessionize.retentionMatrix(Tables.df(s, dir, "events"), "user_id",
           "ts", period = "week")
         .orderBy(col("cohort"), col("period_offset"))),
+    // the same matrix on the POLICY-SCOPED event log: an RLS predicate
+    // (event_type <> 'error') injected by SecurityContext before cohorting
+    // — scoping changes users' first-event cohorts, not just row counts,
+    // so the oracle splices the predicate into the base CTE
+    "sec_events_retention" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      Tables.df(s, dir, "events").createOrReplaceTempView("events_ret_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "analyst", "spark_catalog", "default", "events_ret_q",
+        "event_type <> 'error'"))
+      val secured = ctx.dfRowFilter("analyst",
+        "SELECT user_id, ts FROM events_ret_q")
+      // DAY grain: at the synthetic corpus density every weekly cell
+      // saturates to |users|; the daily matrix has real texture, so an
+      // unapplied policy cannot hide behind saturation
+      Sessionize.retentionMatrix(secured, "user_id", "ts", period = "day")
+        .orderBy(col("cohort"), col("period_offset"))
+    }),
     // incremental aggregate maintenance over the CDC family: snapshot A's
     // per-lang (count, sum chars) state, diffed-with-both-images against
     // snapshot B (inserts: %3 rows absent from A; deletes: %7 rows absent
@@ -3595,6 +3633,46 @@ object PipelineQueries {
         |       round(0.5 * rel - CASE WHEN m > 1 THEN 0.5 ELSE 0.0 END, 6)
         |         AS mmr_score
         |FROM o WHERE rank <= 6 ORDER BY rank""".stripMargin,
+    // the text_chunk grid feeding the text_bm25_topk scoring shape, with
+    // passage ids and provenance arithmetic restated
+    "ret_passage_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |         CASE WHEN len(ws) = 0 THEN 0
+        |              WHEN len(ws) <= 50 THEN 1
+        |              ELSE 1 + CAST(ceil((len(ws) - 50) / 40.0) AS INT) END AS nchunks
+        |  FROM w),
+        |c AS (SELECT doc_id, ws, unnest(range(nchunks)) AS chunk_id FROM n),
+        |p AS (SELECT doc_id * 100000 + chunk_id AS pid,
+        |             array_to_string(ws[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk_text
+        |      FROM c),
+        |toks AS (SELECT pid,
+        |                unnest(list_filter(string_split_regex(lower(trim(chunk_text)), '\s+'),
+        |                                   x -> x <> '')) AS term
+        |         FROM p),
+        |dlen AS (SELECT pid, count(*) AS dl FROM toks GROUP BY pid),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+        |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
+        |tf AS (SELECT term, pid, count(*) AS tf FROM toks
+        |       WHERE term IN (SELECT term FROM q) GROUP BY term, pid),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT q.query_id, tf.pid,
+        |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |                * (tf.tf * (1.2 + 1.0))
+        |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
+        |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |            JOIN dlen USING (pid), st
+        |       GROUP BY q.query_id, tf.pid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, pid) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INT) AS rank, pid // 100000 AS doc_id,
+        |       CAST(pid % 100000 AS INT) AS chunk_id, score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the two retriever CTEs are the text_bm25_topk / ann_brute_topk
     // formulations; fusion adds 1/(60+rank) per list, rounds, re-ranks
     "ret_hybrid_rrf" ->
@@ -4768,6 +4846,18 @@ object PipelineQueries {
         |UNION ALL SELECT 3, 'purchase', n3,
         |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
         |ORDER BY stage""".stripMargin,
+    // the RLS predicate lands in the base CTE — cohorts recompute over the
+    // scoped log, exactly what the injected Filter produces
+    "sec_events_retention" ->
+      """WITH b AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+        |           FROM events WHERE event_type <> 'error'),
+        |f AS (SELECT user_id, min(p) AS cohort FROM b GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, p FROM b)
+        |SELECT f.cohort,
+        |       CAST(date_diff('day', f.cohort, a.p) AS INT) AS period_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
     // both engines truncate weeks to Monday; datediff is an exact multiple
     // of 7 between two week-truncated dates
     "events_retention" ->
