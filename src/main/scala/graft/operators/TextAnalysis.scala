@@ -664,6 +664,46 @@ object TextAnalysis {
         percentile_approx(col("_nw"), lit(0.5), lit(accuracy)).as("p50_words"),
         percentile_approx(col("_nw"), lit(0.95), lit(accuracy)).as("p95_words"))
 
+  /** Distinct-n diversity (the Texygen distinct-n metric, Zhu et al. 2018):
+    * per group and per n, the ratio of DISTINCT word n-grams to total word
+    * n-gram occurrences — the standard repetitiveness / mode-collapse
+    * signal tracked per source and per training epoch (a shrinking
+    * distinct-2 under constant volume means the corpus is filling with
+    * templated text).
+    *
+    * Exact on purpose (it is the oracled gate); the n-gram explode shuffles
+    * one row per occurrence for the per-group countDistinct. At 100 TB
+    * track it with the [[sketchStats]] discipline instead — swap
+    * `countDistinct` for `approx_count_distinct` and the shuffle carries
+    * sketch bytes per (partition, group); the ratio's drift, not its 6th
+    * decimal, is the decision input.
+    */
+  def distinctN(df: DataFrame, textCol: String, groupCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    val base = df.select(col(groupCol).as("group"),
+      wordsOf(col(textCol)).as("_ws"))
+    ns.map { n =>
+      val grams =
+        if (n == 1) col("_ws")
+        else bindOnce(col("_ws")) { ws =>
+          // sequence DESCENDS when stop < start — guard the short case
+          when(size(ws) >= n,
+            transform(sequence(lit(1), size(ws) - (n - 1)),
+              i => concat_ws(" ", slice(ws, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        }
+      base.select(col("group"), explode(grams).as("_g"))
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("_g")).as("distinct_ngrams"))
+        .select(col("group"), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams"), 6).as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
   /** [[curate]] plus the near-dup stage every published pretraining funnel
     * runs after exact dedup (C4, Gopher/MassiveText, RefinedWeb): survivors
     * of the quality gate + exact dedup flow through MinHash-LSH candidate

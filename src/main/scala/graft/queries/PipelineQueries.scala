@@ -2147,6 +2147,26 @@ object PipelineQueries {
       Sessionize.funnelCounts(Tables.df(s, dir, "events"), "user_id",
           "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
+    // distinct-n diversity per source (Texygen distinct-1/2/3): the
+    // repetitiveness / template-collapse signal tracked per epoch
+    "text_distinct_n" -> ((s, dir) =>
+      TextAnalysis.distinctN(docs(s, dir), "text", "source", Seq(1, 2, 3))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"), col("n"))),
+    // tokenizer fertility per language (tokens per word under the TRAINED
+    // tokenizer) — the standard multilingual tokenizer-equity metric: a
+    // language with outsized fertility pays more context budget per word
+    "text_bpe_fertility" -> ((s, dir) => {
+      val m = trainedBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.bpeTokenCounts(bpeDocs(s, dir), "doc_id", "text", m)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fertility",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .orderBy(col("lang"))
+    }),
     // weekly cohort retention matrix (who came back, per first-event
     // cohort) — Monday-aligned week truncation in both engines
     "events_retention" -> ((s, dir) =>
@@ -4846,6 +4866,43 @@ object PipelineQueries {
         |UNION ALL SELECT 3, 'purchase', n3,
         |  CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
         |ORDER BY stage""".stripMargin,
+    // DuckDB list slices are end-INCLUSIVE: ws[i:i+n-1] is an n-gram and i
+    // ranges over 1..len-n+1 (range's stop is exclusive)
+    "text_distinct_n" ->
+      s"""WITH w AS (SELECT source, $duckWords AS ws0 FROM documents),
+         |f AS (SELECT source, list_filter(ws0, x -> x <> '') AS ws FROM w),
+         |g AS (
+         |  SELECT source, 1 AS n, unnest(ws) AS g FROM f
+         |  UNION ALL
+         |  SELECT source, 2, unnest([array_to_string(ws[i:i+1], ' ')
+         |                            for i in range(1, len(ws))]) FROM f
+         |  UNION ALL
+         |  SELECT source, 3, unnest([array_to_string(ws[i:i+2], ' ')
+         |                            for i in range(1, len(ws) - 1)]) FROM f)
+         |SELECT source, n, count(*) AS total_ngrams,
+         |       count(DISTINCT g) AS distinct_ngrams,
+         |       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+         |         AS distinct_ratio
+         |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+    // the text_bpe_docs dictionary join rolled up per language
+    "text_bpe_fertility" ->
+      s"""WITH ${bpeCtes(8)},
+         |dict AS (
+         |  SELECT word, len(list_filter(string_split(s, ' '), x -> x <> ''))
+         |           AS word_tokens
+         |  FROM s8),
+         |dw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(text, '$duckWordPattern')) AS word
+         |  FROM bdocs),
+         |t AS (SELECT doc_id, count(*) AS n_words, sum(word_tokens) AS n_tokens
+         |      FROM dw JOIN dict USING (word) GROUP BY doc_id)
+         |SELECT d.lang, CAST(sum(t.n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(t.n_tokens) AS DOUBLE) / sum(t.n_words), 6)
+         |         AS fertility
+         |FROM t JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // the RLS predicate lands in the base CTE — cohorts recompute over the
     // scoped log, exactly what the injected Filter produces
     "sec_events_retention" ->

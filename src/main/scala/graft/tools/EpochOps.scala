@@ -129,6 +129,26 @@ object EpochOps {
     TextAnalysis.sketchStats(batch, "text", "source").orderBy(col("source"))
       .collect().foreach(r => println(s"[drift] $r"))
 
+    // ---- 2b. standing per-lang aggregate maintained incrementally: the
+    // epoch's ingest is an all-inserts changelog against the corpus state
+    // (change-sized deltas + a |langs|-row staged-swap rewrite — the base
+    // is never rescanned) ----
+    Seq("ep_lang_agg", "ep_lang_agg_staged", "ep_lang_agg_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.ChangeLog.aggStateWriteBucketed(
+      corpus.withColumn("chars", length(col("text"))),
+      "ep_lang_agg", "lang", Seq("chars"), numBuckets = 4)
+    graft.operators.ChangeLog.maintainAggTable(
+      graft.operators.ChangeLog.fromSnapshotsFull(
+        corpus.limit(0).select(col("doc_id"), col("lang"),
+          length(col("text")).as("chars")),
+        batch.select(col("doc_id"), col("lang"),
+          length(col("text")).as("chars")),
+        "doc_id", Seq("lang", "chars")),
+      "ep_lang_agg", "op", "lang", Seq("chars"))
+    spark.table("ep_lang_agg").orderBy(col("lang"))
+      .collect().foreach(r => println(s"[ivm] $r"))
+
     // ---- 3. recall budget on a fixed probe set ----
     val probes = embs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

@@ -640,6 +640,21 @@ class OperatorsSpec extends SparkFunSuite {
       Sessionize.retentionMatrix(ev, "user_id", "ts", "month"))
   }
 
+  test("distinctN: hand-computed ratios, short docs contribute no higher-order grams") {
+    val corpus = Seq((1L, "s1", "a a b"), (2L, "s1", "a b"))
+      .toDF("doc_id", "src", "text")
+    val got = TextAnalysis.distinctN(corpus, "text", "src", Seq(1, 2, 3))
+      .orderBy("n")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList
+    assert(got == List(
+      (1, 5L, 2L, 0.4),      // a a b a b -> {a, b}
+      (2, 3L, 2L, 0.666667), // 'a a','a b' + 'a b'
+      (3, 1L, 1L, 1.0)))     // only doc 1 is long enough
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctN(corpus, "text", "src", Seq.empty))
+  }
+
   test("sourceOverlap: sketch estimates recover planted pairwise overlaps, deterministically") {
     // sa = residues 0-5 (1200 ids), sb = 4-9 (1200), sc = evens (1000);
     // exact overlaps: sa∩sb = 400, sa∩sc = 600, sb∩sc = 600
