@@ -1165,6 +1165,25 @@ object PipelineQueries {
       Retrieval.bm25TopKFromIndex(q, "graft_bm25_gate", "doc_id", 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // retrieval on the POLICY-SCOPED corpus: an RLS predicate (lang='en')
+    // injected by SecurityContext before scoring — N, avgdl, df and idf
+    // all recompute over the scoped corpus, not just the hit set, which
+    // is why the whole chain (not a post-filter) must run behind the
+    // policy; the oracle splices the predicate into the tokenize CTE
+    "sec_ret_bm25" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      docs(s, dir).createOrReplaceTempView("documents_ret_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "analyst", "spark_catalog", "default", "documents_ret_q",
+        "lang = 'en'"))
+      val secured = ctx.dfRowFilter("analyst",
+        "SELECT doc_id, text FROM documents_ret_q")
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopK(secured, "doc_id", "text", q, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // streaming ingest parity for the posting index: the %3 == 0 third of
     // the corpus arrives as THREE micro-batches (doc_id % 9 residues) via
     // streamingBm25Ingest; the probe after processAllAvailable must equal
@@ -3639,6 +3658,10 @@ object PipelineQueries {
     "text_bm25_incr" -> bm25TopkSql,
     // three micro-batch appends == one batch append == monolithic build
     "stream_bm25_ingest" -> bm25TopkSql,
+    // the full scoring chain over the policy-scoped corpus: the predicate
+    // lands in the tokenize CTE so N/avgdl/df/idf recompute behind it
+    "sec_ret_bm25" -> bm25TopkSql.replace(
+      "FROM documents),", "FROM documents WHERE lang = 'en'),"),
     // one member per orthogonal group in relevance order, then seconds at
     // the 0.5 duplicate penalty — the greedy's exact arithmetic
     "ret_mmr_check" ->

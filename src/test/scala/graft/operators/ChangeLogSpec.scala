@@ -118,6 +118,30 @@ class ChangeLogSpec extends SparkFunSuite {
       .orderBy("g").as[(String, Long, Long)].collect().toSeq)
   }
 
+  test("IVM property: maintained == recomputed over seeded random snapshot pairs") {
+    // random prev/next over a shared key space: every op mix, group moves,
+    // group births/deaths and value collisions arise by construction
+    (1 to 4).foreach { round =>
+      val rnd = new scala.util.Random(round * 131L)
+      def snap() = (0L until 60L).flatMap { k =>
+        if (rnd.nextDouble() < 0.7)
+          Some((k, s"g${rnd.nextInt(5)}", rnd.nextInt(100)))
+        else None
+      }
+      val prev = snap().toDF("id", "g", "v")
+      val next = snap().toDF("id", "g", "v")
+      val maintained = ChangeLog.applyAggDeltas(
+          ChangeLog.aggState(prev, "g", Seq("v")),
+          ChangeLog.aggDeltas(
+            ChangeLog.fromSnapshotsFull(prev, next, "id", Seq("g", "v")),
+            "op", "g", Seq("v")), "g", Seq("v"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      val recomputed = ChangeLog.aggState(next, "g", Seq("v"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(maintained === recomputed, s"round $round diverged")
+    }
+  }
+
   test("materialize plans one exchange, partially aggregated map-side") {
     val plan = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
       .queryExecution.executedPlan.toString
