@@ -1284,6 +1284,27 @@ object PipelineQueries {
       Retrieval.rrfFuse(Seq(lex, dense), "id", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the standing-workload hybrid: the lexical retriever probes the
+    // PERSISTED posting index (no corpus re-tokenize at query time), the
+    // dense side is the brute cosine, fusion identical — what a deployed
+    // retrieval endpoint actually runs per query batch
+    "ret_hybrid_rrf_idx" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.bm25WriteBucketed(d, "graft_bm25_hybrid", "doc_id", "text")
+      val q = s.createDataFrame(Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      val lex = Retrieval.bm25TopKFromIndex(q, "graft_bm25_hybrid", "doc_id", 10)
+        .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      val e = embs(s, dir)
+      val qv = e.filter(col("vec_id").between(1, 3))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dense = Similarity.bruteForceTopK(e, qv, "vec_id", "embedding",
+          "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("id"))
+      Retrieval.rrfFuse(Seq(lex, dense), "id", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // distributed BPE merge training: 8 (global-argmax, merge-everywhere)
     // iterations over the distinct-word table; the oracle unrolls the same
     // 8 iterations in DuckDB (one string-replace merge per rank — see
@@ -2516,6 +2537,50 @@ object PipelineQueries {
       |SELECT lang, count(*) AS n_rows, CAST(sum(chars) AS BIGINT) AS sum_chars
       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The hybrid-retrieval oracle (text_bm25_topk + ann_brute_topk CTEs
+    * fused by 1/(60+rank)): shared by the ad-hoc `ret_hybrid_rrf` and
+    * the posting-index-backed `ret_hybrid_rrf_idx` — the index path must
+    * reproduce the ad-hoc lexical side exactly, so fusion is identical.
+    */
+  private lazy val hybridRrfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
+         |              FROM documents),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+         |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+         |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |                * (tf.tf * (1.2 + 1.0))
+         |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
+         |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
+         |            JOIN dlen USING (doc_id), st
+         |       GROUP BY q.query_id, tf.doc_id),
+         |lex AS (SELECT query_id, doc_id AS id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |        FROM sc QUALIFY rank <= 10),
+         |qv AS (SELECT vec_id AS query_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings WHERE vec_id BETWEEN 1 AND 3),
+         |ds AS (SELECT qv.query_id, e.vec_id,
+         |              list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v) AS cosine
+         |       FROM embeddings e CROSS JOIN qv),
+         |dense AS (SELECT query_id, vec_id AS id, row_number() OVER (
+         |            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |          FROM ds QUALIFY rank <= 10),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+         |f AS (SELECT query_id, id,
+         |             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+         |      FROM u GROUP BY query_id, id),
+         |r AS (SELECT query_id, id, rrf_score, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rrf_score DESC, id) AS rank
+         |      FROM f)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, rrf_score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val dsirCtes: String =
     s"""tw AS (SELECT unnest(list_filter($duckWords, x -> x <> '')) AS w
        |       FROM documents WHERE doc_id % 19 = 0),
@@ -3718,44 +3783,10 @@ object PipelineQueries {
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the two retriever CTEs are the text_bm25_topk / ann_brute_topk
     // formulations; fusion adds 1/(60+rank) per list, rounds, re-ranks
-    "ret_hybrid_rrf" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter($duckWords, x -> x <> '')) AS term
-         |              FROM documents),
-         |dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
-         |q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
-         |       (2,'sort'),(2,'order'),(3,'vector'),(3,'scan')) AS t(query_id, term)),
-         |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
-         |       WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |              round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
-         |                * (tf.tf * (1.2 + 1.0))
-         |                / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / st.avgdl))), 4) AS score
-         |       FROM tf JOIN q USING (term) JOIN dfq USING (term)
-         |            JOIN dlen USING (doc_id), st
-         |       GROUP BY q.query_id, tf.doc_id),
-         |lex AS (SELECT query_id, doc_id AS id, row_number() OVER (
-         |          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-         |        FROM sc QUALIFY rank <= 10),
-         |qv AS (SELECT vec_id AS query_id,
-         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |       FROM embeddings WHERE vec_id BETWEEN 1 AND 3),
-         |ds AS (SELECT qv.query_id, e.vec_id,
-         |              list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v) AS cosine
-         |       FROM embeddings e CROSS JOIN qv),
-         |dense AS (SELECT query_id, vec_id AS id, row_number() OVER (
-         |            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-         |          FROM ds QUALIFY rank <= 10),
-         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
-         |f AS (SELECT query_id, id,
-         |             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
-         |      FROM u GROUP BY query_id, id),
-         |r AS (SELECT query_id, id, rrf_score, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY rrf_score DESC, id) AS rank
-         |      FROM f)
-         |SELECT query_id, CAST(rank AS INT) AS rank, id, rrf_score
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ret_hybrid_rrf" -> hybridRrfSql,
+    // the standing-workload hybrid: lexical side probed from the persisted
+    // posting index instead of re-tokenizing — same oracle
+    "ret_hybrid_rrf_idx" -> hybridRrfSql,
     "dsir_select" ->
       s"""WITH $dsirCtes,
          |r AS (SELECT doc_id, row_number() OVER (ORDER BY logweight DESC,
