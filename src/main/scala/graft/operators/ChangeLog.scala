@@ -90,6 +90,9 @@ object ChangeLog {
     * keys only in `next` (payload = next), 'D' for keys only in `prev`
     * (payload = the dying row, as Flink's -D carries it), 'U' for keys in
     * both whose payload differs null-safely. Unchanged keys emit nothing.
+    * CONTRACT (here and in [[fromSnapshotsFull]]): `keyCol` is unique
+    * within each snapshot — it is the CDC primary key; a duplicated key
+    * would multiply through the full-outer join and emit phantom changes.
     * Replaying [[fromSnapshots]](a, b) over state a via [[materialize]]
     * reproduces state b — the spec pins that round trip.
     *

@@ -127,6 +127,17 @@ class RetrievalSpec extends SparkFunSuite {
       s"posting-side aggregate shuffled on term:\n$plan")
   }
 
+  test("bm25 index probe edge cases: empty query set and all-absent terms return no rows") {
+    Seq("bm25_e", "bm25_e_stats", "bm25_e_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Retrieval.bm25WriteBucketed(corpus, "bm25_e", "doc_id", "text",
+      numBuckets = 4)
+    val none = Seq.empty[(Int, String)].toDF("query_id", "term")
+    assert(Retrieval.bm25TopKFromIndex(none, "bm25_e", "doc_id", 5).count() === 0)
+    val absent = Seq((1, "unicorn"), (2, "gryphon")).toDF("query_id", "term")
+    assert(Retrieval.bm25TopKFromIndex(absent, "bm25_e", "doc_id", 5).count() === 0)
+  }
+
   test("rrfFuse: hand-computed fusion, agreement beats either single list") {
     // list A ranks (10, 20, 30); list B ranks (20, 10, 40):
     // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 -> exact tie at rounded
