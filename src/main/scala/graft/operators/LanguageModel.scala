@@ -95,10 +95,13 @@ object LanguageModel {
     * produced (order-free by construction), asserted equal in
     * OperatorsSpec.
     *
-    * SIZE-GUARDED: the model row count is measured BEFORE collecting;
-    * past `maxBroadcastRows` the scorer switches to
+    * SIZE-GUARDED: the guard and the model fetch are ONE job — a
+    * collect-limit of `maxBroadcastRows + 1` rows over the (lazily
+    * checkpointed) model. Under the limit, the collected rows ARE the
+    * model (no separate count pass); at the limit, the scorer switches to
     * [[scoreWithModelJoin]] — same scores (integer sums commute), no
-    * driver-side model.
+    * driver-side model — and the join path reuses the already-materialized
+    * checkpoint instead of recomputing the model build.
     */
   private def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
       model0: DataFrame, oovNlpQ: Long,
@@ -106,19 +109,26 @@ object LanguageModel {
       maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
     val model = model0.localCheckpoint(eager = false)
-    if (model.count() > maxBroadcastRows)
+    val probeN = maxBroadcastRows + 1
+    val probed =
+      if (probeN > Int.MaxValue) null
+      else model.select(col("gram"), col("nlp_q")).limit(probeN.toInt).collect()
+    if (probed == null || probed.length >= probeN)
       return scoreWithModelJoin(df, idCol, textCol, model, backoff, oovNlpQ)
-    val entries = model.select(col("gram"), col("nlp_q")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entries = probed.map(r => r.getString(0) -> r.getLong(1)).toMap
     val sc = df.sparkSession.sparkContext
     val bc = sc.broadcast(entries)
     val scoreExpr = backoff match {
       case None =>
         graft.functions.TrigramScore(expressionOf(col(textCol)), bc, oovNlpQ)
       case Some(bt) =>
-        def m(kind: String) = bt.filter(col("kind") === kind)
-          .select(col("key"), col("nlp_q")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // one collect for the whole backoff frame, split by kind
+        // driver-side — not four filter(kind).collect() jobs
+        val rows = bt.select(col("kind"), col("key"), col("nlp_q")).collect()
+        val byKind = rows.groupBy(_.getString(0))
+        def m(kind: String) =
+          byKind.getOrElse(kind, Array.empty[org.apache.spark.sql.Row])
+            .map(r => r.getString(1) -> r.getLong(2)).toMap
         val maps = graft.functions.KnBackoffMaps(
           m("ctx"), m("cbg"), m("blam"), m("uni"))
         graft.functions.TrigramScoreBackoff(

@@ -57,12 +57,15 @@ object Retrieval {
       .agg(count(lit(1)).as("_tf"))
       .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
-    // prune dlen to the HIT SET before joining it in (broadcast left-semi:
-    // no extra corpus exchange) — stats above already read the full dlen,
-    // so N/avgdl stay corpus-wide while everything joined downstream is
-    // proportional to the hit set
+    // prune dlen to the HIT SET before joining it in — stats above already
+    // read the full dlen, so N/avgdl stay corpus-wide while everything
+    // joined downstream is proportional to the hit set. NO broadcast hint:
+    // the hit set is unbounded (a stopword-like query term makes it
+    // corpus-sized), so AQE picks the strategy from runtime stats —
+    // broadcast when small, shuffle when not — instead of a forced
+    // driver-side materialization that could OOM at scale
     val dlenHit = dlen.join(
-      broadcast(tf.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
     val scored = tf
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
@@ -106,9 +109,11 @@ object Retrieval {
     * bucket count; `<table>_stats` holds one `(n_docs, sum_dl, batch_fp)`
     * row per build/append — N and avgdl are the SUM of that tiny table, so
     * appends maintain corpus statistics without ever re-reading the corpus
-    * (`batch_fp`, a sum of per-doc id hashes, makes replayed appends
-    * distinguishable from legitimately identical batches so the probe's
-    * `distinct()` on stats stays exact under accretion).
+    * (`batch_fp`, the bit-XOR of per-doc id hashes — order-free, closed
+    * under the 64-bit domain, self-inverse, same rationale as the Sampling
+    * checksums — makes replayed appends distinguishable from legitimately
+    * identical batches so the probe's `distinct()` on stats stays exact
+    * under accretion).
     *
     * Scale: the build tokenizes the corpus once map-side; its only
     * exchange is the (term, id) tf aggregation that the bucketed write
@@ -135,17 +140,29 @@ object Retrieval {
     * `<table>_meta`), completing the family's build/probe/append symmetry:
     * each batch's survivors extend the index the next probe reads, and N /
     * avgdl follow from the appended stats row — no corpus re-read, no
-    * index rewrite. Replayed appends accrete duplicate posting rows;
-    * probes stay exact under accretion (per-(term, id) max collapses
-    * byte-identical replays) and [[Dedup.compactIndex]] reclaims the scan
-    * width.
+    * index rewrite. The 'new documents only' contract is ENFORCED, not
+    * prose: the batch is anti-joined against the ids already in the index
+    * before anything is written (the Sampling-checksum discipline EpochOps
+    * applies to exact-dedup survivors) — without it a replayed doc_id would
+    * double-count in the summed stats rows (N, sum_dl) while its postings
+    * collapse via max(tf) at probe time, silently skewing index-path scores
+    * away from the ad-hoc [[bm25TopK]]. Replayed appends therefore become
+    * no-ops (plus one empty stats row, which the probe's sum ignores).
+    * Cost: the guard semi-filters the index's id column by the batch ids
+    * (batch-sized broadcast, columnar id-only scan), so the anti-join's
+    * build side is bounded by the batch, never the corpus.
     */
   def bm25AppendToIndex(docs: DataFrame, table: String, idCol: String,
       textCol: String): Unit = {
     val spark = docs.sparkSession
     val numBuckets = spark.table(s"${table}_meta")
       .collect().head.getAs[Int]("num_buckets")
-    writePostings(docs, table, idCol, textCol, numBuckets,
+    val already = spark.table(table).select(col(idCol))
+      .join(broadcast(docs.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .distinct()
+    val fresh = docs.join(already, Seq(idCol), "left_anti")
+    writePostings(fresh, table, idCol, textCol, numBuckets,
       org.apache.spark.sql.SaveMode.Append)
   }
 

@@ -81,7 +81,7 @@ class RetrievalSpec extends SparkFunSuite {
     assert(pure.map(_._3) === Seq(10L, 11L))
   }
 
-  test("bm25 posting index: build+append+probe equals ad-hoc; replayed appends and compaction change nothing") {
+  test("bm25 posting index: build+append+probe equals ad-hoc; replayed and overlapping appends are filtered to fresh docs") {
     Seq("bm25_t", "bm25_t_stats", "bm25_t_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     Retrieval.bm25WriteBucketed(corpus.filter(col("doc_id") <= 2),
@@ -94,17 +94,33 @@ class RetrievalSpec extends SparkFunSuite {
     def probe() = Retrieval.bm25TopKFromIndex(q, "bm25_t", "doc_id", 10)
       .collect().toSet
     assert(probe() === adhoc)
-    // replayed append: per-(term, id) max collapses the duplicate posting
-    // rows and the stats distinct() collapses the identical delta row —
-    // scores must not move
+    // replayed append: the anti-join guard drops every already-indexed doc,
+    // so the replay is a posting-level NO-OP — zero accretion, stats N /
+    // sum_dl not double-counted, scores identical
+    val postingsBefore = spark.table("bm25_t").count()
     Retrieval.bm25AppendToIndex(corpus.filter(col("doc_id") > 2),
       "bm25_t", "doc_id", "text")
+    assert(spark.table("bm25_t").count() === postingsBefore)
+    assert(Dedup.indexAccretion(spark, "bm25_t") <= 1.0)
     assert(probe() === adhoc)
-    // accretion is visible, compaction reclaims it, probe still exact
-    assert(Dedup.indexAccretion(spark, "bm25_t") > 1.2)
-    Dedup.compactIndex(spark, "bm25_t")
-    assert(Dedup.indexAccretion(spark, "bm25_t") <= 1.05)
-    assert(probe() === adhoc)
+    // the summed corpus stats stay exact under the replay (the empty delta
+    // row contributes nothing): N == indexed docs, sum_dl == their lengths
+    val statRow = spark.table("bm25_t_stats").distinct()
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
+    val expectDocs = corpus.filter(length(trim(col("text"))) > 0).count()
+    assert(statRow.getLong(0) === expectDocs)
+    // partial-overlap batch: one already-indexed doc + one genuinely new —
+    // only the fresh doc's postings and length enter the index
+    val extra = Seq((1L, "cat cat"), (99L, "zebra cat")).toDF("doc_id", "text")
+    Retrieval.bm25AppendToIndex(extra, "bm25_t", "doc_id", "text")
+    val ids = spark.table("bm25_t").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(99L))
+    // doc 1's postings are unchanged (still the original text's tf rows)
+    val adhoc2 = Retrieval.bm25TopK(
+      corpus.unionAll(extra.filter(col("doc_id") === 99)),
+      "doc_id", "text", q, 10).collect().toSet
+    assert(probe() === adhoc2)
   }
 
   test("bm25 index probe plan: In-filter prunes buckets, posting aggregates are exchange-free on the bucket key") {
