@@ -6,7 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the official artifact has been lost to the driver's window four rounds
+    // running, so the dump's wall-clock is a correctness concern (VERDICT
+    // r10 #1). Default measured on the 32-core sandbox at sf0.01: 8 threads
+    // beat both 4 (258 s vs 209 s) and 32 (311 s) — the dump is hundreds of
+    // small jobs, where scheduler overhead dominates past ~8 tasks/stage.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,20 +20,45 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the dump re-reads documents/events/embeddings per query; cache the
+    // shared inputs once for the run (content identical, plan shape not
+    // asserted here — the plan-shape specs run the uncached path)
+    graft.queries.Tables.cacheInputs.set(true)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c reruns a subset (local iteration; the driver
     // never sets it, so the official gate always dumps every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val t0 = System.nanoTime()
+    var nRun = 0
+    var nFail = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      nRun += 1
+      try {
+        // plain parallel write, NOT coalesce(1): coalesce collapses the
+        // whole final stage to one task. Order is preserved for the
+        // positional compare — every multi-row query is globally sorted, so
+        // the range-partitioned part files concatenate in file-name order to
+        // the same row order a single-part write would produce.
+        val dir = s"$outDir/$name"
+        fn(spark, sfDir).write.mode("overwrite").parquet(dir)
+        // an all-empty result can legally write zero part files; the
+        // checker needs at least one footer to read the schema from
+        val hasPart = Option(new java.io.File(dir).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
+        if (!hasPart)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
+      } catch { case e: Throwable =>
+        nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the round's own correctness receipt: one unambiguous summary line on
+    // stdout (the driver and the round log both see it)
+    println(f"[verify] dump complete: $nRun queries, $nFail failures, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s, out=$outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

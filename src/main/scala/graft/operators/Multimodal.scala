@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed partition-parallel.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * deterministic STUB (`FakeCodec`) — the Spark-side plumbing is real and
-  * tested: schema shape, per-partition batched processing (the Scala
-  * equivalent of mapInPandas), frame sampling via explode, and
-  * feature-vector output ready for [[Similarity]].
+  * IMAGE decode is REAL: [[ImageCodec]] encodes/decodes genuine PNG/BMP
+  * bytes through JDK ImageIO (present in every JDK, offline-safe), and
+  * [[decodeImageFeatures]] computes features from the decoded raster.
+  * Codecs the JDK lacks (video frame extraction, resample filters) remain
+  * behind the deterministic `FakeCodec` stand-in with the same signatures.
+  * The Spark-side plumbing is identical for both and tested: schema shape,
+  * per-partition batched processing (the Scala equivalent of mapInPandas),
+  * frame sampling via explode, and feature-vector output ready for
+  * [[Similarity]].
   *
   * Scale notes: binary payloads ride in the row; decode runs where the data
   * lives (mapPartitions — one task per input split, no shuffle); metadata
@@ -56,6 +60,173 @@ object Multimodal {
     def resize(payload: Array[Byte], outLen: Int): Array[Byte] =
       if (payload == null || payload.isEmpty || outLen <= 0) Array.emptyByteArray
       else Array.tabulate(outLen)(i => payload((i.toLong * payload.length / outLen).toInt))
+  }
+
+  /** REAL image codec over JDK ImageIO (PNG/BMP readers and writers ship in
+    * every JDK — public knowledge, offline-safe, headless). Images are
+    * 8-bit grayscale ({@code TYPE_BYTE_GRAY}): both formats are lossless
+    * for it, so decode returns the exact pixel bytes that were encoded and
+    * a pixel-derived feature is closed-form checkable from whatever
+    * generated the pixels. This replaces the FakeCodec STUB for the decode
+    * step itself; FakeCodec remains the stand-in for codecs the JDK lacks
+    * (video frames, resample filters).
+    */
+  object ImageCodec {
+    val FeatureDim = 16
+
+    /** Encode a row-major grayscale pixel array as PNG or BMP bytes. */
+    def encodeGray(pixels: Array[Byte], width: Int, height: Int,
+        format: String): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad geometry ${width}x$height")
+      require(pixels.length == width * height,
+        s"pixels ${pixels.length} != ${width}x$height")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
+      out.toByteArray
+    }
+
+    /** Decode image bytes to (width, height, row-major grayscale pixels).
+      * Non-gray inputs are converted to 8-bit luma via the standard AWT
+      * color pipeline. Returns None for null/undecodable payloads —
+      * corrupt media is DATA at corpus scale, not an exception.
+      */
+    def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload == null || payload.isEmpty) return None
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      img.map { i =>
+        val gray =
+          if (i.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) i
+          else {
+            val g = new java.awt.image.BufferedImage(i.getWidth, i.getHeight,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gc = g.createGraphics()
+            try gc.drawImage(i, 0, 0, null) finally gc.dispose()
+            g
+          }
+        val px = new Array[Byte](gray.getWidth * gray.getHeight)
+        gray.getRaster.getDataElements(0, 0, gray.getWidth, gray.getHeight, px)
+        (gray.getWidth, gray.getHeight, px)
+      }
+    }
+
+    /** The real-decode feature: decode, then a 16-bin normalized luma
+      * histogram over the pixels — same output contract as
+      * [[FakeCodec.decodeFeatures]] but computed from DECODED PIXELS, not
+      * encoded bytes. Undecodable payloads yield the zero vector (and the
+      * caller sees n_pixels = 0).
+      */
+    def decodeFeatures(payload: Array[Byte]): (Int, Array[Float]) =
+      decodeGray(payload) match {
+        case None => (0, new Array[Float](FeatureDim))
+        case Some((_, _, px)) =>
+          val bins = new Array[Float](FeatureDim)
+          px.foreach(b => bins((b & 0xff) >> 4) += 1f)
+          val n = px.length.toFloat
+          (px.length, bins.map(_ / n))
+      }
+  }
+
+  /** Attach a REAL encoded image payload derived from a text column: the
+    * document's UTF-8 bytes become the grayscale pixels of a PNG (or BMP),
+    * width fixed at [[RealMediaWidth]], zero-padded to fill the last row
+    * (one 1x1 zero pixel for empty text). Deterministic by construction —
+    * pixel content is a pure function of the text — so every decoded-pixel
+    * statistic has a closed-form DuckDB oracle over the text while the
+    * payload itself is genuine PNG/BMP bytes produced by a real encoder.
+    *
+    * Runs in mapPartitions (encoder per partition, no shuffle), the same
+    * scale shape as [[decodeFeatures]].
+    */
+  val RealMediaWidth = 64
+  def withRealMedia(df: DataFrame, idCol: String, textCol: String,
+      format: String = "png"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val w = RealMediaWidth
+    val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val width = if (bytes.isEmpty) 1 else math.min(w, bytes.length)
+        val height = if (bytes.isEmpty) 1 else (bytes.length + width - 1) / width
+        val px = java.util.Arrays.copyOf(bytes, width * height)
+        Row(r.getLong(0), ImageCodec.encodeGray(px, width, height, format),
+          s"image/$format", width, height, 1)
+      }
+    }(enc)
+  }
+
+  /** Batched per-partition REAL decode — [[decodeFeatures]]'s shape with
+    * [[ImageCodec]] doing genuine PNG/BMP decoding: (media_id, n_pixels,
+    * features) where features is the 16-bin normalized luma histogram of
+    * the decoded raster and n_pixels is 0 for undecodable payloads. The
+    * extra n_pixels column (vs n_bytes) is the DECODED size — the right
+    * blocking key for near-dup search, since lossless re-encodes of the
+    * same raster can differ in byte length but never in pixel count.
+    */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pixels", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, feats) =
+          ImageCodec.decodeFeatures(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), n, feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Lossless-roundtrip gate for the real codec: regenerate the pixel array
+    * from the text ([[withRealMedia]]'s generator), encode, DECODE, and
+    * compare rasters byte for byte. Output (media_id, n_pixels, ok) — `ok`
+    * must be uniformly true (PNG and BMP are lossless for 8-bit gray), the
+    * property that makes every decoded-pixel statistic closed-form
+    * checkable from the text. One mapPartitions pass, nothing shuffles.
+    */
+  def imageRoundtripCheck(df: DataFrame, idCol: String, textCol: String,
+      format: String = "png"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pixels", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val w = RealMediaWidth
+    val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val width = if (bytes.isEmpty) 1 else math.min(w, bytes.length)
+        val height = if (bytes.isEmpty) 1 else (bytes.length + width - 1) / width
+        val px = java.util.Arrays.copyOf(bytes, width * height)
+        val ok = ImageCodec.decodeGray(
+          ImageCodec.encodeGray(px, width, height, format)) match {
+          case Some((dw, dh, dpx)) =>
+            dw == width && dh == height && java.util.Arrays.equals(dpx, px)
+          case None => false
+        }
+        Row(r.getLong(0), px.length, ok)
+      }
+    }(enc)
   }
 
   /** Attach a synthetic media payload derived from a text column — stands in

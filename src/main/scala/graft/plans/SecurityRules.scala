@@ -257,8 +257,14 @@ final case class DataMaskRule(
         case Some(t) =>
           t.transformerFor(s"`${attr.name}`") match {
             case Some(tpl) =>
-              aliasAs(attr,
+              val a = aliasAs(attr,
                 resolveMaskExpr(spark.sessionState.sqlParser.parseExpression(tpl), base))
+              // the reference-exact output text for SqlRenderer's golden
+              // parity: the policy's transformer template verbatim, CAST
+              // back to the declared type (DataMaskVisitor.java:131)
+              a.setTagValue(SqlRenderer.MaskSqlTag,
+                s"CAST(${t.transformerFor(attr.name).get} AS ${attr.dataType.sql}) AS ${attr.name}")
+              a
             case None => attr // CUSTOM without transformer: passthrough
           }
         case None => attr
@@ -310,9 +316,7 @@ final case class DataMaskRule(
   }
 
   private def hasMask(cat: String, db: String, table: String): Boolean =
-    policies.dataMaskPolicies.exists(p =>
-      p.username.equalsIgnoreCase(user) && p.catalogName.equalsIgnoreCase(cat) &&
-        p.database.equalsIgnoreCase(db) && p.tableName.equalsIgnoreCase(table))
+    policies.hasDataMask(user, cat, db, table)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     applyToEmbeddedQuery(plan, apply, hasMask).getOrElse(applyToTree(plan))

@@ -98,7 +98,23 @@ object DataMaskType {
 
 /** In-memory policy store with the same lookup semantics as the reference's
   * PolicyManager (PolicyManager.java:61-113): linear scan, exact
-  * (case-insensitive) match on user + catalog + db + table (+ column).
+  * (case-insensitive) match on user + catalog + db + table (+ column) —
+  * extended toward the Ranger model the reference's own comment names as
+  * intent (PolicyManager.java:35):
+  *
+  *  - USER GROUPS: a policy's `username` may name a registered group
+  *    ([[addUserToGroup]]); it then applies to every member. A group name
+  *    that collides with a literal username applies to both — register
+  *    distinct names (Ranger separates the lists; the single-field model
+  *    keeps the reference's policy classes unchanged).
+  *  - WILDCARDS: `"*"` in `username`, `catalogName`, `database` or
+  *    `tableName` matches anything (each field independently).
+  *  - PRECEDENCE (masks only): the MOST SPECIFIC matching mask policy wins —
+  *    exact user beats group beats `*`, then exact table beats `*`, then
+  *    exact db, then exact catalog; ties fall to insertion order. Row
+  *    filters need no precedence: every matching condition is AND-ed
+  *    (additive restriction is fail-closed by construction — a wildcard
+  *    filter can only narrow what a specific filter allows).
   *
   * Thread-safe; policies are expected to be few (admin-entered). At 100 TB
   * scale this lives on the driver only — lookups happen during plan rewrite,
@@ -110,8 +126,39 @@ final class PolicyManager {
   private val rowFilters = ArrayBuffer.empty[RowFilterPolicy]
   private val dataMasks = ArrayBuffer.empty[DataMaskPolicy]
   private val maskTypes = ArrayBuffer.from(DataMaskType.builtin)
+  /** group name (lowercase) -> member usernames (lowercase) */
+  private val groupMembers =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
 
   private def eq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+
+  def addUserToGroup(user: String, group: String): Unit = synchronized {
+    require(group != "*", "'*' is the wildcard principal, not a group name")
+    groupMembers.getOrElseUpdate(group.toLowerCase, scala.collection.mutable.Set.empty) +=
+      user.toLowerCase
+    ()
+  }
+  def removeUserFromGroup(user: String, group: String): Unit = synchronized {
+    groupMembers.get(group.toLowerCase).foreach(_ -= user.toLowerCase)
+  }
+  def groupsOf(user: String): Set[String] = synchronized {
+    groupMembers.collect {
+      case (g, members) if members.contains(user.toLowerCase) => g
+    }.toSet
+  }
+
+  /** Specificity of a policy principal for `user`: 2 exact, 1 via group, 0
+    * wildcard, -1 no match.
+    */
+  private def principalRank(policyUser: String, user: String): Int =
+    if (eq(policyUser, user)) 2
+    else if (groupsOf(user).contains(policyUser.toLowerCase)) 1
+    else if (policyUser == "*") 0
+    else -1
+
+  /** Specificity of a name field: 1 exact, 0 wildcard, -1 no match. */
+  private def nameRank(policyName: String, actual: String): Int =
+    if (eq(policyName, actual)) 1 else if (policyName == "*") 0 else -1
 
   def addPolicy(p: RowFilterPolicy): Boolean = synchronized { rowFilters += p; true }
   // Removal matches with the same case-insensitive comparison as the lookups
@@ -139,27 +186,48 @@ final class PolicyManager {
 
   /** All AND-able conditions for (user, table); reference keeps at most one
     * but nothing stops multiple policies matching — we AND them all.
+    * Group-scoped and wildcard policies contribute alongside user-exact ones
+    * (additive restriction — no precedence needed, AND is fail-closed).
     */
   def rowFilterConditions(user: String, catalog: String, db: String,
       table: String): Seq[String] = synchronized {
     rowFilters.collect {
-      case p if eq(p.username, user) && eq(p.catalogName, catalog) &&
-        eq(p.database, db) && eq(p.tableName, table) => p.condition
+      case p if principalRank(p.username, user) >= 0 &&
+        nameRank(p.catalogName, catalog) >= 0 &&
+        nameRank(p.database, db) >= 0 &&
+        nameRank(p.tableName, table) >= 0 => p.condition
     }.toSeq
   }
 
   def dataMaskType(user: String, catalog: String, db: String, table: String,
       column: String): Option[DataMaskType] = synchronized {
-    dataMasks.collectFirst {
-      case p if eq(p.username, user) && eq(p.catalogName, catalog) &&
-        eq(p.database, db) && eq(p.tableName, table) &&
-        eq(p.columnName, column) => p.maskType
-    }.map { name =>
+    // most-specific-wins: rank (user, table, db, catalog) lexicographically;
+    // stable maxBy keeps insertion order on full ties. The column itself is
+    // never a wildcard — masking is a per-column decision.
+    val matches = dataMasks.flatMap { p =>
+      val ranks = (principalRank(p.username, user), nameRank(p.tableName, table),
+        nameRank(p.database, db), nameRank(p.catalogName, catalog))
+      if (eq(p.columnName, column) && ranks._1 >= 0 && ranks._2 >= 0 &&
+        ranks._3 >= 0 && ranks._4 >= 0) Some((ranks, p.maskType))
+      else None
+    }
+    (if (matches.isEmpty) None else Some(matches.maxBy(_._1)._2)).map { name =>
       // fail closed: a policy naming an unregistered mask type must never
       // degrade to passthrough — that would silently expose the column
       getMaskType(name).getOrElse(throw new IllegalStateException(
         s"mask policy on $catalog.$db.$table.$column references unregistered mask type '$name'"))
     }
+  }
+
+  /** Any mask policy (user-exact, group or wildcard) on any column of the
+    * table, for `user` — the rules' cheap "does this table need the mask
+    * pass at all" probe, same matching as [[dataMaskType]].
+    */
+  def hasDataMask(user: String, catalog: String, db: String,
+      table: String): Boolean = synchronized {
+    dataMasks.exists(p => principalRank(p.username, user) >= 0 &&
+      nameRank(p.catalogName, catalog) >= 0 && nameRank(p.database, db) >= 0 &&
+      nameRank(p.tableName, table) >= 0)
   }
 
   def getMaskType(name: String): Option[DataMaskType] = synchronized {
@@ -180,7 +248,9 @@ final class PolicyManager {
       ("dataMasks" -> dataMasks.toList.map(p =>
         ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
           ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
-          ("columnName" -> p.columnName) ~ ("maskType" -> p.maskType)))
+          ("columnName" -> p.columnName) ~ ("maskType" -> p.maskType))) ~
+      ("groups" -> groupMembers.toList.sortBy(_._1).map { case (g, members) =>
+        ("name" -> g) ~ ("members" -> members.toList.sorted) })
     JsonMethods.compact(JsonMethods.render(json))
   }
 
@@ -209,6 +279,17 @@ final class PolicyManager {
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"dataMasks must be an array, got $other")
     }
+    val grps = (root \ "groups") match {
+      case JArray(items) => items.map { v =>
+        val members = v \ "members" match {
+          case JArray(ms) => ms.collect { case JString(m) => m }
+          case _ => Nil
+        }
+        str(v, "name") -> members
+      }
+      case _ => Nil
+    }
     synchronized { rowFilters ++= rfs; dataMasks ++= dms }
+    grps.foreach { case (g, members) => members.foreach(addUserToGroup(_, g)) }
   }
 }

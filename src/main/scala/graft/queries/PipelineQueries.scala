@@ -1659,7 +1659,23 @@ object PipelineQueries {
         m.withColumn("media_id", col("media_id") + 1000000L))
       Multimodal.dedupExact(doubled).orderBy(col("keep_id"))
     }),
+    // GENUINE encoded bytes: payload is a real PNG (JDK ImageIO) whose
+    // grayscale pixels are the text's UTF-8 bytes (zero-padded to the fixed
+    // 64-wide geometry), decoded back by a real PNG reader; features are
+    // computed from the DECODED raster. PNG is lossless for 8-bit gray, so
+    // the 16-bin luma histogram has the same closed DuckDB form as the
+    // synthetic branch plus the padding's contribution to bin 0.
     "mm_features" -> ((s, dir) => {
+      val media = Multimodal.withRealMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.decodeImageFeatures(s, media)
+        .select(col("media_id"), col("n_pixels"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
+        .orderBy(col("media_id"))
+    }),
+    // the synthetic second branch: FakeCodec's byte histogram over the raw
+    // UTF-8 payload (the pre-r11 mm_features), kept oracled
+    "mm_features_synth" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
       Multimodal.decodeFeatures(s, media)
         .select(col("media_id"), col("n_bytes"),
@@ -1667,6 +1683,11 @@ object PipelineQueries {
           round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
         .orderBy(col("media_id"))
     }),
+    // encode -> real decode -> raster equality: the lossless property every
+    // real-media oracle rests on, asserted per document
+    "mm_real_roundtrip" -> ((s, dir) =>
+      Multimodal.imageRoundtripCheck(docs(s, dir), "doc_id", "text")
+        .orderBy(col("media_id"))),
     "mm_frames" -> ((s, dir) => {
       val media = Multimodal.withFakeMedia(docs(s, dir), "doc_id", "text")
       Multimodal.sampleFrames(media, frameBytes = 64)
@@ -1706,8 +1727,10 @@ object PipelineQueries {
       val slice = docs(s, dir).filter(col("doc_id") % 20 === 0)
       val both = slice.select(col("doc_id"), col("text")).unionAll(
         slice.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      val media = Multimodal.withFakeMedia(both, "doc_id", "text")
-      val feats = Multimodal.decodeFeatures(s, media)
+      // real PNG payloads; identical texts -> identical rasters -> identical
+      // decoded histograms, so the planted-clone oracle is unchanged
+      val media = Multimodal.withRealMedia(both, "doc_id", "text")
+      val feats = Multimodal.decodeImageFeatures(s, media)
         .select(col("media_id"), col("features"))
         .localCheckpoint(eager = false) // codebook sample + corpus + queries
       val cb = Similarity.pqCodebooks(feats, "media_id", "features",
@@ -1724,13 +1747,19 @@ object PipelineQueries {
       val both = slice.select(col("doc_id"), col("text")).unionAll(
         slice.select((col("doc_id") + 1000000).as("doc_id"),
           reverse(col("text")).as("text")))
-      val media = Multimodal.withFakeMedia(both, "doc_id", "text")
-      val feats = Multimodal.decodeFeatures(s, media)
-        .select(col("media_id"), col("n_bytes"), col("features"))
+      // real PNG payloads: char reversal permutes whole chars, so the byte
+      // MULTISET — hence the decoded-pixel histogram and the padded pixel
+      // count — is preserved while the encoded bytes differ (invisible to
+      // mm_dedup's md5, found here at cosine 1). n_pixels replaces n_bytes
+      // as the block key: encoded size varies with PNG entropy coding, the
+      // decoded raster size cannot.
+      val media = Multimodal.withRealMedia(both, "doc_id", "text")
+      val feats = Multimodal.decodeImageFeatures(s, media)
+        .select(col("media_id"), col("n_pixels"), col("features"))
         .localCheckpoint(eager = false)
       val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
         threshold = 0.98, maxBucket = Int.MaxValue,
-        blockCols = Seq("n_bytes"))
+        blockCols = Seq("n_pixels"))
         .localCheckpoint(eager = false)
       val planted = pairs
         .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
@@ -2069,17 +2098,22 @@ object PipelineQueries {
       tables.foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t"); rmrf(new java.io.File(wh, t))
       }
-      Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
-        "sc_ex_idx", "doc_id", "k", numBuckets = 4)
-      Dedup.minhashWriteBucketed(base.limit(0), "sc_lsh_idx", "doc_id",
-        "text", numBuckets = 4)
-      val stream = s.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
-      val q = StreamOps.streamingCurate(stream, "sc_ex_idx", "sc_lsh_idx",
-        "doc_id", "text", "sc_sink", bench = Some(bench),
-        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
-        threshold = 0.9)
-      try q.processAllAvailable() finally q.stop()
+      // empty-index builds + the whole ingest sized to the data (the
+      // stream's session clone inherits the setting at start; everything
+      // inside materializes before restore)
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+          "sc_ex_idx", "doc_id", "k", numBuckets = 4)
+        Dedup.minhashWriteBucketed(base.limit(0), "sc_lsh_idx", "doc_id",
+          "text", numBuckets = 4)
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingCurate(stream, "sc_ex_idx", "sc_lsh_idx",
+          "doc_id", "text", "sc_sink", bench = Some(bench),
+          minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+          threshold = 0.9, batchShufflePartitions = Some(8))
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("sc_sink").select(col("doc_id")).orderBy(col("doc_id"))
     }),
     // the reference's core scenario at full depth: the SAME planted corpus
@@ -2116,24 +2150,26 @@ object PipelineQueries {
       val tables = Seq("scs_ex_idx", "scs_lsh_idx", "scs_lsh_idx_sets",
         "scs_lsh_idx_meta", "scs_sink")
       tables.foreach(graft.sources.Sources.dropForOverwrite(s, _))
-      Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
-        "scs_ex_idx", "doc_id", "k", numBuckets = 4)
-      Dedup.minhashWriteBucketed(base.limit(0), "scs_lsh_idx", "doc_id",
-        "text", numBuckets = 4)
-      val stream = s.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
-      stream.createOrReplaceTempView("documents_stream_sec_q")
-      val ctx = new graft.SecurityContext(s)
-      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
-        "curator", "spark_catalog", "default", "documents_stream_sec_q",
-        "lang = 'en'"))
-      val secured = ctx.dfRowFilter("curator",
-        "SELECT doc_id, text FROM documents_stream_sec_q")
-      val q = StreamOps.streamingCurate(secured, "scs_ex_idx", "scs_lsh_idx",
-        "doc_id", "text", "scs_sink", bench = Some(bench),
-        minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
-        threshold = 0.9)
-      try q.processAllAvailable() finally q.stop()
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+          "scs_ex_idx", "doc_id", "k", numBuckets = 4)
+        Dedup.minhashWriteBucketed(base.limit(0), "scs_lsh_idx", "doc_id",
+          "text", numBuckets = 4)
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        stream.createOrReplaceTempView("documents_stream_sec_q")
+        val ctx = new graft.SecurityContext(s)
+        ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+          "curator", "spark_catalog", "default", "documents_stream_sec_q",
+          "lang = 'en'"))
+        val secured = ctx.dfRowFilter("curator",
+          "SELECT doc_id, text FROM documents_stream_sec_q")
+        val q = StreamOps.streamingCurate(secured, "scs_ex_idx", "scs_lsh_idx",
+          "doc_id", "text", "scs_sink", bench = Some(bench),
+          minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+          threshold = 0.9, batchShufflePartitions = Some(8))
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("scs_sink").select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "events_sessionize" -> ((s, dir) =>
@@ -2292,6 +2328,48 @@ object PipelineQueries {
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // the SAME IVM gate fed through the KAFKA-SHAPED log source
+    // (graft.sources.KafkaShapedLog): the change batches are encoded as
+    // (key, value-json-bytes, topic, partition, offset, timestamp) records
+    // — the exact record schema Spark's kafka connector emits, the
+    // reference's mysql-cdc transport shape — appended as mtime-ordered
+    // segments, re-read with readStream, envelope-DECODED with from_json,
+    // and applied to the persisted state. Same oracle as the batch and
+    // plain-parquet streaming paths: the transport must be invisible.
+    "stream_cdc_agg_maintain_log" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"))
+      val prev = d.filter(col("doc_id") % 3 =!= 0)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("chars") + 11)
+            .otherwise(col("chars")).as("chars"))
+      Seq("graft_ivmk_state", "graft_ivmk_state_staged", "graft_ivmk_state_old")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      ChangeLog.aggStateWriteBucketed(prev, "graft_ivmk_state", "lang",
+        Seq("chars"), numBuckets = 4)
+      val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
+        Seq("lang", "chars"))
+        .localCheckpoint(eager = false) // three segment writes share it
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivmk").toFile
+      val logDir = new java.io.File(tmpRoot, "log")
+      Seq(0, 1, 2).foreach { res =>
+        graft.sources.KafkaShapedLog.appendSegment(
+          changes.filter(col("doc_id") % 3 === res), logDir.getPath,
+          topic = "doc_changes", segment = res,
+          keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+      }
+      val decoded = graft.sources.KafkaShapedLog.decodeJson(
+          graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
+          changes.schema)
+        .drop("_kafka_ts")
+      val q = StreamOps.streamingAggMaintain(decoded, "graft_ivmk_state",
+        "op", "lang", Seq("chars"))
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_ivmk_state")
+        .select(col("lang"), col("n_rows"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
@@ -2344,19 +2422,26 @@ object PipelineQueries {
       val q = StreamOps.streamingCurate(stream, "vq_rc_ex_idx", "vq_rc_lsh_idx",
         "doc_id", "text", "vq_rc_sink", bench = None,
         minWords = 5, minStopHits = 1, maxBucket = Int.MaxValue,
-        threshold = 0.9, quarantineTable = Some("vq_rc_quar"))
+        threshold = 0.9, quarantineTable = Some("vq_rc_quar"),
+        batchShufflePartitions = Some(4))
       try docs3.foreach { d => mem.addData(d); q.processAllAvailable() }
       finally q.stop()
-      val lateDrop = StreamOps.reconcileCurate(s, "vq_rc_sink", "vq_rc_lsh_idx",
-        "vq_rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
-      val sinkBefore = s.table("vq_rc_sink")
-        .select(lit("sink").as("phase"), col("doc_id")).localCheckpoint()
-      val drops = lateDrop.select(lit("late_drop").as("phase"), col("doc_id"))
-        .localCheckpoint()
-      // the actuator: rewrite the sink without the late drops (recoverable
-      // staged swap), then read the applied state back
-      StreamOps.applyReconcile(s, "vq_rc_sink", drops.select(col("doc_id")),
-        "doc_id")
+      // the reconcile pass and the staged-swap actuator run over a 3-doc
+      // sink: size their shuffles to the data (everything inside
+      // materializes via eager localCheckpoint / the swap's writes)
+      val (sinkBefore, drops) = graft.SparkUtil.withShufflePartitions(s, 4) {
+        val lateDrop = StreamOps.reconcileCurate(s, "vq_rc_sink", "vq_rc_lsh_idx",
+          "vq_rc_quar", "doc_id", "text", maxBucket = Int.MaxValue, threshold = 0.9)
+        val before = s.table("vq_rc_sink")
+          .select(lit("sink").as("phase"), col("doc_id")).localCheckpoint()
+        val d = lateDrop.select(lit("late_drop").as("phase"), col("doc_id"))
+          .localCheckpoint()
+        // the actuator: rewrite the sink without the late drops (recoverable
+        // staged swap), then read the applied state back
+        StreamOps.applyReconcile(s, "vq_rc_sink", d.select(col("doc_id")),
+          "doc_id")
+        (before, d)
+      }
       sinkBefore.unionAll(drops)
         .unionAll(s.table("vq_rc_sink")
           .select(lit("reconciled").as("phase"), col("doc_id")))
@@ -3241,10 +3326,32 @@ object PipelineQueries {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // REAL decode: pixels are the text's UTF-8 bytes zero-padded to the
+    // 64-wide PNG geometry (1x1 zero pixel for empty text). Bins 0 and 7
+    // cover pure-ASCII char ranges (1 byte each in UTF-8), padding zeros
+    // land in bin 0, and FLOAT casts replicate the float32 normalization
+    // over the DECODED pixel count exactly (PNG gray8 is lossless)
+    "mm_features" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(encode(text)) AS n,
+        |         len(regexp_extract_all(text, '[\x{00}-\x{0F}]')) AS c0,
+        |         len(regexp_extract_all(text, '[\x{70}-\x{7F}]')) AS c7
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_id, n, c0, c7,
+        |         CASE WHEN n = 0 THEN 1
+        |              WHEN n < 64 THEN n
+        |              ELSE ((n + 63) // 64) * 64 END AS npix
+        |  FROM t)
+        |SELECT media_id, CAST(npix AS INT) AS n_pixels,
+        |       round(CAST(CAST(c0 + npix - n AS FLOAT) / CAST(npix AS FLOAT) AS DOUBLE), 6) AS f0,
+        |       round(CAST(CAST(c7 AS FLOAT) / CAST(npix AS FLOAT) AS DOUBLE), 6) AS f7
+        |FROM g ORDER BY media_id""".stripMargin,
     // FakeCodec's 16-bin byte histogram: bins 0 and 7 cover pure-ASCII char
     // ranges (UTF-8 continuation/lead bytes land in bins >= 8), and FLOAT
     // casts replicate the float32 normalization exactly
-    "mm_features" ->
+    "mm_features_synth" ->
       """WITH t AS (
         |  SELECT doc_id AS media_id,
         |         octet_length(encode(text)) AS n_bytes,
@@ -3257,6 +3364,16 @@ object PipelineQueries {
         |       CASE WHEN n_bytes = 0 THEN 0.0
         |            ELSE round(CAST(CAST(c7 AS FLOAT) / CAST(n_bytes AS FLOAT) AS DOUBLE), 6) END AS f7
         |FROM t ORDER BY media_id""".stripMargin,
+    // losslessness gate for the real codec, uniformly true with the decoded
+    // geometry restated from the text
+    "mm_real_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN n = 0 THEN 1
+        |                 WHEN n < 64 THEN n
+        |                 ELSE ((n + 63) // 64) * 64 END AS INT) AS n_pixels,
+        |       true AS ok
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |ORDER BY media_id""".stripMargin,
     // winnow-candidate replay over the planted clone corpus: same selection
     // (window minima of word-4-gram md5s), same shared-hash candidate join,
     // same word-set jaccard verify
@@ -4619,10 +4736,14 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, 2, doc_id + 1000000, CAST(1.0 AS DOUBLE) FROM q
         |ORDER BY query_id, rank""".stripMargin,
+    // real-media branch: an empty text still yields a 1x1 zero-pixel image,
+    // whose histogram is a UNIT vector (bin0 = 1), so unlike the synthetic
+    // zero-vector branch the planted pair surfaces for EVERY slice doc — no
+    // octet_length guard
     "mm_neardup" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS cosine
         |FROM documents
-        |WHERE doc_id % 20 = 0 AND octet_length(encode(text)) > 0
+        |WHERE doc_id % 20 = 0
         |ORDER BY id_a, id_b""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH t AS (
@@ -4986,6 +5107,9 @@ object PipelineQueries {
     "cdc_agg_maintain" -> ivmRecomputeSql,
     // three micro-batch maintenance steps == one batch step == recompute
     "stream_cdc_agg_maintain" -> ivmRecomputeSql,
+    // transport-invisibility: the Kafka-shaped-log path must land the exact
+    // same maintained state as the batch recompute
+    "stream_cdc_agg_maintain_log" -> ivmRecomputeSql,
     "cdc_materialize" ->
       s"""WITH $cdcLogCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

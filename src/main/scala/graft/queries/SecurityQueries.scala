@@ -5,6 +5,20 @@ import graft.policy.{DataMaskPolicy, RowFilterPolicy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Tables {
+  /** When set (graft.Verify does), [[df]] marks each input table `.cache()`
+    * on first load, so a 193-query dump scans each parquet input once
+    * instead of once per query. Off by default: Bench and the plan-shape
+    * specs must measure/assert the real scan path.
+    */
+  val cacheInputs = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Memoized per (session, dir, name): the plan is identical every time,
+    * and re-building it costs a file listing + footer schema read per call —
+    * material across a full Verify/Bench run's hundreds of loads.
+    */
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
   /** Read one testdata table, normalizing the `ts` column to session-zoned
     * TIMESTAMP whatever the writer used: TIMESTAMP(NANOS) (Spark's
     * vectorized reader rejects it — read nanos as long, truncate to micros)
@@ -12,18 +26,20 @@ object Tables {
     * session keeps the wall clock DuckDB sees). All bucketing is >= 1s, so
     * either normalization is oracle-safe.
     */
-  def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.LongType) => raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-      case Some(org.apache.spark.sql.types.TimestampNTZType) => raw.withColumn("ts",
-        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => raw
-    }
-  }
+  def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame =
+    dfMemo.getOrElseUpdate((spark, dir, name), {
+      graft.functions.VectorFunctions.register(spark)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val normalized = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) => raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        case Some(org.apache.spark.sql.types.TimestampNTZType) => raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
+      if (cacheInputs.get) normalized.cache() else normalized
+    })
 
   /** Register the named testdata tables as temp views for `dir`. */
   def load(spark: SparkSession, dir: String, names: String*): Unit =
@@ -142,6 +158,47 @@ object SecurityQueries {
         mask(c, "customer", "c_mktsegment", "MASK")
       }
       c.dfMixed(USER, "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+    // Ranger-parity extension (reference PolicyManager.java:35 names Ranger
+    // as intent): the policy principal is a GROUP; the filter applies to the
+    // member and composes (ANDs) with the user's own policy
+    "sec_rls_group" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        c.policyManager.addUserToGroup(USER, "analysts")
+        c.policyManager.addPolicy(RowFilterPolicy(
+          "analysts", CAT, DB, "customer", "c_nationkey < 10"))
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+      }
+      c.dfRowFilter(USER,
+        "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+    // wildcard principal ('*' = every user) and wildcard table ('*' = every
+    // table): both conditions AND into the scan alongside nothing else —
+    // the user has no policy of their own
+    "sec_rls_wildcard" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        c.policyManager.addPolicy(RowFilterPolicy(
+          "*", CAT, DB, "customer", "c_acctbal > 0.0"))
+        c.policyManager.addPolicy(RowFilterPolicy(
+          USER, CAT, DB, "*", "c_nationkey < 20"))
+      }
+      c.dfRowFilter(USER,
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer ORDER BY c_custkey")
+    }),
+    // mask precedence, specific-beats-wildcard: a '*'-user MASK_NULL
+    // baseline on c_name is overridden for this user by their exact
+    // MASK_SHOW_FIRST_4; c_mktsegment keeps the wildcard MASK_HASH (no
+    // specific policy). The oracle states exactly that composition.
+    "sec_mask_precedence" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        c.policyManager.addPolicy(DataMaskPolicy(
+          "*", CAT, DB, "customer", "c_name", "MASK_NULL"))
+        c.policyManager.addPolicy(DataMaskPolicy(
+          "*", CAT, DB, "customer", "c_mktsegment", "MASK_HASH"))
+        mask(c, "customer", "c_name", "MASK_SHOW_FIRST_4")
+      }
+      c.dfDataMask(USER,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
     })
   )
 
@@ -206,6 +263,19 @@ object SecurityQueries {
       s"""SELECT c_custkey, ${duckMask("c_mktsegment")} AS c_mktsegment
          |FROM customer
          |WHERE ${duckMask("c_mktsegment")} = 'XXXXXXXX'
-         |ORDER BY c_custkey""".stripMargin
+         |ORDER BY c_custkey""".stripMargin,
+    "sec_rls_group" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 10
+        |ORDER BY c_custkey""".stripMargin,
+    "sec_rls_wildcard" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 0.0 AND c_nationkey < 20
+        |ORDER BY c_custkey""".stripMargin,
+    "sec_mask_precedence" ->
+      """SELECT c_custkey,
+        |       substr(c_name,1,4) || regexp_replace(substr(c_name,5),'[A-Za-z0-9]','x','g') AS c_name,
+        |       sha256(c_mktsegment) AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** An in-memory DataSource-V2 `TableCatalog` — the Spark-native analog of
+  * the reference's catalog registration + `USE CATALOG`
+  * (SecurityContext.java:116-121: `useCatalog(AbstractCatalog)` registers a
+  * Flink catalog and makes it current). Registering this class as e.g.
+  * `spark.sql.catalog.hive` makes `hive.default.orders` a real resolvable
+  * 3-part identifier: scans arrive as `DataSourceV2Relation` under a
+  * `SubqueryAlias` carrying the full catalog path (which the security rules
+  * already match), and `INSERT INTO` analyzes to a genuine `AppendData`
+  * write.
+  *
+  * LOCAL/TEST connector, like Spark's own test `InMemoryTableCatalog`: rows
+  * live in a process-wide store keyed by (catalog, identifier), so it is
+  * correct in `local[*]` (one JVM) and for driver-side golden fixtures —
+  * NOT a distributed storage backend. The 100 TB path is parquet/bucketed
+  * tables ([[Sources]]); this exists for catalog-resolution fidelity and
+  * sink contract tests.
+  */
+class GraftMemoryCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftMemoryCatalog._
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): (String, String) =
+    (catalogName, ident.namespace().mkString(".") + "." + ident.name())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.mkString(".") + "."
+    tables.keys.collect {
+      case (c, full) if c == catalogName && full.startsWith(prefix) =>
+        Identifier.of(namespace, full.stripPrefix(prefix))
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tables.getOrElse(key(ident),
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "GraftMemoryCatalog does not support partitioning")
+    val t = new MemTable(ident.toString, schema, key(ident))
+    if (tables.putIfAbsent(key(ident), t).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.toString)
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    rows.remove(key(ident))
+    tables.remove(key(ident)).isDefined
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // --- namespaces: a flat, implicit set — any namespace a table lives in,
+  // plus "default" so `USE <catalog>.default` works before the first DDL ---
+  private def namespaces: Set[Seq[String]] =
+    tables.keys.collect { case (c, full) if c == catalogName =>
+      full.split("\\.").dropRight(1).toSeq
+    }.toSet + Seq("default")
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.map(_.toArray).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespaces.contains(namespace.toSeq)
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+object GraftMemoryCatalog {
+  /** (catalog, db.table) -> table definition / rows. Process-wide so the
+    * executor-side writers and readers of local mode share it.
+    */
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[(String, String), MemTable]
+  private val rows =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Vector[Seq[Any]]]
+
+  /** Rows currently in a table (external Scala values), test/assertion API. */
+  def rowsOf(catalog: String, dbTable: String): Vector[Seq[Any]] =
+    rows.getOrElse((catalog, dbTable), Vector.empty)
+  def clear(): Unit = { tables.clear(); rows.clear() }
+
+  private class MemTable(ident: String, tableSchema: StructType,
+      storeKey: (String, String)) extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = ident
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with Batch {
+          override def readSchema(): StructType = tableSchema
+          override def toBatch: Batch = this
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(MemPartition(rows.getOrElse(storeKey, Vector.empty)))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new MemReaderFactory(tableSchema)
+        }
+      }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var truncateFirst = false
+        override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = new BatchWrite {
+            override def createBatchWriterFactory(
+                info: PhysicalWriteInfo): DataWriterFactory =
+              new MemWriterFactory(info.hashCode(), tableSchema, storeKey)
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              val batch = messages.collect { case MemCommit(rs) => rs }
+                .flatten.toVector
+              if (truncateFirst) rows.update(storeKey, batch)
+              else rows.updateWith(storeKey) {
+                case Some(existing) => Some(existing ++ batch)
+                case None => Some(batch)
+              }
+              ()
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          }
+        }
+      }
+  }
+
+  private case class MemPartition(data: Vector[Seq[Any]]) extends InputPartition
+
+  private class MemReaderFactory(schema: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val data = partition.asInstanceOf[MemPartition].data
+      val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      val it = data.iterator
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) return false
+          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(it.next()))
+            .asInstanceOf[InternalRow]
+          true
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  private case class MemCommit(rs: Seq[Seq[Any]]) extends WriterCommitMessage
+
+  private class MemWriterFactory(id: Int, schema: StructType,
+      storeKey: (String, String)) extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new DataWriter[InternalRow] {
+        private val buf = Vector.newBuilder[Seq[Any]]
+        private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        override def write(record: InternalRow): Unit = {
+          val r = toScala(record.copy()).asInstanceOf[org.apache.spark.sql.Row]
+          buf += r.toSeq
+          ()
+        }
+        override def commit(): WriterCommitMessage = MemCommit(buf.result())
+        override def abort(): Unit = ()
+        override def close(): Unit = ()
+      }
+  }
+}

@@ -427,7 +427,17 @@ object StreamOps {
       maxDupLineFrac: Double = 0.3, maxDupNgramFrac: Double = 0.3,
       ngram: Int = 5, maxBucket: Int = 100, threshold: Double = 0.7,
       extendIndex: Boolean = true,
-      quarantineTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      quarantineTable: Option[String] = None,
+      /** Shuffle-partition count for the PER-BATCH jobs (the statePartitions
+        * discipline, applied to foreachBatch): every join/aggregate inside
+        * a micro-batch is BATCH-sized, not corpus-sized, so running them at
+        * the session's corpus-scan default multiplies fixed task overhead
+        * across the funnel's ~dozen per-batch jobs. The stream's own plan is
+        * stateless (row-local filters — no state store, no shuffle), so the
+        * setting only touches work this function launches. None = leave the
+        * session default.
+        */
+      batchShufflePartitions: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Contamination, Dedup, TextAnalysis}
     val bloomFlag = "_graft_bloom"
     val fpKey = "_graft_fp_key"
@@ -441,8 +451,16 @@ object StreamOps {
       .getOrElse(docsStream.withColumn(bloomFlag, lit(false)))
     val gated = TextAnalysis.qualityFilter(flagged, textCol, minWords, maxWords,
       minStopHits, maxDupLineFrac, maxDupNgramFrac, ngram)
+    // banding parameters pinned ONCE at stream start (not re-read per batch):
+    // the index exists by contract before the stream starts, and a stable pin
+    // is the stronger guarantee — a mid-stream meta rewrite cannot make two
+    // batches band differently
+    val (shingleSize, bands, rowsPerBand, _) =
+      graft.operators.Dedup.readIndexMeta(docsStream.sparkSession, lshIndexTable)
     val perBatch: (DataFrame, Long) => Unit = (batch0, _) => {
       val spark = batch0.sparkSession
+      batchShufflePartitions.foreach(n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString))
       // two-phase decontam: exact n-gram confirm ONLY on the flagged slice
       val batch = bench match {
         case Some(b) =>
@@ -459,9 +477,8 @@ object StreamOps {
             regexp_replace(lower(trim(col(textCol))), "\\s+", " ")),
           exactIndexTable, idCol, fpKey)
         .localCheckpoint(eager = false) // feeds local fuzzy + probe + appends
-      // batch-local fuzzy pass, parameters pinned to the probed index
-      val (shingleSize, bands, rowsPerBand, _) =
-        Dedup.readIndexMeta(spark, lshIndexTable)
+      // batch-local fuzzy pass, parameters pinned to the probed index (read
+      // once at stream start, above)
       graft.functions.VectorFunctions.register(spark)
       val sets = exactSurvivors.select(col(idCol),
         expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))

@@ -564,17 +564,21 @@ class SecurityContextSpec extends SparkFunSuite {
   }
 
   test("rewrite-to-SQL renderer shows injected filter and mask (golden-style)") {
+    // temp-view fixture: no catalog path, but the reference's conventions
+    // hold — alias-qualified columns, hoisted WHERE, mask subquery text.
+    // The verbatim 19-golden parity (catalog-resolved 3-part names) is
+    // SqlGoldenSpec's job.
     val sql = "SELECT order_id, customer_name FROM orders"
     val rf = ctx.rewriteRowFilterSql("user_A", sql)
-    // reference golden shape: SELECT ... FROM orders WHERE region = 'beijing'
-    assert(rf.contains("SELECT order_id, customer_name FROM"))
-    assert(rf.contains("WHERE (region = 'beijing')") || rf.contains("WHERE region = 'beijing'"))
+    assert(rf ==
+      "SELECT orders.order_id, orders.customer_name FROM orders AS orders " +
+        "WHERE orders.region = 'beijing'")
     val dm = ctx.rewriteDataMaskSql("user_A", sql)
     // reference golden shape: mask subquery with CAST(mask(col) AS type) AS col
-    assert(dm.toLowerCase.contains("mask(") && dm.toLowerCase.contains("cast("))
-    assert(dm.contains("AS customer_name"))
+    assert(dm.contains("CAST(mask(customer_name) AS STRING) AS customer_name"))
+    assert(dm.startsWith("SELECT orders.order_id, orders.customer_name FROM ( SELECT"))
     val mx = ctx.mixedRewriteSql("user_A", sql)
-    assert(mx.toLowerCase.contains("mask(") &&
-      (mx.contains("region = 'beijing'") || mx.contains("(region = 'beijing')")))
+    assert(mx.contains("CAST(mask(customer_name) AS STRING)") &&
+      mx.contains("WHERE orders.region = 'beijing'"))
   }
 }

@@ -67,6 +67,92 @@ class PolicyManagerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MASK_NO_SUCH_TYPE"))
   }
 
+  test("group policies apply to members only, and membership is live") {
+    val m = mgr
+    m.addPolicy(RowFilterPolicy("analysts", "hive", "default", "orders", "price < 100"))
+    // nobody is in the group yet: the policy is dormant for user_C
+    assert(m.rowFilterConditions("user_C", "hive", "default", "orders").isEmpty)
+    m.addUserToGroup("user_C", "analysts")
+    assert(m.rowFilterConditions("user_C", "hive", "default", "orders") == Seq("price < 100"))
+    // group policy composes (ANDs) with the user's own policy
+    m.addUserToGroup("User_A", "Analysts") // case-insensitive membership
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders").toSet ==
+      Set("region = 'beijing'", "price < 100"))
+    m.removeUserFromGroup("user_C", "analysts")
+    assert(m.rowFilterConditions("user_C", "hive", "default", "orders").isEmpty)
+    assert(m.groupsOf("user_a") == Set("analysts"))
+  }
+
+  test("wildcard user and table policies match everyone/everything; AND-composition is additive") {
+    val m = mgr
+    m.addPolicy(RowFilterPolicy("*", "hive", "default", "orders", "deleted = false"))
+    // applies to a user with no policy of their own...
+    assert(m.rowFilterConditions("user_Z", "hive", "default", "orders") ==
+      Seq("deleted = false"))
+    // ...and ANDs with a specific user's policy (fail-closed: both narrow)
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders").toSet ==
+      Set("region = 'beijing'", "deleted = false"))
+    // wildcard table: one policy covers every table in the db
+    m.addPolicy(RowFilterPolicy("user_A", "hive", "default", "*", "tenant = 'acme'"))
+    assert(m.rowFilterConditions("user_A", "hive", "default", "products") ==
+      Seq("tenant = 'acme'"))
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders").toSet ==
+      Set("region = 'beijing'", "deleted = false", "tenant = 'acme'"))
+    // '*' never matches as a literal group name
+    intercept[IllegalArgumentException](m.addUserToGroup("user_A", "*"))
+  }
+
+  test("mask precedence: specific beats group beats wildcard; table-exact beats table-wildcard") {
+    val m = new PolicyManager
+    m.addUserToGroup("alice", "pii_readers")
+    // wildcard baseline: everyone gets MASK_NULL
+    m.addPolicy(DataMaskPolicy("*", "hive", "default", "orders", "customer_name", "MASK_NULL"))
+    assert(m.dataMaskType("bob", "hive", "default", "orders", "customer_name")
+      .exists(_.name == "MASK_NULL"))
+    // group beats wildcard
+    m.addPolicy(DataMaskPolicy("pii_readers", "hive", "default", "orders", "customer_name", "MASK_SHOW_FIRST_4"))
+    assert(m.dataMaskType("alice", "hive", "default", "orders", "customer_name")
+      .exists(_.name == "MASK_SHOW_FIRST_4"))
+    assert(m.dataMaskType("bob", "hive", "default", "orders", "customer_name")
+      .exists(_.name == "MASK_NULL"))
+    // user-exact beats group — even when added FIRST among equals and even
+    // when it GRANTS more visibility (MASK_NONE): precedence is specificity,
+    // not restrictiveness, the Ranger semantics
+    m.addPolicy(DataMaskPolicy("alice", "hive", "default", "orders", "customer_name", "MASK_NONE"))
+    assert(m.dataMaskType("alice", "hive", "default", "orders", "customer_name")
+      .exists(_.name == "MASK_NONE"))
+    // table-exact beats table-wildcard at equal user specificity
+    m.addPolicy(DataMaskPolicy("carol", "hive", "default", "*", "customer_name", "MASK_HASH"))
+    m.addPolicy(DataMaskPolicy("carol", "hive", "default", "orders", "customer_name", "MASK"))
+    assert(m.dataMaskType("carol", "hive", "default", "orders", "customer_name")
+      .exists(_.name == "MASK"))
+    assert(m.dataMaskType("carol", "hive", "default", "products", "customer_name")
+      .exists(_.name == "MASK_HASH"))
+    // adversarial: the wildcard-user policy must NOT shadow a group policy
+    // added later (rank decides, not order)
+    val m2 = new PolicyManager
+    m2.addUserToGroup("dave", "g1")
+    m2.addPolicy(DataMaskPolicy("g1", "hive", "default", "t", "c", "MASK"))
+    m2.addPolicy(DataMaskPolicy("*", "hive", "default", "t", "c", "MASK_NULL"))
+    assert(m2.dataMaskType("dave", "hive", "default", "t", "c").exists(_.name == "MASK"))
+    // insertion order breaks full ties
+    val m3 = new PolicyManager
+    m3.addPolicy(DataMaskPolicy("eve", "hive", "default", "t", "c", "MASK_HASH"))
+    m3.addPolicy(DataMaskPolicy("eve", "hive", "default", "t", "c", "MASK"))
+    assert(m3.dataMaskType("eve", "hive", "default", "t", "c").exists(_.name == "MASK_HASH"))
+  }
+
+  test("groups round-trip through JSON export/import") {
+    val m = new PolicyManager
+    m.addUserToGroup("alice", "analysts")
+    m.addUserToGroup("bob", "analysts")
+    m.addPolicy(RowFilterPolicy("analysts", "hive", "default", "orders", "x = 1"))
+    val m2 = new PolicyManager
+    m2.importJson(m.exportJson())
+    assert(m2.groupsOf("alice") == Set("analysts"))
+    assert(m2.rowFilterConditions("bob", "hive", "default", "orders") == Seq("x = 1"))
+  }
+
   test("removePolicy matches identifiers case-insensitively, like lookups") {
     val m = mgr
     assert(m.removePolicy(RowFilterPolicy("USER_A", "Hive", "Default", "ORDERS", "region = 'beijing'")))

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkFunSuite
+import graft.operators.Multimodal.ImageCodec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Contracts for the round-11 source components: the real image codec, the
+  * Kafka-shaped log source, and the in-memory DSv2 catalog.
+  */
+class SourcesContractSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("ImageCodec: PNG and BMP round-trip 8-bit gray rasters losslessly") {
+    val px = Array.tabulate(64 * 3)(i => (i * 7 % 256).toByte)
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = ImageCodec.encodeGray(px, 64, 3, fmt)
+      assert(bytes.length > 8, s"$fmt produced no bytes")
+      val Some((w, h, out)) = ImageCodec.decodeGray(bytes)
+      assert((w, h) == (64, 3), fmt)
+      assert(java.util.Arrays.equals(out, px), s"$fmt raster mismatch")
+    }
+    // PNG magic: a real encoder, not a passthrough
+    val png = ImageCodec.encodeGray(px, 64, 3, "png")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+  }
+
+  test("ImageCodec: corrupt/null payloads decode to None and the zero feature") {
+    assert(ImageCodec.decodeGray(null).isEmpty)
+    assert(ImageCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+    val (n, feats) = ImageCodec.decodeFeatures("not an image".getBytes)
+    assert(n == 0 && feats.forall(_ == 0f))
+  }
+
+  test("ImageCodec: features are a normalized 16-bin luma histogram of DECODED pixels") {
+    // 4 pixels: 0x00, 0x10, 0x10, 0xFF -> bins 0:1, 1:2, 15:1, each /4
+    val px = Array[Byte](0x00, 0x10, 0x10, 0xff.toByte)
+    val (n, f) = ImageCodec.decodeFeatures(ImageCodec.encodeGray(px, 2, 2, "png"))
+    assert(n == 4)
+    assert(f(0) == 0.25f && f(1) == 0.5f && f(15) == 0.25f)
+    assert(f.sum == 1.0f)
+  }
+
+  test("KafkaShapedLog.schema matches the Spark Kafka source's documented output") {
+    // Structured Streaming + Kafka Integration Guide: the source's 7 columns
+    val expected = Seq(
+      ("key", BinaryType), ("value", BinaryType), ("topic", StringType),
+      ("partition", IntegerType), ("offset", LongType),
+      ("timestamp", TimestampType), ("timestampType", IntegerType))
+    assert(KafkaShapedLog.schema.fields.map(f => (f.name, f.dataType)).toSeq == expected)
+  }
+
+  test("KafkaShapedLog: segments replay in append order and decodeJson round-trips typed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_klog").toFile
+    val logDir = new java.io.File(dir, "log")
+    val b0 = Seq((1L, "en", 10), (2L, "de", 20)).toDF("doc_id", "lang", "chars")
+    val b1 = Seq((3L, "fr", 30)).toDF("doc_id", "lang", "chars")
+    KafkaShapedLog.appendSegment(b0, logDir.getPath, "t", 0, "doc_id", Seq("doc_id"))
+    KafkaShapedLog.appendSegment(b1, logDir.getPath, "t", 1, "doc_id", Seq("doc_id"))
+    // batch-read the log: record shape and offsets
+    val raw = spark.read.schema(KafkaShapedLog.schema).parquet(logDir.getPath)
+    assert(raw.count() == 3)
+    assert(raw.select("topic").distinct().as[String].collect().toSeq == Seq("t"))
+    assert(raw.filter(col("offset") >= 1000000L).count() == 1) // segment 1
+    // streaming: one segment per micro-batch, decoded rows equal the input
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val decoded = KafkaShapedLog.decodeJson(
+      KafkaShapedLog.readStream(spark, logDir.getPath), b0.schema)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q = decoded.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += id
+        got ++= batch.select("doc_id", "lang", "chars")
+          .as[(Long, String, Int)].collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.size == 2, s"expected 2 micro-batches, got $batches")
+    assert(got.sortBy(_._1).toSeq ==
+      Seq((1L, "en", 10), (2L, "de", 20), (3L, "fr", 30)))
+  }
+
+  test("GraftMemoryCatalog: 3-part resolution, INSERT INTO, SELECT, truncate-overwrite, DROP") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[GraftMemoryCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.kv")
+    spark.sql("CREATE TABLE graft_mem.default.kv (k INT, v STRING)")
+    spark.sql("INSERT INTO graft_mem.default.kv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_mem.default.kv VALUES (3, 'c')")
+    val got = spark.table("graft_mem.default.kv").orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    // filters and aggregates plan over the DSv2 scan like any relation
+    assert(spark.sql("SELECT count(*) FROM graft_mem.default.kv WHERE k > 1")
+      .as[Long].head() == 2L)
+    // INSERT OVERWRITE goes through SupportsTruncate
+    spark.sql("INSERT OVERWRITE graft_mem.default.kv VALUES (9, 'z')")
+    assert(spark.table("graft_mem.default.kv").as[(Int, String)].collect().toSeq ==
+      Seq((9, "z")))
+    spark.sql("DROP TABLE graft_mem.default.kv")
+    intercept[Exception](spark.table("graft_mem.default.kv").collect())
+  }
+}
