@@ -1001,12 +1001,27 @@ object Dedup {
       textCol: String): Unit = {
     val spark = docs.sparkSession
     VectorFunctions.register(spark)
-    val (shingleSize, bands, rowsPerBand, numBuckets) = readIndexMeta(spark, table)
-    val append = org.apache.spark.sql.SaveMode.Append
+    val (shingleSize, _, _, _) = readIndexMeta(spark, table)
     // checkpoint: the shingle scan feeds both appends
     val sets = docs
       .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
       .localCheckpoint(eager = false)
+    minhashAppendToIndexFromSets(sets, table, idCol)
+  }
+
+  /** [[minhashAppendToIndex]] over PRECOMPUTED shingle sets `(idCol, sh)`.
+    * CONTRACT: the sets must have been hashed with the index's own
+    * `shingle_size` (read it via [[readIndexMeta]]) — the streaming funnel
+    * pins its one per-batch shingle pass to the index meta and then feeds
+    * the same sets to the local pass, the probe and this append, so the
+    * expensive text scan happens once instead of three times.
+    */
+  def minhashAppendToIndexFromSets(sets: DataFrame, table: String,
+      idCol: String): Unit = {
+    val spark = sets.sparkSession
+    VectorFunctions.register(spark)
+    val (_, bands, rowsPerBand, numBuckets) = readIndexMeta(spark, table)
+    val append = org.apache.spark.sql.SaveMode.Append
     graft.sources.Sources.writeBucketed(
       bandRowsOf(sets, idCol, bands, rowsPerBand), table,
       Seq("band", "band_hash"), numBuckets, append)
@@ -1018,11 +1033,24 @@ object Dedup {
       textCol: String, maxBucket: Int = 100, threshold: Double = 0.7): DataFrame = {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
-    val (shingleSize, bands, rowsPerBand, _) = readIndexMeta(spark, table)
+    val (shingleSize, _, _, _) = readIndexMeta(spark, table)
     // checkpoint: feeds the banding pass and the verify join
     val batchSets = batch
       .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
       .localCheckpoint(eager = false)
+    minhashDedupIncrementalFromSets(batchSets, table, idCol, maxBucket, threshold)
+  }
+
+  /** [[minhashDedupIncremental]] over PRECOMPUTED shingle sets `(idCol,
+    * sh)` — same contract as [[minhashAppendToIndexFromSets]]: the sets
+    * must be hashed with the index meta's `shingle_size`.
+    */
+  def minhashDedupIncrementalFromSets(batchSets: DataFrame, table: String,
+      idCol: String, maxBucket: Int = 100,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = batchSets.sparkSession
+    VectorFunctions.register(spark)
+    val (_, bands, rowsPerBand, _) = readIndexMeta(spark, table)
     val batchBands = bandRowsOf(batchSets, idCol, bands, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val corpusBands = spark.table(table)

@@ -2052,13 +2052,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
     // the SAME planted funnel through the composed STREAMING ingest
-    // (StreamOps.streamingCurate): the corpus arrives as three id-ordered
-    // micro-batches (mtime-ordered files, maxFilesPerTrigger=1) over EMPTY
-    // persisted indexes, so within-batch dedup, cross-batch index probes and
-    // the stateless decontam/quality front end are all on the oracle path.
-    // Id-ordered batches make streaming's first-arrival policy coincide with
-    // the batch funnel's min-id policy, so the sink must equal the batch
-    // keeper set (the pipeline_curate_full oracle, id column only).
+    // (StreamOps.streamingCurate): the corpus arrives as two id-ordered
+    // micro-batches (originals, then the planted fuzzy clones;
+    // mtime-ordered files, maxFilesPerTrigger=1) over EMPTY persisted
+    // indexes, so within-batch dedup (originals batch), cross-batch index
+    // probes (clones vs the indexed originals) and the stateless
+    // decontam/quality front end are all on the oracle path. (r10 used
+    // three batches; the third split of the originals exercised nothing the
+    // first two don't — StreamingSpec covers arbitrary batch slicings — and
+    // each micro-batch costs the full probe/append machinery, VERDICT r10
+    // #4.) Id-ordered batches make streaming's first-arrival policy
+    // coincide with the batch funnel's min-id policy, so the sink must
+    // equal the batch keeper set (the pipeline_curate_full oracle, id
+    // column only).
     "stream_curate" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val bench = d.filter(col("doc_id") % 17 === 0)
@@ -2066,13 +2072,10 @@ object PipelineQueries {
       val base = corpus.unionAll(corpus.select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" graftfuzz")).as("text")))
-      val m1 = corpus.select(percentile_approx(col("doc_id"), lit(0.5), lit(100))
-        .cast("long")).head().getLong(0)
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_sc").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
       val slices = Seq(
-        base.filter(col("doc_id") < m1),
-        base.filter(col("doc_id") >= m1 && col("doc_id") < 1000000),
+        base.filter(col("doc_id") < 1000000),
         base.filter(col("doc_id") >= 1000000))
       val now = System.currentTimeMillis()
       slices.zipWithIndex.foreach { case (sl, i) =>
@@ -2130,13 +2133,11 @@ object PipelineQueries {
       val base = corpus.unionAll(corpus.select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" graftfuzz")).as("text"), col("lang")))
-      val m1 = corpus.select(percentile_approx(col("doc_id"), lit(0.5), lit(100))
-        .cast("long")).head().getLong(0)
+      // two id-ordered batches (originals, clones) — see stream_curate
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scs").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
       val slices = Seq(
-        base.filter(col("doc_id") < m1),
-        base.filter(col("doc_id") >= m1 && col("doc_id") < 1000000),
+        base.filter(col("doc_id") < 1000000),
         base.filter(col("doc_id") >= 1000000))
       val now = System.currentTimeMillis()
       slices.zipWithIndex.foreach { case (sl, i) =>

@@ -478,18 +478,23 @@ object StreamOps {
           exactIndexTable, idCol, fpKey)
         .localCheckpoint(eager = false) // feeds local fuzzy + probe + appends
       // batch-local fuzzy pass, parameters pinned to the probed index (read
-      // once at stream start, above)
+      // once at stream start, above). ONE shingle pass per batch: the same
+      // checkpointed sets feed the local LSH pass, the cross-batch index
+      // probe AND the index append — shingling is the funnel's expensive
+      // map work, and the pre-r11 shape paid it three times per batch.
       graft.functions.VectorFunctions.register(spark)
       val sets = exactSurvivors.select(col(idCol),
-        expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+          expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+        .localCheckpoint(eager = false)
       val localDrop = Dedup
         .components(Dedup.minhashDedupFromSets(sets, idCol, bands, rowsPerBand,
           maxBucket, threshold))
         .filter(col("id") =!= col("label")).select(col("id").as(idCol))
       val localSurvivors = exactSurvivors.join(localDrop, Seq(idCol), "left_anti")
+      val localSurvivorSets = sets.join(localDrop, Seq(idCol), "left_anti")
       // cross-batch fuzzy: probe the persisted LSH index
-      val dupIds = Dedup.minhashDedupIncremental(localSurvivors, lshIndexTable,
-          idCol, textCol, maxBucket, threshold)
+      val dupIds = Dedup.minhashDedupIncrementalFromSets(localSurvivorSets,
+          lshIndexTable, idCol, maxBucket, threshold)
         .select(col("batch_id").as(idCol)).distinct()
       val survivors = localSurvivors.join(dupIds, Seq(idCol), "left_anti")
         .localCheckpoint(eager = false) // sink append + LSH index append
@@ -507,7 +512,10 @@ object StreamOps {
       }
       if (extendIndex) {
         Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol, fpKey)
-        Dedup.minhashAppendToIndex(survivors, lshIndexTable, idCol, textCol)
+        // final survivors' sets, from the same single shingle pass
+        Dedup.minhashAppendToIndexFromSets(
+          sets.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+          lshIndexTable, idCol)
       }
     }
     gated.writeStream.outputMode("append").foreachBatch(perBatch).start()
