@@ -1207,11 +1207,15 @@ object PipelineQueries {
         java.nio.file.Files.move(f.toPath, dst.toPath)
         dst.setLastModified(now - (3 - i) * 60000L)
       }
-      val stream = s.readStream.schema(rest.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
-      val q = StreamOps.streamingBm25Ingest(stream, "graft_bm25_stream",
-        "doc_id", "text")
-      try q.processAllAvailable() finally q.stop()
+      // per-batch append jobs sized to the batch (the stream's session
+      // clone snapshots the conf at start)
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(rest.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingBm25Ingest(stream, "graft_bm25_stream",
+          "doc_id", "text")
+        try q.processAllAvailable() finally q.stop()
+      }
       val queries = s.createDataFrame(Seq((1, "hash"), (1, "join"),
         (2, "window"), (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
         .toDF("query_id", "term")
@@ -2320,11 +2324,13 @@ object PipelineQueries {
         java.nio.file.Files.move(f.toPath, dst.toPath)
         dst.setLastModified(now - (3 - res) * 60000L)
       }
-      val stream = s.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
-      val q = StreamOps.streamingAggMaintain(stream, "graft_ivm_state",
-        "op", "lang", Seq("chars"))
-      try q.processAllAvailable() finally q.stop()
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingAggMaintain(stream, "graft_ivm_state",
+          "op", "lang", Seq("chars"))
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_ivm_state")
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
@@ -2360,13 +2366,15 @@ object PipelineQueries {
           topic = "doc_changes", segment = res,
           keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
       }
-      val decoded = graft.sources.KafkaShapedLog.decodeJson(
-          graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
-          changes.schema)
-        .drop("_kafka_ts")
-      val q = StreamOps.streamingAggMaintain(decoded, "graft_ivmk_state",
-        "op", "lang", Seq("chars"))
-      try q.processAllAvailable() finally q.stop()
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val decoded = graft.sources.KafkaShapedLog.decodeJson(
+            graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
+            changes.schema)
+          .drop("_kafka_ts")
+        val q = StreamOps.streamingAggMaintain(decoded, "graft_ivmk_state",
+          "op", "lang", Seq("chars"))
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_ivmk_state")
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
