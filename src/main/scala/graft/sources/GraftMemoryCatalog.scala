@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -114,7 +115,7 @@ object GraftMemoryCatalog {
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder {
@@ -132,23 +133,42 @@ object GraftMemoryCatalog {
       new WriteBuilder with SupportsTruncate {
         private var truncateFirst = false
         override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        private def applyCommit(messages: Array[WriterCommitMessage]): Unit = {
+          val batch = messages.collect { case MemCommit(rs) => rs }
+            .flatten.toVector
+          if (truncateFirst) { rows.update(storeKey, batch); truncateFirst = false }
+          else rows.updateWith(storeKey) {
+            case Some(existing) => Some(existing ++ batch)
+            case None => Some(batch)
+          }
+          ()
+        }
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(
                 info: PhysicalWriteInfo): DataWriterFactory =
               new MemWriterFactory(info.hashCode(), tableSchema, storeKey)
-            override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              val batch = messages.collect { case MemCommit(rs) => rs }
-                .flatten.toVector
-              if (truncateFirst) rows.update(storeKey, batch)
-              else rows.updateWith(storeKey) {
-                case Some(existing) => Some(existing ++ batch)
-                case None => Some(batch)
-              }
-              ()
-            }
+            override def commit(messages: Array[WriterCommitMessage]): Unit =
+              applyCommit(messages)
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
           }
+          // streaming append — the memory-catalog analog of the reference's
+          // `print` sink (its executes are streaming INSERTs into it,
+          // AbstractBasicTest.java:239-253): each micro-batch's rows commit
+          // into the shared store. At-least-once like any non-idempotent
+          // sink: a replayed epoch re-appends (same caveat as the parquet
+          // ingest sinks, documented there).
+          override def toStreaming: swrite.StreamingWrite =
+            new swrite.StreamingWrite {
+              override def createStreamingWriterFactory(
+                  info: PhysicalWriteInfo): swrite.StreamingDataWriterFactory =
+                new MemStreamingWriterFactory(tableSchema, storeKey)
+              override def commit(epochId: Long,
+                  messages: Array[WriterCommitMessage]): Unit =
+                applyCommit(messages)
+              override def abort(epochId: Long,
+                  messages: Array[WriterCommitMessage]): Unit = ()
+            }
         }
       }
   }
@@ -178,21 +198,30 @@ object GraftMemoryCatalog {
 
   private case class MemCommit(rs: Seq[Seq[Any]]) extends WriterCommitMessage
 
+  private def newMemWriter(schema: StructType): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[Seq[Any]]
+      private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      override def write(record: InternalRow): Unit = {
+        val r = toScala(record.copy()).asInstanceOf[org.apache.spark.sql.Row]
+        buf += r.toSeq
+        ()
+      }
+      override def commit(): WriterCommitMessage = MemCommit(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+
   private class MemWriterFactory(id: Int, schema: StructType,
       storeKey: (String, String)) extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new DataWriter[InternalRow] {
-        private val buf = Vector.newBuilder[Seq[Any]]
-        private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(schema)
-        override def write(record: InternalRow): Unit = {
-          val r = toScala(record.copy()).asInstanceOf[org.apache.spark.sql.Row]
-          buf += r.toSeq
-          ()
-        }
-        override def commit(): WriterCommitMessage = MemCommit(buf.result())
-        override def abort(): Unit = ()
-        override def close(): Unit = ()
-      }
+      newMemWriter(schema)
+  }
+
+  private class MemStreamingWriterFactory(schema: StructType,
+      storeKey: (String, String)) extends swrite.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] = newMemWriter(schema)
   }
 }

@@ -100,4 +100,26 @@ class SourcesContractSpec extends SparkFunSuite {
     spark.sql("DROP TABLE graft_mem.default.kv")
     intercept[Exception](spark.table("graft_mem.default.kv").collect())
   }
+
+  test("GraftMemoryCatalog: streaming INSERT (the reference's print-sink shape) appends per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[GraftMemoryCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.print_sink")
+    spark.sql("CREATE TABLE graft_mem.default.print_sink (k INT, v STRING)")
+    val mem = MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ps").toString)
+      .toTable("graft_mem.default.print_sink")
+    try {
+      mem.addData((1, "a")); q.processAllAvailable()
+      mem.addData((2, "b"), (3, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_mem.default.print_sink").orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    spark.sql("DROP TABLE graft_mem.default.print_sink")
+  }
 }
