@@ -26,7 +26,20 @@ final class SecurityContext(
   MaskFunctions.register(spark)
   graft.functions.VectorFunctions.register(spark)
 
-  private val scope = TableScope(defaultCatalog, defaultDatabase)
+  private var scope = TableScope(defaultCatalog, defaultDatabase)
+
+  /** Make `catalog`.`database` current — the reference's `useCatalog`
+    * (SecurityContext.java:116-121 registers a catalog and issues USE
+    * CATALOG): bare table names in queries resolve there, and policy
+    * lookups qualify bare names with the same scope, so policies keyed on
+    * the catalog keep matching. The catalog must be registered
+    * (`spark.sql.catalog.<name>` — e.g. [[graft.sources.GraftMemoryCatalog]])
+    * or be `spark_catalog`.
+    */
+  def useCatalog(catalog: String, database: String = "default"): Unit = {
+    spark.sql(s"USE `$catalog`.`$database`")
+    scope = TableScope(catalog, database)
+  }
 
   /** Parse a single SQL statement (the parser rejects multi-statement input,
     * mirroring ParserImplExtension.java:74).

@@ -419,6 +419,22 @@ class SqlGoldenSpec extends SparkFunSuite {
     }
   }
 
+  test("useCatalog makes the catalog current for both resolution and policy scope (A16)") {
+    env
+    val c = new SecurityContext(spark) // starts scoped to spark_catalog
+    c.policyManager.addPolicy(RowFilterPolicy(
+      USER_A, "hive", "default", "orders", "region = 'beijing'"))
+    try {
+      c.useCatalog("hive") // the reference's USE CATALOG
+      // bare name resolves in hive.default AND the bare-name policy scope
+      // qualifies to hive.default -> the filter applies
+      assertGolden(
+        c.rewriteRowFilterSql(USER_A, "SELECT order_id, region FROM orders"),
+        "SELECT orders.order_id, orders.region " +
+          "FROM hive.default.orders AS orders WHERE orders.region = 'beijing'")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("MX testJoin (MixedRewriteTest:86)") {
     withCtx(mixedPolicies) { c =>
       assertGolden(
