@@ -1001,12 +1001,12 @@ object Dedup {
       textCol: String): Unit = {
     val spark = docs.sparkSession
     VectorFunctions.register(spark)
-    val (shingleSize, _, _, _) = readIndexMeta(spark, table)
+    val meta = readIndexMeta(spark, table) // ONE meta collect for both steps
     // checkpoint: the shingle scan feeds both appends
     val sets = docs
-      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, ${meta._1})").as("sh"))
       .localCheckpoint(eager = false)
-    minhashAppendToIndexFromSets(sets, table, idCol)
+    appendSetsWithMeta(sets, table, idCol, meta)
   }
 
   /** [[minhashAppendToIndex]] over PRECOMPUTED shingle sets `(idCol, sh)`.
@@ -1017,10 +1017,14 @@ object Dedup {
     * expensive text scan happens once instead of three times.
     */
   def minhashAppendToIndexFromSets(sets: DataFrame, table: String,
-      idCol: String): Unit = {
-    val spark = sets.sparkSession
-    VectorFunctions.register(spark)
-    val (_, bands, rowsPerBand, numBuckets) = readIndexMeta(spark, table)
+      idCol: String): Unit =
+    appendSetsWithMeta(sets, table, idCol,
+      readIndexMeta(sets.sparkSession, table))
+
+  private def appendSetsWithMeta(sets: DataFrame, table: String, idCol: String,
+      meta: (Int, Int, Int, Int)): Unit = {
+    val (_, bands, rowsPerBand, numBuckets) = meta
+    VectorFunctions.register(sets.sparkSession)
     val append = org.apache.spark.sql.SaveMode.Append
     graft.sources.Sources.writeBucketed(
       bandRowsOf(sets, idCol, bands, rowsPerBand), table,
@@ -1033,12 +1037,12 @@ object Dedup {
       textCol: String, maxBucket: Int = 100, threshold: Double = 0.7): DataFrame = {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
-    val (shingleSize, _, _, _) = readIndexMeta(spark, table)
+    val meta = readIndexMeta(spark, table) // ONE meta collect for both steps
     // checkpoint: feeds the banding pass and the verify join
     val batchSets = batch
-      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
+      .select(col(idCol), expr(s"graft_shingle_hashes($textCol, ${meta._1})").as("sh"))
       .localCheckpoint(eager = false)
-    minhashDedupIncrementalFromSets(batchSets, table, idCol, maxBucket, threshold)
+    probeSetsWithMeta(batchSets, table, idCol, maxBucket, threshold, meta)
   }
 
   /** [[minhashDedupIncremental]] over PRECOMPUTED shingle sets `(idCol,
@@ -1047,10 +1051,16 @@ object Dedup {
     */
   def minhashDedupIncrementalFromSets(batchSets: DataFrame, table: String,
       idCol: String, maxBucket: Int = 100,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    probeSetsWithMeta(batchSets, table, idCol, maxBucket, threshold,
+      readIndexMeta(batchSets.sparkSession, table))
+
+  private def probeSetsWithMeta(batchSets: DataFrame, table: String,
+      idCol: String, maxBucket: Int, threshold: Double,
+      meta: (Int, Int, Int, Int)): DataFrame = {
     val spark = batchSets.sparkSession
     VectorFunctions.register(spark)
-    val (_, bands, rowsPerBand, _) = readIndexMeta(spark, table)
+    val (_, bands, rowsPerBand, _) = meta
     val batchBands = bandRowsOf(batchSets, idCol, bands, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val corpusBands = spark.table(table)

@@ -97,9 +97,13 @@ object Multimodal {
     def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (payload == null || payload.isEmpty) return None
       val img =
+        // NonFatal, not just IOException: JDK ImageIO readers throw
+        // RuntimeExceptions (IllegalArgument/IndexOutOfBounds) on malformed
+        // headers that parse but declare invalid geometry — at corpus scale
+        // one bad blob must yield None, never kill the task
         try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img.map { i =>
         val gray =
           if (i.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) i
@@ -145,6 +149,20 @@ object Multimodal {
     * scale shape as [[decodeFeatures]].
     */
   val RealMediaWidth = 64
+
+  /** The one text→raster generator (row-major 8-bit gray pixels = the
+    * text's UTF-8 bytes, zero-padded to the [[RealMediaWidth]] geometry;
+    * 1x1 zero pixel for empty text). [[withRealMedia]],
+    * [[imageRoundtripCheck]] and the mm_features DuckDB oracle all restate
+    * THIS function — keep them in lockstep.
+    */
+  private def grayRasterOf(text: String): (Int, Int, Array[Byte]) = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val width = if (bytes.isEmpty) 1 else math.min(RealMediaWidth, bytes.length)
+    val height = if (bytes.isEmpty) 1 else (bytes.length + width - 1) / width
+    (width, height, java.util.Arrays.copyOf(bytes, width * height))
+  }
+
   def withRealMedia(df: DataFrame, idCol: String, textCol: String,
       format: String = "png"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -155,15 +173,11 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val w = RealMediaWidth
     val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
     in.mapPartitions { rows =>
       rows.map { r =>
         val text = if (r.isNullAt(1)) "" else r.getString(1)
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val width = if (bytes.isEmpty) 1 else math.min(w, bytes.length)
-        val height = if (bytes.isEmpty) 1 else (bytes.length + width - 1) / width
-        val px = java.util.Arrays.copyOf(bytes, width * height)
+        val (width, height, px) = grayRasterOf(text)
         Row(r.getLong(0), ImageCodec.encodeGray(px, width, height, format),
           s"image/$format", width, height, 1)
       }
@@ -209,15 +223,11 @@ object Multimodal {
       StructField("n_pixels", IntegerType, nullable = false),
       StructField("ok", BooleanType, nullable = false)))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val w = RealMediaWidth
     val in = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
     in.mapPartitions { rows =>
       rows.map { r =>
         val text = if (r.isNullAt(1)) "" else r.getString(1)
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val width = if (bytes.isEmpty) 1 else math.min(w, bytes.length)
-        val height = if (bytes.isEmpty) 1 else (bytes.length + width - 1) / width
-        val px = java.util.Arrays.copyOf(bytes, width * height)
+        val (width, height, px) = grayRasterOf(text)
         val ok = ImageCodec.decodeGray(
           ImageCodec.encodeGray(px, width, height, format)) match {
           case Some((dw, dh, dpx)) =>

@@ -65,6 +65,30 @@ object SecurityTags {
   */
 final case class TableScope(catalog: String, database: String)
 
+/** Plan-shape predicates shared by the security rules and [[SqlRenderer]] —
+  * one list of "what counts as a base table", so the rules and the renderer
+  * can never drift apart on it.
+  */
+object PlanShapes {
+  /** A scan of a named table: the alias directly over a leaf relation or a
+    * (temp) view. Derived tables have Project/Filter/... children and are
+    * excluded — policies reach the tables inside them instead, exactly like
+    * the reference's visitor (RowFilterVisitor.java:71-79).
+    */
+  def isBaseTable(p: LogicalPlan): Boolean = p match {
+    case _: View => true // temp/SQL views (resolved by construction)
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+    case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+    case l: LeafNode if l.nodeName.contains("StreamingRelation") => l.resolved
+    // NOT a plain LeafNode match: `(VALUES ...) AS t` puts a LocalRelation
+    // under the alias, and an inline alias must never collide with a policy
+    // on a real table of the same name. Unresolved relations (also leaves)
+    // must not match while the rules run inside the analyzer's fixed point.
+    case _ => false
+  }
+}
+
 trait SecurityRuleSupport {
   def scope: TableScope
   def spark: SparkSession
@@ -108,23 +132,10 @@ trait SecurityRuleSupport {
     }
   }
 
-  /** A scan of a named table: the alias directly over a leaf relation or a
-    * (temp) view. Derived tables have Project/Filter/... children and are
-    * excluded — policies reach the tables inside them instead, exactly like
-    * the reference's visitor (RowFilterVisitor.java:71-79).
+  /** A scan of a named table — the ONE shared predicate (also used by
+    * [[SqlRenderer]]); see [[PlanShapes.isBaseTable]].
     */
-  protected def isBaseTable(p: LogicalPlan): Boolean = p match {
-    case _: View => true // temp/SQL views (resolved by construction)
-    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
-    case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
-    case l: LeafNode if l.nodeName.contains("StreamingRelation") => l.resolved
-    // NOT a plain LeafNode match: `(VALUES ...) AS t` puts a LocalRelation
-    // under the alias, and an inline alias must never collide with a policy
-    // on a real table of the same name. Unresolved relations (also leaves)
-    // must not match while the rules run inside the analyzer's fixed point.
-    case _ => false
-  }
+  protected def isBaseTable(p: LogicalPlan): Boolean = PlanShapes.isBaseTable(p)
 
   /** (catalog, db, table) of a SubqueryAlias identifier; empty qualifiers get
     * the context's defaults, like Flink's validator qualifying bare names.
@@ -253,7 +264,12 @@ final case class DataMaskRule(
       policies.dataMaskType(user, cat, db, table, attr.name) match {
         case Some(t) if t.name.equalsIgnoreCase("MASK_NONE") => attr
         case Some(t) if t.name.equalsIgnoreCase("MASK_NULL") =>
-          aliasAs(attr, Literal(null, attr.dataType))
+          val a = aliasAs(attr, Literal(null, attr.dataType))
+          // renderer text: keep the CAST-back-to-declared-type convention
+          // (DataMaskVisitor.java:131) — exprText strips casts otherwise
+          a.setTagValue(SqlRenderer.MaskSqlTag,
+            s"CAST(NULL AS ${attr.dataType.sql}) AS ${attr.name}")
+          a
         case Some(t) =>
           t.transformerFor(s"`${attr.name}`") match {
             case Some(tpl) =>

@@ -172,13 +172,8 @@ object SqlRenderer {
     }
   }
 
-  private def isBase(p: LogicalPlan): Boolean = p match {
-    case _: View => true
-    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-    case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
-    case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
-    case _ => false
-  }
+  // the rules' own predicate — one list, no drift (incl. streaming scans)
+  private def isBase(p: LogicalPlan): Boolean = PlanShapes.isBaseTable(p)
 
   /** The full catalog path of the table under an alias chain: the INNERMOST
     * SubqueryAlias's identifier (the analyzer records the resolved

@@ -14,10 +14,14 @@ object Tables {
 
   /** Memoized per (session, dir, name): the plan is identical every time,
     * and re-building it costs a file listing + footer schema read per call —
-    * material across a full Verify/Bench run's hundreds of loads.
+    * material across a full Verify/Bench run's hundreds of loads. WEAKLY
+    * keyed on the session so a stopped SparkSession (and every DataFrame /
+    * cache entry hanging off it) stays collectable across a long multi-suite
+    * JVM — the memo must never outlive the session it belongs to.
     */
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+  private val dfMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), org.apache.spark.sql.DataFrame]]())
 
   /** Read one testdata table, normalizing the `ts` column to session-zoned
     * TIMESTAMP whatever the writer used: TIMESTAMP(NANOS) (Spark's
@@ -26,8 +30,18 @@ object Tables {
     * session keeps the wall clock DuckDB sees). All bucketing is >= 1s, so
     * either normalization is oracle-safe.
     */
-  def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame =
-    dfMemo.getOrElseUpdate((spark, dir, name), {
+  def df(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame = {
+    val perSession = {
+      val existing = dfMemo.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.concurrent.TrieMap
+          .empty[(String, String), org.apache.spark.sql.DataFrame]
+        val raced = dfMemo.putIfAbsent(spark, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
+    perSession.getOrElseUpdate((dir, name), {
       graft.functions.VectorFunctions.register(spark)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -40,6 +54,7 @@ object Tables {
       }
       if (cacheInputs.get) normalized.cache() else normalized
     })
+  }
 
   /** Register the named testdata tables as temp views for `dir`. */
   def load(spark: SparkSession, dir: String, names: String*): Unit =

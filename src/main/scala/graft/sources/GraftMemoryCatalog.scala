@@ -131,12 +131,17 @@ object GraftMemoryCatalog {
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with SupportsTruncate {
-        private var truncateFirst = false
-        override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        // Truncate is a property of the WRITE, not a one-shot flag: batch
+        // INSERT OVERWRITE replaces once, and a Complete-mode stream must
+        // replace on EVERY epoch (each epoch carries the full result set) —
+        // consuming the flag on the first commit would leave later epochs
+        // appending stale rows.
+        private var truncateMode = false
+        override def truncate(): WriteBuilder = { truncateMode = true; this }
         private def applyCommit(messages: Array[WriterCommitMessage]): Unit = {
           val batch = messages.collect { case MemCommit(rs) => rs }
             .flatten.toVector
-          if (truncateFirst) { rows.update(storeKey, batch); truncateFirst = false }
+          if (truncateMode) rows.update(storeKey, batch)
           else rows.updateWith(storeKey) {
             case Some(existing) => Some(existing ++ batch)
             case None => Some(batch)

@@ -581,4 +581,15 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(mx.contains("CAST(mask(customer_name) AS STRING)") &&
       mx.contains("WHERE orders.region = 'beijing'"))
   }
+
+  test("renderer keeps the typed CAST for MASK_NULL columns") {
+    val c2 = new SecurityContext(spark)
+    c2.policyManager.addPolicy(graft.policy.DataMaskPolicy(
+      "user_A", "spark_catalog", "default", "orders", "customer_name", "MASK_NULL"))
+    val dm = c2.rewriteDataMaskSql("user_A",
+      "SELECT order_id, customer_name FROM orders")
+    // the reference's convention (DataMaskVisitor.java:131): CAST back to
+    // the declared type — not an untyped bare NULL
+    assert(dm.contains("CAST(NULL AS STRING) AS customer_name"), dm)
+  }
 }

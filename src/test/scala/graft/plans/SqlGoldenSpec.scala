@@ -50,6 +50,11 @@ class SqlGoldenSpec extends SparkFunSuite {
   private def withCtx[T](policies: SecurityContext => Unit)(
       body: SecurityContext => T): T = {
     env
+    // temp views SHADOW catalog tables whatever the current catalog is —
+    // another suite's `orders` fixture view would silently hijack the
+    // golden's bare-name resolution (suite-order-dependent failure)
+    Seq("orders", "products", "shipments", "print_sink")
+      .foreach(spark.catalog.dropTempView(_))
     val c = new SecurityContext(spark,
       defaultCatalog = "hive", defaultDatabase = "default")
     policies(c)

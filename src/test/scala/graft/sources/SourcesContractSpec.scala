@@ -122,4 +122,29 @@ class SourcesContractSpec extends SparkFunSuite {
     assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
     spark.sql("DROP TABLE graft_mem.default.print_sink")
   }
+
+  test("GraftMemoryCatalog: Complete-mode stream REPLACES on every epoch, not just the first") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[GraftMemoryCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.counts")
+    spark.sql("CREATE TABLE graft_mem.default.counts (v STRING, n BIGINT)")
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("v").groupBy("v").count().toDF("v", "n")
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cm").toString)
+      .toTable("graft_mem.default.counts")
+    try {
+      mem.addData("a"); q.processAllAvailable()
+      mem.addData("a", "b"); q.processAllAvailable()
+    } finally q.stop()
+    // epoch 2's FULL result only — a truncate-once bug would leave
+    // epoch 1's ("a", 1) row unioned in
+    val got = spark.table("graft_mem.default.counts").orderBy("v")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L)))
+    spark.sql("DROP TABLE graft_mem.default.counts")
+  }
 }
