@@ -1688,7 +1688,10 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
     // encode -> real decode -> raster equality: the lossless property every
-    // real-media oracle rests on, asserted per document
+    // real-media oracle rests on, asserted per document. Cost note
+    // (PLANS.md): ~1 ms/doc of genuine ImageIO encode+decode work — probed
+    // with BMP too (no deflate): same cost, so the price is codec plumbing,
+    // not compression, and there is nothing to shave without faking it
     "mm_real_roundtrip" -> ((s, dir) =>
       Multimodal.imageRoundtripCheck(docs(s, dir), "doc_id", "text")
         .orderBy(col("media_id"))),
