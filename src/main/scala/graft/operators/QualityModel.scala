@@ -58,13 +58,19 @@ object QualityModel {
     * (d+1)-double coefficient vector.
     */
   def trainLR(labeled: DataFrame, featureCols: Seq[String], labelCol: String,
-      maxIter: Int = 50, regParam: Double = 0.01): LinearModel = {
+      maxIter: Int = 50, regParam: Double = 0.01,
+      tol: Double = 1e-4): LinearModel = {
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("_fv")
       .transform(labeled.withColumn("_lbl", col(labelCol).cast("double")))
+    // tol 1e-4 (vs MLlib's 1e-6 default): every L-BFGS iteration is a full
+    // distributed pass, and a quality filter needs a stable decision
+    // boundary, not 6-digit coefficient convergence — the last ~2x of
+    // iterations move weights by amounts that cannot flip any prediction
+    // at the margins this model is used with
     val m = new LogisticRegression()
       .setFeaturesCol("_fv").setLabelCol("_lbl")
-      .setMaxIter(maxIter).setRegParam(regParam)
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(tol)
       .fit(assembled)
     LinearModel(m.intercept,
       featureCols.zip(m.coefficients.toArray.toIndexedSeq))
