@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid preparation of event streams: bucketed resampling with
+  * gap filling (the feature-engineering step that turns an irregular event
+  * log into the fixed-step series sequence models and monitoring dashboards
+  * consume), and first-order transition statistics over per-key event
+  * sequences (behavior-model prep / Markov baseline).
+  *
+  * Scale design:
+  *  - gapFill's spine is generated PER KEY from that key's own [min, max]
+  *    bucket span — `explode(sequence(lo, hi))` is map-side row generation
+  *    inside the projection, the same no-join discipline as
+  *    [[Packing.packSegments]]; there is no calendar cross join against the
+  *    key universe.
+  *  - The only shuffles are the (key, bucket) pre-aggregate and the per-key
+  *    window for carry-forward — both keyed on the key column, so a
+  *    pre-partitioned input reuses its layout. Per-key state is bounded by
+  *    that key's own time span, never the global one.
+  *  - Bucket sums are rounded to 6 decimals so results are independent of
+  *    partial-aggregation order (cross-engine determinism, as everywhere).
+  *  - transitionMatrix is one per-key lag window + one |states|^2-row
+  *    aggregate; the output is vocabulary-sized, not event-sized.
+  */
+object Timeseries {
+
+  /** Resample `valCol` into `stepSeconds` buckets per key, then fill empty
+    * buckets by carrying the last observed bucket sum forward (LOCF).
+    * Returns (key, bucket_ts, observed, value): `observed` false marks
+    * filled rows; leading buckets before a key's first observation cannot
+    * exist (the spine starts at the key's first observed bucket).
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      stepSeconds: Long): DataFrame = {
+    val bucketed = df
+      .select(col(keyCol).as("key"),
+        floor(unix_timestamp(col(tsCol)) / stepSeconds).as("bucket"),
+        col(valCol).as("v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(round(sum(col("v")), 6).as("v"))
+    val spine = bucketed
+      .groupBy(col("key"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bucketed, Seq("key", "bucket"), "left")
+      .select(col("key"),
+        timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
+        col("v").isNotNull.as("observed"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"))
+  }
+
+  /** First-order transition matrix over per-key event sequences: for each
+    * observed (prev_state, state) adjacency (ordered by `tsCol`, ties
+    * broken by `tieCol` so the sequence is total), the transition count and
+    * the row-normalized probability. Keys' first events have no
+    * predecessor and are excluded.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val counts = df
+      .select(col(stateCol).as("state"),
+        lag(col(stateCol), 1).over(w).as("prev_state"))
+      .filter(col("prev_state").isNotNull)
+      .groupBy(col("prev_state"), col("state"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_state"))), 6))
+  }
+}

@@ -2480,8 +2480,77 @@ object PipelineQueries {
       TextAnalysis.curate(secured, "doc_id", "text", minWords = 30, minStopHits = 1)
         .join(secured.select(col("doc_id"), col("source")), "doc_id")
         .orderBy(col("doc_id"))
-    })
+    }),
+    // link-graph centrality (Common Crawl-style source ranking as a
+    // curation prior): a deterministic citation graph derived in-plan from
+    // the document ids (1-3 out-links each, dst = (31*src + 17*k) mod N;
+    // nodes landing only on the dst side exercise the dangling-mass path),
+    // then 3 PageRank power iterations — per iteration one src-keyed join
+    // + one dst-keyed aggregate, |V|-row rank frame, 6-decimal rounding
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pagerank(citationEdges(s, dir), "src", "dst",
+          iters = 3)
+        .withColumnRenamed("rank", "pr")
+        .orderBy(col("id"))),
+    // the pre-flight degree profile of the same graph (iteration-count /
+    // skew-cap input): two key aggregates + one |V|-row outer join
+    "graph_degrees" -> ((s, dir) =>
+      graft.operators.Graph.degreeStats(citationEdges(s, dir), "src", "dst")
+        .orderBy(col("id"))),
+    // structured-record entity resolution: customers + planted dirty
+    // variants (custkey%10==3 re-enters with digit '0' -> letter 'O' at
+    // name position 10 and a fresh surrogate id). Blocking key =
+    // (nationkey, last-2 name chars) — STABLE fields the planted dirt
+    // cannot touch, so recall on the plant is 1 by construction;
+    // levenshtein<=1 verify inside the block join; components + min-id
+    // entity assignment. Close original ids colliding in a block also
+    // merge — deterministic, and exactly what a distance-1 policy states.
+    "er_customers" -> ((s, dir) => {
+      val c = Tables.df(s, dir, "customer")
+      val dirty = c.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 9), lit("O"),
+            substring(col("c_name"), 11, 100)).as("c_name"),
+          col("c_nationkey"))
+      val all = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .unionAll(dirty)
+      graft.operators.RecordLinkage.resolve(all, "c_custkey", "c_name",
+          concat_ws("|", col("c_nationkey"), substring(col("c_name"), -2, 2)),
+          maxDist = 1, maxBlock = Int.MaxValue)
+        .orderBy(col("id"))
+    }),
+    // regular-grid resampling with gap filling: per-user DAILY purchase
+    // totals, empty days carried forward (LOCF) — the spine is generated
+    // per key from its own [min,max] span (map-side sequence explode, no
+    // calendar cross join)
+    "events_gapfill" -> ((s, dir) =>
+      graft.operators.Timeseries.gapFill(
+          Tables.df(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", stepSeconds = 86400L)
+        .orderBy(col("key"), col("bucket_ts"))),
+    // first-order behavior transitions: P(next event type | current) per
+    // user-ordered sequence — one lag window + a |states|^2-row aggregate
+    "events_transitions" -> ((s, dir) =>
+      graft.operators.Timeseries.transitionMatrix(
+          Tables.df(s, dir, "events"), "user_id", "event_type", "ts",
+          "event_id")
+        .orderBy(col("prev_state"), col("state")))
   )
+
+  /** Deterministic in-plan citation graph over the document ids: node d
+    * links to ((31*d + 17*k) mod N) for k = 1..(1 + d%3); N rides in via a
+    * broadcast 1-row count, so no driver-side action shapes the plan.
+    */
+  private def citationEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    d.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % lit(3L))).as("k"),
+        col("n_docs"))
+      .select(col("src"),
+        ((col("src") * 31 + col("k") * 17) % col("n_docs")).as("dst"))
+  }
   private val duckWords = "string_split_regex(lower(trim(text)), '\\s+')"
 
   /** The batch curation funnel as reusable DuckDB CTEs (gw → gm → rep →
@@ -5186,6 +5255,98 @@ object PipelineQueries {
     // mask_hash = lower(sha2(col, 256)); DuckDB's sha256() is lowercase hex
     "sec_stream_mask" ->
       """SELECT event_id, user_id, sha256(props) AS props
-        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // 3 unrolled PageRank power iterations over the same in-plan citation
+    // graph (same edge arithmetic, same per-iteration 6-decimal rounding,
+    // same dangling-mass redistribution)
+    "graph_pagerank" ->
+      s"""$graphEdgeCtes,
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nv AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0 AS pr FROM nodes),
+         |${prIter("it1", "r0")},
+         |${prIter("it2", "it1")},
+         |${prIter("it3", "it2")}
+         |SELECT id, pr FROM it3 ORDER BY id""".stripMargin,
+    "graph_degrees" ->
+      s"""$graphEdgeCtes,
+         |o AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+         |i AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst)
+         |SELECT coalesce(o.id, i.id) AS id,
+         |       coalesce(o.out_deg, 0) AS out_deg,
+         |       coalesce(i.in_deg, 0) AS in_deg
+         |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin,
+    // same plant, same blocking key, same distance bound, recursive-CTE
+    // closure for the match components (dedup_groups pattern)
+    "er_customers" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |         substr(c_name, 1, 9) || 'O' || substr(c_name, 11),
+        |         c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |recs AS (SELECT id, concat(nk, '|', substr(nm, length(nm) - 1, 2)) AS blk,
+        |                nm FROM base),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |          FROM recs a JOIN recs b ON a.blk = b.blk AND a.id < b.id
+        |          WHERE levenshtein(a.nm, b.nm) <= 1),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT b.id, coalesce(l.label, b.id) AS entity_id
+        |FROM base b LEFT JOIN labels l ON l.id = b.id ORDER BY b.id""".stripMargin,
+    // per-key daily spine + LOCF; bucket sums rounded 6 on both sides
+    "events_gapfill" ->
+      """WITH b AS (SELECT user_id AS key,
+        |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+        |                  round(sum(value), 6) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |spans AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY key),
+        |sp AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM spans),
+        |j AS (SELECT sp.key, sp.bucket, b.v FROM sp LEFT JOIN b USING (key, bucket))
+        |SELECT key, CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
+        |       v IS NOT NULL AS observed,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM j ORDER BY key, bucket""".stripMargin,
+    "events_transitions" ->
+      """WITH seq AS (SELECT event_type AS state,
+        |                    lag(event_type) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS prev_state
+        |             FROM events),
+        |c AS (SELECT prev_state, state, count(*) AS n FROM seq
+        |      WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_state, state, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_state), 6) AS p
+        |FROM c ORDER BY prev_state, state""".stripMargin
   )
+
+  /** The citation graph's edge CTEs, shared by the two graph oracles. */
+  private def graphEdgeCtes: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT d.doc_id AS src,
+      |              (d.doc_id * 31 + k * 17) % nn.n AS dst
+      |       FROM documents d CROSS JOIN nn,
+      |            unnest(range(1, 2 + d.doc_id % 3)) AS t(k)),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)""".stripMargin
+
+  /** One unrolled PageRank iteration reading ranks from `prev`. */
+  private def prIter(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT n.id,
+       |    round(0.15 + 0.85 * (coalesce(c.contrib, 0) + dm.dm / nv.n), 6) AS pr
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT e.dst AS id, sum(r.pr / d.od) AS contrib
+       |             FROM edges e JOIN $prev r ON r.id = e.src
+       |                  JOIN outdeg d ON d.id = e.src
+       |             GROUP BY e.dst) c ON c.id = n.id
+       |  CROSS JOIN (SELECT coalesce(sum(r.pr), 0) AS dm
+       |              FROM $prev r LEFT JOIN outdeg d ON d.id = r.id
+       |              WHERE d.id IS NULL) dm
+       |  CROSS JOIN nv)""".stripMargin
 }

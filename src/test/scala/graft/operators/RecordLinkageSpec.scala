@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class RecordLinkageSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val recs = Seq(
+    (1L, "alice smith", "A"),   // matches 2 at distance 1
+    (2L, "alice smyth", "A"),
+    (3L, "bob jones", "A"),     // same block, too far from 1/2
+    (4L, "carol wu", "B")       // alone in its block
+  ).toDF("id", "name", "blk")
+
+  test("blockedPairs verifies inside blocks only, with the distance bound") {
+    val p = RecordLinkage.blockedPairs(recs, "id", "name", col("blk"),
+      maxDist = 1, maxBlock = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p == Set((1L, 2L, 1)))
+  }
+
+  test("resolve assigns min-id entities and keeps singletons as themselves") {
+    val r = RecordLinkage.resolve(recs, "id", "name", col("blk"), maxDist = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("maxBlock drops oversized blocks (skew guard), keeps the rest") {
+    // block A has 3 records (> cap 2) and is dropped entirely; a 2-record
+    // block elsewhere still pairs
+    val more = recs.unionAll(Seq((5L, "carol wo", "B")).toDF("id", "name", "blk"))
+    val p = RecordLinkage.blockedPairs(more, "id", "name", col("blk"),
+      maxDist = 1, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((4L, 5L)))
+  }
+
+  test("transitive matches land in one entity") {
+    // a~b (dist 1) and b~c (dist 1) but a vs c is distance 2: components
+    // still merge all three
+    val chain = Seq((1L, "aaaa", "X"), (2L, "aaab", "X"), (3L, "aabb", "X"))
+      .toDF("id", "name", "blk")
+    val r = RecordLinkage.resolve(chain, "id", "name", col("blk"), maxDist = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
