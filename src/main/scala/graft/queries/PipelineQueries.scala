@@ -2382,6 +2382,50 @@ object PipelineQueries {
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // the SAME IVM gate once more, now over the RAW Debezium envelope —
+    // before/after row images + op c/u/d inside the Kafka record value,
+    // exactly what the reference's mysql-cdc connector emits on the wire
+    // (the _log variant above carries the post-unwrap flat shape). The
+    // consumer side decodes the envelope back to the retract-stream
+    // changelog and maintains the same persisted state; same oracle again:
+    // envelope format, like transport, must be invisible.
+    "stream_cdc_debezium" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"))
+      val prev = d.filter(col("doc_id") % 3 =!= 0)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("chars") + 11)
+            .otherwise(col("chars")).as("chars"))
+      Seq("graft_ivmd_state", "graft_ivmd_state_staged", "graft_ivmd_state_old")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      ChangeLog.aggStateWriteBucketed(prev, "graft_ivmd_state", "lang",
+        Seq("chars"), numBuckets = 4)
+      val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
+        Seq("lang", "chars"))
+      val events = graft.sources.KafkaShapedLog.encodeDebezium(changes,
+          "doc_id", Seq("lang", "chars"), db = "graft", table = "documents")
+        .localCheckpoint(eager = false) // three segment writes share it
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivmd").toFile
+      val logDir = new java.io.File(tmpRoot, "log")
+      Seq(0, 1, 2).foreach { res =>
+        graft.sources.KafkaShapedLog.appendSegment(
+          events.filter(col("doc_id") % 3 === res), logDir.getPath,
+          topic = "graft.documents", segment = res,
+          keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+      }
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val decoded = graft.sources.KafkaShapedLog.decodeDebezium(
+          graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
+          prev.schema, "doc_id")
+        val q = StreamOps.streamingAggMaintain(decoded, "graft_ivmd_state",
+          "op", "lang", Seq("chars"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_ivmd_state")
+        .select(col("lang"), col("n_rows"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
@@ -5191,6 +5235,7 @@ object PipelineQueries {
     // transport-invisibility: the Kafka-shaped-log path must land the exact
     // same maintained state as the batch recompute
     "stream_cdc_agg_maintain_log" -> ivmRecomputeSql,
+    "stream_cdc_debezium" -> ivmRecomputeSql,
     "cdc_materialize" ->
       s"""WITH $cdcLogCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

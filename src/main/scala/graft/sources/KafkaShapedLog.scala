@@ -108,4 +108,70 @@ object KafkaShapedLog {
         col("timestamp").as("_kafka_ts"))
       .select((valueSchema.fieldNames.map(n => col(s"_v.$n")) :+
         col("_kafka_ts")).toIndexedSeq: _*)
+
+  /** Debezium's change-event value envelope for a row image type `row`
+    * (the UNWRAPPED payload form every Debezium connector documents):
+    * before/after images, op code `c|u|d|r`, source metadata, ts_ms. This
+    * is what the reference's mysql-cdc tables actually carry on the wire —
+    * the flat [[decodeJson]] envelope is the post-ExtractNewRecordState
+    * shape; this one is the raw connector output.
+    */
+  def debeziumValueSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row),
+    StructField("after", row),
+    StructField("source", StructType(Seq(
+      StructField("connector", StringType),
+      StructField("db", StringType),
+      StructField("table", StringType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Encode a [[graft.operators.ChangeLog.fromSnapshotsFull]] changelog —
+    * rows `(key, op I|U|D, <c>_before..., <c>_after...)` — as Debezium
+    * change events: op I -> "c" (before null), U -> "u" (both images),
+    * D -> "d" (after null); each image carries the key column like the
+    * real connector's row images do. Feed the result to [[appendSegment]]
+    * (whose value json then IS a Debezium event) with `keyCol` and
+    * `orderCols = Seq(keyCol, "op")`.
+    */
+  def encodeDebezium(changes: DataFrame, keyCol: String,
+      valueCols: Seq[String], db: String, table: String,
+      tsMs: Long = 1700000000000L): DataFrame = {
+    val beforeImg = struct(col(keyCol) +:
+      valueCols.map(c => col(s"${c}_before").as(c)): _*)
+    val afterImg = struct(col(keyCol) +:
+      valueCols.map(c => col(s"${c}_after").as(c)): _*)
+    changes.select(
+      col(keyCol),
+      when(col("op") =!= "I", beforeImg).as("before"),
+      when(col("op") =!= "D", afterImg).as("after"),
+      struct(lit("mysql").as("connector"), lit(db).as("db"),
+        lit(table).as("table")).as("source"),
+      when(col("op") === "I", "c").when(col("op") === "U", "u")
+        .otherwise("d").as("op"),
+      lit(tsMs).as("ts_ms"))
+  }
+
+  /** Decode Debezium change events back into the changelog shape the IVM
+    * family consumes: `(key, op I|U|D, <c>_before..., <c>_after...)`.
+    * Snapshot reads (op "r" — Debezium's initial-load records) map to I,
+    * exactly how a consumer bootstraps standing state from the connector's
+    * snapshot phase. `rowSchema` is the row image type (key + value
+    * columns with their pre-encode types).
+    */
+  def decodeDebezium(log: DataFrame, rowSchema: StructType,
+      keyCol: String): DataFrame = {
+    val valueCols = rowSchema.fieldNames.filterNot(_ == keyCol).toSeq
+    val env = from_json(col("value").cast("string"),
+      debeziumValueSchema(rowSchema))
+    log.select(env.as("_e"))
+      .select(
+        coalesce(col(s"_e.after.$keyCol"), col(s"_e.before.$keyCol"))
+          .as(keyCol) +:
+        when(col("_e.op").isin("c", "r"), "I")
+          .when(col("_e.op") === "u", "U")
+          .otherwise("D").as("op") +:
+        (valueCols.map(c => col(s"_e.before.$c").as(s"${c}_before")) ++
+          valueCols.map(c => col(s"_e.after.$c").as(s"${c}_after"))): _*)
+  }
 }

@@ -80,6 +80,65 @@ class SourcesContractSpec extends SparkFunSuite {
       Seq((1L, "en", 10), (2L, "de", 20), (3L, "fr", 30)))
   }
 
+  test("KafkaShapedLog: Debezium envelope round-trips the changelog shape") {
+    // one of each op, with the image rules Debezium documents: c has no
+    // before, d has no after, u carries both
+    val changes = Seq(
+      (1L, "I", null.asInstanceOf[String], 0, "en", 10),
+      (2L, "U", "de", 20, "de", 25),
+      (3L, "D", "fr", 30, null.asInstanceOf[String], 0))
+      .toDF("doc_id", "op", "lang_before", "charsRaw_b", "lang_after", "charsRaw_a")
+      .select(col("doc_id"), col("op"),
+        when(col("op") =!= "I", col("lang_before")).as("lang_before"),
+        when(col("op") =!= "I", col("charsRaw_b")).as("chars_before"),
+        when(col("op") =!= "D", col("lang_after")).as("lang_after"),
+        when(col("op") =!= "D", col("charsRaw_a")).as("chars_after"))
+    val events = KafkaShapedLog.encodeDebezium(changes, "doc_id",
+      Seq("lang", "chars"), db = "graft", table = "documents")
+    // image nullability per op
+    val byOp = events.collect().map(r => r.getString(4) ->
+      (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(byOp == Map("c" -> (true, false), "u" -> (false, false),
+      "d" -> (false, true)))
+    // through the log: value json is a genuine Debezium event
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbz").toFile
+    KafkaShapedLog.appendSegment(events, dir.getPath + "/log", "t", 0,
+      "doc_id", Seq("doc_id"))
+    val raw = spark.read.schema(KafkaShapedLog.schema)
+      .parquet(dir.getPath + "/log")
+    val sample = raw.select(col("value").cast("string")).as[String]
+      .collect().mkString
+    assert(sample.contains("\"op\"") && sample.contains("\"before\"") &&
+      sample.contains("\"connector\":\"mysql\""))
+    val rowSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("chars", IntegerType)))
+    val back = KafkaShapedLog.decodeDebezium(raw, rowSchema, "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(4))))
+    assert(back.toSeq == Seq(
+      (1L, "I", None, Some("en")),
+      (2L, "U", Some("de"), Some("de")),
+      (3L, "D", Some("fr"), None)))
+  }
+
+  test("KafkaShapedLog: Debezium snapshot reads (op r) bootstrap as inserts") {
+    val rowSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    val json =
+      """{"before":null,"after":{"doc_id":7,"lang":"en"},
+        |"source":{"connector":"mysql","db":"g","table":"d"},
+        |"op":"r","ts_ms":1}""".stripMargin.replace("\n", "")
+    val log = Seq(json).toDF("v")
+      .select(lit(null).cast("binary").as("key"),
+        encode(col("v"), "UTF-8").as("value"), lit("t").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+    val out = KafkaShapedLog.decodeDebezium(log, rowSchema, "doc_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 7L && out.head.getString(1) == "I")
+  }
+
   test("GraftMemoryCatalog: 3-part resolution, INSERT INTO, SELECT, truncate-overwrite, DROP") {
     spark.conf.set("spark.sql.catalog.graft_mem",
       classOf[GraftMemoryCatalog].getName)
