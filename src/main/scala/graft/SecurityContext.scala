@@ -8,6 +8,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.GraftSqlShims
 import org.apache.spark.sql.types.StructType
 
+/** One audit record: a query submission (action QUERY, obj = which rewrite
+  * API, detail = the statement) or a policy application the rewrite
+  * performed (action ROW_FILTER / DATA_MASK, obj = cat.db.table, detail =
+  * the injected condition / the col=MASK_TYPE list). `seq` is the call
+  * order — deterministic for a fresh context.
+  */
+case class AuditEntry(seq: Long, principal: String, action: String,
+    obj: String, detail: String)
+
 /** User-facing facade — the Spark-native equivalent of the reference's
   * SecurityContext (SecurityContext.java:126-242).
   *
@@ -56,23 +65,65 @@ final class SecurityContext(
   private def analyzed(plan: LogicalPlan): LogicalPlan =
     spark.sessionState.executePlan(plan).analyzed
 
+  // --- audit trail (the Ranger model the reference's PolicyManager names
+  // as intent: every rewrite is an access decision worth recording) ---
+
+  private val auditBuf = scala.collection.mutable.ArrayBuffer.empty[AuditEntry]
+
+  /** Record the submission plus every policy application found in the
+    * rewritten plan (the rules leave `SecurityTags.*Audit` breadcrumbs at
+    * each injection site; collectWithSubqueries also reaches plans inside
+    * EXISTS/IN/scalar subquery expressions). Driver-side, bounded by the
+    * number of policied scans in the plan — never data-sized.
+    */
+  private def recordAudit(user: String, api: String, sql: String,
+      plan: LogicalPlan): LogicalPlan = {
+    auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", api, sql)
+    plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).isDefined =>
+        ("ROW_FILTER", f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).get)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.getTagValue(graft.plans.SecurityTags.MaskAudit).isDefined =>
+        ("DATA_MASK", p.getTagValue(graft.plans.SecurityTags.MaskAudit).get)
+    }.foreach { case (action, crumb) =>
+      val Array(obj, detail) = crumb.split("\\|", 2)
+      auditBuf += AuditEntry(auditBuf.size.toLong, user, action, obj, detail)
+    }
+    plan
+  }
+
+  /** The audit trail as a DataFrame (seq, principal, action, obj, detail),
+    * in call order. Identity-only mask matches (every matched policy is
+    * MASK_NONE) leave no plan node and are not recorded.
+    */
+  def auditLog: DataFrame = {
+    import spark.implicits._
+    auditBuf.toSeq.toDF()
+  }
+
+  def clearAudit(): Unit = auditBuf.clear()
+
   /** Catalog schema lookup (reference getTable, SecurityContext.java:253-292). */
   def getTable(table: String): StructType = spark.table(table).schema
 
   // --- rewrite-only API (reference SecurityContext.java:126-167) ---
 
   def rewriteRowFilter(user: String, sql: String): LogicalPlan =
-    analyzed(RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql))))
+    recordAudit(user, "row_filter", sql,
+      analyzed(RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))))
 
   def rewriteDataMask(user: String, sql: String): LogicalPlan =
-    analyzed(DataMaskRule(spark, user, policyManager, scope)(analyzed(parseSql(sql))))
+    recordAudit(user, "data_mask", sql,
+      analyzed(DataMaskRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))))
 
   /** Row filter BEFORE mask — fixed order, filters see masked values
     * (SecurityContext.java:154-167).
     */
   def mixedRewrite(user: String, sql: String): LogicalPlan = {
     val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
-    analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered))
+    recordAudit(user, "mixed", sql,
+      analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered)))
   }
 
   /** Ranger-style composition (the divergence switch of SURVEY §7.3): row
@@ -82,7 +133,8 @@ final class SecurityContext(
     */
   def mixedRewriteRawFilter(user: String, sql: String): LogicalPlan = {
     val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
-    analyzed(DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true)(filtered))
+    recordAudit(user, "mixed_raw_filter", sql,
+      analyzed(DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true)(filtered)))
   }
 
   // --- rewrite-to-SQL API (best-effort text, for diffing/goldens; the

@@ -54,6 +54,49 @@ object Timeseries {
         last(col("v"), ignoreNulls = true).over(w).as("value"))
   }
 
+  /** Rolling z-score anomaly flags over a bucketed series: each (key,
+    * bucket) sum is scored against the mean/std of its own TRAILING
+    * `lookback` observed buckets (frame excludes the current row — an
+    * anomaly must not inflate its own baseline). One (key, bucket)
+    * pre-aggregate + one key-partitioned window, nothing global.
+    *
+    * Cross-engine determinism: std comes from the explicit sum/sum-of-
+    * squares closed form — NOT the engine's stddev aggregate, whose
+    * streaming formulation differs between engines in low-order bits —
+    * with every intermediate rounded (inputs 6dp, variance floored at 0
+    * for cancellation, z-score 4dp).
+    */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      stepSeconds: Long, lookback: Int = 7, zThresh: Double = 3.0,
+      minN: Int = 3): DataFrame = {
+    val b = df
+      .select(col(keyCol).as("key"),
+        floor(unix_timestamp(col(tsCol)) / stepSeconds).as("bucket"),
+        col(valCol).as("v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(round(sum(col("v")), 6).as("value"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    val n = count(col("value")).over(w)
+    val sv = sum(col("value")).over(w)
+    val svv = sum(col("value") * col("value")).over(w)
+    b.select(col("key"),
+        timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
+        col("value"), n.as("n"), sv.as("sv"), svv.as("svv"))
+      .withColumn("mean", round(col("sv") / col("n"), 6))
+      .withColumn("std", when(col("n") >= minN,
+        round(sqrt(greatest(
+          (col("svv") - col("sv") * col("sv") / col("n")) /
+            (col("n") - 1), lit(0.0))), 6)))
+      .withColumn("zscore", when(col("std") > 0,
+        round((col("value") - col("mean")) / col("std"), 4)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) > zThresh, lit(false)))
+      .select(col("key"), col("bucket_ts"), col("value"),
+        when(col("n") >= minN, col("mean")).as("mean"),
+        col("std"), col("zscore"), col("is_anomaly"))
+  }
+
   /** First-order transition matrix over per-key event sequences: for each
     * observed (prev_state, state) adjacency (ordered by `tsCol`, ties
     * broken by `tieCol` so the sequence is total), the transition count and

@@ -58,6 +58,11 @@ import org.apache.spark.sql.types.Metadata
 object SecurityTags {
   val RowFilterApplied: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.rowFilterApplied")
   val MaskApplied: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.maskApplied")
+  // audit breadcrumbs ("cat.db.table|detail") left at each injection site;
+  // SecurityContext.auditLog collects them post-rewrite (the Ranger model:
+  // every policy application is an auditable access decision)
+  val RowFilterAudit: TreeNodeTag[String] = TreeNodeTag[String]("graft.rowFilterAudit")
+  val MaskAudit: TreeNodeTag[String] = TreeNodeTag[String]("graft.maskAudit")
 }
 
 /** Resolves which (catalog, database) a bare single-part table reference
@@ -182,6 +187,8 @@ final case class RowFilterRule(
             .reduceLeft[Expression](And(_, _))
           val filter = Filter(cond, child)
           filter.setTagValue(SecurityTags.RowFilterApplied, true)
+          filter.setTagValue(SecurityTags.RowFilterAudit,
+            s"$cat.$db.$table|${conds.mkString(" AND ")}")
           SubqueryAlias(id, filter)
       }
   }
@@ -253,6 +260,12 @@ final case class DataMaskRule(
   private def maskedProject(base: LogicalPlan, cat: String, db: String,
       table: String): Option[(LogicalPlan, Seq[(Attribute, Attribute)])] = {
     val mapping = Seq.newBuilder[(Attribute, Attribute)]
+    // audit trail of applied policy decisions, in output-column order
+    // (MASK_NONE passthroughs are recorded too — a matched policy is an
+    // access decision even when the transformation is identity; they are
+    // only auditable when at least one REAL mask builds the Project,
+    // because identity-only matches leave no plan node to tag)
+    val audited = Seq.newBuilder[String]
     var any = false
     def aliasAs(attr: Attribute, e: Expression): NamedExpression = {
       any = true
@@ -262,8 +275,11 @@ final case class DataMaskRule(
     }
     val cols: Seq[NamedExpression] = base.output.map { attr =>
       policies.dataMaskType(user, cat, db, table, attr.name) match {
-        case Some(t) if t.name.equalsIgnoreCase("MASK_NONE") => attr
+        case Some(t) if t.name.equalsIgnoreCase("MASK_NONE") =>
+          audited += s"${attr.name}=${t.name}"
+          attr
         case Some(t) if t.name.equalsIgnoreCase("MASK_NULL") =>
+          audited += s"${attr.name}=${t.name}"
           val a = aliasAs(attr, Literal(null, attr.dataType))
           // renderer text: keep the CAST-back-to-declared-type convention
           // (DataMaskVisitor.java:131) — exprText strips casts otherwise
@@ -273,6 +289,7 @@ final case class DataMaskRule(
         case Some(t) =>
           t.transformerFor(s"`${attr.name}`") match {
             case Some(tpl) =>
+              audited += s"${attr.name}=${t.name}"
               val a = aliasAs(attr,
                 resolveMaskExpr(spark.sessionState.sqlParser.parseExpression(tpl), base))
               // the reference-exact output text for SqlRenderer's golden
@@ -290,6 +307,8 @@ final case class DataMaskRule(
     else {
       val p = Project(cols, base)
       p.setTagValue(SecurityTags.MaskApplied, true)
+      p.setTagValue(SecurityTags.MaskAudit,
+        s"$cat.$db.$table|${audited.result().mkString(",")}")
       Some((p, mapping.result()))
     }
   }
@@ -323,6 +342,8 @@ final case class DataMaskRule(
         val nf = Filter(remapped, nc)
         f.getTagValue(SecurityTags.RowFilterApplied)
           .foreach(v => nf.setTagValue(SecurityTags.RowFilterApplied, v))
+        f.getTagValue(SecurityTags.RowFilterAudit)
+          .foreach(v => nf.setTagValue(SecurityTags.RowFilterAudit, v))
         (nf, mapping)
       }
     case pr: Project if pr.getTagValue(SecurityTags.MaskApplied).contains(true) =>

@@ -2578,7 +2578,15 @@ object PipelineQueries {
       graft.operators.Timeseries.transitionMatrix(
           Tables.df(s, dir, "events"), "user_id", "event_type", "ts",
           "event_id")
-        .orderBy(col("prev_state"), col("state")))
+        .orderBy(col("prev_state"), col("state"))),
+    // rolling z-score monitoring: per-type daily totals scored against
+    // their own trailing-7 window (sum/sum-of-squares closed form on both
+    // engines — never the engine's stddev aggregate)
+    "events_anomaly" -> ((s, dir) =>
+      graft.operators.Timeseries.anomalies(Tables.df(s, dir, "events"),
+          "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
+          zThresh = 2.0)
+        .orderBy(col("key"), col("bucket_ts")))
   )
 
   /** Deterministic in-plan citation graph over the document ids: node d
@@ -5359,6 +5367,29 @@ object PipelineQueries {
         |       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM j ORDER BY key, bucket""".stripMargin,
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_type AS key,
+        |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+        |                  round(sum(value), 6) AS value
+        |           FROM events GROUP BY 1, 2),
+        |wd AS (SELECT key, bucket, value,
+        |              count(value) OVER w AS n,
+        |              sum(value) OVER w AS sv,
+        |              sum(value * value) OVER w AS svv
+        |       FROM b WINDOW w AS (PARTITION BY key ORDER BY bucket
+        |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT key, bucket, value, n, round(sv / n, 6) AS mean,
+        |              CASE WHEN n >= 3 THEN
+        |                round(sqrt(greatest((svv - sv * sv / n) / (n - 1), 0)), 6)
+        |              END AS std
+        |       FROM wd),
+        |z AS (SELECT key, bucket, value, n, mean, std,
+        |             CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS zscore
+        |      FROM sc)
+        |SELECT key, CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
+        |       value, CASE WHEN n >= 3 THEN mean END AS mean, std, zscore,
+        |       coalesce(abs(zscore) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY key, bucket""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (SELECT event_type AS state,
         |                    lag(event_type) OVER (PARTITION BY user_id

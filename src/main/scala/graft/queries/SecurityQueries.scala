@@ -214,6 +214,26 @@ object SecurityQueries {
       }
       c.dfDataMask(USER,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+    // the Ranger-style audit trail: every rewrite records its submission
+    // plus one row per policy application (table + injected condition /
+    // masked-column list). Four submissions — mixed over a policied table,
+    // row-filter over another, a no-policy principal (QUERY row only), and
+    // a two-table join recording per-scan decisions — then the trail
+    // itself is the result. Deterministic: seq is call order on a fresh
+    // context, details are policy strings verbatim.
+    "sec_audit" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer", "orders") { c =>
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+        mask(c, "customer", "c_name", "MASK_HASH")
+        rls(c, "orders", "o_orderstatus = 'F'")
+      }
+      c.dfMixed(USER, "SELECT c_custkey, c_name FROM customer")
+      c.dfRowFilter(USER, "SELECT o_orderkey FROM orders")
+      c.dfMixed("intern", "SELECT o_orderkey FROM orders")
+      c.dfMixed(USER,
+        "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+      c.auditLog.orderBy("seq")
     })
   )
 
@@ -291,6 +311,24 @@ object SecurityQueries {
       """SELECT c_custkey,
         |       substr(c_name,1,4) || regexp_replace(substr(c_name,5),'[A-Za-z0-9]','x','g') AS c_name,
         |       sha256(c_mktsegment) AS c_mktsegment
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the audit trail is fully determined by the call sequence: the oracle
+    // states it as constants (a submission row per rewrite, a decision row
+    // per policied scan in FROM order, filter decisions before mask)
+    "sec_audit" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, principal, action, obj, detail
+        |FROM (VALUES
+        |  (0, 'analyst', 'QUERY', 'mixed', 'SELECT c_custkey, c_name FROM customer'),
+        |  (1, 'analyst', 'ROW_FILTER', 'spark_catalog.default.customer', 'c_mktsegment = ''BUILDING'''),
+        |  (2, 'analyst', 'DATA_MASK', 'spark_catalog.default.customer', 'c_name=MASK_HASH'),
+        |  (3, 'analyst', 'QUERY', 'row_filter', 'SELECT o_orderkey FROM orders'),
+        |  (4, 'analyst', 'ROW_FILTER', 'spark_catalog.default.orders', 'o_orderstatus = ''F'''),
+        |  (5, 'intern', 'QUERY', 'mixed', 'SELECT o_orderkey FROM orders'),
+        |  (6, 'analyst', 'QUERY', 'mixed', 'SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey'),
+        |  (7, 'analyst', 'ROW_FILTER', 'spark_catalog.default.orders', 'o_orderstatus = ''F'''),
+        |  (8, 'analyst', 'ROW_FILTER', 'spark_catalog.default.customer', 'c_mktsegment = ''BUILDING'''),
+        |  (9, 'analyst', 'DATA_MASK', 'spark_catalog.default.customer', 'c_name=MASK_HASH')
+        |) t(seq, principal, action, obj, detail)
+        |ORDER BY seq""".stripMargin
   )
 }

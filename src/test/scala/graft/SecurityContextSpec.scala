@@ -592,4 +592,34 @@ class SecurityContextSpec extends SparkFunSuite {
     // the declared type — not an untyped bare NULL
     assert(dm.contains("CAST(NULL AS STRING) AS customer_name"), dm)
   }
+
+  test("audit trail: submission + per-scan decisions, filter before mask") {
+    ctx // force seed() so the views exist
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(RowFilterPolicy("user_A", CAT, DB, "orders", "region = 'beijing'"))
+    c.policyManager.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders", "customer_name", "MASK"))
+    c.dfMixed("user_A", "SELECT order_id, customer_name FROM orders")
+    val got = c.auditLog.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, "user_A", "QUERY", "mixed", "SELECT order_id, customer_name FROM orders"),
+      (1L, "user_A", "ROW_FILTER", "hive.default.orders", "region = 'beijing'"),
+      (2L, "user_A", "DATA_MASK", "hive.default.orders", "customer_name=MASK")))
+    // a principal with no policies leaves only the submission row
+    c.dfMixed("nobody", "SELECT order_id FROM orders")
+    assert(c.auditLog.count() == 4)
+    c.clearAudit()
+    assert(c.auditLog.count() == 0)
+  }
+
+  test("audit trail reaches decisions inside subquery expressions") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(RowFilterPolicy("user_A", CAT, DB, "orders", "region = 'beijing'"))
+    c.dfRowFilter("user_A",
+      "SELECT id, name FROM products WHERE id IN (SELECT product_id FROM orders)")
+    val actions = c.auditLog.collect().map(r => (r.getString(2), r.getString(3)))
+    assert(actions.count(_._1 == "ROW_FILTER") == 1)
+    assert(actions.contains(("ROW_FILTER", "hive.default.orders")))
+  }
 }

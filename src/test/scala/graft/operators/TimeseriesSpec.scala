@@ -43,6 +43,32 @@ class TimeseriesSpec extends SparkFunSuite {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  test("anomalies flags a planted spike against its trailing window") {
+    // key 1: seven quiet days (value 10 +/- 1) then a 100 spike; the spike
+    // scores against the quiet baseline and flags; the quiet days don't.
+    val rows = (0 until 7).map(i =>
+      (1L, ts(f"2024-01-${i + 1}%02d 12:00:00"), 10.0 + (i % 3) - 1)) :+
+      ((1L, ts("2024-01-08 12:00:00"), 100.0))
+    val df = rows.toDF("k", "t", "v")
+    val out = Timeseries.anomalies(df, "k", "t", "v", stepSeconds = 86400L,
+      lookback = 7, zThresh = 3.0)
+      .orderBy("bucket_ts").collect()
+    assert(out.length == 8)
+    // first minN-1 rows have no baseline: null mean/std, not anomalous
+    assert(out.take(3).forall(r => r.isNullAt(3) && !r.getBoolean(6)))
+    assert(out.dropRight(1).forall(r => !r.getBoolean(6)))
+    val spike = out.last
+    assert(spike.getBoolean(6), s"spike not flagged: $spike")
+    assert(spike.getDouble(5) > 3.0) // zscore
+  }
+
+  test("anomalies: zero-variance baseline yields null zscore, no flag") {
+    val df = (0 until 5).map(i =>
+      (1L, ts(f"2024-01-${i + 1}%02d 12:00:00"), 5.0)).toDF("k", "t", "v")
+    val out = Timeseries.anomalies(df, "k", "t", "v", 86400L).collect()
+    assert(out.forall(r => r.isNullAt(5) && !r.getBoolean(6)))
+  }
+
   test("transitionMatrix breaks timestamp ties with the tie column") {
     val t0 = ts("2024-01-01 00:00:00")
     val df = Seq((1L, "x", t0, 1L), (1L, "y", t0, 0L), (1L, "z", t0, 2L))
