@@ -76,6 +76,18 @@ object PipelineQueries {
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq)
 
+  /** Trained unigram-LM piece model (SentencePiece family), memoized per
+    * sfDir: text_unigram and text_unigram_check share one train run (seed +
+    * 2 hard-EM rounds over the distinct-word dictionary).
+    */
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Double)]]
+  private def trainedUnigram(s: SparkSession, dir: String): Seq[(String, Double)] =
+    unigramCache.getOrElseUpdate(dir,
+      graft.operators.Unigram.train(docs(s, dir), "text", vocabSize = 512,
+          maxPieceLen = 8, seedSize = 4096, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+
   /** Trained k-means centroids, memoized per sfDir: emb_kmeans and
     * emb_kmeans_stats share one Lloyd run (3 iterations = 3 shuffles + 3
     * bounded k-row collects) — one Verify run should pay it once. Only the
@@ -2586,7 +2598,34 @@ object PipelineQueries {
       graft.operators.Timeseries.anomalies(Tables.df(s, dir, "events"),
           "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
           zThresh = 2.0)
-        .orderBy(col("key"), col("bucket_ts")))
+        .orderBy(col("key"), col("bucket_ts"))),
+    // unigram-LM (SentencePiece-family) piece model: seed substrings +
+    // 2 hard-EM rounds over the distinct-word dictionary, char coverage
+    // guaranteed. Rows-only (Viterbi has no SQL form); the oracled _check
+    // companion proves the tokenizer contract
+    "text_unigram" -> ((s, dir) => {
+      import s.implicits._
+      trainedUnigram(s, dir).toDF("piece", "logp")
+        .orderBy(desc("logp"), col("piece"))
+    }),
+    // the tokenizer contract as a DuckDB-statable verdict: every distinct
+    // corpus word round-trips (concat of pieces == word), every emitted
+    // piece is in the trained vocab, the vocab respects its size bound and
+    // learned beyond characters
+    "text_unigram_check" -> ((s, dir) => {
+      val model = trainedUnigram(s, dir).toMap
+      val lpMap = typedLit(model)
+      val segs = graft.operators.Unigram.segmentWords(docs(s, dir), "text",
+        model, maxPieceLen = 8)
+      segs.select(
+          (concat_ws("", col("pieces")) === col("word")).as("rt"),
+          forall(col("pieces"), p => lpMap(p).isNotNull).as("iv"))
+        .agg(count(lit(1)).as("n_words"),
+          min(col("rt")).as("all_roundtrip"),
+          min(col("iv")).as("all_in_vocab"))
+        .withColumn("vocab_bounded", lit(model.size <= 512))
+        .withColumn("has_multichar", lit(model.keys.exists(_.length > 1)))
+    })
   )
 
   /** Deterministic in-plan citation graph over the document ids: node d
@@ -5367,6 +5406,15 @@ object PipelineQueries {
         |       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM j ORDER BY key, bucket""".stripMargin,
+    // the unigram tokenizer contract: the corpus-derived facts (distinct
+    // word count) plus the engine-proven invariants stated as constants
+    "text_unigram_check" ->
+      s"""WITH w AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+         |                  '$duckWordPattern')) AS word FROM documents)
+         |SELECT count(*) AS n_words, true AS all_roundtrip,
+         |       true AS all_in_vocab, true AS vocab_bounded,
+         |       true AS has_multichar
+         |FROM w""".stripMargin,
     "events_anomaly" ->
       """WITH b AS (SELECT event_type AS key,
         |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
