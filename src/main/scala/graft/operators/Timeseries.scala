@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Regular-grid preparation of event streams: bucketed resampling with
   * gap filling (the feature-engineering step that turns an irregular event
@@ -95,6 +96,71 @@ object Timeseries {
       .select(col("key"), col("bucket_ts"), col("value"),
         when(col("n") >= minN, col("mean")).as("mean"),
         col("std"), col("zscore"), col("is_anomaly"))
+  }
+
+  /** A finalized (key, bucket, value) series row arriving on a stream. */
+  case class BucketRow(key: String, bucket: Long, value: Double)
+  /** A scored series row — the streaming twin of [[anomalies]]' output. */
+  case class AnomalyRow(key: String, bucket_ts: java.sql.Timestamp,
+      value: Double, mean: Option[Double], std: Option[Double],
+      zscore: Option[Double], is_anomaly: Boolean)
+
+  private def roundD(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Score one value against its trailing window — the EXACT arithmetic of
+    * [[anomalies]] (same summation order, same roundings), shared so the
+    * streaming form cannot drift from the batch form. `window` is oldest
+    * first.
+    */
+  private[operators] def scoreOne(window: Seq[Double], v: Double,
+      zThresh: Double, minN: Int): (Option[Double], Option[Double],
+      Option[Double], Boolean) = {
+    val n = window.size
+    if (n < minN) return (None, None, None, false)
+    var sv = 0.0; var svv = 0.0
+    window.foreach { x => sv += x; svv += x * x }
+    val mean = roundD(sv / n, 6)
+    val std = roundD(math.sqrt(math.max((svv - sv * sv / n) / (n - 1), 0.0)), 6)
+    if (std > 0) {
+      val z = roundD((v - mean) / std, 4)
+      (Some(mean), Some(std), Some(z), math.abs(z) > zThresh)
+    } else (Some(mean), Some(std), None, false)
+  }
+
+  /** Streaming twin of [[anomalies]]: scores finalized (key, bucket, value)
+    * rows as they arrive, keeping only the trailing `lookback` values per
+    * key in group state (bounded — a key's state never exceeds `lookback`
+    * doubles). Requires rows to arrive bucket-ordered per key across
+    * batches (the producer is a windowed aggregate that finalizes buckets
+    * in order); within a batch any order is fine (sorted before folding).
+    * Replaying the same rows through any micro-batch slicing emits exactly
+    * the batch [[anomalies]] rows — spec-pinned.
+    */
+  def streamingAnomalies(buckets: DataFrame, stepSeconds: Long,
+      lookback: Int = 7, zThresh: Double = 3.0, minN: Int = 3)
+      : Dataset[AnomalyRow] = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val typed = buckets
+      .select(col("key").cast("string").as("key"), col("bucket").cast("long")
+        .as("bucket"), col("value").cast("double").as("value"))
+      .as[BucketRow]
+    def fn(key: String, rows: Iterator[BucketRow],
+        state: GroupState[Seq[Double]]): Iterator[AnomalyRow] = {
+      var window = state.getOption.getOrElse(Seq.empty)
+      val out = rows.toArray.sortBy(_.bucket).map { r =>
+        val (mean, std, z, flag) = scoreOne(window, r.value, zThresh, minN)
+        window = (window :+ r.value).takeRight(lookback)
+        AnomalyRow(key, new java.sql.Timestamp(r.bucket * stepSeconds * 1000L),
+          r.value, mean, std, z, flag)
+      }
+      state.update(window)
+      out.iterator
+    }
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
   }
 
   /** First-order transition matrix over per-key event sequences: for each

@@ -2599,6 +2599,44 @@ object PipelineQueries {
           "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
           zThresh = 2.0)
         .orderBy(col("key"), col("bucket_ts"))),
+    // the STREAMING scorer over the same finalized daily buckets, replayed
+    // bucket-ordered in 3 mtime-ordered segments (each key's trailing
+    // window lives in bounded group state) — must equal the batch window
+    // computation, which is what the shared oracle states (zThresh 3.0)
+    "stream_anomaly" -> ((s, dir) => {
+      val b = Tables.df(s, dir, "events")
+        .select(col("event_type").as("key"),
+          floor(unix_timestamp(col("ts")) / 86400).as("bucket"),
+          col("value").as("v"))
+        .groupBy("key", "bucket").agg(round(sum("v"), 6).as("value"))
+        .localCheckpoint(eager = false) // three segment writes share it
+      val bounds = b.agg(min("bucket"), max("bucket")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo + 1) / 3
+      val cut2 = lo + 2 * (hi - lo + 1) / 3
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_anom").toFile
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val now = System.currentTimeMillis()
+      Seq(col("bucket") < cut1,
+        col("bucket") >= cut1 && col("bucket") < cut2,
+        col("bucket") >= cut2).zipWithIndex.foreach { case (pred, i) =>
+        val part = new java.io.File(tmpRoot, s"part$i")
+        b.filter(pred).coalesce(1).write.mode("overwrite").parquet(part.getPath)
+        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(streamDir, s"b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(now - (3 - i) * 60000L)
+      }
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(b.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val scored = graft.operators.Timeseries.streamingAnomalies(
+          stream, stepSeconds = 86400L, lookback = 7, zThresh = 3.0)
+        StreamOps.runToMemory(s, scored.toDF(), "stream_anomaly_out",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy(col("key"), col("bucket_ts"))
+      }
+    }),
     // unigram-LM (SentencePiece-family) piece model: seed substrings +
     // 2 hard-EM rounds over the distinct-word dictionary, char coverage
     // guaranteed. Rows-only (Viterbi has no SQL form); the oracled _check
@@ -5415,29 +5453,10 @@ object PipelineQueries {
          |       true AS all_in_vocab, true AS vocab_bounded,
          |       true AS has_multichar
          |FROM w""".stripMargin,
-    "events_anomaly" ->
-      """WITH b AS (SELECT event_type AS key,
-        |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
-        |                  round(sum(value), 6) AS value
-        |           FROM events GROUP BY 1, 2),
-        |wd AS (SELECT key, bucket, value,
-        |              count(value) OVER w AS n,
-        |              sum(value) OVER w AS sv,
-        |              sum(value * value) OVER w AS svv
-        |       FROM b WINDOW w AS (PARTITION BY key ORDER BY bucket
-        |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |sc AS (SELECT key, bucket, value, n, round(sv / n, 6) AS mean,
-        |              CASE WHEN n >= 3 THEN
-        |                round(sqrt(greatest((svv - sv * sv / n) / (n - 1), 0)), 6)
-        |              END AS std
-        |       FROM wd),
-        |z AS (SELECT key, bucket, value, n, mean, std,
-        |             CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS zscore
-        |      FROM sc)
-        |SELECT key, CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
-        |       value, CASE WHEN n >= 3 THEN mean END AS mean, std, zscore,
-        |       coalesce(abs(zscore) > 2.0, false) AS is_anomaly
-        |FROM z ORDER BY key, bucket""".stripMargin,
+    "events_anomaly" -> anomalySql("2.0"),
+    // the streaming scorer replays to the identical result (zThresh 3.0
+    // distinguishes the two gates)
+    "stream_anomaly" -> anomalySql("3.0"),
     "events_transitions" ->
       """WITH seq AS (SELECT event_type AS state,
         |                    lag(event_type) OVER (PARTITION BY user_id
@@ -5449,6 +5468,36 @@ object PipelineQueries {
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_state), 6) AS p
         |FROM c ORDER BY prev_state, state""".stripMargin
   )
+
+  /** Rolling z-score anomaly oracle (events, daily buckets, trailing-7
+    * window, min 3 observations) at the given threshold — the same
+    * sum/sum-of-squares closed form as `Timeseries.anomalies` and its
+    * streaming twin. Shared by `events_anomaly` (2.0) and `stream_anomaly`
+    * (3.0).
+    */
+  private def anomalySql(thresh: String): String =
+    s"""WITH b AS (SELECT event_type AS key,
+       |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+       |                  round(sum(value), 6) AS value
+       |           FROM events GROUP BY 1, 2),
+       |wd AS (SELECT key, bucket, value,
+       |              count(value) OVER w AS n,
+       |              sum(value) OVER w AS sv,
+       |              sum(value * value) OVER w AS svv
+       |       FROM b WINDOW w AS (PARTITION BY key ORDER BY bucket
+       |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |sc AS (SELECT key, bucket, value, n, round(sv / n, 6) AS mean,
+       |              CASE WHEN n >= 3 THEN
+       |                round(sqrt(greatest((svv - sv * sv / n) / (n - 1), 0)), 6)
+       |              END AS std
+       |       FROM wd),
+       |z AS (SELECT key, bucket, value, n, mean, std,
+       |             CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS zscore
+       |      FROM sc)
+       |SELECT key, CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
+       |       value, CASE WHEN n >= 3 THEN mean END AS mean, std, zscore,
+       |       coalesce(abs(zscore) > $thresh, false) AS is_anomaly
+       |FROM z ORDER BY key, bucket""".stripMargin
 
   /** The citation graph's edge CTEs, shared by the two graph oracles. */
   private def graphEdgeCtes: String =

@@ -27,6 +27,42 @@ class TimeseriesSpec extends SparkFunSuite {
       (2L, "2024-01-01 00:00:00.0", true, 1.0)))
   }
 
+  test("streamingAnomalies replays to the batch result across slicings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = ((0 until 7).map(i =>
+      ("a", ts(f"2024-01-${i + 1}%02d 12:00:00"), 10.0 + (i % 3) - 1)) ++
+      Seq(("a", ts("2024-01-08 12:00:00"), 100.0)) ++
+      (0 until 5).map(i => ("b", ts(f"2024-01-${i + 1}%02d 06:00:00"), 2.0 * i)))
+      .toDF("k", "t", "v")
+    val expected = Timeseries.anomalies(raw, "k", "t", "v", 86400L,
+        lookback = 7, zThresh = 3.0)
+      .orderBy("key", "bucket_ts").collect().map(_.toSeq)
+    // the finalized bucket rows the stream would carry (same pre-aggregate)
+    val buckets = raw
+      .select(col("k").as("key"),
+        floor(unix_timestamp(col("t")) / 86400).as("bucket"), col("v"))
+      .groupBy("key", "bucket").agg(round(sum("v"), 6).as("value"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // three bucket-ordered slices (cross-key interleaving is fine)
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = Timeseries.streamingAnomalies(
+      mem.toDF().toDF("key", "bucket", "value"), 86400L,
+      lookback = 7, zThresh = 3.0)
+    val q = out.writeStream.format("memory").outputMode("append")
+      .queryName("ts_anom_stream").start()
+    try {
+      buckets.grouped(math.max(1, buckets.length / 3)).foreach { slice =>
+        mem.addData(slice.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ts_anom_stream")
+      .orderBy("key", "bucket_ts").collect().map(_.toSeq)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("transitionMatrix counts per-key adjacencies and row-normalizes") {
     val df = Seq(
       (1L, "a", ts("2024-01-01 00:00:00"), 0L),
