@@ -2599,6 +2599,27 @@ object PipelineQueries {
           "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
           zThresh = 2.0)
         .orderBy(col("key"), col("bucket_ts"))),
+    // multi-tenant vector search: an RLS predicate (label <> 0) injected by
+    // SecurityContext ahead of the brute-force scan scopes BOTH the corpus
+    // and the query set — label-0 vectors can appear in neither role, which
+    // the oracle states by splicing the predicate into both CTEs (vec_id 1
+    // is label 0: 4 queries survive, and every top-k list differs from the
+    // unscoped ann_brute_topk wherever a label-0 neighbor ranked)
+    "sec_ann_topk" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      embs(s, dir).createOrReplaceTempView("embeddings_sec_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "tenant", "spark_catalog", "default", "embeddings_sec_q", "label <> 0"))
+      val secured = ctx.dfRowFilter("tenant",
+        "SELECT vec_id, embedding FROM embeddings_sec_q")
+      val q = secured.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(secured, q, "vec_id", "embedding",
+          "query_id", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the STREAMING scorer over the same finalized daily buckets, replayed
     // bucket-ordered in 3 mtime-ordered segments (each key's trailing
     // window lives in bounded group state) — must equal the batch window
@@ -3744,6 +3765,20 @@ object PipelineQueries {
         |s AS (SELECT q.query_id, e.vec_id,
         |             list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cosine
         |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the RLS predicate spliced into BOTH roles of the vector search
+    "sec_ann_topk" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+        |q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM e0 WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cosine
+        |      FROM e0 e CROSS JOIN q),
         |r AS (SELECT query_id, vec_id, cosine,
         |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         |      FROM s)
