@@ -36,6 +36,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       nRun += 1
+      val tq = System.nanoTime()
       try {
         // plain parallel write, NOT coalesce(1): coalesce collapses the
         // whole final stage to one task. Order is preserved for the
@@ -54,6 +55,10 @@ object Verify {
         nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query wall-clock on stderr: the dump's total is a gate-window
+      // concern (VERDICT r10 #1), so regressions must be attributable
+      System.err.println(
+        f"[verify-t] $name ${(System.nanoTime() - tq) / 1e9}%.2f")
     }
     // the round's own correctness receipt: one unambiguous summary line on
     // stdout (the driver and the round log both see it)

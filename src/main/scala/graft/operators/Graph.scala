@@ -87,6 +87,68 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set
+    * (uniformly), not on all nodes — the seed-based relevance/expansion
+    * variant (crawl frontier prioritization from trusted hosts, related-
+    * document scoring from a query set). Same iteration shape and cost as
+    * [[pagerank]]; the seed set joins in once as a |seeds|-row frame.
+    * Normalization: total mass stays |V| (seed teleport is (1-d)*|V|/|S|
+    * per seed), so magnitudes and rounding behave identically.
+    */
+  def pagerankPersonalized(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3,
+      damping: Double = 0.85, scale: Int = 6): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count().toDouble
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val nSeeds = seedIds.count().toDouble
+    require(nSeeds > 0, "personalized pagerank needs at least one seed node")
+    val base = nodes.join(
+        edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg")),
+        Seq("id"), "left")
+      .join(seedIds.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .localCheckpoint(eager = true)
+    // teleport vector: (1-d) * |V| / |S| on seeds, 0 elsewhere; dangling
+    // mass also returns to the seeds (the standard PPR convention)
+    val teleport = when(col("is_seed"), lit((1.0 - damping) * n / nSeeds))
+      .otherwise(lit(0.0))
+    var ranks = base.select(col("id"), lit(1.0).as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(base, Seq("id"))
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+      val contribs = edges
+        .join(withDeg.filter(col("out_deg").isNotNull)
+            .select(col("id").as("src"),
+              (col("rank") / col("out_deg")).as("share")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = base.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          round(teleport +
+              lit(damping) * coalesce(col("contrib"), lit(0.0)) +
+              when(col("is_seed"),
+                lit(damping) * col("dangling_mass") / nSeeds)
+                .otherwise(lit(0.0)),
+            scale).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Degree profile of an edge list: per-node out/in degree (0 when the
     * node only appears on the other side). Two key aggregates + one |V|-row
     * outer join — the pre-flight report before choosing iteration counts

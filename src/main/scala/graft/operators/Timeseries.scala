@@ -29,13 +29,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Timeseries {
 
   /** Resample `valCol` into `stepSeconds` buckets per key, then fill empty
-    * buckets by carrying the last observed bucket sum forward (LOCF).
-    * Returns (key, bucket_ts, observed, value): `observed` false marks
-    * filled rows; leading buckets before a key's first observation cannot
-    * exist (the spine starts at the key's first observed bucket).
+    * buckets: `method = "locf"` carries the last observed bucket sum
+    * forward; `method = "linear"` interpolates between the surrounding
+    * observations (every gap is interior — the spine spans exactly the
+    * key's own [min, max] observed buckets — so both neighbors always
+    * exist). Returns (key, bucket_ts, observed, value); `observed` false
+    * marks filled rows.
     */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
-      stepSeconds: Long): DataFrame = {
+      stepSeconds: Long, method: String = "locf"): DataFrame = {
+    require(method == "locf" || method == "linear",
+      s"unknown gap-fill method: $method")
     val bucketed = df
       .select(col(keyCol).as("key"),
         floor(unix_timestamp(col(tsCol)) / stepSeconds).as("bucket"),
@@ -46,13 +50,28 @@ object Timeseries {
       .groupBy(col("key"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val joined = spine.join(bucketed, Seq("key", "bucket"), "left")
+    val back = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(bucketed, Seq("key", "bucket"), "left")
-      .select(col("key"),
-        timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
-        col("v").isNotNull.as("observed"),
-        last(col("v"), ignoreNulls = true).over(w).as("value"))
+    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = method match {
+      case "locf" => last(col("v"), ignoreNulls = true).over(back)
+      case "linear" =>
+        val pv = last(col("v"), ignoreNulls = true).over(back)
+        val pb = last(when(col("v").isNotNull, col("bucket")),
+          ignoreNulls = true).over(back)
+        val nv = first(col("v"), ignoreNulls = true).over(fwd)
+        val nb = first(when(col("v").isNotNull, col("bucket")),
+          ignoreNulls = true).over(fwd)
+        when(col("v").isNotNull, col("v")).otherwise(
+          // exactly this arithmetic form on both engines
+          round(pv + (nv - pv) * (col("bucket") - pb) / (nb - pb), 6))
+    }
+    joined.select(col("key"),
+      timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
+      col("v").isNotNull.as("observed"),
+      filled.as("value"))
   }
 
   /** Rolling z-score anomaly flags over a bucketed series: each (key,

@@ -2553,6 +2553,17 @@ object PipelineQueries {
     "graph_degrees" -> ((s, dir) =>
       graft.operators.Graph.degreeStats(citationEdges(s, dir), "src", "dst")
         .orderBy(col("id"))),
+    // seed-personalized PageRank (crawl expansion from trusted sources):
+    // teleport and dangling mass land only on the doc_id%25==0 seed set;
+    // same iteration shape, |seeds|-row extra frame
+    "graph_ppr" -> ((s, dir) => {
+      val seeds = docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 25 === 0)
+      graft.operators.Graph.pagerankPersonalized(citationEdges(s, dir),
+          "src", "dst", seeds, "doc_id", iters = 3)
+        .withColumnRenamed("rank", "pr")
+        .orderBy(col("id"))
+    }),
     // structured-record entity resolution: customers + planted dirty
     // variants (custkey%10==3 re-enters with digit '0' -> letter 'O' at
     // name position 10 and a fresh surrogate id). Blocking key =
@@ -2583,6 +2594,13 @@ object PipelineQueries {
       graft.operators.Timeseries.gapFill(
           Tables.df(s, dir, "events").filter(col("event_type") === "purchase"),
           "user_id", "ts", "value", stepSeconds = 86400L)
+        .orderBy(col("key"), col("bucket_ts"))),
+    // the same spine with LINEAR interpolation between the surrounding
+    // observations (every gap is interior by spine construction)
+    "events_gapfill_interp" -> ((s, dir) =>
+      graft.operators.Timeseries.gapFill(
+          Tables.df(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", stepSeconds = 86400L, method = "linear")
         .orderBy(col("key"), col("bucket_ts"))),
     // first-order behavior transitions: P(next event type | current) per
     // user-ordered sequence — one lag window + a |states|^2-row aggregate
@@ -5434,6 +5452,19 @@ object PipelineQueries {
          |${prIter("it2", "it1")},
          |${prIter("it3", "it2")}
          |SELECT id, pr FROM it3 ORDER BY id""".stripMargin,
+    // personalized teleport: same 3 unrolled iterations, mass returns to
+    // the doc_id%25==0 seed set (teleport AND dangling)
+    "graph_ppr" ->
+      s"""$graphEdgeCtes,
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nv AS (SELECT count(*) AS n FROM nodes),
+         |ns AS (SELECT count(*) AS ns FROM nodes WHERE id % 25 = 0),
+         |outdeg AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0 AS pr FROM nodes),
+         |${pprIter("it1", "r0")},
+         |${pprIter("it2", "it1")},
+         |${pprIter("it3", "it2")}
+         |SELECT id, pr FROM it3 ORDER BY id""".stripMargin,
     "graph_degrees" ->
       s"""$graphEdgeCtes,
          |o AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
@@ -5492,6 +5523,34 @@ object PipelineQueries {
     // the streaming scorer replays to the identical result (zThresh 3.0
     // distinguishes the two gates)
     "stream_anomaly" -> anomalySql("3.0"),
+    // same spine; interior gaps interpolate between the neighbors, with
+    // the identical arithmetic form on both engines
+    "events_gapfill_interp" ->
+      """WITH b AS (SELECT user_id AS key,
+        |                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+        |                  round(sum(value), 6) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |spans AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY key),
+        |sp AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM spans),
+        |j AS (SELECT sp.key, sp.bucket, b.v FROM sp LEFT JOIN b USING (key, bucket)),
+        |wnd AS (SELECT key, bucket, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |        OVER (PARTITION BY key ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |        OVER (PARTITION BY key ORDER BY bucket
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT key, CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_ts,
+        |       v IS NOT NULL AS observed,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE round(pv + (nv - pv) * (bucket - pb) / (nb - pb), 6)
+        |       END AS value
+        |FROM wnd ORDER BY key, bucket""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (SELECT event_type AS state,
         |                    lag(event_type) OVER (PARTITION BY user_id
@@ -5542,6 +5601,25 @@ object PipelineQueries {
       |       FROM documents d CROSS JOIN nn,
       |            unnest(range(1, 2 + d.doc_id % 3)) AS t(k)),
       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)""".stripMargin
+
+  /** One unrolled PERSONALIZED iteration: teleport + dangling to seeds. */
+  private def pprIter(name: String, prev: String): String =
+    s"""$name AS (
+       |  SELECT n.id,
+       |    round(CASE WHEN n.id % 25 = 0 THEN (1.0 - 0.85) * nv.n / ns.ns
+       |               ELSE 0 END
+       |          + 0.85 * coalesce(c.contrib, 0)
+       |          + CASE WHEN n.id % 25 = 0 THEN 0.85 * dm.dm / ns.ns
+       |                 ELSE 0 END, 6) AS pr
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT e.dst AS id, sum(r.pr / d.od) AS contrib
+       |             FROM edges e JOIN $prev r ON r.id = e.src
+       |                  JOIN outdeg d ON d.id = e.src
+       |             GROUP BY e.dst) c ON c.id = n.id
+       |  CROSS JOIN (SELECT coalesce(sum(r.pr), 0) AS dm
+       |              FROM $prev r LEFT JOIN outdeg d ON d.id = r.id
+       |              WHERE d.id IS NULL) dm
+       |  CROSS JOIN nv CROSS JOIN ns)""".stripMargin
 
   /** One unrolled PageRank iteration reading ranks from `prev`. */
   private def prIter(name: String, prev: String): String =

@@ -27,6 +27,19 @@ class TimeseriesSpec extends SparkFunSuite {
       (2L, "2024-01-01 00:00:00.0", true, 1.0)))
   }
 
+  test("gapFill linear interpolation fills interior gaps proportionally") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:03:30"), 40.0)   // bucket +3: two-gap
+    ).toDF("k", "t", "v")
+    val out = Timeseries.gapFill(df, "k", "t", "v", stepSeconds = 60L,
+        method = "linear")
+      .orderBy("bucket_ts")
+      .collect().map(r => (r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((true, 10.0), (false, 20.0), (false, 30.0),
+      (true, 40.0)))
+  }
+
   test("streamingAnomalies replays to the batch result across slicings") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
