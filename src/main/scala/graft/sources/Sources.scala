@@ -41,6 +41,12 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC read (the second columnar format Spark bundles; same pushdown and
+    * pruning machinery as parquet — PushedFilters/ReadSchema apply).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned JDBC read: numPartitions concurrent range scans on
     * partitionCol in [lower, upper]. The batch analog of the reference's
     * mysql-cdc source (AbstractBasicTest.java:179-187). Untestable offline —
@@ -60,6 +66,15 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** ORC write, optionally hive-partitioned (same pruning semantics as
+    * [[writeParquet]]).
+    */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   /** Drop a managed table AND its warehouse directory: SaveMode.Overwrite

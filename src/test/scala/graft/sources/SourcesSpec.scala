@@ -58,6 +58,18 @@ class SourcesSpec extends SparkFunSuite {
     assert(back.count() == 3)
   }
 
+  test("orc round-trip with filter pushdown at the scan") {
+    val dir = tmp("graft_orc")
+    Sources.writeOrc(sample, dir)
+    val back = Sources.orc(spark, dir).filter($"id" > 1)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      sample.filter($"id" > 1).orderBy("id").collect().map(_.toSeq).toSeq)
+    // the predicate reaches the ORC scan, same machinery as parquet
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      scan.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = tmp("graft_part")
     Sources.writeParquet(sample.withColumn("part", $"id" % 2), dir, Seq("part"))
