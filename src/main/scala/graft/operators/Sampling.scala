@@ -469,4 +469,41 @@ object Sampling {
       // upstream) — a singleton window over k rows, never the corpus
       .select(row_number().over(Window.orderBy(col("logweight").desc,
         col(idCol))).as("rank"), col(idCol))
+
+  /** Deterministic uniform negative sampling (contrastive-training prep,
+    * the random complement of [[Similarity.hardNegatives]]): for each
+    * anchor, the `k` corpus ids ranked FIRST by md5(anchor || '|' || id) —
+    * a fresh pseudorandom permutation per anchor, replayable by any engine
+    * — after removing the anchor itself and its `exclude` pairs
+    * (query_id, id): known positives, same-class rows, dup-cluster members.
+    *
+    * Scale: the ranking is per-anchor over the corpus id column only
+    * (id-width rows, anchors broadcast); `sampleDenom > 1` pre-thins
+    * candidates map-side to ids whose digest ≡ 0 (mod denom) — the
+    * [[weightedKeep]] hex-threshold discipline — so the per-anchor sort
+    * never sees more than ~|corpus|/denom rows. The exclusion is one
+    * anti-join on pair keys.
+    */
+  def negativeSample(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      queryIdCol: String, k: Int, exclude: DataFrame,
+      sampleDenom: Int = 1): DataFrame = {
+    val cand = corpus.select(col(idCol).as("id"))
+      .join(broadcast(anchors.select(col(queryIdCol).as("query_id"))))
+      .withColumn("digest",
+        md5(concat(col("query_id").cast("string"), lit("|"),
+          col("id").cast("string"))))
+      .filter(col("id") =!= col("query_id"))
+    val thinned =
+      if (sampleDenom <= 1) cand
+      else cand.filter(
+        (conv(substring(col("digest"), 1, 8), 16, 10).cast("long")
+          % sampleDenom) === 0)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("digest"))
+    thinned
+      .join(exclude.select(col("query_id"), col("id")).distinct(),
+        Seq("query_id", "id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("id"))
+  }
 }

@@ -55,6 +55,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** Hard negatives for contrastive training (embedding-model prep): each
+    * anchor's nearest corpus neighbors that are NOT its positives —
+    * candidates at or above `positiveThreshold` cosine are near-duplicates
+    * of the anchor and must not be trained against as negatives; what
+    * remains is re-ranked and the top `k` kept. One [[bruteForceTopK]]
+    * scan with `k * headroom` candidates (the positives come out of the
+    * SAME scored list — no second scan, no extra join); if an anchor has
+    * more than `k * (headroom-1)` positives in its candidate list the
+    * output legitimately has fewer than k rows for it (widen headroom).
+    * Threshold semantics are direct-cosine-to-the-anchor; a cluster-
+    * transitive exclusion composes with [[Dedup.components]] labels via
+    * [[Sampling.groupSplit]]'s discipline instead.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String, k: Int,
+      positiveThreshold: Double, headroom: Int = 3): DataFrame = {
+    val cand = bruteForceTopK(corpus, anchors, idCol, vecCol, queryIdCol,
+      queryVecCol, k * headroom)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .filter(col("cosine") < positiveThreshold &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("vec_id"), col("cosine"))
+  }
+
   /** Deterministic random-hyperplane LSH bucket of a vector: bit i is the
     * sign of dot(v, r_i) where r_i(d) is derived from xxhash64(i, d) mapped
     * to [-1, 1]. No fitted model to store or broadcast.

@@ -2617,6 +2617,34 @@ object PipelineQueries {
           "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
           zThresh = 2.0)
         .orderBy(col("key"), col("bucket_ts"))),
+    // contrastive-training prep, hard side: each anchor's nearest
+    // neighbors EXCLUDING its >=0.95-cosine positives, re-ranked from the
+    // same scored candidate list (no second scan)
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.hardNegatives(e, q, "vec_id", "embedding", "query_id",
+          "qv", k = 10, positiveThreshold = 0.95, headroom = 3)
+        .select(col("query_id"), col("neg_rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+    // contrastive-training prep, random side: per-anchor deterministic
+    // pseudorandom permutation (md5 of anchor|id), same-label rows and
+    // the anchor itself excluded
+    "emb_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val anchors = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val exclude = anchors.join(
+          e.select(col("vec_id").as("id"), col("label")),
+          col("qlabel") === col("label"))
+        .select(col("query_id"), col("id"))
+      Sampling.negativeSample(e, anchors, "vec_id", "query_id", k = 5,
+          exclude = exclude)
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
     // multi-tenant vector search: an RLS predicate (label <> 0) injected by
     // SecurityContext ahead of the brute-force scan scopes BOTH the corpus
     // and the query set — label-0 vectors can appear in neither role, which
@@ -3788,6 +3816,39 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // same top-30 candidate list, positives filtered, re-ranked
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |             list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS cosine
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT query_id, vec_id, cosine,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s),
+        |cand AS (SELECT * FROM r WHERE rank <= 30),
+        |neg AS (SELECT query_id, vec_id, cosine,
+        |               row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cosine DESC, vec_id) AS neg_rank
+        |        FROM cand WHERE cosine < 0.95 AND vec_id <> query_id)
+        |SELECT query_id, neg_rank, vec_id, round(cosine, 6) AS cosine
+        |FROM neg WHERE neg_rank <= 10 ORDER BY query_id, neg_rank""".stripMargin,
+    // per-anchor md5 permutation, same-label + self excluded
+    "emb_negatives" ->
+      """WITH a AS (SELECT vec_id AS query_id, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT a.query_id, a.qlabel, e.vec_id AS id, e.label,
+        |             md5(concat(CAST(a.query_id AS VARCHAR), '|',
+        |                        CAST(e.vec_id AS VARCHAR))) AS digest
+        |      FROM embeddings e CROSS JOIN a
+        |      WHERE e.vec_id <> a.query_id),
+        |f AS (SELECT query_id, id, digest FROM c WHERE label <> qlabel),
+        |r AS (SELECT query_id, id,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY digest) AS neg_rank
+        |      FROM f)
+        |SELECT query_id, neg_rank, id FROM r
+        |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
     // the RLS predicate spliced into BOTH roles of the vector search
     "sec_ann_topk" ->
       """WITH e0 AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
