@@ -30,12 +30,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val t0 = System.nanoTime()
-    var nRun = 0
-    var nFail = 0
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      nRun += 1
+    val nFail = new java.util.concurrent.atomic.AtomicInteger(0)
+    val names = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    val nRun = names.size
+    def dumpOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val tq = System.nanoTime()
       try {
         // plain parallel write, NOT coalesce(1): coalesce collapses the
@@ -52,7 +52,7 @@ object Verify {
         if (!hasPart)
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
       } catch { case e: Throwable =>
-        nFail += 1
+        nFail.incrementAndGet()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query wall-clock on stderr: the dump's total is a gate-window
@@ -60,9 +60,26 @@ object Verify {
       System.err.println(
         f"[verify-t] $name ${(System.nanoTime() - tq) / 1e9}%.2f")
     }
+    // The dump is hundreds of INDEPENDENT small jobs whose wall is mostly
+    // per-job fixed overhead, so a few concurrent driver threads overlap it
+    // (Spark actions are thread-safe; every query writes its own output dir
+    // and uses per-query view/table/sink names — audited). Results are
+    // partition-layout independent by design (this main's shuffle setting
+    // already varies with the machine), so concurrent runs cannot change
+    // them. SPARK_GRAFT_VERIFY_THREADS=1 restores the sequential dump.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    if (threads <= 1) names.foreach { case (n, f) => dumpOne(n, f) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        names.map { case (n, f) =>
+          pool.submit(new Runnable { def run(): Unit = dumpOne(n, f) })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+    }
     // the round's own correctness receipt: one unambiguous summary line on
     // stdout (the driver and the round log both see it)
-    println(f"[verify] dump complete: $nRun queries, $nFail failures, " +
+    println(f"[verify] dump complete: $nRun queries, ${nFail.get()} failures, " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s, out=$outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

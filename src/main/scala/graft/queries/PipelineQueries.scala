@@ -2617,10 +2617,12 @@ object PipelineQueries {
           "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
           zThresh = 2.0)
         .orderBy(col("key"), col("bucket_ts"))),
-    // contrastive-training prep, hard side: each anchor's nearest
-    // neighbors EXCLUDING its >=0.95-cosine positives, re-ranked from the
-    // same scored candidate list (no second scan)
-    "emb_hard_negatives" -> ((s, dir) => {
+    // contrastive-training prep, hard side, DUP-FREE variant: each
+    // anchor's nearest neighbors EXCLUDING its >=0.95-cosine near-dups,
+    // re-ranked from the same scored candidate list (no second scan) —
+    // complements emb_hard_negatives' other-LABEL semantics with the
+    // unlabeled-corpus threshold semantics
+    "emb_hard_negatives_dupfree" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -3817,7 +3819,7 @@ object PipelineQueries {
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // same top-30 candidate list, positives filtered, re-ranked
-    "emb_hard_negatives" ->
+    "emb_hard_negatives_dupfree" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |           FROM embeddings WHERE vec_id < 5),
