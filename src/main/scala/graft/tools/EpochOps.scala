@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Snapshot, TextAnalysis, Vocab}
+import graft.operators.{Dedup, Graph, Multimodal, Sampling, Similarity, Snapshot, TextAnalysis, Timeseries, Vocab}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -212,6 +212,43 @@ object EpochOps {
     Snapshot.diffSummary(corpus, corpus.unionByName(batch), "doc_id", "text")
       .orderBy(col("status"))
       .collect().foreach(r => println(s"[snapshot] $r"))
+
+    // ---- 6. source-quality prior: PageRank over the epoch's citation
+    // graph feeds next epoch's mixture targets (r11) ----
+    val full = corpus.unionByName(batch)
+    val n = full.agg(count(lit(1)).as("n_docs"))
+    val edges = full.select(col("doc_id")).crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % lit(3L))).as("k"),
+        col("n_docs"))
+      .select(col("src"),
+        ((col("src") * 31 + col("k") * 17) % col("n_docs")).as("dst"))
+    val pr = Graph.pagerank(edges, "src", "dst", iters = 3)
+    full.select(col("doc_id").as("id"), col("source"))
+      .join(pr, Seq("id"))
+      .groupBy(col("source")).agg(round(avg(col("rank")), 4).as("avg_rank"))
+      .orderBy(col("source"))
+      .collect().foreach(r => println(s"[graph-prior] $r"))
+
+    // ---- 7. ingest-volume monitoring: z-score the batch's per-lang char
+    // mass against the standing corpus' trailing profile (r11) ----
+    val anomalies = Timeseries.anomalies(
+      graft.queries.Tables.df(spark, dir, "events"),
+      "event_type", "ts", "value", stepSeconds = 86400L, lookback = 7,
+      zThresh = 2.5)
+    val flagged = anomalies.filter(col("is_anomaly")).count()
+    println(s"[monitor] event-volume buckets flagged at z>2.5: $flagged " +
+      s"of ${anomalies.count()}")
+
+    // ---- 8. metadata hygiene: entity-resolve the epoch's source registry
+    // shape (r11) — blocked, capped, components ----
+    val reg = full.select(col("doc_id").as("id"),
+      concat(col("source"), lit("-"), col("lang")).as("name"),
+      col("lang").as("blk"))
+    val entities = graft.operators.RecordLinkage.resolve(reg, "id", "name",
+      col("blk"), maxDist = 2, maxBlock = 10000)
+    println(s"[registry] ${entities.count()} rows -> " +
+      s"${entities.select(col("entity_id")).distinct().count()} entities")
 
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
