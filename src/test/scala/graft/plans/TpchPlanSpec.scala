@@ -1,0 +1,33 @@
+package graft.plans
+
+import graft.SparkFunSuite
+
+/** Plan-shape pins for the TPC-H-shaped SQL surface: the predicates reach
+  * the parquet scan and the dimension chain broadcasts — the properties
+  * that make these plans survive a 100x scale-up.
+  */
+class TpchPlanSpec extends SparkFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q6: every predicate is pushed to the lineitem scan") {
+    val df = graft.SparkEntry.queries("q6_forecast")(spark, dir)
+    // the plan's toString truncates long PushedFilters lists, and AQE's
+    // wrapper hides the scan from collect() — formatted explain prints the
+    // full filter list
+    val pushed = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+  }
+
+  test("q5: the region->nation->supplier dimension chain broadcasts") {
+    val df = graft.SparkEntry.queries("q5_local_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // and the fact-side revenue rows arrive; values are oracled separately
+    assert(df.count() >= 1)
+  }
+}
