@@ -2715,6 +2715,39 @@ object PipelineQueries {
       trainedUnigram(s, dir).toDF("piece", "logp")
         .orderBy(desc("logp"), col("piece"))
     }),
+    // per-language fertility under the UNIGRAM tokenizer (the BPE
+    // text_bpe_fertility twin — the multilingual tokenizer-equity metric
+    // under the second tokenizer family). Viterbi token counts have no SQL
+    // form -> rows-only; the _check companion gates the contract. On the
+    // synthetic corpus the distinct-word vocabulary fits inside the
+    // 512-piece budget, so every word Viterbi-decodes to one piece and
+    // fertility is exactly 1.0 per language — the honest saturated result;
+    // the metric differentiates when |words| >> vocabSize (real corpora)
+    "text_unigram_fertility" -> ((s, dir) => {
+      val model = trainedUnigram(s, dir).toMap
+      graft.operators.Unigram.tokenCounts(docs(s, dir), "doc_id", "text",
+          model, maxPieceLen = 8)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fertility",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .orderBy(col("lang"))
+    }),
+    // the fertility contract DuckDB can state: per-lang word mass matches
+    // an independent recount, and tokens-per-word is bounded below by 1
+    // (a piece covers at least one char) — emitted as the verdict table
+    "text_unigram_fertility_check" -> ((s, dir) => {
+      val model = trainedUnigram(s, dir).toMap
+      graft.operators.Unigram.tokenCounts(docs(s, dir), "doc_id", "text",
+          model, maxPieceLen = 8)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          min(col("n_tokens") >= col("n_words")).as("fertility_ge_1"))
+        .orderBy(col("lang"))
+    }),
     // the tokenizer contract as a DuckDB-statable verdict: every distinct
     // corpus word round-trips (concat of pieces == word), every emitted
     // piece is in the trained vocab, the vocab respects its size bound and
@@ -5573,6 +5606,13 @@ object PipelineQueries {
         |       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM j ORDER BY key, bucket""".stripMargin,
+    // per-lang word mass from an independent DuckDB recount; the
+    // tokens-per-word lower bound is engine-proven and stated as constant
+    "text_unigram_fertility_check" ->
+      s"""SELECT lang,
+         |       CAST(sum(len(regexp_extract_all(text, '$duckWordPattern'))) AS BIGINT) AS n_words,
+         |       true AS fertility_ge_1
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the unigram tokenizer contract: the corpus-derived facts (distinct
     // word count) plus the engine-proven invariants stated as constants
     "text_unigram_check" ->
