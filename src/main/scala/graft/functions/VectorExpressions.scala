@@ -773,6 +773,90 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Squared euclidean distance to the NEAREST of the embedded centroids —
+  * the inertia term of the k-means objective, as a single narrow-map
+  * expression. Pairs with [[NearestCentroid]] (same loop, same index-order
+  * accumulation, same strict-< tie rule) so `(cell, distance)` come from
+  * two pure maps with no join: the previous formulation broadcast-joined a
+  * k-row centroid table and folded `aggregate(zip_with(...))` per row — an
+  * interpreted per-element lambda that made the inertia query ~8x slower
+  * than the assignment it shadows. Arithmetic is EXACTLY the fold's
+  * ((double) p - q)^2 summed in index order, so the DuckDB oracle's
+  * unrolled per-dimension sum still matches bitwise. Implements
+  * `doGenCode` (centroids via `addReferenceObj`) to stay inside
+  * whole-stage codegen on the corpus-sized scan.
+  */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_dist expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val fl = isFloat
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(dim, cent.length)
+      var acc = 0.0
+      var d = 0
+      while (d < m) {
+        val x = (if (fl) arr.getFloat(d).toDouble else arr.getDouble(d)) - cent(d)
+        acc += x * x
+        d += 1
+      }
+      if (acc < bestDist) bestDist = acc
+      c += 1
+    }
+    bestDist
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val castL = if (isFloat) "(double) " else ""
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $dim = $v.numElements();
+         |double $best = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  final double[] $cent = $cents[$c];
+         |  final int $m = java.lang.Math.min($dim, $cent.length);
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    final double $x = $castL$v.$getter($d) - $cent[$d];
+         |    $acc += $x * $x;
+         |  }
+         |  if ($acc < $best) $best = $acc;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidDist = copy(child = c)
+  override def prettyName: String = "graft_nearest_centroid_dist"
+}
+
 /** Dense matrix-vector product out[j] = sum_i mat(j)(i) * v(i) — the
   * Johnson-Lindenstrauss random-projection step as a single map-side
   * expression. The projection matrix rides inside the expression (outDim x

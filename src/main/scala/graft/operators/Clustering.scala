@@ -74,6 +74,16 @@ object Clustering {
   def assignCol(vecCol: String, centroids: Array[Array[Double]]): Column =
     nearestCol(vecCol, centroids)
 
+  /** Squared euclidean distance to the nearest centroid (the per-row
+    * inertia term) as a Column — narrow map via
+    * [[graft.functions.NearestCentroidDist]]; pairs with [[assignCol]] so
+    * cell + distance need no centroid join at all.
+    */
+  def sqDistCol(vecCol: String, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    columnOf(graft.functions.NearestCentroidDist(expressionOf(col(vecCol)), centroids))
+  }
+
   /** Assignment of each row to its nearest centroid (squared euclidean) —
     * a pure narrow map; use with centroids from [[kmeans]] to re-derive
     * assignments without re-training (the centroids are the whole model).

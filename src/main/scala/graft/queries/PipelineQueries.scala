@@ -585,18 +585,16 @@ object PipelineQueries {
         .orderBy(col("vec_id"))),
     // Per-cluster size + inertia (sum of squared distance to the final
     // centroid) — the convergence/skew diagnostic an operator watches per
-    // epoch. Distances via built-in zip_with/aggregate folds against the
-    // broadcast k-row centroid table.
+    // epoch. cell + distance are two codegen'd narrow maps
+    // (NearestCentroid / NearestCentroidDist, same loop + tie rule), so the
+    // whole query is scan -> map -> one k-row hash aggregate: no centroid
+    // join, no interpreted per-element fold (the zip_with/aggregate HOF
+    // form was the r11 bench's one stable regression, 0.48 -> 2-3.7 s).
     "emb_kmeans_stats" -> ((s, dir) => {
-      import s.implicits._
       val centroids = fittedKmeans(s, dir)
-      val cdf = centroids.toSeq.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "centroid")
-      embs(s, dir).select(col("embedding"),
-          Clustering.assignCol("embedding", centroids).as("cell"))
-        .join(broadcast(cdf), "cell")
-        .withColumn("_d", expr(
-          "aggregate(zip_with(embedding, centroid, (p, q) -> (CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+      embs(s, dir).select(
+          Clustering.assignCol("embedding", centroids).as("cell"),
+          Clustering.sqDistCol("embedding", centroids).as("_d"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"), round(sum(col("_d")), 6).as("inertia"))
         .orderBy(col("cell"))

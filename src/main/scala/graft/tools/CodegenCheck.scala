@@ -34,6 +34,13 @@ object CodegenCheck {
     val dd = spark.sql("select graft_vec_dot(array(1.0D,2.0D), array(3.0D,4.0D))").collect().head.get(0)
     println(s"[codegen-only] double dot=$dd")
     require(dd == 11.0)
+    // NearestCentroidDist generated loop (addReferenceObj'd double[][])
+    val nd = corpus.select(
+        graft.operators.Clustering.sqDistCol("embedding",
+          Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))).as("d"))
+      .collect().map(_.getDouble(0)).sorted
+    println(s"[codegen-only] nearest-centroid dists=${nd.mkString(",")}")
+    require(nd.head == 0.0 && math.abs(nd(1) - 0.02) < 1e-6 && nd(2) == 2.0)
     spark.stop()
   }
 }

@@ -118,6 +118,32 @@ object VerifyDrive {
     val sharded = graft.operators.Sampling.shardAssign(docs, "doc_id", 8)
     sharded.groupBy(col("shard")).count().orderBy(col("shard")).show()
     assert(sharded.select("shard").distinct().count() > 1, "all rows in one shard")
+    println("== k-means inertia via NearestCentroidDist over real embeddings parquet ==")
+    // the codegen'd narrow-map form must reproduce the interpreted
+    // zip_with/aggregate fold it replaced, bitwise, on real data
+    val (_, cents) = graft.operators.Clustering.kmeans(
+      emb, "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+    val fast = emb.select(col("vec_id"),
+        graft.operators.Clustering.assignCol("embedding", cents).as("cell"),
+        graft.operators.Clustering.sqDistCol("embedding", cents).as("d"))
+    import spark.implicits._
+    val cdf = cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+    val slow = emb.select(col("vec_id"), col("embedding"),
+        graft.operators.Clustering.assignCol("embedding", cents).as("cell"))
+      .join(org.apache.spark.sql.functions.broadcast(cdf), "cell")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(embedding, centroid, (p, q) -> (CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .select(col("vec_id"), col("d2"))
+    val mismatches = fast.join(slow, "vec_id")
+      .filter(col("d") =!= col("d2")).count()
+    val nrows = emb.count()
+    println(s"inertia bitwise parity: ${nrows - mismatches}/$nrows rows identical")
+    assert(mismatches == 0, s"$mismatches rows diverge from the HOF fold")
+    val statsPlan = fast.queryExecution.executedPlan.toString
+    assert(!statsPlan.contains("Exchange") && !statsPlan.contains("Join"),
+      "cell+distance projection must be a pure narrow map (no join, no shuffle)")
+    println("narrow-map plan: no Exchange/Join in cell+distance projection")
     // probes
     for (bad <- Seq(
       "select mask('a','b','c','d','e','f','g')", // 7 args: unsupported count

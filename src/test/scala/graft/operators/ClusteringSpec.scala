@@ -26,6 +26,28 @@ class ClusteringSpec extends SparkFunSuite {
     assert(got(3L) == 0) // equidistant (dist 4 both) -> lowest index wins
   }
 
+  test("NearestCentroidDist: min squared distance, bit-equal to the HOF fold") {
+    val cents = Array(Array(0.0, 0.0), Array(4.0, 0.0))
+    val df = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(3.3f, -0.2f)), (3L, Array(2.0f, 0.0f)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        columnOf(graft.functions.NearestCentroidDist(expressionOf(col("v")), cents)).as("d"),
+        columnOf(NearestCentroid(expressionOf(col("v")), cents)).as("c"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getInt(2)))).toMap
+    // cross-check against the interpreted zip_with/aggregate fold this
+    // expression replaced — distance to the ASSIGNED centroid must be the
+    // min distance, bitwise (same index-order double accumulation)
+    val cdf = cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toDF("c", "centroid")
+    val hof = df.select(col("id"),
+        columnOf(NearestCentroid(expressionOf(col("v")), cents)).as("c"), col("v"))
+      .join(cdf, "c")
+      .withColumn("d", expr(
+        "aggregate(zip_with(v, centroid, (p, q) -> (CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("d"))).toMap
+    got.foreach { case (id, (d, _)) => assert(d == hof(id), s"id=$id") }
+    assert(got(1L)._1 == 1.25 && got(2L)._2 == 1)
+  }
+
   test("MatVec: dense mat-vec product on float arrays, computed in double") {
     val mat = Array(Array(1.0, 2.0), Array(0.5, -1.0))
     val out = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
