@@ -217,17 +217,13 @@ object Clustering {
   def pruneByPrototype(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], n: Int,
       hardest: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toDF("cell", "_centroid"))
-    val dist = df.select(col(idCol), col(vecCol),
-        assignCol(vecCol, centroids).as("cell"))
-      .join(cdf, Seq("cell"))
-      .withColumn("_d", expr(
-        s"aggregate(zip_with($vecCol, _centroid, (p, q) -> " +
-          "(CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), " +
-          "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"))
+    // distance to the OWN (= nearest) centroid is exactly the min distance,
+    // so cell + distance are two codegen'd narrow maps sharing the loop and
+    // tie rule — no centroid join, no interpreted per-element fold (the
+    // zip_with/aggregate form this replaces ran interpreted per element)
+    val dist = df.select(col(idCol),
+      assignCol(vecCol, centroids).as("cell"),
+      sqDistCol(vecCol, centroids).as("_d"))
     val ordered =
       if (hardest) dist.orderBy(col("_d").desc, col(idCol))
       else dist.orderBy(col("_d").asc, col(idCol))
@@ -265,17 +261,14 @@ object Clustering {
         .as[(Long, Array[Float])].head()
       val centers = scala.collection.mutable.ArrayBuffer(
         (0, first._1, 0.0, first._2.map(_.toDouble)))
-      def distTo(c: Array[Double]): Column = {
-        val arr = c.map(x => s"CAST($x AS DOUBLE)").mkString("array(", ", ", ")")
-        expr(s"aggregate(zip_with(v, $arr, (p, q) -> " +
-          "(CAST(p AS DOUBLE) - q) * (CAST(p AS DOUBLE) - q)), " +
-          "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
-      }
       var r = 1
       while (r < k) {
-        val dists = centers.map(c => distTo(c._4)).toSeq
-        val minDist = if (dists.size == 1) dists.head else least(dists: _*)
-        val far = rows.select(col("id"), col("v"), minDist.as("d"))
+        // min-over-chosen-centers distance IS the nearest-centroid distance
+        // with the chosen centers as the centroid set: one codegen'd narrow
+        // map per round instead of r interpreted zip_with/aggregate folds
+        // under a least(...) — same index-order arithmetic, same min
+        val far = rows.select(col("id"), col("v"),
+            sqDistCol("v", centers.map(_._4).toArray).as("d"))
           .orderBy(col("d").desc, col("id"))
           .limit(1).as[(Long, Array[Float], Double)].head()
         centers += ((r, far._1, far._3, far._2.map(_.toDouble)))
