@@ -13,7 +13,14 @@ final case class RowFilterPolicy(
     database: String,
     tableName: String,
     /** SQL boolean expression AND-ed into every scan of the table. */
-    condition: String
+    condition: String,
+    /** Validity window (Ranger policy schedules): ISO-8601 UTC instants,
+      * inclusive start / exclusive end. None = unbounded on that side. A
+      * policy outside its window matches nothing; malformed instants fail
+      * loudly at lookup (never silently inactive).
+      */
+    validFrom: Option[String] = None,
+    validUntil: Option[String] = None
 )
 
 final case class DataMaskPolicy(
@@ -23,7 +30,29 @@ final case class DataMaskPolicy(
     tableName: String,
     columnName: String,
     /** Name of a [[DataMaskType]], e.g. "MASK_SHOW_FIRST_4". */
-    maskType: String
+    maskType: String,
+    /** Validity window — see [[RowFilterPolicy.validFrom]]. */
+    validFrom: Option[String] = None,
+    validUntil: Option[String] = None
+)
+
+/** Ranger-style DENY: while active, the principal reads ZERO rows of the
+  * table, regardless of any row-filter policy that would otherwise allow
+  * rows — deny OVERRIDES allow at every specificity (a wildcard deny beats
+  * an exact-user filter; Ranger's evaluation order, and the fail-closed
+  * resolution of any deny/allow overlap). Enforced through the row-filter
+  * rewrite as the condition `false`, so it applies everywhere row filters
+  * do: plain scans, joins, subqueries, views, embedded V1 commands and the
+  * auto-enforcement extension.
+  */
+final case class DenyRowPolicy(
+    username: String,
+    catalogName: String,
+    database: String,
+    tableName: String,
+    /** Validity window — see [[RowFilterPolicy.validFrom]]. */
+    validFrom: Option[String] = None,
+    validUntil: Option[String] = None
 )
 
 /** A named masking strategy with a transformer template in which `{col}` is
@@ -115,6 +144,14 @@ object DataMaskType {
   *    filters need no precedence: every matching condition is AND-ed
   *    (additive restriction is fail-closed by construction — a wildcard
   *    filter can only narrow what a specific filter allows).
+  *  - DENY ([[DenyRowPolicy]]): overrides allow at EVERY specificity — a
+  *    wildcard deny beats an exact-user row filter (Ranger's evaluation
+  *    order; any deny/allow overlap resolves fail-closed to deny). Injected
+  *    as row-filter condition `false`.
+  *  - VALIDITY WINDOWS: every policy may carry `[validFrom, validUntil)`
+  *    ISO-instant bounds (Ranger policy schedules); an out-of-window policy
+  *    matches nothing, a malformed instant fails loudly. `clock` is
+  *    injectable for deterministic tests.
   *
   * Thread-safe; policies are expected to be few (admin-entered). At 100 TB
   * scale this lives on the driver only — lookups happen during plan rewrite,
@@ -125,7 +162,23 @@ final class PolicyManager {
 
   private val rowFilters = ArrayBuffer.empty[RowFilterPolicy]
   private val dataMasks = ArrayBuffer.empty[DataMaskPolicy]
+  private val denies = ArrayBuffer.empty[DenyRowPolicy]
   private val maskTypes = ArrayBuffer.from(DataMaskType.builtin)
+
+  /** Clock for validity-window evaluation — injectable so tests and oracled
+    * queries can pin "now"; production leaves the default. Evaluated once
+    * per lookup (plan-rewrite time, driver-side — never per row).
+    */
+  @volatile var clock: () => java.time.Instant = () => java.time.Instant.now()
+
+  /** [validFrom, validUntil) against [[clock]]; malformed instants throw —
+    * a policy whose window cannot be read must never silently deactivate.
+    */
+  private def inWindow(validFrom: Option[String], validUntil: Option[String]): Boolean = {
+    val now = clock()
+    validFrom.forall(f => !now.isBefore(java.time.Instant.parse(f))) &&
+      validUntil.forall(u => now.isBefore(java.time.Instant.parse(u)))
+  }
   /** group name (lowercase) -> member usernames (lowercase) */
   private val groupMembers =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
@@ -179,10 +232,32 @@ final class PolicyManager {
         eq(q.columnName, p.columnName) && eq(q.maskType, p.maskType))
     if (i >= 0) { dataMasks.remove(i); true } else false
   }
+  def addPolicy(p: DenyRowPolicy): Boolean = synchronized { denies += p; true }
+  def removePolicy(p: DenyRowPolicy): Boolean = synchronized {
+    val i = denies.indexWhere(q =>
+      eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
+        eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
+        q.validFrom == p.validFrom && q.validUntil == p.validUntil)
+    if (i >= 0) { denies.remove(i); true } else false
+  }
   def registerMaskType(t: DataMaskType): Unit = synchronized { maskTypes += t }
 
   def rowFilterPolicies: Seq[RowFilterPolicy] = synchronized(rowFilters.toSeq)
   def dataMaskPolicies: Seq[DataMaskPolicy] = synchronized(dataMasks.toSeq)
+  def denyPolicies: Seq[DenyRowPolicy] = synchronized(denies.toSeq)
+
+  /** True when an ACTIVE deny matches (user, table) at any specificity —
+    * deny overrides allow, so callers must check this before honoring any
+    * row-filter condition.
+    */
+  def isDenied(user: String, catalog: String, db: String,
+      table: String): Boolean = synchronized {
+    denies.exists(p => inWindow(p.validFrom, p.validUntil) &&
+      principalRank(p.username, user) >= 0 &&
+      nameRank(p.catalogName, catalog) >= 0 &&
+      nameRank(p.database, db) >= 0 &&
+      nameRank(p.tableName, table) >= 0)
+  }
 
   /** All AND-able conditions for (user, table); reference keeps at most one
     * but nothing stops multiple policies matching — we AND them all.
@@ -191,8 +266,14 @@ final class PolicyManager {
     */
   def rowFilterConditions(user: String, catalog: String, db: String,
       table: String): Seq[String] = synchronized {
-    rowFilters.collect {
-      case p if principalRank(p.username, user) >= 0 &&
+    // deny overrides allow: when an active deny matches, the scan's
+    // condition is `false` FULL STOP — matching allow-filters are discarded
+    // rather than AND-ed so the injected predicate (and its audit row)
+    // reads as the deny decision, not an accidental conjunction
+    if (isDenied(user, catalog, db, table)) Seq("false")
+    else rowFilters.collect {
+      case p if inWindow(p.validFrom, p.validUntil) &&
+        principalRank(p.username, user) >= 0 &&
         nameRank(p.catalogName, catalog) >= 0 &&
         nameRank(p.database, db) >= 0 &&
         nameRank(p.tableName, table) >= 0 => p.condition
@@ -207,8 +288,9 @@ final class PolicyManager {
     val matches = dataMasks.flatMap { p =>
       val ranks = (principalRank(p.username, user), nameRank(p.tableName, table),
         nameRank(p.database, db), nameRank(p.catalogName, catalog))
-      if (eq(p.columnName, column) && ranks._1 >= 0 && ranks._2 >= 0 &&
-        ranks._3 >= 0 && ranks._4 >= 0) Some((ranks, p.maskType))
+      if (inWindow(p.validFrom, p.validUntil) && eq(p.columnName, column) &&
+        ranks._1 >= 0 && ranks._2 >= 0 && ranks._3 >= 0 && ranks._4 >= 0)
+        Some((ranks, p.maskType))
       else None
     }
     (if (matches.isEmpty) None else Some(matches.maxBy(_._1)._2)).map { name =>
@@ -225,7 +307,8 @@ final class PolicyManager {
     */
   def hasDataMask(user: String, catalog: String, db: String,
       table: String): Boolean = synchronized {
-    dataMasks.exists(p => principalRank(p.username, user) >= 0 &&
+    dataMasks.exists(p => inWindow(p.validFrom, p.validUntil) &&
+      principalRank(p.username, user) >= 0 &&
       nameRank(p.catalogName, catalog) >= 0 && nameRank(p.database, db) >= 0 &&
       nameRank(p.tableName, table) >= 0)
   }
@@ -244,11 +327,17 @@ final class PolicyManager {
       ("rowFilters" -> rowFilters.toList.map(p =>
         ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
           ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
-          ("condition" -> p.condition))) ~
+          ("condition" -> p.condition) ~
+          ("validFrom" -> p.validFrom) ~ ("validUntil" -> p.validUntil))) ~
       ("dataMasks" -> dataMasks.toList.map(p =>
         ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
           ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
-          ("columnName" -> p.columnName) ~ ("maskType" -> p.maskType))) ~
+          ("columnName" -> p.columnName) ~ ("maskType" -> p.maskType) ~
+          ("validFrom" -> p.validFrom) ~ ("validUntil" -> p.validUntil))) ~
+      ("denies" -> denies.toList.map(p =>
+        ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
+          ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
+          ("validFrom" -> p.validFrom) ~ ("validUntil" -> p.validUntil))) ~
       ("groups" -> groupMembers.toList.sortBy(_._1).map { case (g, members) =>
         ("name" -> g) ~ ("members" -> members.toList.sorted) })
     JsonMethods.compact(JsonMethods.render(json))
@@ -265,19 +354,32 @@ final class PolicyManager {
       case JString(s) => s
       case _ => throw new IllegalArgumentException(s"policy JSON missing field '$field'")
     }
+    def optStr(v: JValue, field: String): Option[String] = v \ field match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
     val rfs = (root \ "rowFilters") match {
       case JArray(items) => items.map(v => RowFilterPolicy(
         str(v, "username"), str(v, "catalogName"), str(v, "database"),
-        str(v, "tableName"), str(v, "condition")))
+        str(v, "tableName"), str(v, "condition"),
+        optStr(v, "validFrom"), optStr(v, "validUntil")))
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"rowFilters must be an array, got $other")
     }
     val dms = (root \ "dataMasks") match {
       case JArray(items) => items.map(v => DataMaskPolicy(
         str(v, "username"), str(v, "catalogName"), str(v, "database"),
-        str(v, "tableName"), str(v, "columnName"), str(v, "maskType")))
+        str(v, "tableName"), str(v, "columnName"), str(v, "maskType"),
+        optStr(v, "validFrom"), optStr(v, "validUntil")))
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"dataMasks must be an array, got $other")
+    }
+    val dns = (root \ "denies") match {
+      case JArray(items) => items.map(v => DenyRowPolicy(
+        str(v, "username"), str(v, "catalogName"), str(v, "database"),
+        str(v, "tableName"), optStr(v, "validFrom"), optStr(v, "validUntil")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"denies must be an array, got $other")
     }
     val grps = (root \ "groups") match {
       case JArray(items) => items.map { v =>
@@ -289,7 +391,7 @@ final class PolicyManager {
       }
       case _ => Nil
     }
-    synchronized { rowFilters ++= rfs; dataMasks ++= dms }
+    synchronized { rowFilters ++= rfs; dataMasks ++= dms; denies ++= dns }
     grps.foreach { case (g, members) => members.foreach(addUserToGroup(_, g)) }
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SecurityContext
-import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import graft.policy.{DataMaskPolicy, DenyRowPolicy, RowFilterPolicy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Tables {
@@ -234,6 +234,45 @@ object SecurityQueries {
       c.dfMixed(USER,
         "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
       c.auditLog.orderBy("seq")
+    }),
+    // Ranger deny overrides allow at every specificity: the user's EXACT
+    // allow-filter on orders is beaten by a WILDCARD-principal deny (the
+    // adversarial direction — specific-allow vs least-specific-deny), so
+    // the orders branch of the union contributes zero rows while the
+    // customer branch keeps its ordinary row filter. One statement, so the
+    // deny is exercised inside a set-op FROM tree, not just a plain scan.
+    "sec_rls_deny" -> ((s, dir) => {
+      val c = ctx(s, dir, "orders", "customer") { c =>
+        rls(c, "orders", "o_orderstatus = 'F'")
+        c.policyManager.addPolicy(DenyRowPolicy("*", CAT, DB, "orders"))
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+      }
+      c.dfRowFilter(USER,
+        """SELECT 'orders' AS src, o_orderkey AS id FROM orders
+          |UNION ALL
+          |SELECT 'customer' AS src, c_custkey AS id FROM customer
+          |ORDER BY src, id""".stripMargin)
+    }),
+    // policy validity windows under a pinned clock: of three row filters
+    // only the one whose [validFrom, validUntil) covers "now" applies —
+    // the expired and future ones contribute nothing — and an EXPIRED deny
+    // no longer denies (rows flow; the window gates the deny too)
+    "sec_rls_window" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        c.policyManager.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+        c.policyManager.addPolicy(RowFilterPolicy(USER, CAT, DB, "customer",
+          "c_acctbal < 0.0", validUntil = Some("2026-01-01T00:00:00Z")))
+        c.policyManager.addPolicy(RowFilterPolicy(USER, CAT, DB, "customer",
+          "c_nationkey > 99", validFrom = Some("2030-01-01T00:00:00Z")))
+        c.policyManager.addPolicy(RowFilterPolicy(USER, CAT, DB, "customer",
+          "c_mktsegment = 'BUILDING'",
+          validFrom = Some("2026-01-01T00:00:00Z"),
+          validUntil = Some("2027-01-01T00:00:00Z")))
+        c.policyManager.addPolicy(DenyRowPolicy(USER, CAT, DB, "customer",
+          validUntil = Some("2026-06-01T00:00:00Z")))
+      }
+      c.dfRowFilter(USER,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
     })
   )
 
@@ -329,6 +368,18 @@ object SecurityQueries {
         |  (8, 'analyst', 'ROW_FILTER', 'spark_catalog.default.customer', 'c_mktsegment = ''BUILDING'''),
         |  (9, 'analyst', 'DATA_MASK', 'spark_catalog.default.customer', 'c_name=MASK_HASH')
         |) t(seq, principal, action, obj, detail)
-        |ORDER BY seq""".stripMargin
+        |ORDER BY seq""".stripMargin,
+    // deny => the orders branch is WHERE false; the customer branch keeps
+    // its ordinary filter
+    "sec_rls_deny" ->
+      """SELECT 'orders' AS src, o_orderkey AS id FROM orders WHERE false
+        |UNION ALL
+        |SELECT 'customer' AS src, c_custkey AS id FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY src, id""".stripMargin,
+    // only the in-window filter applies; the expired deny does not
+    "sec_rls_window" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
   )
 }

@@ -39,6 +39,28 @@ object VerifyDrive {
     println("== rewritten plan ==")
     println(ctx.mixedRewrite("analyst",
       "SELECT c_custkey, c_name, c_mktsegment FROM customer").treeString)
+    println("== deny-overrides-allow + validity windows over real parquet ==")
+    val dctx = new graft.SecurityContext(spark)
+    dctx.policyManager.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    // exact-user allow vs wildcard deny: deny must win
+    dctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+      "analyst", "spark_catalog", "default", "orders", "o_orderstatus = 'F'"))
+    dctx.policyManager.addPolicy(graft.policy.DenyRowPolicy(
+      "*", "spark_catalog", "default", "orders"))
+    // windowed filter on customer: expired one ignored, active one applies
+    dctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_acctbal < 0.0",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    dctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+      "analyst", "spark_catalog", "default", "customer", "c_mktsegment = 'BUILDING'",
+      validFrom = Some("2026-01-01T00:00:00Z")))
+    val deniedN = dctx.dfRowFilter("analyst", "SELECT o_orderkey FROM orders").count()
+    val windowedN = dctx.dfRowFilter("analyst", "SELECT c_custkey FROM customer").count()
+    val rawCustN = spark.table("customer").count()
+    println(s"denied orders rows=$deniedN; windowed customer rows=$windowedN of $rawCustN")
+    assert(deniedN == 0, s"wildcard deny must beat the exact allow-filter, got $deniedN rows")
+    assert(windowedN > 0 && windowedN < rawCustN,
+      "exactly the in-window filter must apply (expired one ignored)")
     println("== bucketed IVF over real embeddings parquet ==")
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS vd_ivf")

@@ -163,4 +163,84 @@ class PolicyManagerSpec extends AnyFunSuite {
     assert(!m.removePolicy(RowFilterPolicy("user_B", "hive", "default", "orders", "REGION = 'hangzhou'")))
     assert(m.rowFilterConditions("user_B", "hive", "default", "orders").nonEmpty)
   }
+
+  test("deny overrides allow at every specificity; matching is rank-based") {
+    val m = mgr
+    // adversarial: the deny is the LEAST specific principal ('*') and the
+    // allow is the MOST specific (exact user) — deny must still win
+    m.addPolicy(DenyRowPolicy("*", "hive", "default", "orders"))
+    assert(m.isDenied("user_A", "hive", "default", "orders"))
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders") == Seq("false"))
+    // other tables unaffected
+    assert(!m.isDenied("user_A", "hive", "default", "customer"))
+    // group-scoped deny hits members only
+    val m2 = new PolicyManager
+    m2.addUserToGroup("carol", "contractors")
+    m2.addPolicy(DenyRowPolicy("contractors", "hive", "default", "orders"))
+    assert(m2.isDenied("carol", "hive", "default", "orders"))
+    assert(!m2.isDenied("dave", "hive", "default", "orders"))
+    // removal restores the allow-filter path
+    assert(m.removePolicy(DenyRowPolicy("*", "hive", "default", "orders")))
+    assert(m.rowFilterConditions("user_A", "hive", "default", "orders") == Seq("region = 'beijing'"))
+  }
+
+  test("validity windows: [from, until) against the injectable clock, all policy kinds") {
+    val m = new PolicyManager
+    m.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "expired = 1",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "future = 1",
+      validFrom = Some("2027-01-01T00:00:00Z")))
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "active = 1",
+      validFrom = Some("2026-01-01T00:00:00Z"), validUntil = Some("2027-01-01T00:00:00Z")))
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("active = 1"))
+    // inclusive start, exclusive end
+    m.clock = () => java.time.Instant.parse("2026-01-01T00:00:00Z")
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("active = 1"))
+    m.clock = () => java.time.Instant.parse("2027-01-01T00:00:00Z")
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("future = 1"))
+    // an expired deny stops denying; an active one wins over everything
+    m.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    m.addPolicy(DenyRowPolicy("u", "hive", "default", "t",
+      validUntil = Some("2026-06-01T00:00:00Z")))
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("active = 1"))
+    m.addPolicy(DenyRowPolicy("u", "hive", "default", "t",
+      validFrom = Some("2026-06-01T00:00:00Z")))
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("false"))
+    // windowed masks deactivate outside the window
+    val mm = new PolicyManager
+    mm.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    mm.addPolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK_HASH",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    assert(mm.dataMaskType("u", "hive", "default", "t", "c").isEmpty)
+    assert(!mm.hasDataMask("u", "hive", "default", "t"))
+    mm.addPolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validFrom = Some("2026-01-01T00:00:00Z")))
+    assert(mm.dataMaskType("u", "hive", "default", "t", "c").exists(_.name == "MASK"))
+    // malformed window fails loudly, never silently inactive
+    mm.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "x = 1",
+      validFrom = Some("not-a-timestamp")))
+    intercept[java.time.format.DateTimeParseException] {
+      mm.rowFilterConditions("u", "hive", "default", "t")
+    }
+  }
+
+  test("denies and windows round-trip through JSON export/import") {
+    val m = new PolicyManager
+    m.addPolicy(DenyRowPolicy("eve", "hive", "default", "orders",
+      validFrom = Some("2026-01-01T00:00:00Z"), validUntil = Some("2027-01-01T00:00:00Z")))
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "x = 1",
+      validUntil = Some("2030-01-01T00:00:00Z")))
+    m.addPolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validFrom = Some("2020-01-01T00:00:00Z")))
+    val m2 = new PolicyManager
+    m2.importJson(m.exportJson())
+    assert(m2.denyPolicies == m.denyPolicies)
+    assert(m2.rowFilterPolicies == m.rowFilterPolicies)
+    assert(m2.dataMaskPolicies == m.dataMaskPolicies)
+    m2.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    assert(m2.isDenied("eve", "hive", "default", "orders"))
+    m2.clock = () => java.time.Instant.parse("2027-06-15T12:00:00Z")
+    assert(!m2.isDenied("eve", "hive", "default", "orders"))
+  }
 }
