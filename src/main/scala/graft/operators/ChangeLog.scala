@@ -178,6 +178,38 @@ object ChangeLog {
       aggState(df, groupCol, aggCols), table, Seq(groupCol), numBuckets)
   }
 
+  /** Widen a persisted [[aggStateWriteBucketed]] table for columns that
+    * appeared mid-log (CDC schema evolution): each missing `sum_<c>` is
+    * added as 0 and the state rewrites in its existing bucket layout via
+    * the staged-swap discipline. 0 is the CORRECT backfill, not a
+    * placeholder: a column added by DDL is null on every pre-existing row
+    * (MySQL ADD COLUMN semantics — rows that later receive values do so
+    * through logged UPDATEs, which the delta path then applies), and this
+    * family aggregates null as 0 end-to-end ([[aggDeltas]] multiplies
+    * before summing so nulls drop; [[applyAggDeltas]] coalesces both
+    * sides). State-sized (|groups| rows), like every refresh here; no-op
+    * when nothing is missing.
+    */
+  def widenAggState(spark: org.apache.spark.sql.SparkSession,
+      stateTable: String, aggCols: Seq[String]): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$stateTable is not a bucketed agg-state table"))
+    val state = spark.table(stateTable)
+    val missing = aggCols.filterNot(c => state.columns.contains(s"sum_$c"))
+    if (missing.nonEmpty) {
+      val widened = missing.foldLeft(state)((df, c) =>
+          df.withColumn(s"sum_$c", lit(0L)))
+        .localCheckpoint(eager = true) // reads the table the swap replaces
+      val staged = s"${stateTable}_staged"
+      graft.sources.Sources.dropForOverwrite(spark, staged)
+      graft.sources.Sources.writeBucketed(widened, staged,
+        spec.bucketColumnNames, spec.numBuckets)
+      graft.sources.Sources.swapStaged(spark, staged, stateTable)
+    }
+  }
+
   /** One maintenance step against a persisted [[aggStateWriteBucketed]]
     * table: fold the change batch to deltas, apply, rewrite the state
     * under a staged name in the SAME bucket layout and swap — the

@@ -29,6 +29,63 @@ object PipelineQueries {
   }
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
+  /** Deterministic two-phase Debezium log with a MID-LOG DDL, for the
+    * schema-evolution gates: segment 0 bootstraps the prev snapshot (all
+    * inserts, old schema `(doc_id, lang, chars)`), segment 1 carries the
+    * prev->mid changes (still old schema), then `words BIGINT` is added
+    * (null on every existing row — MySQL ADD COLUMN semantics, so no
+    * change events from the DDL itself) and segments 2-3 carry the
+    * mid->next changes in the widened schema, each event's envelope
+    * declaring its field list. Every snapshot is a closed-form filter over
+    * `documents`, so a DuckDB oracle can restate the final state exactly.
+    * Returns (log directory, widened row schema).
+    */
+  private def schemaEvolveLog(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      length(col("text")).as("chars"))
+    def d = col("doc_id")
+    val prev = base.filter(d % 3 =!= 0)
+    val mid = base.filter((d % 3 =!= 0 || d % 6 === 0) && d % 11 =!= 0)
+      .select(d, col("lang"),
+        when(d % 5 === 0, col("chars") + 7).otherwise(col("chars")).as("chars"))
+    val midW = mid.withColumn("words", lit(null).cast("long"))
+    val next = base
+      .filter(((d % 3 =!= 0 || d % 6 === 0) && d % 11 =!= 0 || d % 9 === 0) &&
+        d % 13 =!= 0)
+      .select(d, col("lang"),
+        (when(d % 5 === 0, col("chars") + 7).otherwise(col("chars")) +
+          when(d % 17 === 0, 3).otherwise(0)).as("chars"),
+        when(d % 4 === 0, d % 97).otherwise(lit(null)).cast("long").as("words"))
+    val boot = ChangeLog.fromSnapshotsFull(prev.limit(0), prev, "doc_id",
+      Seq("lang", "chars"))
+    val ch1 = ChangeLog.fromSnapshotsFull(prev, mid, "doc_id",
+      Seq("lang", "chars"))
+    val ch2 = ChangeLog.fromSnapshotsFull(midW, next, "doc_id",
+      Seq("lang", "chars", "words"))
+    val ev0 = graft.sources.KafkaShapedLog.encodeDebezium(boot, "doc_id",
+      Seq("lang", "chars"), db = "graft", table = "documents")
+    val ev1 = graft.sources.KafkaShapedLog.encodeDebezium(ch1, "doc_id",
+      Seq("lang", "chars"), db = "graft", table = "documents")
+    val ev2 = graft.sources.KafkaShapedLog.encodeDebezium(ch2, "doc_id",
+      Seq("lang", "chars", "words"), db = "graft", table = "documents")
+      .localCheckpoint(eager = false) // two segment writes share it
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivme").toFile
+    val logDir = new java.io.File(tmpRoot, "log")
+    graft.sources.KafkaShapedLog.appendSegment(ev0, logDir.getPath,
+      topic = "graft.documents", segment = 0,
+      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+    graft.sources.KafkaShapedLog.appendSegment(ev1, logDir.getPath,
+      topic = "graft.documents", segment = 1,
+      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+    graft.sources.KafkaShapedLog.appendSegment(ev2.filter(d % 2 === 1),
+      logDir.getPath, topic = "graft.documents", segment = 2,
+      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+    graft.sources.KafkaShapedLog.appendSegment(ev2.filter(d % 2 === 0),
+      logDir.getPath, topic = "graft.documents", segment = 3,
+      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+    (logDir.getPath, midW.schema)
+  }
+
   /** The events table reinterpreted as a user-profile changelog for the
     * [[ChangeLog]] family: signup inserts the profile, error deletes it
     * (account wipe), every other event upserts — key `user_id`, sequence
@@ -2435,6 +2492,54 @@ object PipelineQueries {
       s.table("graft_ivmd_state")
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
+    }),
+    // CDC SCHEMA EVOLUTION, streaming: a Debezium log whose row schema
+    // gains a `words` column MID-LOG (DDL between segments; the envelope's
+    // schema block records each event's field list). The consumer decodes
+    // every micro-batch against its own declared schema and WIDENS the
+    // standing agg state when the new column first appears (sum backfills
+    // as 0 — ADD COLUMN leaves null on pre-existing rows, and this family
+    // aggregates null as 0), instead of failing the query. Log: snapshot
+    // bootstrap (op c of prev), phase-1 changes (old schema), phase-2
+    // changes (new schema, two segments); state starts EMPTY and the final
+    // maintained table must equal a from-scratch recompute over the final
+    // snapshot — the oracle states that recompute.
+    "stream_cdc_schema_change" -> ((s, dir) => {
+      val (logDir, rowSchema) = schemaEvolveLog(s, dir)
+      Seq("graft_ivme_state", "graft_ivme_state_staged", "graft_ivme_state_old")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      val empty = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars")).limit(0)
+      ChangeLog.aggStateWriteBucketed(empty, "graft_ivme_state", "lang",
+        Seq("chars"), numBuckets = 4)
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val q = StreamOps.streamingAggMaintainEvolving(
+          graft.sources.KafkaShapedLog.readStream(s, logDir),
+          "graft_ivme_state", rowSchema, "doc_id", "lang")
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_ivme_state")
+        .select(col("lang"), col("n_rows"), col("sum_chars"), col("sum_words"))
+        .orderBy(col("lang"))
+    }),
+    // CDC SCHEMA EVOLUTION, batch: materialize the SAME mixed-schema log in
+    // one batch read decoded with the widened row type — pre-DDL events
+    // read null for `words` (from_json on an envelope that predates the
+    // field), so the latest-image-per-key replay yields exactly the final
+    // snapshot: values where a logged change set them, null where the
+    // column was never touched, deleted keys absent
+    "cdc_schema_change_mat" -> ((s, dir) => {
+      val (logDir, rowSchema) = schemaEvolveLog(s, dir)
+      val raw = s.read.schema(graft.sources.KafkaShapedLog.schema)
+        .parquet(logDir)
+      val decoded = graft.sources.KafkaShapedLog.decodeDebezium(
+        raw, rowSchema, "doc_id", extraCols = Seq("offset"))
+      ChangeLog.materialize(
+        decoded.select(col("doc_id"), col("offset"), col("op"),
+          col("lang_after").as("lang"), col("chars_after").as("chars"),
+          col("words_after").as("words")),
+        "doc_id", Seq("offset"), "op", Seq("lang", "chars", "words"))
+        .orderBy(col("doc_id"))
     }),
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
@@ -5468,6 +5573,34 @@ object PipelineQueries {
     // same maintained state as the batch recompute
     "stream_cdc_agg_maintain_log" -> ivmRecomputeSql,
     "stream_cdc_debezium" -> ivmRecomputeSql,
+    // evolving-schema IVM == recompute over the FINAL snapshot; `words`
+    // (added mid-log, null until a logged change set it) aggregates as 0
+    // where never touched
+    "stream_cdc_schema_change" ->
+      """WITH b AS (SELECT doc_id, lang, length(text) AS chars FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |             (CASE WHEN doc_id % 5 = 0 THEN chars + 7 ELSE chars END
+        |              + CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 0 END) AS chars,
+        |             CASE WHEN doc_id % 4 = 0 THEN doc_id % 97 ELSE NULL END AS words
+        |      FROM b
+        |      WHERE (((doc_id % 3 <> 0 OR doc_id % 6 = 0) AND doc_id % 11 <> 0)
+        |             OR doc_id % 9 = 0) AND doc_id % 13 <> 0)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(COALESCE(words, 0)) AS BIGINT) AS sum_words
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    // batch materialization of the same mixed-schema log == the final
+    // snapshot row-for-row (null words where no logged change touched them)
+    "cdc_schema_change_mat" ->
+      """WITH b AS (SELECT doc_id, lang, length(text) AS chars FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(CASE WHEN doc_id % 5 = 0 THEN chars + 7 ELSE chars END
+        |            + CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 0 END AS INTEGER) AS chars,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 97 ELSE NULL END AS BIGINT) AS words
+        |FROM b
+        |WHERE (((doc_id % 3 <> 0 OR doc_id % 6 = 0) AND doc_id % 11 <> 0)
+        |       OR doc_id % 9 = 0) AND doc_id % 13 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "cdc_materialize" ->
       s"""WITH $cdcLogCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id

@@ -124,7 +124,15 @@ object KafkaShapedLog {
       StructField("db", StringType),
       StructField("table", StringType)))),
     StructField("op", StringType),
-    StructField("ts_ms", LongType)))
+    StructField("ts_ms", LongType),
+    // the envelope's schema block, reduced to what consumers need from it:
+    // the authoritative list of row-image field names AT EMIT TIME. The
+    // full Kafka Connect JSON block carries per-field types too; names are
+    // what schema-evolution consumers key on (a column absent from `fields`
+    // did not exist yet — distinguishable from "present but null", which
+    // to_json's null-dropping otherwise erases). Optional: events from
+    // schema-less producers decode with fields = null.
+    StructField("fields", ArrayType(StringType))))
 
   /** Encode a [[graft.operators.ChangeLog.fromSnapshotsFull]] changelog —
     * rows `(key, op I|U|D, <c>_before..., <c>_after...)` — as Debezium
@@ -149,7 +157,10 @@ object KafkaShapedLog {
         lit(table).as("table")).as("source"),
       when(col("op") === "I", "c").when(col("op") === "U", "u")
         .otherwise("d").as("op"),
-      lit(tsMs).as("ts_ms"))
+      lit(tsMs).as("ts_ms"),
+      // schema block: the row-image field list as of THIS emit — consumers
+      // detect mid-log DDL (column added/dropped) from changes in this list
+      array((keyCol +: valueCols).map(lit(_)): _*).as("fields"))
   }
 
   /** Decode Debezium change events back into the changelog shape the IVM
@@ -160,11 +171,15 @@ object KafkaShapedLog {
     * columns with their pre-encode types).
     */
   def decodeDebezium(log: DataFrame, rowSchema: StructType,
-      keyCol: String): DataFrame = {
+      keyCol: String, extraCols: Seq[String] = Nil): DataFrame = {
     val valueCols = rowSchema.fieldNames.filterNot(_ == keyCol).toSeq
     val env = from_json(col("value").cast("string"),
       debeziumValueSchema(rowSchema))
-    log.select(env.as("_e"))
+    log.select(env.as("_e") +: extraCols.map(col): _*)
+      // row changes ONLY: a real stream also carries truncates ('t') and
+      // heartbeat/info messages ('m'), which have no row images — mapping
+      // them to anything would fabricate deletes with null keys
+      .filter(col("_e.op").isin("c", "r", "u", "d"))
       .select(
         coalesce(col(s"_e.after.$keyCol"), col(s"_e.before.$keyCol"))
           .as(keyCol) +:
@@ -172,6 +187,26 @@ object KafkaShapedLog {
           .when(col("_e.op") === "u", "U")
           .otherwise("D").as("op") +:
         (valueCols.map(c => col(s"_e.before.$c").as(s"${c}_before")) ++
-          valueCols.map(c => col(s"_e.after.$c").as(s"${c}_after"))): _*)
+          valueCols.map(c => col(s"_e.after.$c").as(s"${c}_after")) ++
+          extraCols.map(col)): _*)
+  }
+
+  /** The DISTINCT `fields` lists present in a (micro-)batch of Debezium
+    * records — the per-batch schema-discovery step of an evolving consumer.
+    * Bounded by construction: a batch spans at most a handful of schema
+    * epochs (one list per DDL, identical across the records between DDLs),
+    * so the collect is epochs-sized, never batch-sized. Records without a
+    * schema block (older producers) contribute nothing — callers fall back
+    * to their static schema when the result is empty.
+    */
+  def fieldEpochs(log: DataFrame): Seq[Seq[String]] = {
+    val fieldsOnly = StructType(Seq(StructField("fields", ArrayType(StringType))))
+    log.select(from_json(col("value").cast("string"), fieldsOnly)
+        .getField("fields").as("fields"))
+      .filter(col("fields").isNotNull)
+      .distinct()
+      .collect()
+      .map(_.getSeq[String](0).toSeq)
+      .toSeq
   }
 }

@@ -373,6 +373,71 @@ object StreamOps {
     changeStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
   }
 
+  /** [[streamingAggMaintain]] over the RAW Debezium transport with SCHEMA
+    * EVOLUTION: the stream stays Kafka-shaped and each micro-batch decodes
+    * against the schema its own envelope blocks declare, so a column added
+    * mid-log (DDL between segments) WIDENS the standing state instead of
+    * failing the query. Per batch:
+    *
+    *  1. Schema discovery: the batch's distinct `fields` lists
+    *     ([[graft.sources.KafkaShapedLog.fieldEpochs]] — epochs-sized
+    *     collect, never batch-sized); their union is the batch's row shape.
+    *     Blocks absent (older producer) -> fall back to `rowSchema` whole.
+    *  2. Decode with `rowSchema` restricted to the discovered fields — a
+    *     batch spanning the DDL decodes with the union shape and pre-DDL
+    *     events read null for the new column, exactly the ADD COLUMN
+    *     semantics of the upstream database.
+    *  3. [[graft.operators.ChangeLog.widenAggState]] for newly seen agg
+    *     columns (missing sums backfill as 0 — correct, see its doc).
+    *  4. Maintain over the FULL state column set: agg columns the state
+    *     knows but this batch's epoch predates ride as null images (null
+    *     deltas add 0), so an old-schema batch arriving after the widening
+    *     — Kafka consumers replay segments in offset order, but a
+    *     rewound/mixed log must not narrow state — maintains correctly.
+    *
+    * `rowSchema` is the consumer's WIDEST known row type (it supplies the
+    * column TYPES; which columns exist per batch comes from the envelope).
+    * Columns in the envelope but not in `rowSchema` are ignored — decoding
+    * a type it has no declaration for would be a guess; the consumer
+    * upgrades `rowSchema` to start aggregating a brand-new column.
+    */
+  def streamingAggMaintainEvolving(rawLog: DataFrame, stateTable: String,
+      rowSchema: org.apache.spark.sql.types.StructType, keyCol: String,
+      groupCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.StructType
+    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val epochs = graft.sources.KafkaShapedLog.fieldEpochs(batch)
+      val present: Seq[String] =
+        if (epochs.isEmpty) rowSchema.fieldNames.toSeq
+        else epochs.flatten.distinct
+      val presentSchema = StructType(
+        rowSchema.fields.filter(f => present.contains(f.name)))
+      require(presentSchema.fieldNames.contains(keyCol) &&
+        presentSchema.fieldNames.contains(groupCol),
+        s"envelope schema ${present.mkString(",")} lost key/group column")
+      val decoded = graft.sources.KafkaShapedLog.decodeDebezium(
+        batch, presentSchema, keyCol)
+      val batchAgg = presentSchema.fieldNames
+        .filterNot(n => n == keyCol || n == groupCol).toSeq
+      graft.operators.ChangeLog.widenAggState(spark, stateTable, batchAgg)
+      val stateAgg = spark.table(stateTable).columns
+        .filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).toSeq
+      val padded = stateAgg.foldLeft(decoded) { (df, c) =>
+        if (df.columns.contains(s"${c}_after")) df
+        else {
+          val t = rowSchema.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.LongType)
+          df.withColumn(s"${c}_before", lit(null).cast(t))
+            .withColumn(s"${c}_after", lit(null).cast(t))
+        }
+      }
+      graft.operators.ChangeLog.maintainAggTable(padded, stateTable, "op",
+        groupCol, stateAgg)
+    }
+    rawLog.writeStream.outputMode("append").foreachBatch(perBatch).start()
+  }
+
   /** The COMPOSED streaming curation funnel — the continuous-ingest shape of
     * the batch [[graft.operators.TextAnalysis.curateFull]] pipeline, stage
     * for stage:

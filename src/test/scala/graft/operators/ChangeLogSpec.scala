@@ -142,6 +142,41 @@ class ChangeLogSpec extends SparkFunSuite {
     }
   }
 
+  test("widenAggState backfills new sums as 0, keeps layout, no-ops when complete; old-schema batches after widening maintain correctly") {
+    val prev = Seq((1L, "g1", 10), (2L, "g1", 20), (3L, "g2", 5))
+      .toDF("id", "g", "v")
+    Seq("graft_widen_t", "graft_widen_t_staged", "graft_widen_t_old")
+      .foreach(t => graft.sources.Sources.dropForOverwrite(spark, t))
+    ChangeLog.aggStateWriteBucketed(prev, "graft_widen_t", "g", Seq("v"),
+      numBuckets = 2)
+    // widen for a column the state has never seen
+    ChangeLog.widenAggState(spark, "graft_widen_t", Seq("v", "w"))
+    val widened = spark.table("graft_widen_t").orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(widened === Seq(("g1", 2L, 30L, 0L), ("g2", 1L, 5L, 0L)))
+    // bucket layout preserved through the staged swap
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_widen_t")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 2 && s.bucketColumnNames == Seq("g")))
+    // no-op when nothing is missing (same table, same contents)
+    ChangeLog.widenAggState(spark, "graft_widen_t", Seq("v", "w"))
+    assert(spark.table("graft_widen_t").orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq === widened)
+    // an OLD-SCHEMA change batch arriving after the widening (rewound or
+    // mixed log): w images ride as nulls -> null deltas add 0, the w sums
+    // survive the maintenance rewrite
+    val oldBatch = Seq((1L, "U", "g1", 10, "g1", 15))
+      .toDF("id", "op", "g_before", "v_before", "g_after", "v_after")
+      .withColumn("w_before", lit(null).cast("int"))
+      .withColumn("w_after", lit(null).cast("int"))
+    ChangeLog.maintainAggTable(oldBatch, "graft_widen_t", "op", "g", Seq("v", "w"))
+    assert(spark.table("graft_widen_t").orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("g1", 2L, 35L, 0L), ("g2", 1L, 5L, 0L)))
+    Seq("graft_widen_t", "graft_widen_t_staged", "graft_widen_t_old")
+      .foreach(t => graft.sources.Sources.dropForOverwrite(spark, t))
+  }
+
   test("materialize plans one exchange, partially aggregated map-side") {
     val plan = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
       .queryExecution.executedPlan.toString

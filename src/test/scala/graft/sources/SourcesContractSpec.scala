@@ -139,6 +139,49 @@ class SourcesContractSpec extends SparkFunSuite {
     assert(out.head.getLong(0) == 7L && out.head.getString(1) == "I")
   }
 
+  test("KafkaShapedLog: truncate/heartbeat envelope events ('t'/'m') are dropped, not mapped to deletes") {
+    val rowSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType)))
+    def rec(json: String) = Seq(json).toDF("v")
+      .select(lit(null).cast("binary").as("key"),
+        encode(col("v"), "UTF-8").as("value"), lit("t").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+    val log = rec("""{"before":null,"after":null,"source":{"connector":"mysql","db":"g","table":"d"},"op":"t","ts_ms":1}""")
+      .unionAll(rec("""{"before":null,"after":null,"source":{"connector":"mysql","db":"g","table":"d"},"op":"m","ts_ms":2}"""))
+      .unionAll(rec("""{"before":null,"after":{"doc_id":5,"lang":"de"},"source":{"connector":"mysql","db":"g","table":"d"},"op":"c","ts_ms":3}"""))
+    val out = KafkaShapedLog.decodeDebezium(log, rowSchema, "doc_id").collect()
+    // only the row change survives — a 't'/'m' mapped to 'D' would emit a
+    // null-key delete here
+    assert(out.length == 1 && out.head.getLong(0) == 5L && out.head.getString(1) == "I")
+  }
+
+  test("KafkaShapedLog: envelope schema block carries the emit-time field list; fieldEpochs discovers DDL") {
+    val oldChanges = Seq((1L, "I", null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "op", "lang_before", "lang_after")
+    val newChanges = Seq((2L, "I", null.asInstanceOf[String], "fr",
+        null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L)))
+      .toDF("doc_id", "op", "lang_before", "lang_after", "words_before", "words_after")
+    val evOld = KafkaShapedLog.encodeDebezium(oldChanges, "doc_id",
+      Seq("lang"), db = "g", table = "d")
+    val evNew = KafkaShapedLog.encodeDebezium(newChanges, "doc_id",
+      Seq("lang", "words"), db = "g", table = "d")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toFile
+    KafkaShapedLog.appendSegment(evOld, dir.getPath + "/log", "t", 0, "doc_id", Seq("doc_id"))
+    KafkaShapedLog.appendSegment(evNew, dir.getPath + "/log", "t", 1, "doc_id", Seq("doc_id"))
+    val raw = spark.read.schema(KafkaShapedLog.schema).parquet(dir.getPath + "/log")
+    val epochs = KafkaShapedLog.fieldEpochs(raw).map(_.toSet).toSet
+    assert(epochs == Set(Set("doc_id", "lang"), Set("doc_id", "lang", "words")))
+    // schema-less records (no fields block) contribute no epochs
+    val bare = Seq("""{"before":null,"after":{"doc_id":1,"lang":"en"},"source":{"connector":"mysql","db":"g","table":"d"},"op":"c","ts_ms":1}""")
+      .toDF("v")
+      .select(lit(null).cast("binary").as("key"),
+        encode(col("v"), "UTF-8").as("value"), lit("t").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+    assert(KafkaShapedLog.fieldEpochs(bare).isEmpty)
+  }
+
   test("GraftMemoryCatalog: 3-part resolution, INSERT INTO, SELECT, truncate-overwrite, DROP") {
     spark.conf.set("spark.sql.catalog.graft_mem",
       classOf[GraftMemoryCatalog].getName)
