@@ -73,36 +73,45 @@ final class SecurityContext(
   /** Record the submission plus every policy application found in the
     * rewritten plan (the rules leave `SecurityTags.*Audit` breadcrumbs at
     * each injection site; collectWithSubqueries also reaches plans inside
-    * EXISTS/IN/scalar subquery expressions). Driver-side, bounded by the
-    * number of policied scans in the plan — never data-sized.
+    * EXISTS/IN/scalar subquery expressions), plus any identity-only mask
+    * decisions the rule reported out-of-band (MASK_NONE-only scans build no
+    * Project to tag — [[graft.plans.DataMaskRule.identityAudit]]); those
+    * follow the plan-collected rows. Driver-side, bounded by the number of
+    * policied scans in the plan — never data-sized. Appends take one
+    * monitor so concurrent rewrites through a shared context cannot corrupt
+    * the buffer or duplicate seq values (seq derives from size at append).
     */
   private def recordAudit(user: String, api: String, sql: String,
-      plan: LogicalPlan): LogicalPlan = {
-    auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", api, sql)
-    plan.collectWithSubqueries {
+      plan: LogicalPlan, identityMasks: Seq[String] = Nil): LogicalPlan = {
+    val decisions = plan.collectWithSubqueries {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).isDefined =>
         ("ROW_FILTER", f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).get)
       case p: org.apache.spark.sql.catalyst.plans.logical.Project
           if p.getTagValue(graft.plans.SecurityTags.MaskAudit).isDefined =>
         ("DATA_MASK", p.getTagValue(graft.plans.SecurityTags.MaskAudit).get)
-    }.foreach { case (action, crumb) =>
-      val Array(obj, detail) = crumb.split("\\|", 2)
-      auditBuf += AuditEntry(auditBuf.size.toLong, user, action, obj, detail)
+    } ++ identityMasks.map(("DATA_MASK", _))
+    auditBuf.synchronized {
+      auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", api, sql)
+      decisions.foreach { case (action, crumb) =>
+        val Array(obj, detail) = crumb.split("\\|", 2)
+        auditBuf += AuditEntry(auditBuf.size.toLong, user, action, obj, detail)
+      }
     }
     plan
   }
 
   /** The audit trail as a DataFrame (seq, principal, action, obj, detail),
-    * in call order. Identity-only mask matches (every matched policy is
-    * MASK_NONE) leave no plan node and are not recorded.
+    * in call order. Identity-only mask matches record as ordinary DATA_MASK
+    * decisions (detail `col=MASK_NONE`) after their submission's
+    * plan-collected rows.
     */
   def auditLog: DataFrame = {
     import spark.implicits._
-    auditBuf.toSeq.toDF()
+    auditBuf.synchronized(auditBuf.toSeq).toDF()
   }
 
-  def clearAudit(): Unit = auditBuf.clear()
+  def clearAudit(): Unit = auditBuf.synchronized(auditBuf.clear())
 
   /** Catalog schema lookup (reference getTable, SecurityContext.java:253-292). */
   def getTable(table: String): StructType = spark.table(table).schema
@@ -113,17 +122,20 @@ final class SecurityContext(
     recordAudit(user, "row_filter", sql,
       analyzed(RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))))
 
-  def rewriteDataMask(user: String, sql: String): LogicalPlan =
+  def rewriteDataMask(user: String, sql: String): LogicalPlan = {
+    val rule = DataMaskRule(spark, user, policyManager, scope, auditIdentity = true)
     recordAudit(user, "data_mask", sql,
-      analyzed(DataMaskRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))))
+      analyzed(rule(analyzed(parseSql(sql)))), rule.identityAudit.toSeq)
+  }
 
   /** Row filter BEFORE mask — fixed order, filters see masked values
     * (SecurityContext.java:154-167).
     */
   def mixedRewrite(user: String, sql: String): LogicalPlan = {
     val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    val rule = DataMaskRule(spark, user, policyManager, scope, auditIdentity = true)
     recordAudit(user, "mixed", sql,
-      analyzed(DataMaskRule(spark, user, policyManager, scope)(filtered)))
+      analyzed(rule(filtered)), rule.identityAudit.toSeq)
   }
 
   /** Ranger-style composition (the divergence switch of SURVEY §7.3): row
@@ -133,8 +145,10 @@ final class SecurityContext(
     */
   def mixedRewriteRawFilter(user: String, sql: String): LogicalPlan = {
     val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    val rule = DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true,
+      auditIdentity = true)
     recordAudit(user, "mixed_raw_filter", sql,
-      analyzed(DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true)(filtered)))
+      analyzed(rule(filtered)), rule.identityAudit.toSeq)
   }
 
   // --- rewrite-to-SQL API (best-effort text, for diffing/goldens; the

@@ -4,20 +4,38 @@ import org.apache.spark.sql.SparkSession
 
 object SparkUtil {
 
+  /** One lock per session (weakly keyed — must not outlive the session):
+    * `spark.sql.shuffle.partitions` is session-global mutable state, so two
+    * threads interleaving save/set/restore can permanently strand the conf
+    * at a temporary value and run unrelated concurrent queries under it
+    * (graft.Verify's parallel drain is exactly that shape). The lock makes
+    * the whole override+body+restore atomic per session; reentrant so
+    * nested overrides on one thread still save/restore pairwise.
+    */
+  private val shuffleLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.locks.ReentrantLock]())
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,
     * restoring the previous value afterwards. Used to size iterative or
     * stateful stages (dedup-graph label propagation, streaming state stores)
     * to their own data volume instead of the corpus-scan default.
     *
-    * NOT safe under concurrent planning on the same session — the conf is
-    * session-wide. Scope it to jobs that own their session, or isolate with
-    * `spark.newSession()`. Materialize (checkpoint/collect) inside `body`:
-    * plans evaluated lazily after return see the restored value.
+    * Serialized per session: concurrent callers queue rather than race the
+    * session-wide conf (and other queries on the session still observe the
+    * temporary value while `body` runs — an override, not isolation; use
+    * `spark.newSession()` for that). Materialize (checkpoint/collect)
+    * inside `body`: plans evaluated lazily after return see the restored
+    * value.
     */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, saved)
+    val lock = shuffleLocks.computeIfAbsent(spark,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try {
+      val key = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, saved)
+    } finally lock.unlock()
   }
 }

@@ -89,6 +89,9 @@ object Timeseries {
   def anomalies(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
       stepSeconds: Long, lookback: Int = 7, zThresh: Double = 3.0,
       minN: Int = 3): DataFrame = {
+    // n = 1 would divide the variance term by zero and score NaN-derived
+    // values as silently-unscored rows — reject, don't null out
+    require(minN >= 2, s"minN must be >= 2 (variance divides by n-1), got $minN")
     val b = df
       .select(col(keyCol).as("key"),
         floor(unix_timestamp(col(tsCol)) / stepSeconds).as("bucket"),
@@ -135,6 +138,7 @@ object Timeseries {
   private[operators] def scoreOne(window: Seq[Double], v: Double,
       zThresh: Double, minN: Int): (Option[Double], Option[Double],
       Option[Double], Boolean) = {
+    require(minN >= 2, s"minN must be >= 2 (variance divides by n-1), got $minN")
     val n = window.size
     if (n < minN) return (None, None, None, false)
     var sv = 0.0; var svv = 0.0
@@ -159,6 +163,7 @@ object Timeseries {
   def streamingAnomalies(buckets: DataFrame, stepSeconds: Long,
       lookback: Int = 7, zThresh: Double = 3.0, minN: Int = 3)
       : Dataset[AnomalyRow] = {
+    require(minN >= 2, s"minN must be >= 2 (variance divides by n-1), got $minN")
     val spark = buckets.sparkSession
     import spark.implicits._
     val typed = buckets

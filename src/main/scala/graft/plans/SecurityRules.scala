@@ -226,8 +226,24 @@ final case class DataMaskRule(
       * filter chain, so row filters evaluate over RAW values and only the
       * query's output is masked (the divergence switch of SURVEY §7.3).
       */
-    filterOnRaw: Boolean = false
+    filterOnRaw: Boolean = false,
+    /** Collect identity-only access decisions into [[identityAudit]]. Off by
+      * default so long-lived rule instances (the auto-enforcement extension,
+      * where nobody drains the buffer) never accumulate.
+      */
+    auditIdentity: Boolean = false
 ) extends Rule[LogicalPlan] with SecurityRuleSupport {
+
+  /** Side channel for identity-only access decisions: when every matched
+    * mask policy on a scan is MASK_NONE (or a CUSTOM passthrough), no
+    * Project is built, so there is no plan node to carry the audit tag —
+    * but a matched policy is still an access decision a Ranger-style trail
+    * must record. Auditing callers ([[graft.SecurityContext]]) drain this
+    * after applying the rule. One `cat.db.table|col=TYPE,...` crumb per
+    * identity-only scan, in visit order; per-rewrite instance, not
+    * thread-shared.
+    */
+  val identityAudit = scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** Resolve a parsed transformer template against the scan's output. The
     * mask family's builders insert their own input casts, so the result is
@@ -262,9 +278,9 @@ final case class DataMaskRule(
     val mapping = Seq.newBuilder[(Attribute, Attribute)]
     // audit trail of applied policy decisions, in output-column order
     // (MASK_NONE passthroughs are recorded too — a matched policy is an
-    // access decision even when the transformation is identity; they are
-    // only auditable when at least one REAL mask builds the Project,
-    // because identity-only matches leave no plan node to tag)
+    // access decision even when the transformation is identity; when NO
+    // real mask builds a Project to tag, the decisions go out through the
+    // identityAudit side channel instead)
     val audited = Seq.newBuilder[String]
     var any = false
     def aliasAs(attr: Attribute, e: Expression): NamedExpression = {
@@ -303,8 +319,12 @@ final case class DataMaskRule(
         case None => attr
       }
     }
-    if (!any) None
-    else {
+    if (!any) {
+      val ids = audited.result()
+      if (auditIdentity && ids.nonEmpty)
+        identityAudit += s"$cat.$db.$table|${ids.mkString(",")}"
+      None
+    } else {
       val p = Project(cols, base)
       p.setTagValue(SecurityTags.MaskApplied, true)
       p.setTagValue(SecurityTags.MaskAudit,

@@ -622,4 +622,43 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(actions.count(_._1 == "ROW_FILTER") == 1)
     assert(actions.contains(("ROW_FILTER", "hive.default.orders")))
   }
+
+  test("audit trail records identity-only mask matches (every matched policy MASK_NONE)") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    // MASK_NONE is still an access decision a Ranger-style trail records,
+    // even though no Project is built (the rule reports it out-of-band)
+    c.policyManager.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders",
+      "customer_name", "MASK_NONE"))
+    c.dfDataMask("user_A", "SELECT order_id, customer_name FROM orders")
+    val got = c.auditLog.collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, "QUERY", "data_mask", "SELECT order_id, customer_name FROM orders"),
+      (1L, "DATA_MASK", "hive.default.orders", "customer_name=MASK_NONE")))
+    // the rewritten output itself is untouched (identity), and a REAL mask
+    // alongside still routes decisions through the tagged Project only once
+    c.clearAudit()
+    c.policyManager.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders",
+      "region", "MASK_HASH"))
+    c.dfDataMask("user_A", "SELECT order_id, customer_name, region FROM orders")
+    val byAction = c.auditLog.collect().map(r => (r.getString(2), r.getString(4)))
+    assert(byAction.count(_._1 == "DATA_MASK") == 1)
+    assert(byAction.contains(("DATA_MASK", "customer_name=MASK_NONE,region=MASK_HASH")))
+  }
+
+  test("concurrent rewrites through one context keep the audit seq dense and unique") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(RowFilterPolicy("user_A", CAT, DB, "orders", "region = 'beijing'"))
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => (1 to 10).foreach { _ =>
+        c.dfRowFilter("user_A", "SELECT order_id FROM orders")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val seqs = c.auditLog.collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs.size == 80) // 40 submissions + 40 filter decisions
+    assert(seqs == (0L until 80L)) // dense, no duplicates, no gaps
+  }
 }

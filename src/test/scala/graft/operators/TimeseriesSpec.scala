@@ -111,6 +111,19 @@ class TimeseriesSpec extends SparkFunSuite {
     assert(spike.getDouble(5) > 3.0) // zscore
   }
 
+  test("anomalies/streamingAnomalies reject minN < 2 (n=1 would divide variance by zero)") {
+    val df = Seq(("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1.0))
+      .toDF("key", "ts", "v")
+    intercept[IllegalArgumentException] {
+      Timeseries.anomalies(df, "key", "ts", "v", 3600L, minN = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.streamingAnomalies(
+        df.selectExpr("key", "CAST(0 AS BIGINT) AS bucket", "v AS value"),
+        3600L, minN = 1)
+    }
+  }
+
   test("anomalies: zero-variance baseline yields null zscore, no flag") {
     val df = (0 until 5).map(i =>
       (1L, ts(f"2024-01-${i + 1}%02d 12:00:00"), 5.0)).toDF("k", "t", "v")
