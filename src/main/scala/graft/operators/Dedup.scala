@@ -1251,9 +1251,21 @@ object Dedup {
     // dominates when the dup graph is much smaller than the corpus — the
     // session default is sized for the corpus scan, not this graph
     val spark = pairs.sparkSession
+    val edgeCount = edges.count()
+    // empty pair set -> empty labeling, skipping the seed aggregate, the
+    // convergence fingerprints and at least one pointer-jumping round
+    // (several jobs). Matters per MICRO-BATCH in the streaming funnel,
+    // where clean batches are the common case and every per-batch job is
+    // pure fixed cost (StreamTrioProbe measures the floor).
+    if (edgeCount == 0L) {
+      edges.unpersist(blocking = false)
+      // built from `pairs` (not the unpersisted checkpoint); LIMIT 0
+      // optimizes to an empty LocalRelation, so the lineage never runs
+      return pairs.select(col("id_a").as("id"), col("id_b").as("label")).limit(0)
+    }
     val parts = math.max(1, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      (edges.count() / 500000L).toInt + 1))
+      (edgeCount / 500000L).toInt + 1))
     // everything inside is checkpointed, so no plan escapes the scope lazily
     graft.SparkUtil.withShufflePartitions(spark, parts) {
     // seed labels with min(self, neighbors) — the (dst, src) projection folds

@@ -2152,14 +2152,21 @@ object PipelineQueries {
         base.filter(col("doc_id") < 1000000),
         base.filter(col("doc_id") >= 1000000))
       val now = System.currentTimeMillis()
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        val part = new java.io.File(tmpRoot, s"part$i")
-        sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
-        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(streamDir, s"b$i.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(now - (slices.size - i) * 60000L)
+      // both slice writes submit concurrently (independent jobs on the
+      // shared scheduler) — the fixture prep is ~10% of the query's wall
+      // time and the two single-file writes serialize poorly otherwise
+      val writers = slices.zipWithIndex.map { case (sl, i) =>
+        new Thread(() => {
+          val part = new java.io.File(tmpRoot, s"part$i")
+          sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
+          val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(streamDir, s"b$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(now - (slices.size - i) * 60000L)
+          ()
+        })
       }
+      writers.foreach(_.start()); writers.foreach(_.join())
       val tables = Seq("sc_ex_idx", "sc_lsh_idx", "sc_lsh_idx_sets",
         "sc_lsh_idx_meta", "sc_sink")
       // DROP alone is not enough: a crashed earlier run can leave an orphaned
@@ -2214,14 +2221,21 @@ object PipelineQueries {
         base.filter(col("doc_id") < 1000000),
         base.filter(col("doc_id") >= 1000000))
       val now = System.currentTimeMillis()
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        val part = new java.io.File(tmpRoot, s"part$i")
-        sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
-        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(streamDir, s"b$i.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(now - (slices.size - i) * 60000L)
+      // both slice writes submit concurrently (independent jobs on the
+      // shared scheduler) — the fixture prep is ~10% of the query's wall
+      // time and the two single-file writes serialize poorly otherwise
+      val writers = slices.zipWithIndex.map { case (sl, i) =>
+        new Thread(() => {
+          val part = new java.io.File(tmpRoot, s"part$i")
+          sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
+          val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(streamDir, s"b$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(now - (slices.size - i) * 60000L)
+          ()
+        })
       }
+      writers.foreach(_.start()); writers.foreach(_.join())
       val tables = Seq("scs_ex_idx", "scs_lsh_idx", "scs_lsh_idx_sets",
         "scs_lsh_idx_meta", "scs_sink")
       tables.foreach(graft.sources.Sources.dropForOverwrite(s, _))
