@@ -210,6 +210,36 @@ object ChangeLog {
     }
   }
 
+  /** Narrow a persisted [[aggStateWriteBucketed]] table after a mid-log
+    * COLUMN DROP: every `sum_<c>` whose column is no longer in `keepAggCols`
+    * is removed and the state rewrites in its bucket layout via the staged
+    * swap. Dropping (not freezing) is the fail-closed choice: once the
+    * column leaves the change feed, retractions for previously counted
+    * values can never arrive, so a retained sum would silently drift from
+    * every possible recompute — an aggregate that can no longer be
+    * maintained exactly must leave the state. `n_rows` and the surviving
+    * sums stay exact. No-op when nothing is stale.
+    */
+  def narrowAggState(spark: org.apache.spark.sql.SparkSession,
+      stateTable: String, keepAggCols: Seq[String]): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$stateTable is not a bucketed agg-state table"))
+    val state = spark.table(stateTable)
+    val stale = state.columns.filter(_.startsWith("sum_"))
+      .map(_.stripPrefix("sum_")).filterNot(keepAggCols.contains)
+    if (stale.nonEmpty) {
+      val narrowed = state.drop(stale.map(c => s"sum_$c").toIndexedSeq: _*)
+        .localCheckpoint(eager = true) // reads the table the swap replaces
+      val staged = s"${stateTable}_staged"
+      graft.sources.Sources.dropForOverwrite(spark, staged)
+      graft.sources.Sources.writeBucketed(narrowed, staged,
+        spec.bucketColumnNames, spec.numBuckets)
+      graft.sources.Sources.swapStaged(spark, staged, stateTable)
+    }
+  }
+
   /** One maintenance step against a persisted [[aggStateWriteBucketed]]
     * table: fold the change batch to deltas, apply, rewrite the state
     * under a staged name in the SAME bucket layout and swap — the

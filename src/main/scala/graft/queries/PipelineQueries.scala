@@ -58,18 +58,68 @@ object PipelineQueries {
         when(d % 4 === 0, d % 97).otherwise(lit(null)).cast("long").as("words"))
     val boot = ChangeLog.fromSnapshotsFull(prev.limit(0), prev, "doc_id",
       Seq("lang", "chars"))
-    val ch1 = ChangeLog.fromSnapshotsFull(prev, mid, "doc_id",
-      Seq("lang", "chars"))
-    val ch2 = ChangeLog.fromSnapshotsFull(midW, next, "doc_id",
+    buildEvolveSegments(boot, ch1 = ChangeLog.fromSnapshotsFull(prev, mid,
+      "doc_id", Seq("lang", "chars")), oldCols = Seq("lang", "chars"),
+      ch2 = ChangeLog.fromSnapshotsFull(midW, next, "doc_id",
+        Seq("lang", "chars", "words")), newCols = Seq("lang", "chars", "words"),
+      prefix = "graft_ivme", widest = midW.schema)
+  }
+
+  /** [[schemaEvolveLog]]'s INVERSE: the row schema LOSES `words` mid-log
+    * (DDL COLUMN DROP between segments 1 and 2). Bootstrap + phase-1
+    * changes carry the wide schema `(doc_id, lang, chars, words)`; phase-2
+    * changes carry only `(doc_id, lang, chars)` and their envelopes declare
+    * the narrowed field list. The consumer must drop `sum_words` from the
+    * standing state (retractions for it can never arrive) while keeping
+    * `n_rows`/`sum_chars` exact end-to-end. Snapshots are closed-form
+    * filters over `documents` for the DuckDB oracle.
+    */
+  private def schemaDropLog(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      length(col("text")).as("chars"))
+    def d = col("doc_id")
+    val wide = base.withColumn("words",
+      when(d % 2 === 0, d % 89).otherwise(lit(null)).cast("long"))
+    val prevW = wide.filter(d % 3 =!= 0)
+    val midW = wide.filter((d % 3 =!= 0 || d % 6 === 0) && d % 11 =!= 0)
+      .select(d, col("lang"),
+        when(d % 5 === 0, col("chars") + 7).otherwise(col("chars")).as("chars"),
+        when(d % 10 === 0, d % 83).otherwise(col("words")).cast("long").as("words"))
+    val midN = midW.drop("words")
+    val nextN = base
+      .filter(((d % 3 =!= 0 || d % 6 === 0) && d % 11 =!= 0 || d % 9 === 0) &&
+        d % 13 =!= 0)
+      .select(d, col("lang"),
+        (when(d % 5 === 0, col("chars") + 7).otherwise(col("chars")) +
+          when(d % 17 === 0, 3).otherwise(0)).as("chars"))
+    val boot = ChangeLog.fromSnapshotsFull(prevW.limit(0), prevW, "doc_id",
       Seq("lang", "chars", "words"))
+    buildEvolveSegments(boot,
+      ch1 = ChangeLog.fromSnapshotsFull(prevW, midW, "doc_id",
+        Seq("lang", "chars", "words")),
+      oldCols = Seq("lang", "chars", "words"),
+      ch2 = ChangeLog.fromSnapshotsFull(midN, nextN, "doc_id",
+        Seq("lang", "chars")), newCols = Seq("lang", "chars"),
+      prefix = "graft_ivmdr", widest = prevW.schema)
+  }
+
+  /** Shared transport builder for the two schema-evolution logs: bootstrap
+    * segment 0, phase-1 changes segment 1 (both `oldCols`), phase-2 changes
+    * segments 2-3 (`newCols`), each event's envelope declaring its field
+    * list; returns (log dir, the consumer's widest row schema).
+    */
+  private def buildEvolveSegments(boot: DataFrame, ch1: DataFrame,
+      oldCols: Seq[String], ch2: DataFrame, newCols: Seq[String],
+      prefix: String, widest: org.apache.spark.sql.types.StructType): (String, org.apache.spark.sql.types.StructType) = {
+    def d = col("doc_id")
     val ev0 = graft.sources.KafkaShapedLog.encodeDebezium(boot, "doc_id",
-      Seq("lang", "chars"), db = "graft", table = "documents")
+      oldCols, db = "graft", table = "documents")
     val ev1 = graft.sources.KafkaShapedLog.encodeDebezium(ch1, "doc_id",
-      Seq("lang", "chars"), db = "graft", table = "documents")
+      oldCols, db = "graft", table = "documents")
     val ev2 = graft.sources.KafkaShapedLog.encodeDebezium(ch2, "doc_id",
-      Seq("lang", "chars", "words"), db = "graft", table = "documents")
+      newCols, db = "graft", table = "documents")
       .localCheckpoint(eager = false) // two segment writes share it
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivme").toFile
+    val tmpRoot = java.nio.file.Files.createTempDirectory(prefix).toFile
     val logDir = new java.io.File(tmpRoot, "log")
     graft.sources.KafkaShapedLog.appendSegment(ev0, logDir.getPath,
       topic = "graft.documents", segment = 0,
@@ -83,7 +133,7 @@ object PipelineQueries {
     graft.sources.KafkaShapedLog.appendSegment(ev2.filter(d % 2 === 0),
       logDir.getPath, topic = "graft.documents", segment = 3,
       keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-    (logDir.getPath, midW.schema)
+    (logDir.getPath, widest)
   }
 
   /** The events table reinterpreted as a user-profile changelog for the
@@ -2535,6 +2585,33 @@ object PipelineQueries {
       s.table("graft_ivme_state")
         .select(col("lang"), col("n_rows"), col("sum_chars"), col("sum_words"))
         .orderBy(col("lang"))
+    }),
+    // CDC SCHEMA EVOLUTION, column DROP: the inverse gate — the row schema
+    // LOSES `words` mid-log. The consumer narrows the standing state
+    // (sum_words leaves: its retractions can never arrive, so keeping it
+    // would drift from every recompute) keyed on the batch's HEAD epoch, so
+    // the pre-drop segments' wide events never mask the DDL. n_rows and
+    // sum_chars stay exact end-to-end; the final state equals a recompute
+    // over the final (narrow) snapshot, schema included.
+    "stream_cdc_schema_drop" -> ((s, dir) => {
+      val (logDir, rowSchema) = schemaDropLog(s, dir)
+      Seq("graft_ivmdr_state", "graft_ivmdr_state_staged", "graft_ivmdr_state_old")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      val empty = docs(s, dir).select(col("doc_id"), col("lang"),
+          length(col("text")).as("chars"))
+        .withColumn("words", lit(null).cast("long")).limit(0)
+      ChangeLog.aggStateWriteBucketed(empty, "graft_ivmdr_state", "lang",
+        Seq("chars", "words"), numBuckets = 4)
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        val q = StreamOps.streamingAggMaintainEvolving(
+          graft.sources.KafkaShapedLog.readStream(s, logDir),
+          "graft_ivmdr_state", rowSchema, "doc_id", "lang")
+        try q.processAllAvailable() finally q.stop()
+      }
+      // deliberately SELECT * — if sum_words survived the drop, the extra
+      // column fails the oracle's schema comparison, so the gate proves
+      // the narrowing itself, not just the retained sums
+      s.table("graft_ivmdr_state").orderBy(col("lang"))
     }),
     // CDC SCHEMA EVOLUTION, batch: materialize the SAME mixed-schema log in
     // one batch read decoded with the widened row type — pre-DDL events
@@ -5602,6 +5679,20 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_rows,
         |       CAST(sum(chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(COALESCE(words, 0)) AS BIGINT) AS sum_words
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    // column-DROP IVM == recompute over the final NARROW snapshot — same
+    // column set too (SELECT * above makes a surviving sum_words a schema
+    // mismatch)
+    "stream_cdc_schema_drop" ->
+      """WITH b AS (SELECT doc_id, lang, length(text) AS chars FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |             (CASE WHEN doc_id % 5 = 0 THEN chars + 7 ELSE chars END
+        |              + CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 0 END) AS chars
+        |      FROM b
+        |      WHERE (((doc_id % 3 <> 0 OR doc_id % 6 = 0) AND doc_id % 11 <> 0)
+        |             OR doc_id % 9 = 0) AND doc_id % 13 <> 0)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars
         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
     // batch materialization of the same mixed-schema log == the final
     // snapshot row-for-row (null words where no logged change touched them)

@@ -209,4 +209,24 @@ object KafkaShapedLog {
       .map(_.getSeq[String](0).toSeq)
       .toSeq
   }
+
+  /** The CURRENT row schema of a batch: the field list declared by its
+    * HIGHEST-OFFSET schema-bearing record — the schema at the head of the
+    * log, which is what distinguishes a DDL COLUMN DROP (the head epoch no
+    * longer lists the column) from a late-replayed old-schema record (an
+    * older event missing the column while the head still lists it). One
+    * TakeOrdered(1) over the batch; None when no record carries a block.
+    */
+  def currentFields(log: DataFrame): Option[Seq[String]] = {
+    val fieldsOnly = StructType(Seq(StructField("fields", ArrayType(StringType))))
+    log.select(col("offset"),
+        from_json(col("value").cast("string"), fieldsOnly)
+          .getField("fields").as("fields"))
+      .filter(col("fields").isNotNull)
+      .orderBy(col("offset").desc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getSeq[String](1).toSeq)
+  }
 }

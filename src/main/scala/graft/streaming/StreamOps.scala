@@ -389,11 +389,24 @@ object StreamOps {
     *     semantics of the upstream database.
     *  3. [[graft.operators.ChangeLog.widenAggState]] for newly seen agg
     *     columns (missing sums backfill as 0 — correct, see its doc).
-    *  4. Maintain over the FULL state column set: agg columns the state
-    *     knows but this batch's epoch predates ride as null images (null
-    *     deltas add 0), so an old-schema batch arriving after the widening
-    *     — Kafka consumers replay segments in offset order, but a
-    *     rewound/mixed log must not narrow state — maintains correctly.
+    *  4. COLUMN DROP: a column the batch's HEAD epoch (highest-offset
+    *     schema block — [[graft.sources.KafkaShapedLog.currentFields]]) no
+    *     longer lists is removed from the state
+    *     ([[graft.operators.ChangeLog.narrowAggState]] — fail-closed: its
+    *     retractions can never arrive, so a kept sum would silently
+    *     drift). Keying the drop on the head epoch, not mere absence, is
+    *     what keeps late old-schema stragglers WITHIN a batch from
+    *     narrowing anything.
+    *  5. Maintain over the FULL state column set: agg columns the state
+    *     knows but an event's epoch predates ride as null images (null
+    *     deltas add 0), so pre-ADD stragglers maintain correctly.
+    *
+    * Delivery contract: batches must arrive in offset order (every source
+    * this library ships — the file-backed log and Kafka itself — does). A
+    * hypothetical WHOLE batch of re-delivered old-schema events would
+    * present an old head epoch and transiently narrow; the next in-order
+    * batch re-widens with sums restarted from 0, which is recorded loudly
+    * in the state schema rather than silently wrong.
     *
     * `rowSchema` is the consumer's WIDEST known row type (it supplies the
     * column TYPES; which columns exist per batch comes from the envelope).
@@ -421,6 +434,16 @@ object StreamOps {
       val batchAgg = presentSchema.fieldNames
         .filterNot(n => n == keyCol || n == groupCol).toSeq
       graft.operators.ChangeLog.widenAggState(spark, stateTable, batchAgg)
+      // COLUMN DROP: the authoritative current schema is the epoch at the
+      // HEAD of the batch (highest offset) — a column the head epoch no
+      // longer lists has been dropped by DDL and its sum must leave the
+      // state (retractions for it can never arrive — see narrowAggState),
+      // while a column merely missing from OLDER events in the same batch
+      // (late replay, pre-ADD stragglers) stays and rides as null images
+      graft.sources.KafkaShapedLog.currentFields(batch).foreach { head =>
+        graft.operators.ChangeLog.narrowAggState(spark, stateTable,
+          head.filterNot(n => n == keyCol || n == groupCol))
+      }
       val stateAgg = spark.table(stateTable).columns
         .filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).toSeq
       val padded = stateAgg.foldLeft(decoded) { (df, c) =>

@@ -177,6 +177,28 @@ class ChangeLogSpec extends SparkFunSuite {
       .foreach(t => graft.sources.Sources.dropForOverwrite(spark, t))
   }
 
+  test("narrowAggState drops stale sums, keeps n_rows/surviving sums and layout; no-ops when current") {
+    val prev = Seq((1L, "g1", 10, 100), (2L, "g1", 20, 200), (3L, "g2", 5, 50))
+      .toDF("id", "g", "v", "w")
+    Seq("graft_narrow_t", "graft_narrow_t_staged", "graft_narrow_t_old")
+      .foreach(t => graft.sources.Sources.dropForOverwrite(spark, t))
+    ChangeLog.aggStateWriteBucketed(prev, "graft_narrow_t", "g", Seq("v", "w"),
+      numBuckets = 2)
+    ChangeLog.narrowAggState(spark, "graft_narrow_t", Seq("v"))
+    val narrowed = spark.table("graft_narrow_t")
+    assert(narrowed.columns.toSeq == Seq("g", "n_rows", "sum_v"))
+    assert(narrowed.orderBy("g").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("g1", 2L, 30L), ("g2", 1L, 5L)))
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_narrow_t")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 2 && s.bucketColumnNames == Seq("g")))
+    // no-op when nothing is stale
+    ChangeLog.narrowAggState(spark, "graft_narrow_t", Seq("v"))
+    assert(spark.table("graft_narrow_t").columns.toSeq == Seq("g", "n_rows", "sum_v"))
+    Seq("graft_narrow_t", "graft_narrow_t_staged", "graft_narrow_t_old")
+      .foreach(t => graft.sources.Sources.dropForOverwrite(spark, t))
+  }
+
   test("materialize plans one exchange, partially aggregated map-side") {
     val plan = ChangeLog.materialize(log, "k", Seq("seq"), "op", Seq("v"))
       .queryExecution.executedPlan.toString

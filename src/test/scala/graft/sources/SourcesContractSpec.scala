@@ -172,6 +172,19 @@ class SourcesContractSpec extends SparkFunSuite {
     val raw = spark.read.schema(KafkaShapedLog.schema).parquet(dir.getPath + "/log")
     val epochs = KafkaShapedLog.fieldEpochs(raw).map(_.toSet).toSet
     assert(epochs == Set(Set("doc_id", "lang"), Set("doc_id", "lang", "words")))
+    // currentFields: the HEAD (highest-offset) epoch wins in a mixed batch
+    // — a late old-schema record must not read as a column drop, and in
+    // the drop direction the narrow head epoch must win over wide
+    // stragglers
+    val mixed = spark.read.schema(KafkaShapedLog.schema).parquet(dir.getPath + "/log")
+    assert(KafkaShapedLog.currentFields(mixed).map(_.toSet)
+      .contains(Set("doc_id", "lang", "words")))
+    KafkaShapedLog.appendSegment(evOld, dir.getPath + "/log2", "t", 0, "doc_id", Seq("doc_id"))
+    KafkaShapedLog.appendSegment(evNew, dir.getPath + "/log2", "t", 1, "doc_id", Seq("doc_id"))
+    KafkaShapedLog.appendSegment(evOld, dir.getPath + "/log2", "t", 2, "doc_id", Seq("doc_id"))
+    val dropped = spark.read.schema(KafkaShapedLog.schema).parquet(dir.getPath + "/log2")
+    assert(KafkaShapedLog.currentFields(dropped).map(_.toSet)
+      .contains(Set("doc_id", "lang"))) // segment 2 (narrow) is the head
     // schema-less records (no fields block) contribute no epochs
     val bare = Seq("""{"before":null,"after":{"doc_id":1,"lang":"en"},"source":{"connector":"mysql","db":"g","table":"d"},"op":"c","ts_ms":1}""")
       .toDF("v")
