@@ -272,6 +272,56 @@ object Vocab {
     else deltaLoop(words, numMerges)
   }
 
+  /** WORDPIECE-scored merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer family): identical loop shape to [[bpeTrain]]'s recount
+    * path, but each rank merges the pair maximizing LIKELIHOOD GAIN
+    * `count(l,r) / (count(l) * count(r))` over the current symbol state —
+    * the pointwise-association score that prefers pairs occurring together
+    * disproportionately often, where BPE's raw-frequency argmax just
+    * follows bulk counts. Ties break (raw count desc, l, r) so the pick is
+    * total-ordered. Output schema matches [[bpeTrain]]:
+    * (merge_rank, lhs, rhs, pair_cnt).
+    *
+    * Scale shape: everything runs over the distinct-WORD dictionary, never
+    * the corpus (one [[wordSymbols]] aggregate up front), and each rank
+    * adds ONE dictionary-sized symbol-unigram aggregate next to the pair
+    * count BPE already pays. The score division is IEEE double in exactly
+    * the form the DuckDB oracle states (CAST(c) / (CAST(ul) * CAST(ur))),
+    * so cross-engine argmax agrees bitwise. Encoding reuses the BPE
+    * replay/encode machinery unchanged — a merge table is a merge table.
+    */
+  def wordpieceTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    var words = wordSymbols(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val uni = words.select(explode(col("syms")).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum("cnt").as("u"))
+      val top = pairsOf(words)
+        .join(uni.select(col("sym").as("l"), col("u").as("ul")), Seq("l"))
+        .join(uni.select(col("sym").as("r"), col("u").as("ur")), Seq("r"))
+        .withColumn("score",
+          col("c").cast("double") / (col("ul").cast("double") * col("ur").cast("double")))
+        .orderBy(col("score").desc, col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val r0 = top(0)
+        val (a, b, c) = (r0.getAs[String]("l"), r0.getAs[String]("r"), r0.getAs[Long]("c"))
+        merges += ((rank, a, b, c))
+        val prev = words
+        words = words.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
   /** Vocab size above which [[bpeTrain]] switches from full recount to
     * delta pair-count maintenance. The crossover is where the per-iteration
     * pair explode of the WHOLE word table stops being trivial relative to

@@ -183,6 +183,18 @@ object PipelineQueries {
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq)
 
+  /** Trained WordPiece merge table, memoized per sfDir like [[trainedBpe]]
+    * (text_wordpiece and text_wordpiece_encode share one train run).
+    */
+  private val wordpieceCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+  private def trainedWordpiece(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    wordpieceCache.getOrElseUpdate(dir,
+      Vocab.wordpieceTrain(bpeDocs(s, dir), "text", numMerges = 8)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
   /** Trained unigram-LM piece model (SentencePiece family), memoized per
     * sfDir: text_unigram and text_unigram_check share one train run (seed +
     * 2 hard-EM rounds over the distinct-word dictionary).
@@ -1435,6 +1447,23 @@ object PipelineQueries {
       s.createDataFrame(trainedBpe(s, dir))
         .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
         .orderBy(col("merge_rank"))),
+    // WORDPIECE training (BERT family): same distributed loop as text_bpe
+    // but each rank merges the LIKELIHOOD-GAIN argmax c/(u(l)*u(r)) — the
+    // third tokenizer family next to BPE and unigram-LM, completing the
+    // set a training-data pipeline chooses between. Oracled by an unrolled
+    // CTE whose per-rank argmax states the same IEEE-double score.
+    "text_wordpiece" -> ((s, dir) =>
+      s.createDataFrame(trainedWordpiece(s, dir))
+        .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+        .orderBy(col("merge_rank"))),
+    // the trained WordPiece merges replayed over the corpus in one map
+    // pass — a merge table is a merge table, so the BPE encode machinery
+    // applies unchanged: top-20 token frequencies
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val m = trainedWordpiece(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.bpeEncode(bpeDocs(s, dir), "text", m)
+        .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
+    }),
     // the trained tokenizer applied back to the corpus in ONE map pass
     // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
     "text_bpe_encode" -> ((s, dir) => {
@@ -3075,6 +3104,54 @@ object PipelineQueries {
     (base +: iters).mkString(",\n")
   }
 
+  /** [[bpeCtes]] with the WordPiece argmax: per rank, symbol unigram counts
+    * u$i over the current state and the pair maximizing the IEEE-double
+    * likelihood gain c/(ul*ur) (ties: c desc, l, r) — stated in exactly the
+    * cast/operation order the Scala trainer computes, so the argmax agrees
+    * bitwise across engines.
+    */
+  private def wpCtes(numMerges: Int): String = {
+    val base =
+      s"""bdocs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |         THEN text || '$bpePlant' ELSE text END AS text
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '$duckWordPattern')) AS word
+        |    FROM bdocs) GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS s,
+        |         cnt
+        |  FROM w0)""".stripMargin
+    // s$i MUST be MATERIALIZED: each rank references s${i-1} three times
+    // (pair counts, unigram counts, the replace), and DuckDB inlines plain
+    // CTEs — 3^numMerges expansions blow the open-file limit (bpeCtes'
+    // 2-reference chain squeaks by; this one cannot)
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_zip(list_slice(L, 1, len(L)-1),
+         |                           list_slice(L, 2, len(L)))) AS z, cnt
+         |    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS L,
+         |                 cnt FROM s${i - 1})) GROUP BY 1, 2),
+         |u$i AS (
+         |  SELECT sym, sum(cnt) AS u FROM (
+         |    SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS sym,
+         |           cnt FROM s${i - 1}) GROUP BY sym),
+         |m$i AS (
+         |  SELECT p.l, p.r, p.c FROM p$i p
+         |  JOIN u$i ua ON ua.sym = p.l
+         |  JOIN u$i ub ON ub.sym = p.r
+         |  ORDER BY CAST(p.c AS DOUBLE) / (CAST(ua.u AS DOUBLE) * CAST(ub.u AS DOUBLE)) DESC,
+         |           p.c DESC, p.l, p.r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word,
+         |               replace(s, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS s,
+         |               cnt FROM s${i - 1}, m$i AS m)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
   private val duckStop =
     "['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','by','at','it','this','that']"
 
@@ -4593,6 +4670,19 @@ object PipelineQueries {
              s"  SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
              s"CAST(c AS BIGINT) AS pair_cnt FROM m$i").mkString(" UNION ALL\n")}
          |) ORDER BY merge_rank""".stripMargin,
+    "text_wordpiece" ->
+      s"""WITH ${wpCtes(8)}
+         |SELECT * FROM (
+         |${(1 to 8).map(i =>
+             s"  SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+             s"CAST(c AS BIGINT) AS pair_cnt FROM m$i").mkString(" UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin,
+    "text_wordpiece_encode" ->
+      s"""WITH ${wpCtes(8)}
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS token_cnt FROM (
+         |  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token,
+         |         cnt FROM s8)
+         |GROUP BY token ORDER BY token_cnt DESC, token LIMIT 20""".stripMargin,
     // the final symbol table after 8 merges IS the encoded corpus
     "text_bpe_encode" ->
       s"""WITH ${bpeCtes(8)}

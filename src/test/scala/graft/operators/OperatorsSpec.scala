@@ -2435,6 +2435,30 @@ class OperatorsSpec extends SparkFunSuite {
       (4, "abc", "</w>", 1L))) // then exhaustion: only 4 of the 6 requested
   }
 
+  test("wordpiece training: likelihood-gain argmax diverges from BPE's frequency argmax") {
+    // "ab" x10, "xy" x2: unigrams a=10 b=10 x=2 y=2 </w>=12.
+    // rank-1 scores: (a,b) 10/(10*10)=0.1, (b,</w>) 10/120, (x,y) 2/(2*2)=0.5,
+    // (y,</w>) 2/24 -> WordPiece merges the RARE-but-exclusive (x,y) first;
+    // BPE's raw-count argmax picks (a,b). rank 3 is an exact IEEE tie
+    // (10/120 == 2/24 == 1/12 bitwise) -> raw count desc breaks it.
+    val corpus = Seq((1L, Seq.fill(10)("ab").mkString(" ")), (2L, "xy xy"))
+      .toDF("doc_id", "text")
+    val wp = Vocab.wordpieceTrain(corpus, "text", numMerges = 5)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(wp == List(
+      (1, "x", "y", 2L),
+      (2, "a", "b", 10L),
+      (3, "ab", "</w>", 10L),
+      (4, "xy", "</w>", 2L))) // then exhaustion
+    val bpe = Vocab.bpeTrain(corpus, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(bpe.head == (1, "a", "b", 10L)) // the frequency argmax differs
+    // a merge table is a merge table: the BPE encode machinery replays it
+    val toks = Vocab.bpeEncode(corpus, "text", wp.map(m => (m._2, m._3)))
+      .as[(String, Long)].collect().toMap
+    assert(toks == Map("ab</w>" -> 10L, "xy</w>" -> 2L))
+  }
+
   test("bpe encode: trained merges applied in one pass, weighted by word count") {
     val corpus = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
     val toks = Vocab.bpeEncode(corpus, "text", Seq(("a", "b"), ("ab", "</w>")))
