@@ -2683,6 +2683,48 @@ object PipelineQueries {
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("event_id"))
     }),
+    // DENY through a STREAMING plan: the same union carries a denied view
+    // (wildcard-table deny would be too blunt — the deny names one view)
+    // and an allowed, row-filtered view of the same source. The denied
+    // branch contributes zero rows to the drained stream while the allowed
+    // branch keeps its filter — deny-overrides-allow composes with
+    // Structured Streaming exactly as with batch.
+    "sec_stream_deny" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      val es = StreamOps.eventsStream(s, dir)
+      es.createOrReplaceTempView("events_stream_den")
+      es.createOrReplaceTempView("events_stream_alw")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_den",
+        "event_type = 'purchase'")) // exact allow, beaten by the deny below
+      ctx.policyManager.addPolicy(graft.policy.DenyRowPolicy(
+        "*", "spark_catalog", "default", "events_stream_den"))
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_alw",
+        "event_type = 'purchase'"))
+      val secured = ctx.dfRowFilter("stream_user",
+        """SELECT 'den' AS src, event_id FROM events_stream_den
+          |UNION ALL
+          |SELECT 'alw' AS src, event_id FROM events_stream_alw""".stripMargin)
+      StreamOps.runToMemory(s, secured, "sec_stream_deny_out",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("src"), col("event_id"))
+    }),
+    // RLS over MATERIALIZED CDC state: the changelog replays to current
+    // state, the state registers as a relation, and the policy layer
+    // row-filters what this principal may see of it — the view-level
+    // security a warehouse puts on a CDC-maintained table
+    "sec_cdc_materialize" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      ChangeLog.materialize(changelogOf(Tables.df(s, dir, "events")),
+          "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"))
+        .createOrReplaceTempView("cdc_state_q")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "analyst2", "spark_catalog", "default", "cdc_state_q",
+        "value > 50.0"))
+      ctx.dfRowFilter("analyst2",
+        "SELECT user_id, value, props FROM cdc_state_q ORDER BY user_id")
+    }),
     // streaming chain reconciliation on the planted a~b~c transitive chain
     // (14 distinct words = 12 trigrams; +1 word links .923/.929, a~c .857
     // stays unlinked at threshold 0.9): the stream keeps {1, 3} because the
@@ -5857,6 +5899,20 @@ object PipelineQueries {
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // the denied branch is WHERE false; the allowed branch keeps its filter
+    "sec_stream_deny" ->
+      """SELECT 'den' AS src, event_id FROM events WHERE false
+        |UNION ALL
+        |SELECT 'alw' AS src, event_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY src, event_id""".stripMargin,
+    // cdc_materialize's replay wrapped in the policy predicate
+    "sec_cdc_materialize" ->
+      s"""WITH $cdcLogCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rk FROM log)
+         |SELECT user_id, value, props FROM r
+         |WHERE rk = 1 AND op <> 'D' AND value > 50.0
+         |ORDER BY user_id""".stripMargin,
     // mask_hash = lower(sha2(col, 256)); DuckDB's sha256() is lowercase hex
     "sec_stream_mask" ->
       """SELECT event_id, user_id, sha256(props) AS props
