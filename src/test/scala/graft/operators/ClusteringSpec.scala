@@ -148,6 +148,15 @@ class ClusteringSpec extends SparkFunSuite {
     val plan2 = Clustering.randomProject(twoBlobs, "embedding", 2, 4)
       .queryExecution.executedPlan.toString
     assert(!plan2.contains("Exchange"), s"project plan has a shuffle:\n$plan2")
+    // the kmeans-stats shape: cell + inertia distance must be a pure
+    // narrow map — no centroid join, no shuffle (the r11 regression was
+    // exactly a broadcast join + interpreted fold here)
+    val plan3 = twoBlobs.select(
+        Clustering.assignCol("embedding", cents).as("cell"),
+        Clustering.sqDistCol("embedding", cents).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(!plan3.contains("Exchange") && !plan3.contains("Join"),
+      s"cell+distance plan has a join/shuffle:\n$plan3")
   }
 
   test("randomProject preserves relative distances roughly (JL sanity)") {
