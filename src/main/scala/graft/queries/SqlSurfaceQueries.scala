@@ -77,6 +77,62 @@ object SqlSurfaceQueries {
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q7 shape (volume shipping): the ROLE-PLAYING dimension join —
+    // nation joins TWICE under different roles (supplier nation, customer
+    // nation) with the symmetric two-country pair filter. Both nation
+    // copies broadcast through their parents (supplier tiny -> broadcasts
+    // too); lineitem shuffles once on orderkey, then once on custkey for
+    // the customer side; the supp/cust nation-pair predicate applies after
+    // both roles resolve. Revenue grouped by (supp_nation, cust_nation,
+    // ship year), exact DECIMAL.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nA = "NATION_3"
+      val nB = "NATION_7"
+      val pair = t(s, dir, "nation")
+        .filter(col("n_name").isin(nA, nB))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(pair.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(pair.select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === nA && col("cust_nation") === nB) ||
+          (col("supp_nation") === nB && col("cust_nation") === nA))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // TPC-H Q10 shape (returned-item reporting): who returned the most
+    // revenue this quarter — selective flag + date-range filters at both
+    // scans, one orderkey shuffle, one custkey shuffle, nation broadcast,
+    // then the classic group-by-customer + global top-20 (TakeOrdered, not
+    // a full sort)
+    "q10_returned_items" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val n = t(s, dir, "nation")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // TPC-H Q6 shape (forecast revenue change): the pure selective
     // filter-aggregate — every predicate must reach the parquet scan
     "q6_forecast" -> ((s, dir) =>
@@ -257,6 +313,36 @@ object SqlSurfaceQueries {
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') OR
+        |       (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |            CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue

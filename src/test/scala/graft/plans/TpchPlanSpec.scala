@@ -30,4 +30,29 @@ class TpchPlanSpec extends SparkFunSuite {
     // and the fact-side revenue rows arrive; values are oracled separately
     assert(df.count() >= 1)
   }
+
+  test("q7: both nation roles broadcast; ship-date range pushed to the lineitem scan") {
+    val df = graft.SparkEntry.queries("q7_volume_shipping")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    // role-playing dimension: nation appears in TWO broadcast joins (one
+    // per role) — at least supplier-side broadcast plus the customer-side
+    // nation broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected >=2 broadcast joins:\n${plan.take(1200)}")
+  }
+
+  test("q10: returnflag + order-date range pushed; global top-20 is a TakeOrdered, not a full sort") {
+    val df = graft.SparkEntry.queries("q10_returned_items")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("EqualTo(l_returnflag,R)", "GreaterThanOrEqual(o_orderdate",
+        "LessThan(o_orderdate"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    assert(formatted.contains("TakeOrderedAndProject"),
+      "limit-20 must plan as TakeOrdered (map-side partial top-k), not a global sort")
+  }
 }
