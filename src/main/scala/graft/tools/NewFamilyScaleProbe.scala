@@ -133,6 +133,9 @@ object NewFamilyScaleProbe {
           "op", "lang", Seq("chars"))
         spark.table("probe_ivm_state").count()
       }
+      time("text_wordpiece_train") {
+        graft.operators.Vocab.wordpieceTrain(docs, "text", numMerges = 8).count()
+      }
       time("emb_kmeans_stats_sqdist") {
         val emb = graft.queries.Tables.df(spark, dir, "embeddings")
         val (_, cents) = graft.operators.Clustering.kmeans(emb, "vec_id",
