@@ -2667,6 +2667,15 @@ object PipelineQueries {
         statePartitions = Some(8))
       res.orderBy(col("bucket"), col("event_type"))
     }),
+    // HOPPING windows (1h size, 30min slide): each event lands in TWO
+    // overlapping windows — the oracle states that as an explicit 2-row
+    // explode per event. Complete-mode drain like stream_window_agg.
+    "stream_window_hop" -> ((s, dir) => {
+      val res = StreamOps.runToMemory(s,
+        StreamOps.hoppingTypeCounts(StreamOps.eventsStream(s, dir)),
+        "stream_window_hop_out", statePartitions = Some(8))
+      res.orderBy(col("bucket"), col("event_type"))
+    }),
     // the reference's core scenario on Spark: a STREAMING query through the
     // security layer — row filter + hash mask applied to the plan before the
     // stream starts, drained append-mode to memory
@@ -5899,6 +5908,18 @@ object PipelineQueries {
         |       event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // every event in exactly two epoch-aligned hopping windows: the
+    // 30-min-floor start and the one 30 min before it (ts < start+1h holds
+    // for both by construction)
+    "stream_window_hop" ->
+      """SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS bucket, event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT unnest([floor(epoch(ts)/1800)*1800,
+        |                     floor(epoch(ts)/1800)*1800 - 1800]) AS ws,
+        |             event_type, value
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     // the denied branch is WHERE false; the allowed branch keeps its filter
     "sec_stream_deny" ->
       """SELECT 'den' AS src, event_id FROM events WHERE false

@@ -49,6 +49,22 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("total"))
 
+  /** HOPPING (sliding) windowed counts: each event lands in
+    * `size/slide` overlapping windows — the smoothing shape tumbling
+    * windows can't express (a spike on a boundary splits across tumbling
+    * buckets; hopping windows see it whole in at least one). Same state
+    * and shuffle discipline as [[hourlyTypeCounts]], with state size
+    * multiplied by the overlap factor — the per-window state rows are
+    * what a 100 TB stream budgets, so keep `size/slide` small.
+    */
+  def hoppingTypeCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("total"))
+
   /** Streaming dedup: drop duplicate keys across micro-batches with
     * watermark-bounded state. Unlike [[graft.operators.Dedup.exact]] (which
     * deterministically keeps min(id) per key), the surviving row per key is
