@@ -322,6 +322,48 @@ object Vocab {
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
   }
 
+  /** The inference vocabulary a trained WordPiece merge table induces:
+    * each merge's composed symbol with the `</w>` end marker stripped
+    * (BERT vocabs carry continuation marks, not end marks — the marking
+    * is applied at segmentation time) plus the dictionary's single-character
+    * alphabet — the standard coverage guarantee that keeps in-corpus words
+    * segmentable, so `[UNK]` fires only on characters never seen at train
+    * time. Deterministic: distinct + sorted.
+    */
+  private[graft] def wordpieceVocab(merges: Seq[(String, String)],
+      alphabet: Seq[String]): Seq[String] =
+    (merges.map { case (l, r) => (l + r).replace("</w>", "") }
+      .filter(_.nonEmpty) ++ alphabet).distinct.sorted
+
+  /** Corpus piece frequencies under greedy longest-match WordPiece
+    * INFERENCE ([[graft.functions.WordPieceMatch]]) with the vocab induced
+    * by a trained merge table — the deployed-tokenizer view of the corpus,
+    * vs [[bpeEncode]]'s merge-replay view (the two agree on what training
+    * saw but diverge on novel words, which is exactly what this query
+    * monitors). Output: (piece, piece_cnt), `##`-marked continuations.
+    *
+    * Shape at scale: ONE word-dictionary aggregate compresses the corpus;
+    * the alphabet collect is alphabet-sized (dozens of rows — model-sized,
+    * not data-sized); segmentation runs once per DISTINCT word with the
+    * vocab riding inside the expression; the final regroup is piece-vocab
+    * sized. The corpus itself is touched exactly once.
+    */
+  def wordpieceMatchEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val words = df.select(explode(expr(
+        s"regexp_extract_all($textCol, '$wordPattern', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val alphabet = words.select(explode(expr(
+        "filter(split(word, '(?!^)'), s -> s <> '')")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = wordpieceVocab(merges, alphabet)
+    words
+      .select(explode(columnOf(graft.functions.WordPieceMatch(
+        expressionOf(col("word")), vocab, unk))).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("piece_cnt"))
+  }
+
   /** Vocab size above which [[bpeTrain]] switches from full recount to
     * delta pair-count maintenance. The crossover is where the per-iteration
     * pair explode of the WHOLE word table stops being trivial relative to

@@ -1464,6 +1464,17 @@ object PipelineQueries {
       Vocab.bpeEncode(bpeDocs(s, dir), "text", m)
         .orderBy(col("token_cnt").desc, col("token").asc).limit(20)
     }),
+    // greedy longest-match WordPiece INFERENCE (the BERT runtime step, vs
+    // the merge-replay view above): vocab = trained merge products +
+    // alphabet, one segmentation pass over the distinct-word dictionary,
+    // ##-marked continuations — top-20 piece frequencies. Oracled by a
+    // recursive CTE whose step takes the longest vocab prefix (no
+    // tie-break needed: equal-length prefixes of one string are equal).
+    "text_wordpiece_match" -> ((s, dir) => {
+      val m = trainedWordpiece(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.wordpieceMatchEncode(bpeDocs(s, dir), "text", m)
+        .orderBy(col("piece_cnt").desc, col("piece").asc).limit(20)
+    }),
     // the trained tokenizer applied back to the corpus in ONE map pass
     // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
     "text_bpe_encode" -> ((s, dir) => {
@@ -4734,6 +4745,35 @@ object PipelineQueries {
          |  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token,
          |         cnt FROM s8)
          |GROUP BY token ORDER BY token_cnt DESC, token LIMIT 20""".stripMargin,
+    // longest-match inference: vocab = merge products (end marker
+    // stripped) + the w0 alphabet; the recursive step peels the longest
+    // vocab prefix off each word's remainder, ##-marking continuations.
+    // Every w0 word terminates (its chars are all in alpha), so the
+    // b IS NOT NULL guard is vacuous here — the [UNK] path is spec-pinned
+    // on the Spark side instead.
+    "text_wordpiece_match" ->
+      s"""WITH RECURSIVE ${wpCtes(8)},
+         |wpv AS (
+         |  SELECT DISTINCT replace(l || r, '</w>', '') AS p FROM (
+         |${(1 to 8).map(i => s"    SELECT l, r FROM m$i").mkString(" UNION ALL\n")}
+         |  ) WHERE replace(l || r, '</w>', '') <> ''),
+         |alpha AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS p FROM w0),
+         |wpvocab AS (SELECT p FROM wpv UNION SELECT p FROM alpha),
+         |seg AS (
+         |  SELECT word, cnt, word AS rest, CAST([] AS VARCHAR[]) AS pieces
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT word, cnt, substr(rest, length(b) + 1),
+         |         list_append(pieces,
+         |           CASE WHEN len(pieces) = 0 THEN b ELSE '##' || b END)
+         |  FROM (SELECT word, cnt, rest, pieces,
+         |          (SELECT p FROM wpvocab WHERE substr(rest, 1, length(p)) = p
+         |           ORDER BY length(p) DESC LIMIT 1) AS b
+         |        FROM seg WHERE rest <> '') WHERE b IS NOT NULL)
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_cnt
+         |FROM (SELECT unnest(pieces) AS piece, cnt FROM seg WHERE rest = '')
+         |GROUP BY piece ORDER BY piece_cnt DESC, piece LIMIT 20""".stripMargin,
     // the final symbol table after 8 merges IS the encoded corpus
     "text_bpe_encode" ->
       s"""WITH ${bpeCtes(8)}
