@@ -2687,6 +2687,50 @@ object PipelineQueries {
         "stream_window_hop_out", statePartitions = Some(8))
       res.orderBy(col("bucket"), col("event_type"))
     }),
+    // watermark-flushed streaming sessionization CONVERGING to the batch
+    // result: the fence file drives the watermark past every real session,
+    // so event-time timeouts flush the trailing opens and the append-mode
+    // output equals events_sessionize exactly — same oracle SQL verbatim.
+    // session_seq is a result-sized post-drain window, not streaming state.
+    "stream_sessionize" -> ((s, dir) => {
+      val gap = 1800L
+      val fenced = StreamOps.eventsStreamFenced(s, dir, fenceAheadSec = 3 * gap)
+      val flushed = Sessionize.streamingSessionsFlushed(
+        s, fenced, "user_id", "ts", gapSeconds = gap)
+      val res = StreamOps.runToMemory(s, flushed.toDF(), "stream_sess_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        allowNoDataBatches = true)
+      res.filter(col("userId") =!= -1L)
+        .select(col("userId").as("user_id"),
+          row_number().over(Window.partitionBy(col("userId"))
+            .orderBy(col("sessionStart"))).cast("bigint").as("session_seq"),
+          col("nEvents").as("n_events"),
+          col("sessionStart").as("session_start"),
+          col("sessionEnd").as("session_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+    // stream-stream INTERVAL join (the Flink two-stream primitive,
+    // spec-tested since r9 but here promoted to a DuckDB-oracled gate):
+    // each purchase joined to the same user's error events within the 10
+    // minutes before it — two independent file streams, watermarks both
+    // sides, inner-join append emission. Oracle: the identical batch join.
+    "stream_interval_join" -> ((s, dir) => {
+      val purchases = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val errors = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // p.ts in [e.ts + 0, e.ts + 600]  <=>  e.ts in [p.ts - 600, p.ts]
+      val joined = StreamOps.streamIntervalJoin(purchases, errors,
+        Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600)
+      val res = StreamOps.runToMemory(s, joined, "stream_ivj_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      res.select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
+        .orderBy(col("p_id"), col("e_id"))
+    }),
     // the reference's core scenario on Spark: a STREAMING query through the
     // security layer — row filter + hash mask applied to the plan before the
     // stream starts, drained append-mode to memory
@@ -5960,6 +6004,31 @@ object PipelineQueries {
         |             event_type, value
         |      FROM events)
         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    // converges to the batch sessionization exactly (fence-flushed), so the
+    // oracle is events_sessionize's gaps-and-islands SQL verbatim
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // inner interval join emits every matched pair regardless of arrival
+    // order, so the batch self-join IS the converged streaming result
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
+        |ORDER BY p_id, e_id""".stripMargin,
     // the denied branch is WHERE false; the allowed branch keeps its filter
     "sec_stream_deny" ->
       """SELECT 'den' AS src, event_id FROM events WHERE false

@@ -65,6 +65,40 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("cnt"), col("total"))
 
+  /** Stage the events table as a 2-file streaming input whose SECOND file
+    * is a single far-future fence event (`user_id` = -1, `ts` = max(ts) +
+    * `fenceAheadSec`): with `maxFilesPerTrigger=1` the fence arrives as its
+    * own later micro-batch (file order pinned by explicit mtimes), driving
+    * the watermark past every REAL event so event-time timeouts and
+    * append-mode finalizations flush deterministically — the offline stand-in
+    * for a production watermark heartbeat. Callers filter `user_id` = -1
+    * back out. Returns the staged (ts, user_id) stream.
+    */
+  def eventsStreamFenced(spark: SparkSession, dir: String,
+      fenceAheadSec: Long): DataFrame = {
+    import spark.implicits._
+    val ev = graft.queries.Tables.df(spark, dir, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft_fence").toFile
+    def onePart(df: DataFrame, sub: String, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(stage, sub)
+      df.repartition(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    onePart(ev, "d0", "000_events.parquet", t0 - 120000L)
+    onePart(Seq((new java.sql.Timestamp((maxTs + fenceAheadSec) * 1000L), -1L))
+      .toDF("ts", "user_id"), "d1", "001_fence.parquet", t0 - 60000L)
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage.getPath)
+  }
+
   /** Streaming dedup: drop duplicate keys across micro-batches with
     * watermark-bounded state. Unlike [[graft.operators.Dedup.exact]] (which
     * deterministically keeps min(id) per key), the surviving row per key is

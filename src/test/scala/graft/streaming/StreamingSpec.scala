@@ -49,6 +49,25 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fence-flushed streaming sessionization equals the batch sessions exactly") {
+    val fenced = StreamOps.eventsStreamFenced(spark, dir, fenceAheadSec = 5400)
+    val flushed = graft.operators.Sessionize.streamingSessionsFlushed(
+      spark, fenced, "user_id", "ts", gapSeconds = 1800)
+    val got = StreamOps.runToMemory(spark, flushed.toDF(), "t_fence_sess",
+      outputMode = OutputMode.Append(), allowNoDataBatches = true)
+      .filter(col("userId") =!= -1L)
+      .collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("sessionStart"),
+        r.getAs[Long]("sessionEnd"), r.getAs[Long]("nEvents"))).toSet
+    val want = graft.operators.Sessionize.sessions(
+        graft.queries.Tables.df(spark, dir, "events"), "user_id", "ts", 1800)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(got == want) // no trailing opens left behind: EXACT convergence
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys with watermark-bounded state") {
     val events = StreamOps.eventsStream(spark, dir)
       .withColumn("dup_key", expr("event_id % 100")) // force duplicates
