@@ -2710,6 +2710,57 @@ object PipelineQueries {
           col("sessionEnd").as("session_end"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
+    // NATIVE session windows (Catalyst SessionWindowing + MergingSessions,
+    // a different engine path than the flatMapGroupsWithState sessionizer
+    // above): fence-flushed append aggregation. Semantics differ from the
+    // custom sessionizer AT THE BOUNDARY — session_window merges on STRICT
+    // microsecond overlap (t2 - t1 < gap), the custom fold on inclusive
+    // floor-seconds — so the oracle states the strict-micros islands, not
+    // events_sessionize's. session_end is last-event + gap by definition.
+    "stream_session_window" -> ((s, dir) => {
+      val fenced = StreamOps.eventsStreamFenced(s, dir, fenceAheadSec = 5400)
+        .withWatermark("ts", "0 seconds")
+      val agg = fenced
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val res = StreamOps.runToMemory(s, agg, "stream_sw_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        allowNoDataBatches = true)
+      res.filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    // RLS composed THROUGH native streaming session windows: the row
+    // filter rewrites the streaming plan before the watermark/session agg
+    // attach, so the sessions are computed over the policy-visible rows
+    // only (a user's sessionization of data they can't see would be a
+    // leak). The fence row (-1 % 3 = -1 in both engines) passes the filter,
+    // so the flush machinery is unaffected.
+    "sec_stream_sessions" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      StreamOps.eventsStreamFenced(s, dir, fenceAheadSec = 5400)
+        .createOrReplaceTempView("events_stream_sess")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_sess",
+        "user_id % 3 != 0"))
+      val secured = ctx.dfRowFilter("stream_user",
+        "SELECT ts, user_id FROM events_stream_sess")
+      val agg = secured.withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val res = StreamOps.runToMemory(s, agg, "sec_stream_sess_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        allowNoDataBatches = true)
+      res.filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     // stream-stream INTERVAL join (the Flink two-stream primitive,
     // spec-tested since r9 but here promoted to a DuckDB-oracled gate):
     // each purchase joined to the same user's error events within the 10
@@ -6020,6 +6071,38 @@ object PipelineQueries {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |       min(te) AS session_start, max(te) AS session_end
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // strict-microsecond gaps-and-islands (session_window's merge rule),
+    // session_end = last event + gap by definition
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events),
+        |d AS (SELECT user_id, ts, tu,
+        |        CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin,
+    // the session_window islands over ONLY the policy-visible rows
+    "sec_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events
+        |           WHERE user_id % 3 != 0),
+        |d AS (SELECT user_id, ts, tu,
+        |        CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin,
     // inner interval join emits every matched pair regardless of arrival
     // order, so the batch self-join IS the converged streaming result
     "stream_interval_join" ->
