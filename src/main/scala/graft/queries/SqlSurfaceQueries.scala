@@ -133,6 +133,43 @@ object SqlSurfaceQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    // TPC-H Q2 shape (min-cost supplier): the CORRELATED SCALAR AGGREGATE
+    // subquery — `price = (SELECT min(price) ... WHERE same part)` — the
+    // decorrelation pattern (no partsupp in the corpus; part x lineitem
+    // carries the identical shape). Written in SQL so Catalyst's
+    // RewriteCorrelatedScalarSubquery turns the per-row subquery into ONE
+    // partkey-grouped min aggregate joined back (plan-asserted: a naive
+    // engine re-runs the inner query per row). Double equality against the
+    // min is arithmetic-free, so it's exact cross-engine.
+    "q2_min_cost" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q2")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+      s.sql("""SELECT p.p_partkey, p.p_name, l.l_suppkey,
+              |       CAST(l.l_extendedprice AS DOUBLE) AS min_price
+              |FROM part_q2 p JOIN lineitem_q2 l ON p.p_partkey = l.l_partkey
+              |WHERE l.l_extendedprice = (
+              |  SELECT min(l2.l_extendedprice) FROM lineitem_q2 l2
+              |  WHERE l2.l_partkey = p.p_partkey)
+              |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin)
+    }),
+    // TPC-H Q18 shape (large-volume orders): IN + GROUP BY ... HAVING
+    // subquery — RewritePredicateSubquery plans it as a left-semi join
+    // against the pre-aggregated order totals (plan-asserted), then the
+    // outer re-aggregation. Exact DECIMAL quantity sums both times.
+    "q18_large_orders" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q18")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q18")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+      s.sql("""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+              |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+              |FROM customer_q18 c, orders_q18 o, lineitem_q18 l
+              |WHERE o.o_orderkey IN (
+              |    SELECT l_orderkey FROM lineitem_q18 GROUP BY l_orderkey
+              |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+              |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+              |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+              |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin)
+    }),
     // TPC-H Q6 shape (forecast revenue change): the pure selective
     // filter-aggregate — every predicate must reach the parquet scan
     "q6_forecast" -> ((s, dir) =>
@@ -343,6 +380,24 @@ object SqlSurfaceQueries {
         |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q2_min_cost" ->
+      """SELECT p.p_partkey, p.p_name, l.l_suppkey,
+        |       CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE l.l_extendedprice = (
+        |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |  WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer c, orders o, lineitem l
+        |WHERE o.o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |            CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue

@@ -45,6 +45,28 @@ class TpchPlanSpec extends SparkFunSuite {
       s"expected >=2 broadcast joins:\n${plan.take(1200)}")
   }
 
+  test("q2: the correlated scalar-min subquery decorrelates to one aggregate + join") {
+    val df = graft.SparkEntry.queries("q2_min_cost")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have eliminated the per-row
+    // subquery: no subquery node survives optimization...
+    assert(!optimized.toLowerCase.contains("subquery"),
+      s"correlated subquery not decorrelated:\n${optimized.take(1200)}")
+    // ...replaced by a partkey-grouped min aggregate joined back
+    assert(optimized.contains("min(") && optimized.contains("Join"),
+      s"expected min-aggregate + join:\n${optimized.take(1200)}")
+    assert(df.count() >= 1)
+  }
+
+  test("q18: the IN + HAVING subquery plans as a left-semi join on pre-aggregated totals") {
+    val df = graft.SparkEntry.queries("q18_large_orders")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"IN-subquery must plan as a semi join:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "limit-100 must plan as TakeOrdered (map-side partial top-k), not a global sort")
+  }
+
   test("q10: returnflag + order-date range pushed; global top-20 is a TakeOrdered, not a full sort") {
     val df = graft.SparkEntry.queries("q10_returned_items")(spark, dir)
     val formatted = df.queryExecution.explainString(
