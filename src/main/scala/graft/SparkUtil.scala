@@ -27,15 +27,27 @@ object SparkUtil {
     * inside `body`: plans evaluated lazily after return see the restored
     * value.
     */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** [[withShufflePartitions]] generalized to any session-conf overrides,
+    * under the same per-session lock (one lock for ALL conf overrides: two
+    * different-key overrides interleaving is just as racy as same-key).
+    * Values are restored in reverse order; a key with no prior value is
+    * unset. Materialize inside `body` — lazily-evaluated plans see the
+    * restored values.
+    */
+  def withConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
     val lock = shuffleLocks.computeIfAbsent(spark,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
     try {
-      val key = "spark.sql.shuffle.partitions"
-      val saved = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, saved)
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.reverse.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     } finally lock.unlock()
   }
 }

@@ -181,6 +181,33 @@ object SqlSurfaceQueries {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           col("l_discount").cast("decimal(4,2)"))
           .cast("double").as("revenue"))),
+    // RUNTIME bloom-filter join pruning (InjectRuntimeFilter): the selective
+    // orders filter builds a bloom filter over o_orderkey that is pushed
+    // into the UNFILTERED lineitem side as a might_contain pre-filter —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~matching fraction. Default thresholds target
+    // cluster sizes (10 GB application side), so the query pins them down
+    // for the local corpus; injection is plan-asserted in TpchPlanSpec.
+    // localCheckpoint materializes INSIDE the conf scope (optimization
+    // happens at execution; a lazy return would re-plan after restore).
+    "q_runtime_filter" -> ((s, dir) =>
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+        // pin the 100 TB regime: there the filtered orders side exceeds any
+        // broadcast threshold, so the join shuffles — which is exactly when
+        // the bloom filter pays (a broadcast join already prunes at probe)
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+      }),
     "q_scan_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
@@ -406,6 +433,13 @@ object SqlSurfaceQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    // the bloom filter is semantics-free pruning: the oracle is the plain join
+    "q_runtime_filter" ->
+      """SELECT l.l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
         |FROM lineitem

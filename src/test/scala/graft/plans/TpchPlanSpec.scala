@@ -67,6 +67,24 @@ class TpchPlanSpec extends SparkFunSuite {
       "limit-100 must plan as TakeOrdered (map-side partial top-k), not a global sort")
   }
 
+  test("runtime bloom filter is injected into the unfiltered lineitem side") {
+    import org.apache.spark.sql.functions._
+    graft.SparkUtil.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.queries.Tables.df(spark, dir, "lineitem")
+        .join(graft.queries.Tables.df(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected:\n${optimized.take(1500)}")
+    }
+  }
+
   test("q10: returnflag + order-date range pushed; global top-20 is a TakeOrdered, not a full sort") {
     val df = graft.SparkEntry.queries("q10_returned_items")(spark, dir)
     val formatted = df.queryExecution.explainString(
