@@ -364,6 +364,49 @@ object Vocab {
       .groupBy("piece").agg(sum("cnt").as("piece_cnt"))
   }
 
+  /** The deployed-tokenizer drift monitor: corpus-weighted fertility of
+    * merge-REPLAY encoding vs longest-match INFERENCE under the same
+    * trained merges, in one dictionary pass. The two agree on words whose
+    * greedy segmentation retraces the merge history and diverge on novel
+    * compositions — a rising divergence share means the serving tokenizer
+    * (longest-match, what BERT runtime does) no longer reflects what
+    * training measured. Replay counts exclude a standalone `</w>` token
+    * (the marker carries no emission), aligning the two definitions.
+    * Output: ONE summary row (n_words, n_occurrences, replay_tokens,
+    * match_tokens, diverging_words, diverging_occurrences).
+    *
+    * Shape at scale: the same single word-dictionary aggregate as
+    * [[wordpieceMatchEncode]]; both fertilities are row-local projections
+    * over it; the summary is a 1-row global aggregate.
+    */
+  def wordpieceFertilityCompare(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
+    val words = df.select(explode(expr(
+        s"regexp_extract_all($textCol, '$wordPattern', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val alphabet = words.select(explode(expr(
+        "filter(split(word, '(?!^)'), s -> s <> '')")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = wordpieceVocab(merges, alphabet)
+    val syms = expr(
+      "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")
+    val fert = words
+      .withColumn("replay_n", size(filter(applyMerges(syms, merges),
+        t => t =!= lit("</w>"))).cast("bigint"))
+      .withColumn("match_n", size(columnOf(graft.functions.WordPieceMatch(
+        expressionOf(col("word")), vocab, unk))).cast("bigint"))
+    fert.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("cnt")).as("n_occurrences"),
+      sum(col("cnt") * col("replay_n")).as("replay_tokens"),
+      sum(col("cnt") * col("match_n")).as("match_tokens"),
+      sum(when(col("replay_n") =!= col("match_n"), 1L).otherwise(0L))
+        .as("diverging_words"),
+      sum(when(col("replay_n") =!= col("match_n"), col("cnt")).otherwise(0L))
+        .as("diverging_occurrences"))
+  }
+
   /** Vocab size above which [[bpeTrain]] switches from full recount to
     * delta pair-count maintenance. The crossover is where the per-iteration
     * pair explode of the WHOLE word table stops being trivial relative to

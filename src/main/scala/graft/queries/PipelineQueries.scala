@@ -1475,6 +1475,12 @@ object PipelineQueries {
       Vocab.wordpieceMatchEncode(bpeDocs(s, dir), "text", m)
         .orderBy(col("piece_cnt").desc, col("piece").asc).limit(20)
     }),
+    // replay-vs-inference fertility divergence under the SAME trained
+    // merges — the drift monitor for a deployed longest-match tokenizer
+    "text_wordpiece_divergence" -> ((s, dir) => {
+      val m = trainedWordpiece(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.wordpieceFertilityCompare(bpeDocs(s, dir), "text", m)
+    }),
     // the trained tokenizer applied back to the corpus in ONE map pass
     // (8 nested merge folds, no per-merge shuffle): top-20 token frequencies
     "text_bpe_encode" -> ((s, dir) => {
@@ -4869,6 +4875,42 @@ object PipelineQueries {
          |SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_cnt
          |FROM (SELECT unnest(pieces) AS piece, cnt FROM seg WHERE rest = '')
          |GROUP BY piece ORDER BY piece_cnt DESC, piece LIMIT 20""".stripMargin,
+    // replay fertility from the unrolled s8 state (standalone </w> token
+    // excluded), match fertility from the longest-match recursion — joined
+    // on the word dictionary and summarized in one row
+    "text_wordpiece_divergence" ->
+      s"""WITH RECURSIVE ${wpCtes(8)},
+         |wpv AS (
+         |  SELECT DISTINCT replace(l || r, '</w>', '') AS p FROM (
+         |${(1 to 8).map(i => s"    SELECT l, r FROM m$i").mkString(" UNION ALL\n")}
+         |  ) WHERE replace(l || r, '</w>', '') <> ''),
+         |alpha AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS p FROM w0),
+         |wpvocab AS (SELECT p FROM wpv UNION SELECT p FROM alpha),
+         |seg AS (
+         |  SELECT word, cnt, word AS rest, CAST([] AS VARCHAR[]) AS pieces
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT word, cnt, substr(rest, length(b) + 1),
+         |         list_append(pieces,
+         |           CASE WHEN len(pieces) = 0 THEN b ELSE '##' || b END)
+         |  FROM (SELECT word, cnt, rest, pieces,
+         |          (SELECT p FROM wpvocab WHERE substr(rest, 1, length(p)) = p
+         |           ORDER BY length(p) DESC LIMIT 1) AS b
+         |        FROM seg WHERE rest <> '') WHERE b IS NOT NULL),
+         |matchn AS (SELECT word, CAST(len(pieces) AS BIGINT) AS match_n
+         |           FROM seg WHERE rest = ''),
+         |replayn AS (SELECT word, cnt,
+         |              CAST(len(list_filter(string_split(s, ' '),
+         |                x -> x <> '' AND x <> '</w>')) AS BIGINT) AS replay_n
+         |            FROM s8)
+         |SELECT count(*) AS n_words,
+         |       CAST(sum(r.cnt) AS BIGINT) AS n_occurrences,
+         |       CAST(sum(r.cnt * r.replay_n) AS BIGINT) AS replay_tokens,
+         |       CAST(sum(r.cnt * m.match_n) AS BIGINT) AS match_tokens,
+         |       CAST(sum(CASE WHEN r.replay_n != m.match_n THEN 1 ELSE 0 END) AS BIGINT) AS diverging_words,
+         |       CAST(sum(CASE WHEN r.replay_n != m.match_n THEN r.cnt ELSE 0 END) AS BIGINT) AS diverging_occurrences
+         |FROM replayn r JOIN matchn m USING (word)""".stripMargin,
     // the final symbol table after 8 merges IS the encoded corpus
     "text_bpe_encode" ->
       s"""WITH ${bpeCtes(8)}

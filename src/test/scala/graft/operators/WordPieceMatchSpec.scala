@@ -51,6 +51,22 @@ class WordPieceMatchSpec extends SparkFunSuite {
     assert(vocab == vocab.distinct && vocab == vocab.sorted)
   }
 
+  test("fertility divergence: replay can beat greedy when a late merge never fires") {
+    // merges: (c,d) (cd,e) (a,b) (ab,c). On "abcde" replay reaches
+    // [ab, cde] (2 tokens; the rank-4 (ab,c) merge never fires — c is
+    // already inside cde), but the merge PRODUCT "abc" is in the inference
+    // vocab, so greedy longest-match takes it and pays [abc, ##d, ##e] (3).
+    val docs = Seq((1L, "abcde abcde"), (2L, "abcde")).toDF("doc_id", "text")
+    val m = Seq(("c", "d"), ("cd", "e"), ("a", "b"), ("ab", "c"))
+    val row = Vocab.wordpieceFertilityCompare(docs, "text", m).head()
+    assert(row.getAs[Long]("n_words") == 1L)
+    assert(row.getAs[Long]("n_occurrences") == 3L)
+    assert(row.getAs[Long]("replay_tokens") == 6L)  // 2 per occurrence
+    assert(row.getAs[Long]("match_tokens") == 9L)   // 3 per occurrence
+    assert(row.getAs[Long]("diverging_words") == 1L)
+    assert(row.getAs[Long]("diverging_occurrences") == 3L)
+  }
+
   test("wordpieceMatchEncode counts are dictionary-weighted and ##-marked") {
     val docs = Seq((1L, "aba ab aba"), (2L, "ab")).toDF("doc_id", "text")
     // merges: (a,b) -> piece "ab"; alphabet {a,b} auto-included
