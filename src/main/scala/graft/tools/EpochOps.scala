@@ -250,6 +250,22 @@ object EpochOps {
     println(s"[registry] ${entities.count()} rows -> " +
       s"${entities.select(col("entity_id")).distinct().count()} entities")
 
+    // ---- 9. tokenizer drift: replay-vs-inference fertility divergence of
+    // the standing WordPiece merges over THIS epoch's full corpus (r12) —
+    // a rising diverging share means the serving tokenizer no longer
+    // reflects what training measured, the trigger for a retrain actuator
+    val merges = Vocab.wordpieceTrain(corpus, "text", numMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val div = Vocab.wordpieceFertilityCompare(full, "text", merges).head()
+    val divShare =
+      div.getAs[Long]("diverging_occurrences").toDouble /
+        math.max(1L, div.getAs[Long]("n_occurrences"))
+    println(f"[tokenizer] replay=${div.getAs[Long]("replay_tokens")} " +
+      f"match=${div.getAs[Long]("match_tokens")} diverging_share=$divShare%.4f")
+    if (divShare > 0.05)
+      println("[tokenizer] ACTUATOR: divergence above 5% — retrain merges " +
+        "on the current corpus (wordpieceTrain) and re-encode at next epoch")
+
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }

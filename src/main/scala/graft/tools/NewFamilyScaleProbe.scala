@@ -15,12 +15,19 @@ object NewFamilyScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[probe] $name $rows rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sf1")) {
+    // SPARK_GRAFT_PROBE_ONLY=name,name filters probes (substring match)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSeq)
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] $name $rows rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    // SPARK_GRAFT_PROBE_DIRS=/tmp/sf1 narrows the sweep
+    val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1", "/tmp/sf1"))
+    for (dir <- dirs) {
       println(s"[probe] === $dir ===")
       val docs = graft.queries.Tables.df(spark, dir, "documents")
       val events = graft.queries.Tables.df(spark, dir, "events")
@@ -145,6 +152,70 @@ object NewFamilyScaleProbe {
             graft.operators.Clustering.sqDistCol("embedding", cents).as("d"))
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"), sum(col("d")).as("inertia"))
+          .count()
+      }
+      time("text_wordpiece_match_encode") {
+        val merges = graft.operators.Vocab.wordpieceTrain(docs, "text",
+            numMerges = 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.wordpieceMatchEncode(docs, "text", merges).count()
+      }
+      time("stream_sessionize_fenced") {
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+          fenceAheadSec = 5400)
+        val flushed = graft.operators.Sessionize.streamingSessionsFlushed(
+          spark, fenced, "user_id", "ts", gapSeconds = 1800)
+        graft.streaming.StreamOps.runToMemory(spark, flushed.toDF(),
+          "probe_sess", statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("stream_session_window") {
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+            fenceAheadSec = 5400)
+          .withWatermark("ts", "0 seconds")
+        val agg = fenced
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.streaming.StreamOps.runToMemory(spark, agg, "probe_sw",
+          statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("stream_session_window_p32") {
+        // the scale knob: session-window state sorts per state partition
+        // (n log n in sessions/partition); at 10x volume a deployment
+        // raises state partitions with the cluster — measured here
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+            fenceAheadSec = 5400)
+          .withWatermark("ts", "0 seconds")
+        val agg = fenced
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.streaming.StreamOps.runToMemory(spark, agg, "probe_sw32",
+          statePartitions = Some(32),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("q2_min_cost_decorrelated") {
+        graft.queries.Tables.df(spark, dir, "part")
+          .createOrReplaceTempView("part_probe")
+        graft.queries.Tables.df(spark, dir, "lineitem")
+          .createOrReplaceTempView("lineitem_probe")
+        spark.sql("""SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice
+                    |FROM part_probe p JOIN lineitem_probe l
+                    |  ON p.p_partkey = l.l_partkey
+                    |WHERE l.l_extendedprice = (
+                    |  SELECT min(l2.l_extendedprice) FROM lineitem_probe l2
+                    |  WHERE l2.l_partkey = p.p_partkey)""".stripMargin).count()
+      }
+      time("q18_semi_join") {
+        graft.queries.Tables.df(spark, dir, "orders")
+          .createOrReplaceTempView("orders_probe")
+        spark.sql("""SELECT o.o_orderkey FROM orders_probe o
+                    |WHERE o.o_orderkey IN (
+                    |  SELECT l_orderkey FROM lineitem_probe GROUP BY l_orderkey
+                    |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)""".stripMargin)
           .count()
       }
     }
