@@ -2788,6 +2788,44 @@ object PipelineQueries {
       res.select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
         .orderBy(col("p_id"), col("e_id"))
     }),
+    // stream-STATIC dimension enrichment (the at-ingest join every event
+    // pipeline runs): the customer dim is batch-side and broadcast, so the
+    // stream never shuffles — a stateless append projection per batch
+    "stream_enrich_dim" -> ((s, dir) => {
+      val dim = Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val res = StreamOps.runToMemory(s,
+        StreamOps.eventsStream(s, dir)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("c_mktsegment")),
+        "stream_enrich_out",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      res.orderBy(col("event_id"))
+    }),
+    // LEFT-OUTER interval join: unmatched purchases emit their null-padded
+    // row only when the watermark passes p.ts + upperSec — the fence (3x
+    // the bound ahead, 0s delay) makes every real purchase finalize, so
+    // the drained stream converges EXACTLY to the batch left join. The
+    // fence rows self-join (same key/ts both sides) and filter back out.
+    "stream_interval_join_outer" -> ((s, dir) => {
+      val fenced = StreamOps.eventsStreamFenced(s, dir, fenceAheadSec = 1800)
+      val purchases = fenced
+        .filter(col("event_type") === "purchase" || col("user_id") === -1L)
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val errors = fenced
+        .filter(col("event_type") === "error" || col("user_id") === -1L)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = StreamOps.streamIntervalJoin(purchases, errors,
+        Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600,
+        watermark = "0 seconds", joinType = "left_outer")
+      val res = StreamOps.runToMemory(s, joined, "stream_ivjo_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        allowNoDataBatches = true)
+      res.filter(col("user_id") =!= -1L)
+        .select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
+        .orderBy(col("p_id"), col("e_id").asc_nulls_first)
+    }),
     // the reference's core scenario on Spark: a STREAMING query through the
     // security layer — row filter + hash mask applied to the plan before the
     // stream starts, drained append-mode to memory
@@ -6154,6 +6192,20 @@ object PipelineQueries {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
         |ORDER BY p_id, e_id""".stripMargin,
+    // stateless enrichment: the batch join IS the converged stream
+    "stream_enrich_dim" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    // every unmatched purchase finalizes once the watermark passes its
+    // bound, so the converged stream is the batch LEFT join exactly
+    "stream_interval_join_outer" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
+        |ORDER BY p_id, e_id NULLS FIRST""".stripMargin,
     // the denied branch is WHERE false; the allowed branch keeps its filter
     "sec_stream_deny" ->
       """SELECT 'den' AS src, event_id FROM events WHERE false

@@ -78,7 +78,8 @@ object StreamOps {
       fenceAheadSec: Long): DataFrame = {
     import spark.implicits._
     val ev = graft.queries.Tables.df(spark, dir, "events")
-      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
     val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
     val stage = java.nio.file.Files.createTempDirectory("graft_fence").toFile
     def onePart(df: DataFrame, sub: String, name: String, mtime: Long): Unit = {
@@ -91,8 +92,10 @@ object StreamOps {
     }
     val t0 = System.currentTimeMillis()
     onePart(ev, "d0", "000_events.parquet", t0 - 120000L)
-    onePart(Seq((new java.sql.Timestamp((maxTs + fenceAheadSec) * 1000L), -1L))
-      .toDF("ts", "user_id"), "d1", "001_fence.parquet", t0 - 60000L)
+    onePart(Seq((-1L, new java.sql.Timestamp((maxTs + fenceAheadSec) * 1000L),
+        -1L, "__fence__", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "d1", "001_fence.parquet", t0 - 60000L)
     spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
@@ -718,7 +721,7 @@ object StreamOps {
     */
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", joinType: String = "inner"): DataFrame = {
     require(lowerSec <= upperSec, "interval lower bound must not exceed upper bound")
     val l = left.withWatermark(leftTs, watermark)
     // prefix ALL right columns: the common case is a self-join of two filters
@@ -728,7 +731,11 @@ object StreamOps {
     val keyCond = keys.map(k => col(k) === col("_r_" + k)).reduce(_ && _)
     val range = col(leftTs) >= col("_r_" + rightTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
       col(leftTs) <= col("_r_" + rightTs) + expr(s"INTERVAL $upperSec SECONDS")
-    l.join(r, keyCond && range)
+    // outer variants emit their null-padded rows only once the watermark
+    // passes the join bound — drain with allowNoDataBatches=true and a
+    // fence ([[eventsStreamFenced]]) ahead by MORE than watermark+upperSec,
+    // or the trailing unmatched rows stay buffered forever
+    l.join(r, keyCond && range, joinType)
   }
 
   /** Run a streaming query to a memory sink, drain all available input
