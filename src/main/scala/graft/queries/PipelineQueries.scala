@@ -2788,6 +2788,27 @@ object PipelineQueries {
       res.select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
         .orderBy(col("p_id"), col("e_id"))
     }),
+    // LATE-DATA DROP, pinned end to end: the older half of the corpus
+    // replays BEHIND the watermark and a watermarked hourly aggregation
+    // must discard it wholesale (finalized windows, evicted state) — the
+    // semantic that bounds streaming state at 100 TB. The oracle states
+    // the survivors closed-form: rows at or above the range midpoint.
+    "stream_late_drop" -> ((s, dir) => {
+      val stream = StreamOps.eventsStreamLateReplay(s, dir, fenceAheadSec = 7200)
+        .withWatermark("ts", "0 seconds")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      val res = StreamOps.runToMemory(s, agg, "stream_late_out",
+        statePartitions = Some(8),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        allowNoDataBatches = true)
+      res.filter(col("event_type") =!= "__fence__")
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("cnt"), col("total"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
     // stream-STATIC dimension enrichment (the at-ingest join every event
     // pipeline runs): the customer dim is batch-side and broadcast, so the
     // stream never shuffles — a stateless append projection per batch
@@ -6192,6 +6213,15 @@ object PipelineQueries {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
         |ORDER BY p_id, e_id""".stripMargin,
+    // only the on-time (at-or-above-midpoint) half survives the watermark
+    "stream_late_drop" ->
+      """WITH b AS (SELECT (floor(epoch(min(ts))) + floor(epoch(max(ts)))) // 2
+        |           AS cut FROM events)
+        |SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS bucket,
+        |       event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, b WHERE floor(epoch(ts)) >= b.cut
+        |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
     // stateless enrichment: the batch join IS the converged stream
     "stream_enrich_dim" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment

@@ -76,27 +76,75 @@ object StreamOps {
     */
   def eventsStreamFenced(spark: SparkSession, dir: String,
       fenceAheadSec: Long): DataFrame = {
-    import spark.implicits._
-    val ev = graft.queries.Tables.df(spark, dir, "events")
+    val ev = fencibleEvents(spark, dir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    stagedStream(spark, Seq(ev, fenceRow(spark, maxTs + fenceAheadSec)))
+  }
+
+  /** The events table in the fence-staging projection (timestamps
+    * normalized, the columns a fence row can stand in for).
+    */
+  private def fencibleEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Tables.df(spark, dir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
-    val stage = java.nio.file.Files.createTempDirectory("graft_fence").toFile
-    def onePart(df: DataFrame, sub: String, name: String, mtime: Long): Unit = {
-      val tmp = new java.io.File(stage, sub)
+
+  /** One `__fence__` event at `atEpochSec` (user -1): callers filter it out. */
+  private def fenceRow(spark: SparkSession, atEpochSec: Long): DataFrame = {
+    import spark.implicits._
+    Seq((-1L, new java.sql.Timestamp(atEpochSec * 1000L), -1L, "__fence__", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  /** The deterministic late-arrival scenario: the chronologically NEWER
+    * half of events arrives first (batch 1, establishing the watermark at
+    * max ts), the OLDER half replays behind it, then a fence finalizes.
+    * A watermarked aggregation must drop the replay entirely: its windows
+    * were already finalized and their state evicted. The cutoff is the
+    * integer midpoint of the floor-second ts range — closed-form, so a
+    * batch oracle states the survivors as `floor(epoch(ts)) >= cutoff`.
+    *
+    * The on-time marker between them matters: Spark judges LATE events by
+    * the watermark from the PREVIOUS batch's start while EVICTING by the
+    * current one (the two-watermark split of SPARK-24588's descendants,
+    * measured here via numRowsDroppedByWatermark) — a late file arriving
+    * exactly one batch behind the data sits inside that lag and is
+    * silently ACCEPTED. Real pipelines get the same one-extra-batch grace;
+    * the marker stands in for any on-time traffic flowing between.
+    */
+  def eventsStreamLateReplay(spark: SparkSession, dir: String,
+      fenceAheadSec: Long): DataFrame = {
+    val ev = fencibleEvents(spark, dir)
+    val r = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val cut = (mn + mx) / 2
+    stagedStream(spark, Seq(
+      ev.filter(unix_timestamp(col("ts")) >= cut),
+      fenceRow(spark, mx), // on-time marker: ages the watermark past the lag
+      ev.filter(unix_timestamp(col("ts")) < cut),
+      fenceRow(spark, mx + fenceAheadSec)))
+  }
+
+  /** Stage `parts` as one-file-per-micro-batch streaming input, arrival
+    * order = sequence order (pinned by explicit mtimes + lexical names,
+    * `maxFilesPerTrigger=1`) — the offline way to script exact batch
+    * boundaries and watermark progression: fences, late arrivals,
+    * out-of-order replays. All parts must share a schema.
+    */
+  def stagedStream(spark: SparkSession, parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "stagedStream needs at least one part")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toFile
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(stage, s"d$i")
       df.repartition(1).write.parquet(tmp.getPath)
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(stage, name)
+      val dst = new java.io.File(stage, f"$i%03d_part.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
+      dst.setLastModified(t0 - (parts.size - i) * 60000L)
     }
-    val t0 = System.currentTimeMillis()
-    onePart(ev, "d0", "000_events.parquet", t0 - 120000L)
-    onePart(Seq((-1L, new java.sql.Timestamp((maxTs + fenceAheadSec) * 1000L),
-        -1L, "__fence__", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value"),
-      "d1", "001_fence.parquet", t0 - 60000L)
-    spark.readStream.schema(ev.schema)
+    spark.readStream.schema(parts.head.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
       .parquet(stage.getPath)

@@ -68,6 +68,36 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("late replay is dropped BY THE WATERMARK, and only after the one-batch grace") {
+    val stream = StreamOps.eventsStreamLateReplay(spark, dir, fenceAheadSec = 7200)
+      .withWatermark("ts", "0 seconds")
+    val agg = stream.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val saved = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("t_late_drop").start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", saved)
+    }
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped > 0, "late rows must be dropped by the watermark " +
+      "(numRowsDroppedByWatermark), not merely absent")
+    // and the surviving aggregation is exactly the on-time half
+    val cutRow = graft.queries.Tables.df(spark, dir, "events")
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+    val cut = (cutRow.getLong(0) + cutRow.getLong(1)) / 2
+    val got = spark.table("t_late_drop").filter(col("event_type") =!= "__fence__")
+    assert(got.filter(unix_timestamp(col("window.end")) <= cut).count() == 0,
+      "no fully-below-cut window may survive")
+    val want = graft.queries.Tables.df(spark, dir, "events")
+      .filter(unix_timestamp(col("ts")) >= cut)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(got.count() == want)
+  }
+
   test("streaming dedup drops duplicate keys with watermark-bounded state") {
     val events = StreamOps.eventsStream(spark, dir)
       .withColumn("dup_key", expr("event_id % 100")) // force duplicates
