@@ -407,6 +407,33 @@ object Vocab {
         .as("diverging_occurrences"))
   }
 
+  /** The tokenizer-SIZING curve: corpus token mass and distinct-piece
+    * count under the first k trained merges, one row per requested k —
+    * the "how much fertility does each merge buy" question asked before
+    * committing to a vocab size (the merge-table twin of
+    * [[vocabCoverage]]'s word-level curve). Each k is one dictionary-sized
+    * replay (the corpus is never re-read: one [[wordSymbols]] aggregate is
+    * shared via checkpoint) plus a piece-vocab-sized regroup. Output:
+    * (n_merges, corpus_tokens, vocab_pieces), `</w>` markers excluded as
+    * in [[wordpieceFertilityCompare]].
+    */
+  def wordpieceFertilityCurve(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 0 && k <= merges.length),
+      s"ks must be within [0, ${merges.length}], got $ks")
+    val words = wordSymbols(df, textCol).localCheckpoint()
+    val curve = ks.map { k =>
+      words
+        .select(explode(filter(applyMerges(col("syms"), merges.take(k)),
+          t => t =!= lit("</w>"))).as("token"), col("cnt"))
+        .groupBy("token").agg(sum("cnt").as("c"))
+        .agg(count(lit(1)).as("vocab_pieces"), sum(col("c")).as("corpus_tokens"))
+        .select(lit(k).as("n_merges"), col("corpus_tokens"), col("vocab_pieces"))
+    }.reduce(_ unionAll _).orderBy(col("n_merges")).localCheckpoint()
+    words.unpersist()
+    curve
+  }
+
   /** Vocab size above which [[bpeTrain]] switches from full recount to
     * delta pair-count maintenance. The crossover is where the per-iteration
     * pair explode of the WHOLE word table stops being trivial relative to

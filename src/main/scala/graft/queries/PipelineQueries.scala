@@ -1475,6 +1475,13 @@ object PipelineQueries {
       Vocab.wordpieceMatchEncode(bpeDocs(s, dir), "text", m)
         .orderBy(col("piece_cnt").desc, col("piece").asc).limit(20)
     }),
+    // the tokenizer-SIZING curve: token mass + distinct pieces under the
+    // first 2/4/8 trained merges — oracled from the unrolled s2/s4/s8
+    // states the wpCtes oracle already carries
+    "text_wordpiece_curve" -> ((s, dir) => {
+      val m = trainedWordpiece(s, dir).map { case (_, l, r, _) => (l, r) }
+      Vocab.wordpieceFertilityCurve(bpeDocs(s, dir), "text", m, Seq(2, 4, 8))
+    }),
     // replay-vs-inference fertility divergence under the SAME trained
     // merges — the drift monitor for a deployed longest-match tokenizer
     "text_wordpiece_divergence" -> ((s, dir) => {
@@ -4934,6 +4941,20 @@ object PipelineQueries {
          |SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_cnt
          |FROM (SELECT unnest(pieces) AS piece, cnt FROM seg WHERE rest = '')
          |GROUP BY piece ORDER BY piece_cnt DESC, piece LIMIT 20""".stripMargin,
+    // one row per unrolled state: piece mass + distinct pieces, </w> excluded
+    "text_wordpiece_curve" ->
+      s"""WITH ${wpCtes(8)}
+         |SELECT * FROM (
+         |${Seq(2, 4, 8).map(k =>
+             s"""  SELECT $k AS n_merges,
+                |         CAST(sum(c) AS BIGINT) AS corpus_tokens,
+                |         count(*) AS vocab_pieces FROM (
+                |    SELECT token, sum(cnt) AS c FROM (
+                |      SELECT unnest(list_filter(string_split(s, ' '),
+                |               x -> x <> '' AND x <> '</w>')) AS token, cnt
+                |      FROM s$k) GROUP BY token)""".stripMargin)
+           .mkString("\n  UNION ALL\n")}
+         |) ORDER BY n_merges""".stripMargin,
     // replay fertility from the unrolled s8 state (standalone </w> token
     // excluded), match fertility from the longest-match recursion — joined
     // on the word dictionary and summarized in one row
