@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.StructType
 case class AuditEntry(seq: Long, principal: String, action: String,
     obj: String, detail: String)
 
+/** Thrown when a query references a column an active
+  * [[graft.policy.ColumnDenyPolicy]] denies to the principal — analysis-time
+  * and FAIL-CLOSED: a denied column never degrades to a silent null or a
+  * mask (a masked read is still a read). The denial is recorded in the
+  * audit trail (action COLUMN_DENY) before the throw.
+  */
+class ColumnAccessDeniedException(message: String) extends RuntimeException(message)
+
 /** User-facing facade — the Spark-native equivalent of the reference's
   * SecurityContext (SecurityContext.java:126-242).
   *
@@ -87,6 +95,9 @@ final class SecurityContext(
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).isDefined =>
         ("ROW_FILTER", f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).get)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.getTagValue(graft.plans.SecurityTags.RowDenyAudit).isDefined =>
+        ("ROW_DENY", f.getTagValue(graft.plans.SecurityTags.RowDenyAudit).get)
       case p: org.apache.spark.sql.catalyst.plans.logical.Project
           if p.getTagValue(graft.plans.SecurityTags.MaskAudit).isDefined =>
         ("DATA_MASK", p.getTagValue(graft.plans.SecurityTags.MaskAudit).get)
@@ -116,23 +127,72 @@ final class SecurityContext(
   /** Catalog schema lookup (reference getTable, SecurityContext.java:253-292). */
   def getTable(table: String): StructType = spark.table(table).schema
 
+  // --- column-deny enforcement (Ranger column-level deny) ---
+
+  /** Fail CLOSED when the analyzed plan references a column an active
+    * [[graft.policy.ColumnDenyPolicy]] denies to `user`: record the denial
+    * (audit action COLUMN_DENY, after the submission's QUERY row) and throw
+    * [[ColumnAccessDeniedException]] — an analysis-time error, never a
+    * silent null or a mask (deny beats mask at any specificity). References
+    * are collected from the plan ABOVE each base-table scan only (a temp
+    * view's INTERNAL projections don't count as the user reading a column),
+    * including subquery expressions; `SELECT *` expands to every column
+    * during analysis, so a star over a denied column fails too. A query
+    * touching only the table's other columns passes untouched. Runs on the
+    * user's plan BEFORE any rewrite, in every rewrite entry point.
+    */
+  private def enforceColumnDeny(user: String, api: String, sql: String,
+      plan: LogicalPlan): Unit = {
+    val violations =
+      graft.plans.ColumnDenyCheck.violations(plan, user, policyManager, scope)
+    if (violations.nonEmpty) {
+      auditBuf.synchronized {
+        auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", api, sql)
+        violations.foreach { case (obj, cols) =>
+          auditBuf += AuditEntry(auditBuf.size.toLong, user, "COLUMN_DENY",
+            obj, cols.mkString(","))
+        }
+      }
+      throw new ColumnAccessDeniedException(
+        s"user '$user' is denied column(s) " +
+          violations.map { case (o, cs) => s"$o.(${cs.mkString(",")})" }.mkString("; ") +
+          " — the query references them and fails closed")
+    }
+  }
+
+  /** Parse + analyze + column-deny gate — the shared front of every rewrite
+    * entry point (deny beats both rewrites, so it runs first).
+    */
+  private def checkedPlan(user: String, api: String, sql: String): LogicalPlan = {
+    val base = analyzed(parseSql(sql))
+    enforceColumnDeny(user, api, sql, base)
+    base
+  }
+
   // --- rewrite-only API (reference SecurityContext.java:126-167) ---
 
   def rewriteRowFilter(user: String, sql: String): LogicalPlan =
     recordAudit(user, "row_filter", sql,
-      analyzed(RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))))
+      analyzed(RowFilterRule(spark, user, policyManager, scope)(
+        checkedPlan(user, "row_filter", sql))))
 
   def rewriteDataMask(user: String, sql: String): LogicalPlan = {
+    // deny gate (denyOnly row-filter pass): the mask-only entry point must
+    // never return rows of a DENIED table — without it, dfDataMask alone
+    // would be fail-open relative to Ranger semantics
+    val denyGated = RowFilterRule(spark, user, policyManager, scope,
+      denyOnly = true)(checkedPlan(user, "data_mask", sql))
     val rule = DataMaskRule(spark, user, policyManager, scope, auditIdentity = true)
     recordAudit(user, "data_mask", sql,
-      analyzed(rule(analyzed(parseSql(sql)))), rule.identityAudit.toSeq)
+      analyzed(rule(denyGated)), rule.identityAudit.toSeq)
   }
 
   /** Row filter BEFORE mask — fixed order, filters see masked values
     * (SecurityContext.java:154-167).
     */
   def mixedRewrite(user: String, sql: String): LogicalPlan = {
-    val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    val filtered = RowFilterRule(spark, user, policyManager, scope)(
+      checkedPlan(user, "mixed", sql))
     val rule = DataMaskRule(spark, user, policyManager, scope, auditIdentity = true)
     recordAudit(user, "mixed", sql,
       analyzed(rule(filtered)), rule.identityAudit.toSeq)
@@ -144,7 +204,8 @@ final class SecurityContext(
     * reference's filter-sees-masked-values quirk is not wanted.
     */
   def mixedRewriteRawFilter(user: String, sql: String): LogicalPlan = {
-    val filtered = RowFilterRule(spark, user, policyManager, scope)(analyzed(parseSql(sql)))
+    val filtered = RowFilterRule(spark, user, policyManager, scope)(
+      checkedPlan(user, "mixed_raw_filter", sql))
     val rule = DataMaskRule(spark, user, policyManager, scope, filterOnRaw = true,
       auditIdentity = true)
     recordAudit(user, "mixed_raw_filter", sql,

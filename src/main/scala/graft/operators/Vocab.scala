@@ -335,12 +335,33 @@ object Vocab {
     (merges.map { case (l, r) => (l + r).replace("</w>", "") }
       .filter(_.nonEmpty) ++ alphabet).distinct.sorted
 
+  /** The single-character alphabet of a corpus' word dictionary —
+    * model-sized collect (dozens of rows, never data-sized). This is the
+    * TRAINING-time coverage alphabet when run over the training corpus;
+    * a drift monitor over a SERVING corpus must pass the training-time
+    * result in explicitly (see `trainAlphabet` below), or `[UNK]` becomes
+    * unreachable for in-corpus characters.
+    */
+  private def corpusAlphabet(words: DataFrame): Seq[String] =
+    words.select(explode(expr(
+        "filter(split(word, '(?!^)'), s -> s <> '')")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
   /** Corpus piece frequencies under greedy longest-match WordPiece
     * INFERENCE ([[graft.functions.WordPieceMatch]]) with the vocab induced
     * by a trained merge table — the deployed-tokenizer view of the corpus,
     * vs [[bpeEncode]]'s merge-replay view (the two agree on what training
     * saw but diverge on novel words, which is exactly what this query
     * monitors). Output: (piece, piece_cnt), `##`-marked continuations.
+    *
+    * `trainAlphabet` is the single-character coverage alphabet FIXED AT
+    * TRAIN TIME (the deployed vocab's alphabet): characters outside it
+    * segment to `unk`, surfacing novel characters instead of silently
+    * admitting them. The default (None) derives the alphabet from the
+    * corpus being ENCODED — correct only when encode corpus == train
+    * corpus (the self-oracled gates here), where the two definitions
+    * coincide and `[UNK]` is unreachable BY CONSTRUCTION; a deployed
+    * drift monitor must pass the training-time alphabet.
     *
     * Shape at scale: ONE word-dictionary aggregate compresses the corpus;
     * the alphabet collect is alphabet-sized (dozens of rows — model-sized,
@@ -349,14 +370,13 @@ object Vocab {
     * sized. The corpus itself is touched exactly once.
     */
   def wordpieceMatchEncode(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)], unk: String = "[UNK]"): DataFrame = {
+      merges: Seq[(String, String)], unk: String = "[UNK]",
+      trainAlphabet: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
     val words = df.select(explode(expr(
         s"regexp_extract_all($textCol, '$wordPattern', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val alphabet = words.select(explode(expr(
-        "filter(split(word, '(?!^)'), s -> s <> '')")).as("ch"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    val alphabet = trainAlphabet.getOrElse(corpusAlphabet(words))
     val vocab = wordpieceVocab(merges, alphabet)
     words
       .select(explode(columnOf(graft.functions.WordPieceMatch(
@@ -375,19 +395,23 @@ object Vocab {
     * Output: ONE summary row (n_words, n_occurrences, replay_tokens,
     * match_tokens, diverging_words, diverging_occurrences).
     *
+    * `trainAlphabet` — the training-time coverage alphabet, same contract
+    * as [[wordpieceMatchEncode]]: pass it when monitoring a corpus other
+    * than the one the merges were trained on, so novel characters surface
+    * as `unk` instead of being silently admitted into the vocab.
+    *
     * Shape at scale: the same single word-dictionary aggregate as
     * [[wordpieceMatchEncode]]; both fertilities are row-local projections
     * over it; the summary is a 1-row global aggregate.
     */
   def wordpieceFertilityCompare(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)], unk: String = "[UNK]"): DataFrame = {
+      merges: Seq[(String, String)], unk: String = "[UNK]",
+      trainAlphabet: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
     val words = df.select(explode(expr(
         s"regexp_extract_all($textCol, '$wordPattern', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val alphabet = words.select(explode(expr(
-        "filter(split(word, '(?!^)'), s -> s <> '')")).as("ch"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    val alphabet = trainAlphabet.getOrElse(corpusAlphabet(words))
     val vocab = wordpieceVocab(merges, alphabet)
     val syms = expr(
       "concat(filter(split(word, '(?!^)'), s -> s <> ''), array('</w>'))")

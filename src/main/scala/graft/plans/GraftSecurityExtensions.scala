@@ -45,6 +45,19 @@ class GraftSecurityExtensions extends (SparkSessionExtensions => Unit) {
         }
       }
     }
+    // column-level deny: analysis-time check over the fully-analyzed plan
+    // (the rules above have already injected their nodes — ColumnDenyCheck
+    // skips tagged machinery, so only the USER's references count). Throws
+    // instead of rewriting: a denied column read fails closed, never nulls.
+    e.injectCheckRule { session => plan =>
+      currentUser(session).foreach { u =>
+        val vs = ColumnDenyCheck.violations(plan, u, policies, scopeOf(session))
+        if (vs.nonEmpty) throw new graft.ColumnAccessDeniedException(
+          s"user '$u' is denied column(s) " +
+            vs.map { case (o, cs) => s"$o.(${cs.mkString(",")})" }.mkString("; ") +
+            " — the query references them and fails closed")
+      }
+    }
   }
 }
 

@@ -63,6 +63,10 @@ object SecurityTags {
   // every policy application is an auditable access decision)
   val RowFilterAudit: TreeNodeTag[String] = TreeNodeTag[String]("graft.rowFilterAudit")
   val MaskAudit: TreeNodeTag[String] = TreeNodeTag[String]("graft.maskAudit")
+  // a DENY decision ([[graft.policy.DenyRowPolicy]]) — mechanically the same
+  // injected `false` filter, but the audit trail must read it as the deny it
+  // is, not as an ordinary allow-filter that happens to be `false`
+  val RowDenyAudit: TreeNodeTag[String] = TreeNodeTag[String]("graft.rowDenyAudit")
 }
 
 /** Resolves which (catalog, database) a bare single-part table reference
@@ -91,6 +95,95 @@ object PlanShapes {
     // on a real table of the same name. Unresolved relations (also leaves)
     // must not match while the rules run inside the analyzer's fixed point.
     case _ => false
+  }
+
+  /** (catalog, db, table) of a SubqueryAlias identifier; empty qualifiers
+    * get the scope's defaults, like Flink's validator qualifying bare names.
+    * Shared by the rules (via [[SecurityRuleSupport.tableParts]]) and the
+    * column-deny check in [[graft.SecurityContext]].
+    */
+  def tableParts(id: org.apache.spark.sql.catalyst.AliasIdentifier,
+      scope: TableScope): (String, String, String) =
+    id.qualifier match {
+      case Seq() => (scope.catalog, scope.database, id.name)
+      case Seq(db) => (scope.catalog, db, id.name)
+      case parts => (parts.head, parts.last, id.name)
+    }
+}
+
+/** Column-level deny violation scan, shared by [[graft.SecurityContext]]
+  * (pre-rewrite, audited) and the auto-enforcement extension's check rule
+  * (post-analysis): which base-table scans have an active
+  * [[graft.policy.ColumnDenyPolicy]] column that the query READS.
+  *
+  * References are collected from the plan ABOVE each scan only — a temp
+  * view's internal projections are not the user reading a column — and
+  * from inside subquery expressions. Nodes the security rules themselves
+  * injected (tagged Filter/mask Project) don't count as reads either: a
+  * policy's filter condition or a full-width mask projection touching the
+  * denied column is engine machinery, not the principal's query — without
+  * this, extension mode (where the check runs AFTER injection) would deny
+  * every masked table outright.
+  */
+object ColumnDenyCheck {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId, SubqueryExpression}
+
+  private def isInjected(p: LogicalPlan): Boolean = p match {
+    case f: Filter => f.getTagValue(SecurityTags.RowFilterApplied).contains(true)
+    case pr: Project => pr.getTagValue(SecurityTags.MaskApplied).contains(true)
+    case _ => false
+  }
+
+  /** The scan chain under a SubqueryAlias once engine-injected nodes are
+    * stripped: Some(nodes from alias child down to the base table, base
+    * included) when a base table is at the bottom. The chain's outputs
+    * matter because the mask projection re-keys masked columns to fresh
+    * exprIds — a reference above it uses the fresh id, a reference to a
+    * passthrough column the original; denied-column ids are collected from
+    * every node in the chain so both resolve.
+    */
+  private def injectedChain(p: LogicalPlan): Option[Seq[LogicalPlan]] = p match {
+    case n if isInjected(n) => injectedChain(n.children.head).map(n +: _)
+    case b if PlanShapes.isBaseTable(b) => Some(Seq(b))
+    case _ => None
+  }
+
+  /** (cat.db.table, referenced denied columns) per violating scan. */
+  def violations(plan: LogicalPlan, user: String, policies: PolicyManager,
+      scope: TableScope): Seq[(String, Seq[String])] = {
+    // fast path: no column-deny policies at all -> skip the plan walk
+    // (driver-side and plan-sized either way, but this runs per query)
+    if (policies.columnDenyPolicies.isEmpty) return Nil
+    val scans = plan.collectWithSubqueries {
+      case SubqueryAlias(id, child) if injectedChain(child).isDefined =>
+        (PlanShapes.tableParts(id, scope), injectedChain(child).get)
+    }
+    val denied = scans.map { case (parts, chain) =>
+      (parts, chain, policies.deniedColumns(user, parts._1, parts._2, parts._3))
+    }.filter(_._3.nonEmpty)
+    if (denied.isEmpty) return Nil
+    // exprIds referenced STRICTLY ABOVE base-table scans (stop descent at
+    // each scan so a view's internal plan never counts), skipping injected
+    // nodes' own expressions, descending into subquery expressions
+    val ids = scala.collection.mutable.Set.empty[ExprId]
+    def walk(p: LogicalPlan): Unit = {
+      if (!isInjected(p)) p.expressions.foreach(_.foreach {
+        case a: AttributeReference => ids += a.exprId; ()
+        case s: SubqueryExpression => walk(s.plan)
+        case _ => ()
+      })
+      p.children.foreach {
+        case SubqueryAlias(_, child) if injectedChain(child).isDefined => ()
+        case c => walk(c)
+      }
+    }
+    walk(plan)
+    denied.flatMap { case ((cat, db, table), chain, cols) =>
+      val hit = chain.flatMap(_.output)
+        .filter(a => cols.exists(_.equalsIgnoreCase(a.name)) && ids.contains(a.exprId))
+        .map(_.name).distinct
+      if (hit.isEmpty) None else Some((s"$cat.$db.$table", hit))
+    }
   }
 }
 
@@ -146,11 +239,7 @@ trait SecurityRuleSupport {
     * the context's defaults, like Flink's validator qualifying bare names.
     */
   protected def tableParts(id: org.apache.spark.sql.catalyst.AliasIdentifier): (String, String, String) =
-    id.qualifier match {
-      case Seq() => (scope.catalog, scope.database, id.name)
-      case Seq(db) => (scope.catalog, db, id.name)
-      case parts => (parts.head, parts.last, id.name)
-    }
+    PlanShapes.tableParts(id, scope)
 }
 
 /** Injects row-level-security filters for `user` (reference:
@@ -161,7 +250,14 @@ final case class RowFilterRule(
     user: String,
     policies: PolicyManager,
     override val scope: TableScope,
-    postAnalysis: Boolean = true
+    postAnalysis: Boolean = true,
+    /** true: inject ONLY deny decisions (condition `false` on denied
+      * tables), skipping allow-filters — the deny gate the mask-only entry
+      * points run, so `dfDataMask`/`rewriteDataMask` alone can never return
+      * rows of a denied table (fail-open relative to Ranger otherwise)
+      * while still not smuggling row-filter semantics into a mask-only API.
+      */
+    denyOnly: Boolean = false
 ) extends Rule[LogicalPlan] with SecurityRuleSupport {
 
   private def alreadyFiltered(child: LogicalPlan): Boolean = child match {
@@ -172,7 +268,16 @@ final case class RowFilterRule(
   private val pf: PartialFunction[LogicalPlan, LogicalPlan] = {
     case sa @ SubqueryAlias(id, child) if isBaseTable(child) && !alreadyFiltered(child) =>
       val (cat, db, table) = tableParts(id)
-      policies.rowFilterConditions(user, cat, db, table) match {
+      // deny checked FIRST and tagged as the deny it is (audit action
+      // ROW_DENY): rowFilterConditions also collapses to `false` under an
+      // active deny, but the trail must distinguish a deny decision from an
+      // ordinary allow-filter that happens to be `false`
+      val denied = policies.isDenied(user, cat, db, table)
+      val conds =
+        if (denied) Seq("false")
+        else if (denyOnly) Seq.empty
+        else policies.rowFilterConditions(user, cat, db, table)
+      conds match {
         case Seq() => sa
         case conds =>
           val cond = conds
@@ -187,14 +292,18 @@ final case class RowFilterRule(
             .reduceLeft[Expression](And(_, _))
           val filter = Filter(cond, child)
           filter.setTagValue(SecurityTags.RowFilterApplied, true)
-          filter.setTagValue(SecurityTags.RowFilterAudit,
-            s"$cat.$db.$table|${conds.mkString(" AND ")}")
+          if (denied)
+            filter.setTagValue(SecurityTags.RowDenyAudit, s"$cat.$db.$table|DENY")
+          else
+            filter.setTagValue(SecurityTags.RowFilterAudit,
+              s"$cat.$db.$table|${conds.mkString(" AND ")}")
           SubqueryAlias(id, filter)
       }
   }
 
   private def hasRowFilter(cat: String, db: String, table: String): Boolean =
-    policies.rowFilterConditions(user, cat, db, table).nonEmpty
+    if (denyOnly) policies.isDenied(user, cat, db, table)
+    else policies.rowFilterConditions(user, cat, db, table).nonEmpty
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     applyToEmbeddedQuery(plan, apply, hasRowFilter).getOrElse {
@@ -364,6 +473,8 @@ final case class DataMaskRule(
           .foreach(v => nf.setTagValue(SecurityTags.RowFilterApplied, v))
         f.getTagValue(SecurityTags.RowFilterAudit)
           .foreach(v => nf.setTagValue(SecurityTags.RowFilterAudit, v))
+        f.getTagValue(SecurityTags.RowDenyAudit)
+          .foreach(v => nf.setTagValue(SecurityTags.RowDenyAudit, v))
         (nf, mapping)
       }
     case pr: Project if pr.getTagValue(SecurityTags.MaskApplied).contains(true) =>

@@ -55,6 +55,26 @@ final case class DenyRowPolicy(
     validUntil: Option[String] = None
 )
 
+/** Ranger-style COLUMN deny: while active, the principal may not READ the
+  * column at all — a query that references it (including via `SELECT *`
+  * expansion) fails CLOSED at analysis time with an error, never a silent
+  * null or a mask ([[graft.ColumnAccessDeniedException]]). Deny beats every
+  * allow and every mask at any specificity: a masked read of a denied
+  * column is still a read. A query touching only the table's other columns
+  * is unaffected — that is the distinction from [[DenyRowPolicy]], which
+  * zeroes the whole table.
+  */
+final case class ColumnDenyPolicy(
+    username: String,
+    catalogName: String,
+    database: String,
+    tableName: String,
+    columnName: String,
+    /** Validity window — see [[RowFilterPolicy.validFrom]]. */
+    validFrom: Option[String] = None,
+    validUntil: Option[String] = None
+)
+
 /** A named masking strategy with a transformer template in which `{col}` is
   * substituted with the column name (reference: enums/DataMaskType.java:30-43,
   * resources/data_mask_types.json). `transformer == None` covers MASK_NULL /
@@ -163,6 +183,7 @@ final class PolicyManager {
   private val rowFilters = ArrayBuffer.empty[RowFilterPolicy]
   private val dataMasks = ArrayBuffer.empty[DataMaskPolicy]
   private val denies = ArrayBuffer.empty[DenyRowPolicy]
+  private val colDenies = ArrayBuffer.empty[ColumnDenyPolicy]
   private val maskTypes = ArrayBuffer.from(DataMaskType.builtin)
 
   /** Clock for validity-window evaluation — injectable so tests and oracled
@@ -217,11 +238,15 @@ final class PolicyManager {
   // Removal matches with the same case-insensitive comparison as the lookups
   // (rowFilterConditions/dataMaskType): a policy added as ('Analyst', 'CUSTOMER',
   // ...) enforces case-insensitively, so it must be removable that way too.
+  // Validity windows are part of the identity: a renewal flow holds two
+  // policies identical except for [validFrom, validUntil), and removal must
+  // delete the one named, not whichever was inserted first.
   def removePolicy(p: RowFilterPolicy): Boolean = synchronized {
     val i = rowFilters.indexWhere(q =>
       eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
         eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
-        q.condition == p.condition)
+        q.condition == p.condition &&
+        q.validFrom == p.validFrom && q.validUntil == p.validUntil)
     if (i >= 0) { rowFilters.remove(i); true } else false
   }
   def addPolicy(p: DataMaskPolicy): Boolean = synchronized { dataMasks += p; true }
@@ -229,7 +254,8 @@ final class PolicyManager {
     val i = dataMasks.indexWhere(q =>
       eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
         eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
-        eq(q.columnName, p.columnName) && eq(q.maskType, p.maskType))
+        eq(q.columnName, p.columnName) && eq(q.maskType, p.maskType) &&
+        q.validFrom == p.validFrom && q.validUntil == p.validUntil)
     if (i >= 0) { dataMasks.remove(i); true } else false
   }
   def addPolicy(p: DenyRowPolicy): Boolean = synchronized { denies += p; true }
@@ -240,11 +266,38 @@ final class PolicyManager {
         q.validFrom == p.validFrom && q.validUntil == p.validUntil)
     if (i >= 0) { denies.remove(i); true } else false
   }
+  def addPolicy(p: ColumnDenyPolicy): Boolean = synchronized { colDenies += p; true }
+  def removePolicy(p: ColumnDenyPolicy): Boolean = synchronized {
+    val i = colDenies.indexWhere(q =>
+      eq(q.username, p.username) && eq(q.catalogName, p.catalogName) &&
+        eq(q.database, p.database) && eq(q.tableName, p.tableName) &&
+        eq(q.columnName, p.columnName) &&
+        q.validFrom == p.validFrom && q.validUntil == p.validUntil)
+    if (i >= 0) { colDenies.remove(i); true } else false
+  }
   def registerMaskType(t: DataMaskType): Unit = synchronized { maskTypes += t }
 
   def rowFilterPolicies: Seq[RowFilterPolicy] = synchronized(rowFilters.toSeq)
   def dataMaskPolicies: Seq[DataMaskPolicy] = synchronized(dataMasks.toSeq)
   def denyPolicies: Seq[DenyRowPolicy] = synchronized(denies.toSeq)
+  def columnDenyPolicies: Seq[ColumnDenyPolicy] = synchronized(colDenies.toSeq)
+
+  /** Column names with an ACTIVE column deny for (user, table), at any
+    * specificity — the rewrite entry points fail a query referencing any of
+    * them ([[graft.SecurityContext]]); deny beats allow AND mask, so this
+    * is checked before either rewrite runs. Names are as the policies
+    * state them; callers match case-insensitively like every lookup here.
+    */
+  def deniedColumns(user: String, catalog: String, db: String,
+      table: String): Seq[String] = synchronized {
+    colDenies.collect {
+      case p if inWindow(p.validFrom, p.validUntil) &&
+        principalRank(p.username, user) >= 0 &&
+        nameRank(p.catalogName, catalog) >= 0 &&
+        nameRank(p.database, db) >= 0 &&
+        nameRank(p.tableName, table) >= 0 => p.columnName
+    }.toSeq.distinct
+  }
 
   /** True when an ACTIVE deny matches (user, table) at any specificity —
     * deny overrides allow, so callers must check this before honoring any
@@ -338,6 +391,11 @@ final class PolicyManager {
         ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
           ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
           ("validFrom" -> p.validFrom) ~ ("validUntil" -> p.validUntil))) ~
+      ("columnDenies" -> colDenies.toList.map(p =>
+        ("username" -> p.username) ~ ("catalogName" -> p.catalogName) ~
+          ("database" -> p.database) ~ ("tableName" -> p.tableName) ~
+          ("columnName" -> p.columnName) ~
+          ("validFrom" -> p.validFrom) ~ ("validUntil" -> p.validUntil))) ~
       ("groups" -> groupMembers.toList.sortBy(_._1).map { case (g, members) =>
         ("name" -> g) ~ ("members" -> members.toList.sorted) })
     JsonMethods.compact(JsonMethods.render(json))
@@ -381,6 +439,14 @@ final class PolicyManager {
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"denies must be an array, got $other")
     }
+    val cdns = (root \ "columnDenies") match {
+      case JArray(items) => items.map(v => ColumnDenyPolicy(
+        str(v, "username"), str(v, "catalogName"), str(v, "database"),
+        str(v, "tableName"), str(v, "columnName"),
+        optStr(v, "validFrom"), optStr(v, "validUntil")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"columnDenies must be an array, got $other")
+    }
     val grps = (root \ "groups") match {
       case JArray(items) => items.map { v =>
         val members = v \ "members" match {
@@ -391,7 +457,7 @@ final class PolicyManager {
       }
       case _ => Nil
     }
-    synchronized { rowFilters ++= rfs; dataMasks ++= dms; denies ++= dns }
+    synchronized { rowFilters ++= rfs; dataMasks ++= dms; denies ++= dns; colDenies ++= cdns }
     grps.foreach { case (g, members) => members.foreach(addUserToGroup(_, g)) }
   }
 }

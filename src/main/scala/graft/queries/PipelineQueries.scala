@@ -29,6 +29,38 @@ object PipelineQueries {
   }
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
+  /** Write `slices` as one-file-per-micro-batch fixtures into `streamDir`
+    * (lexical names + descending-age mtimes pin arrival order), submitting
+    * the slice writes CONCURRENTLY — independent jobs on the shared
+    * scheduler; the fixture prep is ~10% of a streaming query's wall time
+    * and the single-file writes serialize poorly otherwise. Each writer
+    * captures its Throwable and the first one rethrows AFTER all joins, so
+    * a failed slice write fails HERE, at the write site, instead of as a
+    * downstream 1-file-stream mystery.
+    */
+  private def writeSliceFixtures(tmpRoot: java.io.File, streamDir: java.io.File,
+      slices: Seq[DataFrame]): Unit = {
+    val now = System.currentTimeMillis()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = slices.zipWithIndex.map { case (sl, i) =>
+      new Thread(() => {
+        try {
+          val part = new java.io.File(tmpRoot, s"part$i")
+          sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
+          val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(streamDir, s"b$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(now - (slices.size - i) * 60000L)
+          ()
+        } catch { case t: Throwable => failures.add(t); () }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    if (!failures.isEmpty) throw new RuntimeException(
+      s"fixture slice write failed (${failures.size} of ${slices.size})",
+      failures.peek())
+  }
+
   /** Deterministic two-phase Debezium log with a MID-LOG DDL, for the
     * schema-evolution gates: segment 0 bootstraps the prev snapshot (all
     * inserts, old schema `(doc_id, lang, chars)`), segment 1 carries the
@@ -2251,25 +2283,9 @@ object PipelineQueries {
         concat(col("text"), lit(" graftfuzz")).as("text")))
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_sc").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
-      val slices = Seq(
+      writeSliceFixtures(tmpRoot, streamDir, Seq(
         base.filter(col("doc_id") < 1000000),
-        base.filter(col("doc_id") >= 1000000))
-      val now = System.currentTimeMillis()
-      // both slice writes submit concurrently (independent jobs on the
-      // shared scheduler) — the fixture prep is ~10% of the query's wall
-      // time and the two single-file writes serialize poorly otherwise
-      val writers = slices.zipWithIndex.map { case (sl, i) =>
-        new Thread(() => {
-          val part = new java.io.File(tmpRoot, s"part$i")
-          sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
-          val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(streamDir, s"b$i.parquet")
-          java.nio.file.Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(now - (slices.size - i) * 60000L)
-          ()
-        })
-      }
-      writers.foreach(_.start()); writers.foreach(_.join())
+        base.filter(col("doc_id") >= 1000000)))
       val tables = Seq("sc_ex_idx", "sc_lsh_idx", "sc_lsh_idx_sets",
         "sc_lsh_idx_meta", "sc_sink")
       // DROP alone is not enough: a crashed earlier run can leave an orphaned
@@ -2320,25 +2336,9 @@ object PipelineQueries {
       // two id-ordered batches (originals, clones) — see stream_curate
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scs").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
-      val slices = Seq(
+      writeSliceFixtures(tmpRoot, streamDir, Seq(
         base.filter(col("doc_id") < 1000000),
-        base.filter(col("doc_id") >= 1000000))
-      val now = System.currentTimeMillis()
-      // both slice writes submit concurrently (independent jobs on the
-      // shared scheduler) — the fixture prep is ~10% of the query's wall
-      // time and the two single-file writes serialize poorly otherwise
-      val writers = slices.zipWithIndex.map { case (sl, i) =>
-        new Thread(() => {
-          val part = new java.io.File(tmpRoot, s"part$i")
-          sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
-          val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(streamDir, s"b$i.parquet")
-          java.nio.file.Files.move(f.toPath, dst.toPath)
-          dst.setLastModified(now - (slices.size - i) * 60000L)
-          ()
-        })
-      }
-      writers.foreach(_.start()); writers.foreach(_.join())
+        base.filter(col("doc_id") >= 1000000)))
       val tables = Seq("scs_ex_idx", "scs_lsh_idx", "scs_lsh_idx_sets",
         "scs_lsh_idx_meta", "scs_sink")
       tables.foreach(graft.sources.Sources.dropForOverwrite(s, _))

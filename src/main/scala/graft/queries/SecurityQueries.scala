@@ -253,6 +253,34 @@ object SecurityQueries {
           |SELECT 'customer' AS src, c_custkey AS id FROM customer
           |ORDER BY src, id""".stripMargin)
     }),
+    // COLUMN-level deny, fail-closed at analysis time: reading the denied
+    // column — explicitly or via SELECT * expansion — throws (never a
+    // silent null or mask; deny beats the mask at any specificity), while
+    // a query over the table's OTHER columns keeps its ordinary row-filter
+    // + mask rewrites. Each denial lands in the audit trail (COLUMN_DENY
+    // after its submission's QUERY row); the trail is the result and the
+    // oracle states it as constants. The require()s make the two throws
+    // part of the oracled behavior: a fail-open regression aborts the
+    // query instead of producing a hash-matching trail.
+    "sec_col_deny" -> ((s, dir) => {
+      val c = ctx(s, dir, "customer") { c =>
+        c.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+          USER, CAT, DB, "customer", "c_acctbal"))
+        mask(c, "customer", "c_name", "MASK_HASH")
+        rls(c, "customer", "c_mktsegment = 'BUILDING'")
+      }
+      c.dfMixed(USER,
+        "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+      val explicitDenied =
+        try { c.dfMixed(USER, "SELECT c_custkey, c_acctbal FROM customer"); false }
+        catch { case _: graft.ColumnAccessDeniedException => true }
+      val starDenied =
+        try { c.dfRowFilter(USER, "SELECT * FROM customer"); false }
+        catch { case _: graft.ColumnAccessDeniedException => true }
+      require(explicitDenied && starDenied,
+        s"column deny failed to fire (explicit=$explicitDenied, star=$starDenied)")
+      c.auditLog.orderBy("seq")
+    }),
     // policy validity windows under a pinned clock: of three row filters
     // only the one whose [validFrom, validUntil) covers "now" applies —
     // the expired and future ones contribute nothing — and an EXPIRED deny
@@ -377,6 +405,21 @@ object SecurityQueries {
         |SELECT 'customer' AS src, c_custkey AS id FROM customer
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY src, id""".stripMargin,
+    // the trail is fully determined by the call sequence: allowed query
+    // (QUERY + its filter/mask decisions), then one QUERY + COLUMN_DENY
+    // pair per denied submission
+    "sec_col_deny" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, principal, action, obj, detail
+        |FROM (VALUES
+        |  (0, 'analyst', 'QUERY', 'mixed', 'SELECT c_custkey, c_name FROM customer ORDER BY c_custkey'),
+        |  (1, 'analyst', 'ROW_FILTER', 'spark_catalog.default.customer', 'c_mktsegment = ''BUILDING'''),
+        |  (2, 'analyst', 'DATA_MASK', 'spark_catalog.default.customer', 'c_name=MASK_HASH'),
+        |  (3, 'analyst', 'QUERY', 'mixed', 'SELECT c_custkey, c_acctbal FROM customer'),
+        |  (4, 'analyst', 'COLUMN_DENY', 'spark_catalog.default.customer', 'c_acctbal'),
+        |  (5, 'analyst', 'QUERY', 'row_filter', 'SELECT * FROM customer'),
+        |  (6, 'analyst', 'COLUMN_DENY', 'spark_catalog.default.customer', 'c_acctbal')
+        |) t(seq, principal, action, obj, detail)
+        |ORDER BY seq""".stripMargin,
     // only the in-window filter applies; the expired deny does not
     "sec_rls_window" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

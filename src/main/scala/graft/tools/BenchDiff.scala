@@ -12,6 +12,15 @@ import scala.io.Source
   * in-round instead of by the judge.
   *
   * Usage: runMain graft.tools.BenchDiff <old.json> <new.json> [ratio] [minSec]
+  *          [<oldOtherSf.json> <newOtherSf.json>]
+  *
+  * When the optional OTHER-SF pair is given, every watch-list entry is
+  * CLASSIFIED (the r12 `sec_mask_hash` adjudication, learned):
+  *   - `run-noise`: the query is elevated at BOTH scale factors in the new
+  *     draw — a per-run fixed hiccup (JIT/GC/page-cache), not data-dependent
+  *     work; re-measure solo before touching code.
+  *   - `scale-suspect`: elevated at THIS scale factor only — the delta grows
+  *     with volume, which is what a real scaling regression looks like.
   * Exit is always 0 — the output is the watch-list, not a gate (identical-
   * code refreshes legitimately swing inside the band; a listed query is a
   * PROBE TARGET, not a proven regression).
@@ -32,8 +41,17 @@ object BenchDiff {
     (total, queries)
   }
 
+  /** Queries regressed past (ratio, minSec) between two per-query maps. */
+  private[tools] def watchList(old: Map[String, Double], cur: Map[String, Double],
+      ratio: Double, minSec: Double): Seq[(String, Double, Double, Double)] =
+    cur.toSeq
+      .collect { case (q, t) if t > minSec && old.get(q).exists(o => o > 0 && t / o > ratio) =>
+        (q, old(q), t, t / old(q)) }
+      .sortBy(-_._4)
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <old.json> <new.json> [ratio] [minSec]")
+    require(args.length >= 2,
+      "usage: BenchDiff <old.json> <new.json> [ratio] [minSec] [oldOtherSf.json newOtherSf.json]")
     val ratio = if (args.length > 2) args(2).toDouble else 1.5
     val minSec = if (args.length > 3) args(3).toDouble else 1.0
     def read(p: String) = { val s = Source.fromFile(p); try s.mkString finally s.close() }
@@ -41,13 +59,21 @@ object BenchDiff {
     val (newTotal, cur) = parse(read(args(1)))
     println(f"[benchdiff] total ${oldTotal}%.1f s -> ${newTotal}%.1f s " +
       f"(${newTotal / math.max(oldTotal, 1e-9)}%.2fx); thresholds: >${ratio}x and >${minSec} s")
-    val regressed = cur.toSeq
-      .collect { case (q, t) if t > minSec && old.get(q).exists(o => o > 0 && t / o > ratio) =>
-        (q, old(q), t, t / old(q)) }
-      .sortBy(-_._4)
+    // the other-SF draw, for the both-SFs noise signature (no minSec there:
+    // at the smaller SF the same fixed hiccup lands on a smaller base)
+    val otherWatch: Option[Set[String]] =
+      if (args.length > 5)
+        Some(watchList(parse(read(args(4)))._2, parse(read(args(5)))._2, ratio, 0.0)
+          .map(_._1).toSet)
+      else None
+    val regressed = watchList(old, cur, ratio, minSec)
     if (regressed.isEmpty) println("[benchdiff] watch-list: EMPTY")
     else regressed.foreach { case (q, o, n, r) =>
-      println(f"[benchdiff] WATCH $q: ${o}%.2f s -> ${n}%.2f s (${r}%.2fx)")
+      val cls = otherWatch.map { ow =>
+        if (ow.contains(q)) " [run-noise: elevated at BOTH SFs — re-measure solo]"
+        else " [scale-suspect: this SF only — grows with volume]"
+      }.getOrElse("")
+      println(f"[benchdiff] WATCH $q: ${o}%.2f s -> ${n}%.2f s (${r}%.2fx)$cls")
     }
     val dropped = old.keySet -- cur.keySet
     val added = cur.keySet -- old.keySet

@@ -661,4 +661,70 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(seqs.size == 80) // 40 submissions + 40 filter decisions
     assert(seqs == (0L until 80L)) // dense, no duplicates, no gaps
   }
+
+  test("column deny fails closed on read, passes other columns, beats the mask") {
+    ctx // force seed
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+      "user_A", CAT, DB, "orders", "price"))
+    // deny beats mask at any specificity: the masked read is still a read
+    c.policyManager.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders",
+      "price", "MASK_NULL"))
+    // a wildcard allow-filter cannot override the deny either
+    c.policyManager.addPolicy(RowFilterPolicy("*", CAT, DB, "orders", "order_id > 0"))
+    // explicit reference -> analysis-time error in every rewrite entry point
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A", "SELECT order_id, price FROM orders")
+    }
+    intercept[ColumnAccessDeniedException] {
+      c.dfDataMask("user_A", "SELECT order_id, price FROM orders")
+    }
+    intercept[ColumnAccessDeniedException] {
+      c.dfMixed("user_A", "SELECT order_id, price FROM orders")
+    }
+    // SELECT * expands to every column and so fails too
+    intercept[ColumnAccessDeniedException] {
+      c.dfMixed("user_A", "SELECT * FROM orders")
+    }
+    // reference via a WHERE predicate / aggregate is still a read
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A", "SELECT order_id FROM orders WHERE price > 10")
+    }
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A", "SELECT sum(price) AS s FROM orders")
+    }
+    // a subquery expression referencing the denied column is reached
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A",
+        "SELECT order_id FROM orders o WHERE EXISTS (SELECT 1 FROM orders i WHERE i.price > 10)")
+    }
+    // other columns flow, with the ordinary rewrites applied
+    assert(rows(c.mixedExecute("user_A",
+      "SELECT order_id, region FROM orders ORDER BY order_id", 10)).nonEmpty)
+    // other principals are untouched
+    assert(rows(c.executeRowFilter("user_B",
+      "SELECT order_id, price FROM orders ORDER BY order_id", 10)).nonEmpty)
+    // denials are audited: one COLUMN_DENY row after each blocked QUERY row
+    val trail = c.auditLog.collect().map(r => (r.getString(2), r.getString(4)))
+    assert(trail.count(_._1 == "COLUMN_DENY") == 7)
+    assert(trail.filter(_._1 == "COLUMN_DENY").forall(_._2 == "price"))
+  }
+
+  test("mask-only entry point enforces table-level deny (no fail-open path)") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(DataMaskPolicy("user_A", CAT, DB, "orders",
+      "customer_name", "MASK"))
+    c.policyManager.addPolicy(graft.policy.DenyRowPolicy("user_A", CAT, DB, "orders"))
+    // before the deny gate, dfDataMask returned ALL (masked) rows of the
+    // denied table — Ranger semantics say zero
+    assert(c.executeDataMask("user_A",
+      "SELECT order_id, customer_name FROM orders", 10).isEmpty)
+    // and the decision reads as the deny it is
+    val trail = c.auditLog.collect().map(r => (r.getString(2), r.getString(4)))
+    assert(trail.contains(("ROW_DENY", "DENY")))
+    // other principals still see masked rows through the same entry point
+    assert(c.executeDataMask("user_B",
+      "SELECT order_id, customer_name FROM orders", 10).nonEmpty)
+  }
 }

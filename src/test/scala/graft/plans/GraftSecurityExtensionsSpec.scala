@@ -154,4 +154,55 @@ class GraftSecurityExtensionsSpec extends SparkFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("column deny fails raw spark.sql closed in extension mode; masked tables unaffected") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sec = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftSecurityExtensions)
+      .getOrCreate()
+    try {
+      import sec.implicits._
+      Seq((1, "Jack", 50.5, "beijing"), (2, "Sally", 15.0, "hangzhou"))
+        .toDF("id", "customer_name", "price", "region")
+        .createOrReplaceTempView("cd_orders")
+      GraftSecurityExtensions.policies.addPolicy(graft.policy.ColumnDenyPolicy(
+        "ext_cd", "spark_catalog", "default", "cd_orders", "price"))
+      // a mask on ANOTHER column must not trip the check (the injected
+      // full-width mask projection references price, but that is engine
+      // machinery, not the user's read — the extension-mode trap)
+      GraftSecurityExtensions.policies.addPolicy(DataMaskPolicy(
+        "ext_cd", "spark_catalog", "default", "cd_orders", "customer_name", "MASK"))
+      // and a row filter CONDITION naming other columns is machinery too
+      GraftSecurityExtensions.policies.addPolicy(RowFilterPolicy(
+        "ext_cd", "spark_catalog", "default", "cd_orders", "region = 'beijing'"))
+
+      // no user -> untouched
+      assert(sec.sql("SELECT id, price FROM cd_orders").count() == 2)
+
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_cd")
+      // other columns flow, filtered + masked as usual
+      val ok = sec.sql("SELECT id, customer_name FROM cd_orders").collect()
+      assert(ok.map(_.toSeq).toSeq == Seq(Seq(1, "Xxxx")))
+      // explicit read, star expansion and predicate read all fail closed
+      intercept[graft.ColumnAccessDeniedException] {
+        sec.sql("SELECT id, price FROM cd_orders").collect()
+      }
+      intercept[graft.ColumnAccessDeniedException] {
+        sec.sql("SELECT * FROM cd_orders").collect()
+      }
+      intercept[graft.ColumnAccessDeniedException] {
+        sec.sql("SELECT id FROM cd_orders WHERE price > 10").collect()
+      }
+      // another user is untouched
+      sec.conf.set(GraftSecurityExtensions.UserKey, "ext_other")
+      assert(sec.sql("SELECT id, price FROM cd_orders").count() == 2)
+    } finally {
+      sec.conf.unset(GraftSecurityExtensions.UserKey)
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }

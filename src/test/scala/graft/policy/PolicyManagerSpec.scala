@@ -243,4 +243,75 @@ class PolicyManagerSpec extends AnyFunSuite {
     m2.clock = () => java.time.Instant.parse("2027-06-15T12:00:00Z")
     assert(!m2.isDenied("eve", "hive", "default", "orders"))
   }
+
+  test("column deny: lookup, wildcards, groups, windows, removal") {
+    val m = new PolicyManager
+    // exact-user deny on one column
+    m.addPolicy(ColumnDenyPolicy("user_A", "hive", "default", "orders", "price"))
+    assert(m.deniedColumns("user_A", "hive", "default", "orders") == Seq("price"))
+    // other users / tables unaffected; matching is case-insensitive
+    assert(m.deniedColumns("user_B", "hive", "default", "orders").isEmpty)
+    assert(m.deniedColumns("user_A", "hive", "default", "customer").isEmpty)
+    assert(m.deniedColumns("USER_A", "HIVE", "DEFAULT", "ORDERS") == Seq("price"))
+    // wildcard principal AND wildcard table both match (adversarial: the
+    // least specific deny still denies — deny has no specificity ladder)
+    m.addPolicy(ColumnDenyPolicy("*", "hive", "default", "*", "ssn"))
+    assert(m.deniedColumns("user_B", "hive", "default", "anything").contains("ssn"))
+    // group-scoped deny hits members only
+    m.addUserToGroup("carol", "contractors")
+    m.addPolicy(ColumnDenyPolicy("contractors", "hive", "default", "orders", "margin"))
+    assert(m.deniedColumns("carol", "hive", "default", "orders").contains("margin"))
+    assert(!m.deniedColumns("dave", "hive", "default", "orders").contains("margin"))
+    // windows gate the deny like every policy kind
+    m.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    m.addPolicy(ColumnDenyPolicy("user_A", "hive", "default", "orders", "cost",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    assert(!m.deniedColumns("user_A", "hive", "default", "orders").contains("cost"))
+    // removal matches windows too (the renewal flow: two identical policies
+    // differing only in window must be individually removable)
+    m.addPolicy(ColumnDenyPolicy("user_A", "hive", "default", "orders", "price",
+      validFrom = Some("2026-01-01T00:00:00Z")))
+    assert(m.removePolicy(ColumnDenyPolicy("user_A", "hive", "default", "orders", "price")))
+    assert(m.deniedColumns("user_A", "hive", "default", "orders").contains("price"),
+      "removal must take the unwindowed policy, leaving the windowed renewal active")
+  }
+
+  test("removePolicy matches validity windows for row filters and masks (renewal flow)") {
+    val m = new PolicyManager
+    m.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    // two row filters identical except window: expired original + active renewal
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "x = 1",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    m.addPolicy(RowFilterPolicy("u", "hive", "default", "t", "x = 1",
+      validFrom = Some("2026-01-01T00:00:00Z")))
+    // removing the EXPIRED one must not delete the active renewal
+    assert(m.removePolicy(RowFilterPolicy("u", "hive", "default", "t", "x = 1",
+      validUntil = Some("2026-01-01T00:00:00Z"))))
+    assert(m.rowFilterConditions("u", "hive", "default", "t") == Seq("x = 1"))
+    // same for masks
+    m.addPolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validUntil = Some("2026-01-01T00:00:00Z")))
+    m.addPolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validFrom = Some("2026-01-01T00:00:00Z")))
+    assert(m.removePolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validUntil = Some("2026-01-01T00:00:00Z"))))
+    assert(m.dataMaskType("u", "hive", "default", "t", "c").exists(_.name == "MASK"))
+    // a remove naming a window no stored policy has matches nothing
+    assert(!m.removePolicy(DataMaskPolicy("u", "hive", "default", "t", "c", "MASK",
+      validUntil = Some("2031-01-01T00:00:00Z"))))
+  }
+
+  test("column denies round-trip through JSON export/import") {
+    val m = new PolicyManager
+    m.addPolicy(ColumnDenyPolicy("eve", "hive", "default", "orders", "price",
+      validFrom = Some("2026-01-01T00:00:00Z"), validUntil = Some("2027-01-01T00:00:00Z")))
+    m.addPolicy(ColumnDenyPolicy("*", "hive", "default", "*", "ssn"))
+    val m2 = new PolicyManager
+    m2.importJson(m.exportJson())
+    assert(m2.columnDenyPolicies == m.columnDenyPolicies)
+    m2.clock = () => java.time.Instant.parse("2026-06-15T12:00:00Z")
+    assert(m2.deniedColumns("eve", "hive", "default", "orders").sorted == Seq("price", "ssn"))
+    m2.clock = () => java.time.Instant.parse("2027-06-15T12:00:00Z")
+    assert(m2.deniedColumns("eve", "hive", "default", "orders") == Seq("ssn"))
+  }
 }
