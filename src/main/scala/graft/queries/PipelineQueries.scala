@@ -61,6 +61,38 @@ object PipelineQueries {
       failures.peek())
   }
 
+  /** Move a staged batch file from the side dir into the live stream dir —
+    * the phased-arrival half of the restart gates: files are all written up
+    * front (ascending mtimes, [[writeSliceFixtures]]) but become visible to
+    * the file source only when a phase moves them in.
+    */
+  private def moveIn(side: java.io.File, streamDir: java.io.File,
+      name: String): Unit = {
+    java.nio.file.Files.move(new java.io.File(side, name).toPath,
+      new java.io.File(streamDir, name).toPath)
+    ()
+  }
+
+  /** Simulate the crash window Spark replays for: the newest micro-batch ran
+    * to COMPLETION (every side effect landed) but the engine died before
+    * recording its commit — delete the newest `commits/` entry (and its
+    * local-FS checksum sibling), so a restarted query re-executes that
+    * batchId over the same offsets-logged input. This is the documented
+    * recovery contract (offsets written before the batch, commits after),
+    * not an internals hack: any kill between those two writes leaves
+    * exactly this checkpoint state.
+    */
+  private def dropLatestCommit(ckpt: java.io.File): Unit = {
+    val commits = new java.io.File(ckpt, "commits")
+    val entries = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+    require(entries.nonEmpty, s"no commit entries under $commits")
+    val latest = entries.maxBy(_.getName.toLong)
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists) { crc.delete(); () }
+    require(latest.delete(), s"could not delete $latest")
+  }
+
   /** Deterministic two-phase Debezium log with a MID-LOG DDL, for the
     * schema-evolution gates: segment 0 bootstraps the prev snapshot (all
     * inserts, old schema `(doc_id, lang, chars)`), segment 1 carries the
@@ -1383,6 +1415,43 @@ object PipelineQueries {
       Retrieval.bm25TopKFromIndex(queries, "graft_bm25_stream", "doc_id", 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // CRASH-RESTART gate for the BM25 posting ingest — the third state
+    // discipline (after the IVM maintain and the curate funnel): batch 0
+    // commits on a real checkpoint, its commit record is deleted, batches
+    // 1-2 arrive, and the restarted query replays batch 0. NO ledger here,
+    // by design: bm25AppendToIndex is replay-idempotent by construction
+    // (its id guard drops already-indexed docs, so the replay appends zero
+    // postings — spec-pinned in StreamingRestartSpec). Probes over the
+    // final index must score identically to a from-scratch build: same
+    // oracle as stream_bm25_ingest.
+    "stream_bm25_restart" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.bm25WriteBucketed(d.filter(col("doc_id") % 3 =!= 0),
+        "graft_bm25_rst", "doc_id", "text")
+      val rest = d.filter(col("doc_id") % 3 === 0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bm25r").toFile
+      val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val ckpt = new java.io.File(tmpRoot, "ckpt")
+      writeSliceFixtures(tmpRoot, side,
+        Seq(0, 3, 6).map(res => rest.filter(col("doc_id") % 9 === res)))
+      def drain(): Unit = graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(rest.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingBm25Ingest(stream, "graft_bm25_rst",
+          "doc_id", "text", checkpointDir = Some(ckpt.getPath))
+        try q.processAllAvailable() finally q.stop()
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain()
+      dropLatestCommit(ckpt)
+      moveIn(side, streamDir, "b1.parquet"); moveIn(side, streamDir, "b2.parquet")
+      drain() // replay appends nothing (id guard), then batches 1-2 ingest
+      val queries = s.createDataFrame(Seq((1, "hash"), (1, "join"),
+        (2, "window"), (2, "sort"), (2, "order"), (3, "vector"), (3, "scan")))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopKFromIndex(queries, "graft_bm25_rst", "doc_id", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // MMR diversity re-rank over the dense retriever's top-20: sequential
     // greedy per query (bounded candidate sets inside flatMapGroups) —
     // rows-only; the _check gate below carries the oracled guarantees
@@ -2319,6 +2388,56 @@ object PipelineQueries {
       }
       s.table("sc_sink").select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // CRASH-RESTART gate for the curation funnel — the 4-append-per-batch
+    // discipline whose cost floor PLANS.md defends as crash/replay
+    // semantics, here actually exercised: batch 0 (originals) drains on a
+    // REAL checkpoint and commits; the commit record is deleted (crash
+    // window: sink + quarantine-less funnel's four appends + ledger row all
+    // landed, commit didn't); batch 1 (clones) arrives; the restarted query
+    // replays batch 0 — the BatchLedger makes ALL FOUR appends a no-op —
+    // then curates the clones against the batch-0 index. The sink must
+    // still equal the batch funnel's keeper set: same oracle as
+    // stream_curate.
+    "stream_curate_restart" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val base = corpus.unionAll(corpus.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftfuzz")).as("text")))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scr").toFile
+      val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val ckpt = new java.io.File(tmpRoot, "ckpt")
+      writeSliceFixtures(tmpRoot, side, Seq(
+        base.filter(col("doc_id") < 1000000),
+        base.filter(col("doc_id") >= 1000000)))
+      Seq("scr_ex_idx", "scr_lsh_idx", "scr_lsh_idx_sets",
+        "scr_lsh_idx_meta", "scr_sink", "scr_ledger")
+        .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+      def drain(): Unit = graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingCurate(stream, "scr_ex_idx", "scr_lsh_idx",
+          "doc_id", "text", "scr_sink", bench = Some(bench),
+          minWords = 30, minStopHits = 1, maxBucket = Int.MaxValue,
+          threshold = 0.9, batchShufflePartitions = Some(8),
+          checkpointDir = Some(ckpt.getPath),
+          ledgerTable = Some("scr_ledger"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      graft.SparkUtil.withShufflePartitions(s, 8) {
+        Dedup.exactWriteBucketed(base.limit(0).withColumn("k", col("text")),
+          "scr_ex_idx", "doc_id", "k", numBuckets = 4)
+        Dedup.minhashWriteBucketed(base.limit(0), "scr_lsh_idx", "doc_id",
+          "text", numBuckets = 4)
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain() // originals commit
+      dropLatestCommit(ckpt)                         // crash after completion
+      moveIn(side, streamDir, "b1.parquet")
+      drain() // replay batch 0 (all four appends skipped), then the clones
+      s.table("scr_sink").select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // the reference's core scenario at full depth: the SAME planted corpus
     // as stream_curate, but the stream first passes the policy layer — an
     // RLS predicate (lang = 'en') injected by SecurityContext into the
@@ -2519,6 +2638,55 @@ object PipelineQueries {
         try q.processAllAvailable() finally q.stop()
       }
       s.table("graft_ivm_state")
+        .select(col("lang"), col("n_rows"), col("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    // CRASH-RESTART gate for the IVM maintain discipline (VERDICT r12 #1:
+    // the crash/replay semantics the per-batch cost pays for, actually
+    // exercised). Same 3-batch snapshot diff as the sibling, but on a REAL
+    // checkpoint across two query incarnations with a simulated crash
+    // between them: batch 0 drains and commits; its commit record is then
+    // deleted (the crash window Spark replays for — work done, commit
+    // unrecorded); batches 1-2 arrive; the RESTARTED query must re-execute
+    // batch 0 — delta application is NOT idempotent, so only the
+    // BatchLedger's whole-batch skip keeps the replay from double-applying
+    // — then resume and drain the rest. Final state must equal the same
+    // from-scratch recompute as the sibling: same oracle.
+    "stream_cdc_agg_maintain_restart" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"))
+      val prev = d.filter(col("doc_id") % 3 =!= 0)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 5 === 0, col("chars") + 11)
+            .otherwise(col("chars")).as("chars"))
+      Seq("graft_ivmr_state", "graft_ivmr_state_staged", "graft_ivmr_state_old",
+        "graft_ivmr_ledger")
+        .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
+      ChangeLog.aggStateWriteBucketed(prev, "graft_ivmr_state", "lang",
+        Seq("chars"), numBuckets = 4)
+      val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
+        Seq("lang", "chars"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivmr").toFile
+      val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val ckpt = new java.io.File(tmpRoot, "ckpt")
+      writeSliceFixtures(tmpRoot, side,
+        Seq(0, 1, 2).map(res => changes.filter(col("doc_id") % 3 === res)))
+      def drain(): Unit = graft.SparkUtil.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingAggMaintain(stream, "graft_ivmr_state",
+          "op", "lang", Seq("chars"),
+          checkpointDir = Some(ckpt.getPath),
+          ledgerTable = Some("graft_ivmr_ledger"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain() // batch 0 completes + commits
+      dropLatestCommit(ckpt)                         // crash: completed, uncommitted
+      moveIn(side, streamDir, "b1.parquet"); moveIn(side, streamDir, "b2.parquet")
+      drain() // replays batch 0 (ledger no-op), resumes, drains 1-2
+      s.table("graft_ivmr_state")
         .select(col("lang"), col("n_rows"), col("sum_chars"))
         .orderBy(col("lang"))
     }),
@@ -4699,6 +4867,8 @@ object PipelineQueries {
     "text_bm25_incr" -> bm25TopkSql,
     // three micro-batch appends == one batch append == monolithic build
     "stream_bm25_ingest" -> bm25TopkSql,
+    // crash-restart variant: identical scores to a from-scratch build
+    "stream_bm25_restart" -> bm25TopkSql,
     // the full scoring chain over the policy-scoped corpus: the predicate
     // lands in the tokenize CTE so N/avgdl/df/idf recompute behind it
     "sec_ret_bm25" -> bm25TopkSql.replace(
@@ -5952,6 +6122,14 @@ object PipelineQueries {
         |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
         |WHERE labels.id IS NULL OR labels.label = surv.doc_id
         |ORDER BY surv.doc_id""".stripMargin,
+    // crash-restart variant: kill-after-commit-loss + replay + resume must
+    // still land exactly the batch keeper set
+    "stream_curate_restart" ->
+      s"""$curateFullCtes
+        |SELECT surv.doc_id
+        |FROM surv LEFT JOIN labels ON surv.doc_id = labels.id
+        |WHERE labels.id IS NULL OR labels.label = surv.doc_id
+        |ORDER BY surv.doc_id""".stripMargin,
     // the identical funnel CTEs with the policy predicate spliced into both
     // arms of the planted base — what "curate a policy-scoped stream" means
     "sec_stream_curate" ->
@@ -6058,6 +6236,9 @@ object PipelineQueries {
     "cdc_agg_maintain" -> ivmRecomputeSql,
     // three micro-batch maintenance steps == one batch step == recompute
     "stream_cdc_agg_maintain" -> ivmRecomputeSql,
+    // crash-restart variant: the replay/resume protocol must land the SAME
+    // final state as an uninterrupted run — recompute oracle verbatim
+    "stream_cdc_agg_maintain_restart" -> ivmRecomputeSql,
     // transport-invisibility: the Kafka-shaped-log path must land the exact
     // same maintained state as the batch recompute
     "stream_cdc_agg_maintain_log" -> ivmRecomputeSql,

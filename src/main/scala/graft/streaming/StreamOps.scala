@@ -13,6 +13,54 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOps {
 
+  /** Whole-batch replay guard for foreachBatch ingests whose side effects
+    * are NOT naturally idempotent (parquet appends, delta application).
+    * Spark replays a micro-batch when a crash lands between the batch's
+    * completion and its commit-log record: the restarted query re-runs the
+    * SAME batchId over the SAME input. The ledger records each completed
+    * batchId in a tiny parquet table AS THE BATCH'S LAST ACTION; a replayed
+    * id skips the body wholesale, so every append in it happens exactly
+    * once. The guarded window that remains is a crash BETWEEN the body's
+    * last append and the ledger record — then the replay re-runs a
+    * partially-applied batch (at-least-once). Closing that needs a
+    * transactional table format (Delta/Iceberg single-commit appends);
+    * with plain parquet the ledger gives exactly-once at WHOLE-BATCH
+    * granularity, which is the granularity Spark replays at.
+    * Ledger reads/writes are one tableExists + one batch-id filter + a
+    * 1-row append per micro-batch — never data-sized.
+    */
+  object BatchLedger {
+    def applied(spark: SparkSession, table: String, batchId: Long): Boolean =
+      spark.catalog.tableExists(table) &&
+        !spark.table(table).filter(col("batch_id") === batchId).isEmpty
+
+    def record(spark: SparkSession, table: String, batchId: Long): Unit = {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(table)
+    }
+
+    /** Run `body` once per batchId: skip when the ledger already holds it
+      * (replay), record after the body otherwise. `table` None = unguarded
+      * (the pre-ledger behavior, kept for callers that replay-dedup
+      * downstream or use naturally idempotent appends).
+      */
+    def once(spark: SparkSession, table: Option[String], batchId: Long)(
+        body: => Unit): Unit = table match {
+      case None => body
+      case Some(t) => if (!applied(spark, t, batchId)) { body; record(spark, t, batchId) }
+    }
+  }
+
+  /** Attach a checkpoint dir (real crash-recoverable state, vs the default
+    * temp checkpoint) to a writeStream when one is given.
+    */
+  private def withCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      checkpointDir: Option[String]) =
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
+
   /** Streaming read of the events table (nanos timestamps normalized to
     * micros, same as the batch loader).
     */
@@ -445,10 +493,17 @@ object StreamOps {
     * [[graft.operators.Dedup.compactIndex]] reclaims the width.
     */
   def streamingBm25Ingest(docsStream: DataFrame, indexTable: String,
-      idCol: String, textCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      idCol: String, textCol: String,
+      /** Real checkpoint dir for crash-recoverable resume. NO ledger here:
+        * [[graft.operators.Retrieval.bm25AppendToIndex]] is replay-idempotent
+        * by construction — its id guard drops already-indexed docs, so a
+        * replayed batch appends zero postings (spec-pinned).
+        */
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val perBatch: (DataFrame, Long) => Unit = (batch, _) =>
       graft.operators.Retrieval.bm25AppendToIndex(batch, indexTable, idCol, textCol)
-    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+    withCheckpoint(docsStream.writeStream.outputMode("append")
+      .foreachBatch(perBatch), checkpointDir).start()
   }
 
   /** CONTINUOUS incremental view maintenance: a before/after changelog
@@ -466,12 +521,24 @@ object StreamOps {
     * a checkpointed sink; documented like the other ingest replays.
     */
   def streamingAggMaintain(changeStream: DataFrame, stateTable: String,
-      opCol: String, groupCol: String,
-      aggCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
-    val perBatch: (DataFrame, Long) => Unit = (batch, _) =>
-      graft.operators.ChangeLog.maintainAggTable(batch, stateTable, opCol,
-        groupCol, aggCols)
-    changeStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+      opCol: String, groupCol: String, aggCols: Seq[String],
+      /** Real checkpoint dir: survive a stop/crash and resume from the
+        * offsets/commit logs instead of a throwaway temp checkpoint.
+        */
+      checkpointDir: Option[String] = None,
+      /** [[BatchLedger]] table: REQUIRED for crash-replay correctness —
+        * delta application is not idempotent, so a replayed batch would
+        * double-apply without it (exercised by StreamingRestartSpec's
+        * negative control and the `stream_cdc_agg_maintain_restart` gate).
+        */
+      ledgerTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (DataFrame, Long) => Unit = (batch, bid) =>
+      BatchLedger.once(batch.sparkSession, ledgerTable, bid) {
+        graft.operators.ChangeLog.maintainAggTable(batch, stateTable, opCol,
+          groupCol, aggCols)
+      }
+    withCheckpoint(changeStream.writeStream.outputMode("append")
+      .foreachBatch(perBatch), checkpointDir).start()
   }
 
   /** [[streamingAggMaintain]] over the RAW Debezium transport with SCHEMA
@@ -602,9 +669,12 @@ object StreamOps {
     * Passing `quarantineTable` closes that gap OFFLINE: fuzzy-dropped docs
     * append there verbatim, and a periodic [[reconcileCurate]] re-discovers
     * the spanning links and emits the late drop set (StreamingSpec pins
-    * stream + reconcile ≡ batch on the a~b~c chain). Replays re-append
-    * (the parquet sink is not idempotent), as with every ingest in this
-    * family.
+    * stream + reconcile ≡ batch on the a~b~c chain). Replays: without
+    * `ledgerTable` a replayed batch re-appends (the parquet sink is not
+    * idempotent), as with every ingest in this family; WITH it the whole
+    * funnel is [[BatchLedger]]-guarded and a replayed batch is a no-op
+    * across all four appends (spec-pinned; the `stream_curate_restart`
+    * gate exercises a real kill/replay/restart against the batch oracle).
     *
     * EAGER at call time when `bench` is given: the Bloom filter build runs
     * two actions on the small bench side ([[graft.operators.Contamination.buildBloom]]).
@@ -626,7 +696,15 @@ object StreamOps {
         * setting only touches work this function launches. None = leave the
         * session default.
         */
-      batchShufflePartitions: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      batchShufflePartitions: Option[Int] = None,
+      /** Real checkpoint dir for crash-recoverable resume. */
+      checkpointDir: Option[String] = None,
+      /** [[BatchLedger]] table guarding the WHOLE per-batch funnel (sink +
+        * quarantine + both index appends): a replayed batch skips all four,
+        * which is what makes "replays re-append" (the family's documented
+        * parquet-sink caveat) a non-event at whole-batch granularity.
+        */
+      ledgerTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Contamination, Dedup, TextAnalysis}
     val bloomFlag = "_graft_bloom"
     val fpKey = "_graft_fp_key"
@@ -646,7 +724,8 @@ object StreamOps {
     // batches band differently
     val (shingleSize, bands, rowsPerBand, _) =
       graft.operators.Dedup.readIndexMeta(docsStream.sparkSession, lshIndexTable)
-    val perBatch: (DataFrame, Long) => Unit = (batch0, _) => {
+    val perBatch: (DataFrame, Long) => Unit = (batch0, bid) => BatchLedger.once(
+        batch0.sparkSession, ledgerTable, bid) {
       val spark = batch0.sparkSession
       batchShufflePartitions.foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -707,7 +786,8 @@ object StreamOps {
           lshIndexTable, idCol)
       }
     }
-    gated.writeStream.outputMode("append").foreachBatch(perBatch).start()
+    withCheckpoint(gated.writeStream.outputMode("append")
+      .foreachBatch(perBatch), checkpointDir).start()
   }
 
   /** Close the streaming funnel's cross-batch transitive-chain gap as a
