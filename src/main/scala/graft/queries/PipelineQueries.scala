@@ -104,7 +104,7 @@ object PipelineQueries {
     * `documents`, so a DuckDB oracle can restate the final state exactly.
     * Returns (log directory, widened row schema).
     */
-  private def schemaEvolveLog(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+  private[graft] def schemaEvolveLog(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
       length(col("text")).as("chars"))
     def d = col("doc_id")
@@ -2904,8 +2904,11 @@ object PipelineQueries {
       val agg = fenced
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
+      // volume-derived, not pinned: MergingSessions sorts per state
+      // partition, so the count must grow with input (r12's one marked
+      // scale knob — see StreamOps.sessionStatePartitions)
       val res = StreamOps.runToMemory(s, agg, "stream_sw_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
         allowNoDataBatches = true)
       res.filter(col("user_id") =!= -1L)
@@ -2933,7 +2936,7 @@ object PipelineQueries {
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
       val res = StreamOps.runToMemory(s, agg, "sec_stream_sess_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
         allowNoDataBatches = true)
       res.filter(col("user_id") =!= -1L)

@@ -61,6 +61,30 @@ object StreamOps {
       checkpointDir: Option[String]) =
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
 
+  /** State-partition count for streaming session-window aggregations,
+    * derived from the INPUT VOLUME instead of a pinned constant (r12
+    * verdict #2): Catalyst's MergingSessions sorts per state partition —
+    * n·log n in sessions/partition — so partitions must GROW with volume
+    * (pinned 8 measured 3.7–4.5x at a 10x scale-up where 32 measured
+    * 2.4x), while each state-store instance costs fixed per-batch
+    * machinery, so small inputs want few (32 instances on a sf0.01 corpus
+    * measured ~2x per-batch overhead). One partition per 512 KB of input,
+    * clamped to [8, spark.sql.shuffle.partitions]: both measured endpoints
+    * fall out (<= 2 MB -> 8, ~19 MB -> capped 32), and at cluster scale
+    * the cap defers to the session's shuffle sizing — the knob operators
+    * should inherit, not re-derive.
+    */
+  def sessionStatePartitions(spark: SparkSession, dir: String,
+      table: String = "events"): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sizeOf).sum
+      else f.length()
+    val bytes = sizeOf(new java.io.File(s"$dir/$table.parquet"))
+    val cap = math.max(8, spark.sessionState.conf.numShufflePartitions)
+    math.max(8, math.min(cap, (bytes / (512L << 10)).toInt))
+  }
+
   /** Streaming read of the events table (nanos timestamps normalized to
     * micros, same as the batch loader).
     */

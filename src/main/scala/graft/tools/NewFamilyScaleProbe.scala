@@ -17,11 +17,19 @@ object NewFamilyScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_PROBE_ONLY=name,name filters probes (substring match)
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_PROBE_REPS=2 re-runs each probe; the LAST rep is the warm
+    // reading (first-position probes otherwise absorb JVM/page-cache/JIT
+    // warmup into their number — measured 2-4x inflation on small bases,
+    // which corrupts cross-SF ratios)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt
     def time(name: String)(f: => Long): Unit =
       if (only.forall(_.exists(name.contains))) {
-        val t0 = System.nanoTime()
-        val rows = f
-        println(f"[probe] $name $rows rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        (1 to reps).foreach { rep =>
+          val t0 = System.nanoTime()
+          val rows = f
+          val tag = if (reps > 1) s"$name#$rep" else name
+          println(f"[probe] $tag $rows rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       }
     // SPARK_GRAFT_PROBE_DIRS=/tmp/sf1 narrows the sweep
     val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
@@ -58,18 +66,35 @@ object NewFamilyScaleProbe {
           concat_ws("|", col("c_nationkey"), substring(col("c_name"), -2, 2)),
           maxDist = 1, maxBlock = 1000).count()
       }
-      time("er_customers_blk3") {
-        // the scale knob: one more blocking digit -> 10x more blocks,
-        // per-block depth back to the sf0.1 level
+      def erBlk3Input = {
         val dirty = cust.filter(col("c_custkey") % 10 === 3)
           .select((col("c_custkey") + 10000000L).as("c_custkey"),
             concat(substring(col("c_name"), 1, 9), lit("O"),
               substring(col("c_name"), 11, 100)).as("c_name"),
             col("c_nationkey"))
-        val all = cust.unionAll(dirty)
-        graft.operators.RecordLinkage.resolve(all, "c_custkey", "c_name",
-          concat_ws("|", col("c_nationkey"), substring(col("c_name"), -3, 3)),
-          maxDist = 1, maxBlock = 1000).count()
+        cust.unionAll(dirty)
+      }
+      def erBlk3Key = concat_ws("|", col("c_nationkey"),
+        substring(col("c_name"), -3, 3))
+      time("er_customers_blk3") {
+        // the scale knob: one more blocking digit -> 10x more blocks,
+        // per-block depth back to the sf0.1 level
+        graft.operators.RecordLinkage.resolve(erBlk3Input, "c_custkey",
+          "c_name", erBlk3Key, maxDist = 1, maxBlock = 1000).count()
+      }
+      time("er_customers_blk3_compact") {
+        // the row-local HOF pair generator — measured SLOWER than the
+        // codegen'd self-join at every probed block size (r13); kept
+        // measurable so the comparison row stays honest
+        graft.operators.RecordLinkage.resolve(erBlk3Input, "c_custkey",
+          "c_name", erBlk3Key, maxDist = 1, maxBlock = 1000,
+          compactBlocks = true).count()
+      }
+      time("er_blk3_pairs_only") {
+        // decomposition: candidate generation + verify WITHOUT components
+        // and the final assignment join — locates the sf1 residual
+        graft.operators.RecordLinkage.blockedPairs(erBlk3Input, "c_custkey",
+          "c_name", erBlk3Key, maxDist = 1, maxBlock = 1000).count()
       }
       time("events_gapfill") {
         graft.operators.Timeseries.gapFill(
@@ -216,6 +241,97 @@ object NewFamilyScaleProbe {
                     |WHERE o.o_orderkey IN (
                     |  SELECT l_orderkey FROM lineitem_probe GROUP BY l_orderkey
                     |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)""".stripMargin)
+          .count()
+      }
+      // ---- round-13 extensions (VERDICT r12 #3: r12 families not yet
+      // probed solo) + the unpinned session-window default (r12 #2) ----
+      time("stream_session_window_derived") {
+        // the SHIPPED default since r13: volume-derived state partitions
+        // (sessionStatePartitions) instead of the pinned 8 measured
+        // 3.7-4.5x at sf1 / the hand-picked 32 measured 2.4x
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+            fenceAheadSec = 5400)
+          .withWatermark("ts", "0 seconds")
+        val agg = fenced
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.streaming.StreamOps.runToMemory(spark, agg, "probe_swd",
+          statePartitions =
+            Some(graft.streaming.StreamOps.sessionStatePartitions(spark, dir)),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("sec_stream_sessions") {
+        val ctx = new graft.SecurityContext(spark)
+        graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+            fenceAheadSec = 5400)
+          .createOrReplaceTempView("events_probe_sess")
+        ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+          "stream_user", "spark_catalog", "default", "events_probe_sess",
+          "user_id % 3 != 0"))
+        val secured = ctx.dfRowFilter("stream_user",
+          "SELECT ts, user_id FROM events_probe_sess")
+        val agg = secured.withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.streaming.StreamOps.runToMemory(spark, agg, "probe_secsess",
+          statePartitions =
+            Some(graft.streaming.StreamOps.sessionStatePartitions(spark, dir)),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("stream_late_drop") {
+        val stream = graft.streaming.StreamOps.eventsStreamLateReplay(spark,
+            dir, fenceAheadSec = 7200)
+          .withWatermark("ts", "0 seconds")
+        val agg = stream
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        graft.streaming.StreamOps.runToMemory(spark, agg, "probe_late",
+          statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("stream_enrich_dim") {
+        val dim = graft.queries.Tables.df(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.streaming.StreamOps.runToMemory(spark,
+          graft.streaming.StreamOps.eventsStream(spark, dir)
+            .join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .select(col("event_id"), col("user_id"), col("c_mktsegment")),
+          "probe_enrich",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append()).count()
+      }
+      time("stream_interval_join_outer") {
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+          fenceAheadSec = 1800)
+        val purchases = fenced
+          .filter(col("event_type") === "purchase" || col("user_id") === -1L)
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        val errors = fenced
+          .filter(col("event_type") === "error" || col("user_id") === -1L)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val joined = graft.streaming.StreamOps.streamIntervalJoin(purchases,
+          errors, Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600,
+          watermark = "0 seconds", joinType = "left_outer")
+        graft.streaming.StreamOps.runToMemory(spark, joined, "probe_ivjo",
+          statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true).count()
+      }
+      time("cdc_schema_change_mat") {
+        val (logDir, rowSchema) = graft.queries.PipelineQueries
+          .schemaEvolveLog(spark, dir)
+        val raw = spark.read.schema(graft.sources.KafkaShapedLog.schema)
+          .parquet(logDir)
+        val decoded = graft.sources.KafkaShapedLog.decodeDebezium(
+          raw, rowSchema, "doc_id", extraCols = Seq("offset"))
+        graft.operators.ChangeLog.materialize(
+          decoded.select(col("doc_id"), col("offset"), col("op"),
+            col("lang_after").as("lang"), col("chars_after").as("chars"),
+            col("words_after").as("words")),
+          "doc_id", Seq("offset"), "op", Seq("lang", "chars", "words"))
           .count()
       }
     }

@@ -36,6 +36,27 @@ class RecordLinkageSpec extends SparkFunSuite {
     assert(p == Set((4L, 5L)))
   }
 
+  test("blockedPairsCompact emits exactly blockedPairs' pairs (both pickers, skew guard included)") {
+    val more = recs.unionAll(Seq((5L, "carol wo", "B")).toDF("id", "name", "blk"))
+    for (cap <- Seq(Int.MaxValue, 2)) {
+      def pairs(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+        f.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val joined = pairs(RecordLinkage.blockedPairs(more, "id", "name",
+        col("blk"), maxDist = 1, maxBlock = cap))
+      val compact = pairs(RecordLinkage.blockedPairsCompact(more, "id", "name",
+        col("blk"), maxDist = 1, maxBlock = cap))
+      assert(compact == joined, s"cap=$cap")
+      assert(compact.forall { case (a, b, _) => a < b })
+    }
+    // resolve is generator-independent
+    val viaCompact = RecordLinkage.resolve(more, "id", "name", col("blk"),
+      maxDist = 1).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaJoin = RecordLinkage.resolve(more, "id", "name", col("blk"),
+      maxDist = 1, compactBlocks = false)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaCompact == viaJoin)
+  }
+
   test("transitive matches land in one entity") {
     // a~b (dist 1) and b~c (dist 1) but a vs c is distance 2: components
     // still merge all three
