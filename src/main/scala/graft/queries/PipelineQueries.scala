@@ -2917,6 +2917,60 @@ object PipelineQueries {
           col("session_window.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // NATIVE-STATE crash-restart gate: unlike the foreachBatch *_restart
+    // gates (whose state is OUR persisted tables), session-window state
+    // lives in Spark's versioned state store — recovery there is the
+    // engine's own contract, exercised here end to end. Events time-split
+    // into two phases (arrival order = event order, nothing late): phase 1
+    // drains the older half on a real checkpoint — open sessions, incl.
+    // any straddling the split, persist in state — then the newest commit
+    // record is deleted (crash window); phase 2 adds the newer half + the
+    // fence and RESTARTS: the state store rolls back to the surviving
+    // version, the replayed batch re-emits what the lost incarnation
+    // emitted (deduped at the sink by the BatchLedger — a memory sink
+    // can't survive restarts, so the sink is a parquet table), straddling
+    // sessions merge across the restart, the fence flushes the tail. The
+    // accumulated sink must equal the batch islands: oracle verbatim from
+    // stream_session_window.
+    "stream_session_window_restart" -> ((s, dir) => {
+      val ev = StreamOps.fencibleEvents(s, dir)
+      val r = ev.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val cut = (mn + mx) / 2
+      Seq("swr_sink", "swr_ledger")
+        .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_swr").toFile
+      val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+      val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+      val ckpt = new java.io.File(tmpRoot, "ckpt")
+      writeSliceFixtures(tmpRoot, side, Seq(
+        ev.filter(unix_timestamp(col("ts")) < cut),
+        ev.filter(unix_timestamp(col("ts")) >= cut),
+        StreamOps.fenceRow(s, mx + 5400)))
+      def drain(): Unit = {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val agg = stream.withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+        // state partition count must be IDENTICAL across incarnations
+        // (fixed at first start) — the derived value is deterministic
+        StreamOps.drainToTable(s, agg, "swr_sink", ckpt.getPath, "swr_ledger",
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)))
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain() // older half; sessions open in state
+      dropLatestCommit(ckpt)                         // crash: newest batch uncommitted
+      moveIn(side, streamDir, "b1.parquet"); moveIn(side, streamDir, "b2.parquet")
+      drain() // rollback + replay, merge across restart, fence flush
+      s.table("swr_sink").filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     // RLS composed THROUGH native streaming session windows: the row
     // filter rewrites the streaming plan before the watermark/session agg
     // attach, so the sessions are computed over the policy-visible rows
@@ -6387,6 +6441,22 @@ object PipelineQueries {
         |                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
         |      FROM e),
         |s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin,
+    // native-state crash-restart variant: rollback + replay + cross-restart
+    // session merge must land the same islands — oracle verbatim
+    "stream_session_window_restart" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events),
+        |d AS (SELECT user_id, ts, tu,
+        |        CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, ts, tu, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
         |      FROM d)
         |SELECT user_id, min(ts) AS session_start,

@@ -22,10 +22,12 @@ object StreamOps {
     * id skips the body wholesale, so every append in it happens exactly
     * once. The guarded window that remains is a crash BETWEEN the body's
     * last append and the ledger record — then the replay re-runs a
-    * partially-applied batch (at-least-once). Closing that needs a
-    * transactional table format (Delta/Iceberg single-commit appends);
-    * with plain parquet the ledger gives exactly-once at WHOLE-BATCH
-    * granularity, which is the granularity Spark replays at.
+    * partially-applied batch (at-least-once). [[idempotentBatchAppend]]
+    * closes that window for plain sink appends (per-batch partition +
+    * dynamic overwrite — row-exact under any crash point); multi-table
+    * bodies (index + sink + quarantine) would need a transactional format
+    * for cross-table atomicity, so for them the ledger gives exactly-once
+    * at WHOLE-BATCH granularity, the granularity Spark replays at.
     * Ledger reads/writes are one tableExists + one batch-id filter + a
     * 1-row append per micro-batch — never data-sized.
     */
@@ -53,6 +55,39 @@ object StreamOps {
     }
   }
 
+  /** SUB-batch-idempotent sink append — closes the one window
+    * [[BatchLedger]] documents as open: a crash in the MIDDLE of an append
+    * (rows partially landed, ledger row not) replays at-least-once under
+    * the ledger, duplicating the landed prefix. Here each micro-batch
+    * writes into its own `_batch_id=<id>` partition with DYNAMIC partition
+    * overwrite, so a replay — whatever the crash point — OVERWRITES the
+    * batch's own partition and touches no other: exactly-once at row
+    * granularity on a plain parquet table, the same recipe a transactional
+    * format implements internally (per-commit file sets), expressed with
+    * the partition layout every warehouse already has. Readers drop
+    * `_batch_id` (or prune on it — the partition column doubles as ingest
+    * lineage). Partition count = batch count; compact on the usual index
+    * cadence when batches are small.
+    */
+  def idempotentBatchAppend(batch: DataFrame, table: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      val withBid = batch.withColumn("_batch_id", lit(batchId))
+      if (spark.catalog.tableExists(table))
+        // dynamic mode: Overwrite replaces ONLY the partitions present in
+        // the data — i.e. this batch's own
+        withBid.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .insertInto(table)
+      else
+        withBid.write.partitionBy("_batch_id").format("parquet")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+    } finally spark.conf.set(key, saved)
+  }
+
   /** Attach a checkpoint dir (real crash-recoverable state, vs the default
     * temp checkpoint) to a writeStream when one is given.
     */
@@ -60,6 +95,54 @@ object StreamOps {
       w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
       checkpointDir: Option[String]) =
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
+
+  /** Drain a (possibly stateful) streaming DataFrame into a parquet TABLE
+    * via [[BatchLedger]]-guarded foreachBatch appends on a REAL checkpoint —
+    * the restart-gate twin of [[runToMemory]]: a memory sink cannot survive
+    * a restart (each incarnation's emissions die with its query), while the
+    * table accumulates every phase's appends and the ledger makes replayed
+    * batches no-ops. For NATIVE stateful operators (session/tumbling window
+    * aggregations in Append mode) this is the production recovery path:
+    * the state store restores from its versioned checkpoint snapshot and a
+    * replayed batch recomputes from the ROLLED-BACK version, emitting
+    * exactly the rows the lost incarnation emitted — which the ledger then
+    * dedups at the sink boundary.
+    */
+  def drainToTable(spark: SparkSession, streamed: DataFrame, sinkTable: String,
+      checkpointDir: String, ledgerTable: String,
+      statePartitions: Option[Int] = None,
+      allowNoDataBatches: Boolean = true): Unit = {
+    def drain(): Unit = {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val saved = spark.conf.get(key)
+      try {
+        spark.conf.set(key, allowNoDataBatches.toString)
+        val perBatch: (DataFrame, Long) => Unit = (batch, bid) =>
+          if (BatchLedger.applied(batch.sparkSession, ledgerTable, bid)) {
+            // replayed batch: the sink append must NOT repeat, but the
+            // stateful plan must still EXECUTE in full — the state stores
+            // re-commit the rolled-back version, and Spark's commit
+            // validation (4.x) requires every state partition to commit;
+            // a skipped body reads as "expected N commits but got 0"
+            batch.write.format("noop").mode("overwrite").save()
+          } else {
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .format("parquet").saveAsTable(sinkTable)
+            BatchLedger.record(batch.sparkSession, ledgerTable, bid)
+          }
+        val q = streamed.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch(perBatch)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, saved)
+    }
+    statePartitions match {
+      case Some(n) => graft.SparkUtil.withShufflePartitions(spark, n)(drain())
+      case None => drain()
+    }
+  }
 
   /** State-partition count for streaming session-window aggregations,
     * derived from the INPUT VOLUME instead of a pinned constant (r12
@@ -156,13 +239,13 @@ object StreamOps {
   /** The events table in the fence-staging projection (timestamps
     * normalized, the columns a fence row can stand in for).
     */
-  private def fencibleEvents(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def fencibleEvents(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Tables.df(spark, dir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
 
   /** One `__fence__` event at `atEpochSec` (user -1): callers filter it out. */
-  private def fenceRow(spark: SparkSession, atEpochSec: Long): DataFrame = {
+  private[graft] def fenceRow(spark: SparkSession, atEpochSec: Long): DataFrame = {
     import spark.implicits._
     Seq((-1L, new java.sql.Timestamp(atEpochSec * 1000L), -1L, "__fence__", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")

@@ -182,6 +182,33 @@ class StreamingRestartSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("idempotentBatchAppend: mid-append crash replay converges row-exactly (the window the ledger leaves open)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS rst_ibs")
+    try {
+      val b0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      StreamOps.idempotentBatchAppend(b0, "rst_ibs", 0L)
+      // simulate a crash MID-append of batch 1: a PARTIAL prefix landed
+      // (plain Append — what a torn parquet append leaves behind)
+      Seq((4L, "d")).toDF("id", "v").withColumn("_batch_id", lit(1L))
+        .write.mode("append").insertInto("rst_ibs")
+      assert(spark.table("rst_ibs").count() == 4)
+      // the replay of batch 1 carries the FULL batch; dynamic partition
+      // overwrite replaces partition _batch_id=1 wholesale — the torn
+      // prefix vanishes, nothing duplicates, batch 0 untouched
+      val b1 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+      StreamOps.idempotentBatchAppend(b1, "rst_ibs", 1L)
+      val got = spark.table("rst_ibs").select("id", "v").as[(Long, String)]
+        .collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      // a second replay (the commit-loss case) is also a no-op
+      StreamOps.idempotentBatchAppend(b1, "rst_ibs", 1L)
+      assert(spark.table("rst_ibs").count() == 5)
+      // partition pruning on _batch_id works (ingest lineage for free)
+      assert(spark.table("rst_ibs").filter(col("_batch_id") === 1L).count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS rst_ibs")
+  }
+
   test("bm25 ingest: replay appends zero postings (id-guard idempotence, no ledger needed)") {
     import graft.operators.Retrieval
     val d = spark.read.parquet(s"$dir/documents.parquet")
