@@ -3079,6 +3079,33 @@ object PipelineQueries {
         .select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
         .orderBy(col("p_id"), col("e_id").asc_nulls_first)
     }),
+    // COLUMN deny composed through a STREAMING plan: reading the denied
+    // column of the streaming view fails closed at ANALYSIS time — before
+    // any micro-batch runs, which is the only acceptable failure point for
+    // an unbounded query (a per-row denial would stream nulls forever) —
+    // while the allowed projection drains normally under its row filter.
+    // The require makes the throw part of the oracled behavior.
+    "sec_stream_col_deny" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      StreamOps.eventsStream(s, dir).createOrReplaceTempView("events_stream_cd_q")
+      ctx.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_cd_q", "props"))
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "stream_user", "spark_catalog", "default", "events_stream_cd_q",
+        "event_type = 'purchase'"))
+      val denied =
+        try {
+          ctx.dfRowFilter("stream_user",
+            "SELECT event_id, props FROM events_stream_cd_q")
+          false
+        } catch { case _: graft.ColumnAccessDeniedException => true }
+      require(denied, "streaming column deny failed to fire")
+      val secured = ctx.dfRowFilter("stream_user",
+        "SELECT event_id, user_id, value FROM events_stream_cd_q")
+      StreamOps.runToMemory(s, secured, "sec_stream_cd_out",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("event_id"))
+    }),
     // the reference's core scenario on Spark: a STREAMING query through the
     // security layer — row filter + hash mask applied to the plan before the
     // stream starts, drained append-mode to memory
@@ -6528,6 +6555,11 @@ object PipelineQueries {
     // mask_hash = lower(sha2(col, 256)); DuckDB's sha256() is lowercase hex
     "sec_stream_mask" ->
       """SELECT event_id, user_id, sha256(props) AS props
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the denied-column read throws before any micro-batch (require-gated
+    // in the query); the allowed projection is the row-filtered stream
+    "sec_stream_col_deny" ->
+      """SELECT event_id, user_id, value
         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // 3 unrolled PageRank power iterations over the same in-plan citation
     // graph (same edge arithmetic, same per-iteration 6-decimal rounding,

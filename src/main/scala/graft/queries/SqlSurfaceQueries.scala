@@ -181,6 +181,69 @@ object SqlSurfaceQueries {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           col("l_discount").cast("decimal(4,2)"))
           .cast("double").as("revenue"))),
+    // TPC-H Q4 shape (order priority checking): the correlated EXISTS —
+    // RewritePredicateSubquery plans it as a LEFT-SEMI join from the
+    // date-filtered orders to lineitem on orderkey (plan-asserted), so the
+    // subquery never re-executes per row and only the matching order keys
+    // shuffle. (The corpus has no commit/receipt dates; the R-returnflag
+    // line stands in as the per-order existence predicate.)
+    "q4_order_priority" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q4")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+      s.sql("""SELECT o.o_orderpriority, count(*) AS order_count
+              |FROM orders_q4 o
+              |WHERE o.o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
+              |  AND o.o_orderdate < CAST('1997-04-01' AS TIMESTAMP)
+              |  AND EXISTS (SELECT 1 FROM lineitem_q4 l
+              |              WHERE l.l_orderkey = o.o_orderkey
+              |                AND l.l_returnflag = 'R')
+              |GROUP BY o.o_orderpriority
+              |ORDER BY o.o_orderpriority""".stripMargin)
+    }),
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) over
+    // a join PLUS a NOT IN subquery — the null-aware anti-join plan shape
+    // (the subquery column is non-null here, so it degenerates to a plain
+    // anti join the optimizer can broadcast). The distinct count forces
+    // the two-phase partial/final aggregate over (group, suppkey).
+    "q16_parts_supplier" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q16")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q16")
+      s.sql("""SELECT p.p_brand, p.p_type, p.p_size,
+              |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+              |FROM part_q16 p JOIN lineitem_q16 l ON p.p_partkey = l.l_partkey
+              |WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 4, 7)
+              |  AND l.l_suppkey NOT IN (
+              |    SELECT s_suppkey FROM supplier_q16 WHERE s_name LIKE '%7')
+              |GROUP BY p.p_brand, p.p_type, p.p_size
+              |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin)
+    }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
+    // NOT EXISTS pair against the SAME fact table — planned as a left-semi
+    // join (another supplier touched the order) chained with a left-ANTI
+    // join (no other supplier's line is flagged), both on orderkey; the
+    // classic multi-consumer self-reference that a per-row engine executes
+    // twice per line. 'R' returnflag stands in for the late-delivery
+    // predicate (no receipt/commit dates in the corpus).
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q21")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+      s.sql("""SELECT s.s_name, count(*) AS numwait
+              |FROM supplier_q21 s
+              |JOIN lineitem_q21 l1 ON s.s_suppkey = l1.l_suppkey
+              |JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+              |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              |  AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+              |              WHERE l2.l_orderkey = l1.l_orderkey
+              |                AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+              |                  WHERE l3.l_orderkey = l1.l_orderkey
+              |                    AND l3.l_suppkey <> l1.l_suppkey
+              |                    AND l3.l_returnflag = 'R')
+              |GROUP BY s.s_name
+              |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin)
+    }),
     // RUNTIME bloom-filter join pruning (InjectRuntimeFilter): the selective
     // orders filter builds a bloom filter over o_orderkey that is pushed
     // into the UNFILTERED lineitem side as a might_contain pre-filter —
@@ -433,6 +496,40 @@ object SqlSurfaceQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+    "q16_parts_supplier" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 4, 7)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
     // the bloom filter is semantics-free pruning: the oracle is the plain join
     "q_runtime_filter" ->
       """SELECT l.l_returnflag, count(*) AS cnt,

@@ -95,4 +95,37 @@ class TpchPlanSpec extends SparkFunSuite {
     assert(formatted.contains("TakeOrderedAndProject"),
       "limit-20 must plan as TakeOrdered (map-side partial top-k), not a global sort")
   }
+
+  test("q4: the correlated EXISTS plans as a left-semi join; date range pushed to the orders scan") {
+    val df = graft.SparkEntry.queries("q4_order_priority")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n${plan.take(1200)}")
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("exists"),
+      "the subquery expression must be rewritten away, not evaluated per row")
+  }
+
+  test("q16: the NOT IN subquery plans as an anti join; the excluded-supplier side broadcasts") {
+    val df = graft.SparkEntry.queries("q16_parts_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must plan as an anti join:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny supplier exclusion list must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("q21: EXISTS + NOT EXISTS on the same fact plan as one semi and one anti join") {
+    val df = graft.SparkEntry.queries("q21_waiting_suppliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "limit-100 must plan as TakeOrdered, not a global sort")
+  }
 }
