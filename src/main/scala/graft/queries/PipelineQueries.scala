@@ -2917,6 +2917,36 @@ object PipelineQueries {
           col("session_window.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // the DISK-BACKED state engine — the 100 TB configuration: the default
+    // HDFS-backed provider holds every state row on the executor HEAP
+    // (session state at cluster scale OOMs there), while RocksDB spills to
+    // local disk with heap-independent capacity. Same plan, same oracle:
+    // the state engine must be invisible to results, which is exactly what
+    // makes it safe to flip in production. Artifact-asserted (RocksDB
+    // snapshot layout) + restart-parity in StreamingRestartSpec.
+    "stream_session_window_rocksdb" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val fenced = StreamOps.eventsStreamFenced(s, dir, fenceAheadSec = 5400)
+          .withWatermark("ts", "0 seconds")
+        val agg = fenced
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        // drain INSIDE the conf scope (the provider is read at query start);
+        // the returned memory table is already materialized, so the
+        // post-restore orderBy is a batch read
+        StreamOps.runToMemory(s, agg, "stream_swrdb_out",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+            allowNoDataBatches = true)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+          .orderBy(col("user_id"), col("session_start"))
+      }
+    }),
     // NATIVE-STATE crash-restart gate: unlike the foreachBatch *_restart
     // gates (whose state is OUR persisted tables), session-window state
     // lives in Spark's versioned state store — recovery there is the
@@ -6461,6 +6491,22 @@ object PipelineQueries {
     // strict-microsecond gaps-and-islands (session_window's merge rule),
     // session_end = last event + gap by definition
     "stream_session_window" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events),
+        |d AS (SELECT user_id, ts, tu,
+        |        CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin,
+    // state-engine invariance: RocksDB-backed state must land the same
+    // islands — oracle verbatim
+    "stream_session_window_rocksdb" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tu FROM events),
         |d AS (SELECT user_id, ts, tu,
         |        CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -182,6 +182,74 @@ class StreamingRestartSpec extends SparkFunSuite {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("RocksDB state store: crash-restart protocol lands identical sessions, with real snapshot artifacts") {
+    // the 100 TB state engine (disk-backed, heap-independent) must be
+    // invisible to results INCLUDING across a crash-restart: run the
+    // session-window phase protocol (commit-drop between phases) under the
+    // default heap provider and under RocksDB — same sessions, and the
+    // RocksDB checkpoint must hold its own snapshot layout (the proof the
+    // provider was engaged, not silently defaulted).
+    val ev = StreamOps.fencibleEvents(spark, dir)
+    val r = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val cut = (mn + mx) / 2
+    def runProtocol(provider: Option[String], tag: String): Set[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val sink = s"rst_sw_$tag"; val ledger = s"rst_sw_${tag}_ledger"
+      Seq(sink, ledger).foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+      val (tmpRoot, side, streamDir, ckpt) = mkDirs(s"graft_rst_sw_$tag")
+      stageSlices(tmpRoot, side, Seq(
+        ev.filter(unix_timestamp(col("ts")) < cut),
+        ev.filter(unix_timestamp(col("ts")) >= cut),
+        StreamOps.fenceRow(spark, mx + 5400)))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val agg = stream.withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+        def run(): Unit = StreamOps.drainToTable(spark, agg, sink,
+          ckpt.getPath, ledger, statePartitions = Some(4))
+        provider match {
+          case Some(p) => graft.SparkUtil.withConfs(spark,
+            "spark.sql.streaming.stateStore.providerClass" -> p)(run())
+          case None => run()
+        }
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain()
+      dropLatestCommit(ckpt)
+      moveIn(side, streamDir, "b1.parquet"); moveIn(side, streamDir, "b2.parquet")
+      drain()
+      if (provider.isDefined) {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+          else Seq(f)
+        val stateFiles = walk(new java.io.File(ckpt, "state")).map(_.getName)
+        assert(stateFiles.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+          s"no RocksDB artifacts under state/: ${stateFiles.take(20)}")
+        assert(!stateFiles.exists(_.endsWith(".delta")),
+          "HDFS-backed .delta files present — RocksDB provider not engaged")
+      }
+      val out = spark.table(sink).filter(col("user_id") =!= -1L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(x => (x.getLong(0), x.getTimestamp(1), x.getTimestamp(2), x.getLong(3)))
+        .toSet
+      Seq(sink, ledger).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      out
+    }
+    val dflt = runProtocol(None, "dflt")
+    val rocks = runProtocol(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocks")
+    assert(dflt.nonEmpty)
+    assert(rocks == dflt, "state engine must be invisible to results")
+  }
+
   test("idempotentBatchAppend: mid-append crash replay converges row-exactly (the window the ledger leaves open)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS rst_ibs")
