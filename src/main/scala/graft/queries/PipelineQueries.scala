@@ -82,7 +82,7 @@ object PipelineQueries {
     * not an internals hack: any kill between those two writes leaves
     * exactly this checkpoint state.
     */
-  private def dropLatestCommit(ckpt: java.io.File): Unit = {
+  private[graft] def dropLatestCommit(ckpt: java.io.File): Unit = {
     val commits = new java.io.File(ckpt, "commits")
     val entries = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))

@@ -266,6 +266,58 @@ object EpochOps {
       println("[tokenizer] ACTUATOR: divergence above 5% — retrain merges " +
         "on the current corpus (wordpieceTrain) and re-encode at next epoch")
 
+    // ---- 10. crash-recovery drill (r13): before trusting an epoch's
+    // streaming ingests, rehearse the failure path on a sample — run one
+    // ledgered maintain batch on a real checkpoint, delete its commit
+    // record (the exact window Spark replays for), restart, and check the
+    // replay was a no-op. Production runs this against the standing
+    // checkpoint layout at onboarding and after Spark upgrades; the
+    // oracled *_restart gates keep the mechanism itself pinned per build.
+    Seq("ep_drill_state", "ep_drill_state_staged", "ep_drill_state_old",
+      "ep_drill_ledger").foreach(t =>
+        graft.sources.Sources.dropForOverwrite(spark, t))
+    val drillBase = full.select(col("doc_id"), col("lang"),
+      length(col("text")).as("chars"))
+    graft.operators.ChangeLog.aggStateWriteBucketed(
+      drillBase.filter(col("doc_id") % 2 === 0), "ep_drill_state", "lang",
+      Seq("chars"), numBuckets = 4)
+    val drillChanges = graft.operators.ChangeLog.fromSnapshotsFull(
+      drillBase.filter(col("doc_id") % 2 === 0), drillBase, "doc_id",
+      Seq("lang", "chars"))
+    val drillRoot = java.nio.file.Files.createTempDirectory("ep_drill").toFile
+    val drillIn = new java.io.File(drillRoot, "in"); drillIn.mkdirs()
+    val drillCkpt = new java.io.File(drillRoot, "ckpt")
+    drillChanges.coalesce(1).write.parquet(new java.io.File(drillRoot, "p").getPath)
+    java.nio.file.Files.move(
+      new java.io.File(drillRoot, "p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(drillIn, "b0.parquet").toPath)
+    def drillDrain(): Unit = {
+      val st = spark.readStream.schema(drillChanges.schema).parquet(drillIn.getPath)
+      val q = graft.streaming.StreamOps.streamingAggMaintain(st,
+        "ep_drill_state", "op", "lang", Seq("chars"),
+        checkpointDir = Some(drillCkpt.getPath),
+        ledgerTable = Some("ep_drill_ledger"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    drillDrain()
+    val stateAfterOnce = spark.table("ep_drill_state").orderBy("lang")
+      .collect().toSeq
+    // the shared crash simulation (deletes the commit AND its local-FS
+    // checksum sibling — a stale .crc fails the re-commit's atomic rename)
+    graft.queries.PipelineQueries.dropLatestCommit(drillCkpt)
+    drillDrain() // replay: ledger must make it a no-op
+    val stateAfterReplay = spark.table("ep_drill_state").orderBy("lang")
+      .collect().toSeq
+    val drillOk = stateAfterOnce == stateAfterReplay
+    println(s"[recovery-drill] replay no-op: $drillOk " +
+      s"(ledger batches: ${spark.table("ep_drill_ledger").count()})")
+    if (!drillOk)
+      println("[recovery-drill] ACTUATOR: HALT epoch ingests — replay " +
+        "double-applied; check ledger wiring before streaming anything")
+    Seq("ep_drill_state", "ep_drill_state_staged", "ep_drill_state_old",
+      "ep_drill_ledger").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
     epochTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
