@@ -338,11 +338,18 @@ object StreamOps {
   def streamingIncrementalDedup(docsStream: DataFrame, indexTable: String,
       idCol: String, textCol: String, sinkTable: String,
       maxBucket: Int = 100, threshold: Double = 0.7,
-      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+      extendIndex: Boolean = true,
+      /** Real checkpoint + [[BatchLedger]] — the crash-restart discipline
+        * proven on the curate/IVM/BM25 gates, wired family-wide: a
+        * replayed batch skips the sink and index appends wholesale.
+        */
+      checkpointDir: Option[String] = None,
+      ledgerTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     // explicit function type: foreachBatch's Scala/Java overloads are
     // ambiguous for a SAM-converted lambda on Scala 2.13
-    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    val perBatch: (DataFrame, Long) => Unit = (batch, bid) => BatchLedger.once(
+        batch.sparkSession, ledgerTable, bid) {
       val dupIds = Dedup.minhashDedupIncremental(batch, indexTable, idCol,
         textCol, maxBucket, threshold)
         .select(col("batch_id").as(idCol)).distinct()
@@ -352,7 +359,8 @@ object StreamOps {
         .format("parquet").saveAsTable(sinkTable)
       if (extendIndex) Dedup.minhashAppendToIndex(survivors, indexTable, idCol, textCol)
     }
-    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+    withCheckpoint(docsStream.writeStream.outputMode("append")
+      .foreachBatch(perBatch), checkpointDir).start()
   }
 
   /** Streaming EXACT-dedup ingest over a [[graft.operators.Dedup.exactWriteBucketed]]
@@ -366,16 +374,21 @@ object StreamOps {
     */
   def streamingExactDedup(docsStream: DataFrame, indexTable: String,
       idCol: String, keyCol: String, sinkTable: String,
-      extendIndex: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+      extendIndex: Boolean = true,
+      /** Real checkpoint + [[BatchLedger]] — see [[streamingIncrementalDedup]]. */
+      checkpointDir: Option[String] = None,
+      ledgerTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    val perBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    val perBatch: (DataFrame, Long) => Unit = (batch, bid) => BatchLedger.once(
+        batch.sparkSession, ledgerTable, bid) {
       val survivors = Dedup.exactDedupIncremental(batch, indexTable, idCol, keyCol)
         .localCheckpoint(eager = false) // sink append + index append
       survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(sinkTable)
       if (extendIndex) Dedup.exactAppendToIndex(survivors, indexTable, idCol, keyCol)
     }
-    docsStream.writeStream.outputMode("append").foreachBatch(perBatch).start()
+    withCheckpoint(docsStream.writeStream.outputMode("append")
+      .foreachBatch(perBatch), checkpointDir).start()
   }
 
   /** Streaming SUBSTRING-dedup ingest over a persisted

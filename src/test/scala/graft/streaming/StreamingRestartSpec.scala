@@ -277,6 +277,45 @@ class StreamingRestartSpec extends SparkFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS rst_ibs")
   }
 
+  test("exact-dedup ingest: the family-wide ledger wiring survives commit-loss replay") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    Seq("rst_ex_idx", "rst_ex_sink", "rst_ex_ledger")
+      .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    try {
+      Dedup.exactWriteBucketed(d.limit(0).withColumn("k", col("text")),
+        "rst_ex_idx", "doc_id", "k", numBuckets = 4)
+      // batch 0 = originals; batch 1 = byte-identical +1e6 copies (all must
+      // drop against the extended index after the replayed batch 0)
+      val copies = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val (tmpRoot, side, streamDir, ckpt) = mkDirs("graft_rst_ex")
+      stageSlices(tmpRoot, side, Seq(d, copies))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+        val q = StreamOps.streamingExactDedup(
+          stream.withColumn("k", col("text")), "rst_ex_idx", "doc_id", "k",
+          "rst_ex_sink", checkpointDir = Some(ckpt.getPath),
+          ledgerTable = Some("rst_ex_ledger"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      moveIn(side, streamDir, "b0.parquet"); drain()
+      val sink0 = spark.table("rst_ex_sink").count()
+      val idx0 = spark.table("rst_ex_idx").count()
+      dropLatestCommit(ckpt); drain() // pure replay
+      assert(spark.table("rst_ex_sink").count() == sink0, "replay re-appended the sink")
+      assert(spark.table("rst_ex_idx").count() == idx0, "replay re-extended the index")
+      moveIn(side, streamDir, "b1.parquet"); drain()
+      // every copy dropped against the (exactly-once) index; sink = originals
+      val got = spark.table("rst_ex_sink").select("doc_id").as[Long].collect()
+      assert(got.length == got.distinct.length)
+      assert(got.toSet == d.select("doc_id").as[Long].collect().toSet)
+    } finally Seq("rst_ex_idx", "rst_ex_sink", "rst_ex_ledger")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25 ingest: replay appends zero postings (id-guard idempotence, no ledger needed)") {
     import graft.operators.Retrieval
     val d = spark.read.parquet(s"$dir/documents.parquet")
