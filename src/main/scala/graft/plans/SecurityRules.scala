@@ -148,7 +148,23 @@ object ColumnDenyCheck {
     case _ => None
   }
 
-  /** (cat.db.table, referenced denied columns) per violating scan. */
+  /** (cat.db.table, referenced denied columns) per violating scan.
+    *
+    * VIEW semantics (the bypass a naive boundary leaves open): a view
+    * projecting a denied column (`CREATE VIEW v AS SELECT price AS p FROM
+    * orders`) must deny `SELECT p FROM v` — the view's internal reference
+    * IS the user's read, performed on their behalf. But a view's internals
+    * must not count WHOLESALE either: a stored plan that merely PASSES
+    * every column through (the normalized-timestamp temp views here) would
+    * then deny unrelated queries. Resolution: after the user-plan walk,
+    * each view's internals are walked DEMAND-DRIVEN — inside a view, a
+    * Project entry contributes its references only when its output is
+    * itself demanded (by the user or by a node above it in the view), the
+    * standard column-pruning argument; every non-Project node contributes
+    * all its references (a Filter/Aggregate inside the view executes
+    * regardless of the select list — touching the column is reading it,
+    * the fail-closed reading Hive's column authorization uses).
+    */
   def violations(plan: LogicalPlan, user: String, policies: PolicyManager,
       scope: TableScope): Seq[(String, Seq[String])] = {
     // fast path: no column-deny policies at all -> skip the plan walk
@@ -162,10 +178,15 @@ object ColumnDenyCheck {
       (parts, chain, policies.deniedColumns(user, parts._1, parts._2, parts._3))
     }.filter(_._3.nonEmpty)
     if (denied.isEmpty) return Nil
-    // exprIds referenced STRICTLY ABOVE base-table scans (stop descent at
-    // each scan so a view's internal plan never counts), skipping injected
-    // nodes' own expressions, descending into subquery expressions
+    // phase 1: exprIds referenced in the USER's plan — stop descent at each
+    // base-table scan (noting views for phase 2), skip injected nodes' own
+    // expressions, descend into subquery expressions
     val ids = scala.collection.mutable.Set.empty[ExprId]
+    val views = scala.collection.mutable.Buffer.empty[View]
+    def noteIfView(chain: Seq[LogicalPlan]): Unit = chain.last match {
+      case v: View => views += v; ()
+      case _ => ()
+    }
     def walk(p: LogicalPlan): Unit = {
       if (!isInjected(p)) p.expressions.foreach(_.foreach {
         case a: AttributeReference => ids += a.exprId; ()
@@ -173,11 +194,53 @@ object ColumnDenyCheck {
         case _ => ()
       })
       p.children.foreach {
-        case SubqueryAlias(_, child) if injectedChain(child).isDefined => ()
+        case SubqueryAlias(_, child) if injectedChain(child).isDefined =>
+          noteIfView(injectedChain(child).get)
         case c => walk(c)
       }
     }
     walk(plan)
+    // phase 2: demand-driven descent into each view's stored plan
+    def refsOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        into: scala.collection.mutable.Set[ExprId]): Unit = e.foreach {
+      case a: AttributeReference => into += a.exprId; ()
+      // subquery plans inside a view: conservative full walk (fail-closed)
+      case s: SubqueryExpression => walkDemand(s.plan, None); ()
+      case _ => ()
+    }
+    // demanded None = everything counts (conservative mode)
+    def walkDemand(p: LogicalPlan, demanded: Option[Set[ExprId]]): Unit = p match {
+      case pr: Project =>
+        val kept = demanded match {
+          case Some(d) => pr.projectList.filter(ne => d.contains(ne.toAttribute.exprId))
+          case None => pr.projectList
+        }
+        val refs = scala.collection.mutable.Set.empty[ExprId]
+        kept.foreach(refsOf(_, refs))
+        ids ++= refs
+        walkDemand(pr.child, demanded.map(_ => refs.toSet))
+      case SubqueryAlias(_, child) if injectedChain(child).isDefined =>
+        noteIfView(injectedChain(child).get) // nested view scan: queue it
+      case v: View =>
+        views += v; () // bare nested view (defensive): queue it
+      case _: LeafNode =>
+        () // a leaf's expressions are its OUTPUT DEFINITION (LogicalRDD /
+           // LocalRelation carry their attributes as constructor args),
+           // not references — counting them would deny every view column
+      case other =>
+        val refs = scala.collection.mutable.Set.empty[ExprId]
+        other.expressions.foreach(refsOf(_, refs))
+        ids ++= refs
+        other.children.foreach(walkDemand(_, demanded.map(_ ++ refs)))
+    }
+    // queue semantics: a view's internals may queue deeper views; each runs
+    // with the demand visible at ITS processing time (ids only ever grows,
+    // so late processing is the fail-closed direction)
+    var i = 0
+    while (i < views.length) {
+      val v = views(i); i += 1
+      walkDemand(v.child, Some(v.output.map(_.exprId).toSet.filter(ids.contains)))
+    }
     denied.flatMap { case ((cat, db, table), chain, cols) =>
       val hit = chain.flatMap(_.output)
         .filter(a => cols.exists(_.equalsIgnoreCase(a.name)) && ids.contains(a.exprId))

@@ -710,6 +710,49 @@ class SecurityContextSpec extends SparkFunSuite {
     assert(trail.filter(_._1 == "COLUMN_DENY").forall(_._2 == "price"))
   }
 
+  test("column deny reaches through views (no view bypass), demand-driven (no passthrough false positive)") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+      "user_A", CAT, DB, "orders", "price"))
+    try {
+      // (a) the classic view-indirection hole: a view PROJECTING the denied
+      // column (renamed, even) — reading the projection is reading the column
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cd_leak_v AS " +
+        "SELECT order_id, price AS p FROM orders")
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A", "SELECT p FROM cd_leak_v")
+      }
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A", "SELECT * FROM cd_leak_v")
+      }
+      // ...but the view's OTHER columns stay readable: demand-driven, the
+      // un-demanded projection entry is not a read
+      assert(c.executeRowFilter("user_A",
+        "SELECT order_id FROM cd_leak_v", 10).nonEmpty)
+      // (b) a derived temp view passing EVERY column through (the stored
+      // DataFrame-plan shape): unrelated queries must not false-positive
+      spark.table("orders")
+        .withColumn("oid2", org.apache.spark.sql.functions.col("order_id") * 2)
+        .createOrReplaceTempView("cd_pass_v")
+      assert(c.executeRowFilter("user_A",
+        "SELECT order_id, oid2, region FROM cd_pass_v", 10).nonEmpty)
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A", "SELECT price FROM cd_pass_v")
+      }
+      // (c) a FILTER inside the view touches the column regardless of the
+      // select list — fail-closed: reading the view is reading the column
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cd_filter_v AS " +
+        "SELECT order_id FROM orders WHERE price > 10")
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A", "SELECT order_id FROM cd_filter_v")
+      }
+      // other principals read everything through every view
+      assert(c.executeRowFilter("user_B", "SELECT p FROM cd_leak_v", 10).nonEmpty)
+    } finally Seq("cd_leak_v", "cd_pass_v", "cd_filter_v")
+      .foreach(v => spark.catalog.dropTempView(v))
+  }
+
   test("mask-only entry point enforces table-level deny (no fail-open path)") {
     ctx
     val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
