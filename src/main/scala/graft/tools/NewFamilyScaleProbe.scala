@@ -261,6 +261,26 @@ object NewFamilyScaleProbe {
           outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
           allowNoDataBatches = true).count()
       }
+      time("stream_session_window_rocksdb") {
+        // disk-backed state at 10x session volume: where the heap store's
+        // capacity story ends, RocksDB's begins — measured next to the
+        // default-provider derived row above
+        val fenced = graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
+            fenceAheadSec = 5400)
+          .withWatermark("ts", "0 seconds")
+        val agg = fenced
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.SparkUtil.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamOps.runToMemory(spark, agg, "probe_swrdb",
+            statePartitions =
+              Some(graft.streaming.StreamOps.sessionStatePartitions(spark, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+            allowNoDataBatches = true).count()
+        }
+      }
       time("sec_stream_sessions") {
         val ctx = new graft.SecurityContext(spark)
         graft.streaming.StreamOps.eventsStreamFenced(spark, dir,
