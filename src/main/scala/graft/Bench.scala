@@ -75,7 +75,12 @@ object Bench {
     //    member the suite's shuffled order happens to run first — that
     //    attribution jitter is what made emb_kmeans_stats readings swing
     //    across r10/r11 refreshes independent of its own cost.
-    Seq("ann_brute_topk", "dedup_minhash", "text_bpe", "emb_kmeans")
+    //    text_wordpiece / text_unigram warm the OTHER memoized tokenizer
+    //    fits (trainedWordpiece, the unigram EM) for the same reason —
+    //    r13's suite-order change moved the wordpiece fit onto
+    //    text_wordpiece (0.14 -> 1.95 s at both SFs, pure attribution).
+    Seq("ann_brute_topk", "dedup_minhash", "text_bpe", "emb_kmeans",
+        "text_wordpiece", "text_unigram")
       .filter(SparkEntry.queries.contains).foreach(once)
     // 4. streaming machinery (state store, micro-batch planner) on tiny
     //    inputs; prefer the sibling sf0.001 dir, fall back to the bench dir
