@@ -572,6 +572,34 @@ object PipelineQueries {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Matryoshka-style dimension-truncation evaluation (the MRL question):
+    // what recall@10 does an embedding keep when truncated to its first p
+    // dims, against the full-dim ground truth — the decision input for
+    // embedding COMPRESSION (store/search 16 of 64 dims where the curve
+    // holds; at 100 TB of vectors the prefix is the storage and shuffle
+    // budget). Four broadcast-query brute-force passes, one per prefix —
+    // each the ann_brute_topk shape (map-side WindowGroupLimit top-k) over
+    // slice()d vectors — then a |prefixes|x|queries|-sized recall regroup.
+    // prefix 64 IS the ground truth (recall 1.0 by construction), a
+    // built-in self-check the oracle restates.
+    "emb_mrl_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val nq = q.count() // queries-sized driver scalar (8 rows)
+      def topk(p: Int) = Similarity.bruteForceTopK(
+        e.select(col("vec_id"), expr(s"slice(embedding, 1, $p)").as("embedding")),
+        q.select(col("query_id"), expr(s"slice(qv, 1, $p)").as("qv")),
+        "vec_id", "embedding", "query_id", "qv", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val full = topk(64).localCheckpoint(eager = false) // reused by all four semi joins
+      Seq(8, 16, 32, 64).map(p => topk(p).withColumn("prefix_dim", lit(p)))
+        .reduce(_ unionAll _)
+        .join(full, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("prefix_dim"))
+        .agg(round(count(lit(1)) / (lit(nq) * 10.0), 6).as("avg_recall"))
+        .orderBy(col("prefix_dim"))
+    }),
     "asof_join" -> ((s, dir) => {
       // point-in-time: each click joined to the user's latest purchase at or
       // before it (second-truncated epochs for cross-engine determinism)
@@ -4633,6 +4661,30 @@ object PipelineQueries {
         |      FROM s)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the identical slice-then-cosine ranking per prefix; prefix 64 is the
+    // ground truth, so its recall row proves 1.0 by construction
+    "emb_mrl_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |      FROM embeddings),
+        |p AS (SELECT * FROM (VALUES (8),(16),(32),(64)) t(prefix_dim)),
+        |s AS (SELECT p.prefix_dim, q.query_id, e.vec_id,
+        |             list_cosine_similarity(array_slice(e.ev, 1, p.prefix_dim),
+        |                                    array_slice(q.qv, 1, p.prefix_dim)) AS cosine
+        |      FROM e CROSS JOIN q CROSS JOIN p),
+        |r AS (SELECT prefix_dim, query_id, vec_id,
+        |             row_number() OVER (PARTITION BY prefix_dim, query_id
+        |               ORDER BY cosine DESC, vec_id) AS rank
+        |      FROM s),
+        |t AS (SELECT prefix_dim, query_id, vec_id FROM r WHERE rank <= 10),
+        |f AS (SELECT query_id, vec_id FROM t WHERE prefix_dim = 64),
+        |hits AS (SELECT t.prefix_dim, count(*) AS h FROM t
+        |         JOIN f USING (query_id, vec_id) GROUP BY t.prefix_dim),
+        |nq AS (SELECT count(*) AS n FROM q)
+        |SELECT prefix_dim, round(h / (n * 10.0), 6) AS avg_recall
+        |FROM hits CROSS JOIN nq ORDER BY prefix_dim""".stripMargin,
     // same top-30 candidate list, positives filtered, re-ranked
     "emb_hard_negatives_dupfree" ->
       """WITH q AS (SELECT vec_id AS query_id,

@@ -87,6 +87,42 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == Seq(1L, 4L, 2L)) // cosine 1.0, 1.0 (tie -> id), 0.995
   }
 
+  test("dimension-truncation recall: planted prefix-identical vectors confuse the prefix, full dim resolves") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // 4 vectors over dim 4: a/b share the FIRST TWO dims exactly and only
+    // differ in the tail, c is the prefix-orthogonal distractor. Query = a.
+    // Prefix-2 top-2 must tie a/b (id order); full-dim top-2 is a then b by
+    // true cosine — the truncated ranking finds the right SET here, while a
+    // truncated-vs-full rank comparison on the distractor shows the loss.
+    val v = Seq(
+      (1L, Seq(1f, 1f, 1f, 0f)),
+      (2L, Seq(1f, 1f, 0f, 1f)),
+      (3L, Seq(1f, -1f, 0f, 0f)),
+      (4L, Seq(-1f, 1f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val q = v.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def topkIds(p: Int, k: Int): Seq[Long] = Similarity.bruteForceTopK(
+      v.select(col("vec_id"), expr(s"slice(embedding, 1, $p)").as("embedding")),
+      q.select(col("query_id"), expr(s"slice(qv, 1, $p)").as("qv")),
+      "vec_id", "embedding", "query_id", "qv", k)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // prefix 2: a and b are IDENTICAL -> cosine tie, id tiebreak
+    assert(topkIds(2, 2) == Seq(1L, 2L))
+    // full dim: a (self, 1.0) then b (2/3)
+    assert(topkIds(4, 2) == Seq(1L, 2L))
+    // the loss is visible at k=3: prefix-2 cannot separate c (cos 0) from
+    // d; full-dim ranks d (cos ~0.577) above c (cos 0)
+    assert(topkIds(4, 3) == Seq(1L, 2L, 4L))
+    assert(topkIds(2, 3).last == 4L || topkIds(2, 3).last == 3L) // prefix ambiguity
+    // slicing commutes with the ranking arithmetic: prefix-4 == unsliced
+    val unsliced = Similarity.bruteForceTopK(v, q, "vec_id", "embedding",
+      "query_id", "qv", 3).orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(topkIds(4, 3) == unsliced)
+    // (the ground-truth prefix's self-recall == 1.0 is oracled in the
+    // emb_mrl_recall gate itself — its prefix-64 row)
+  }
+
   test("LSH top-k returns a subset ranked identically to brute force on hits") {
     val q = vecs.filter($"vec_id" === 1L)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
