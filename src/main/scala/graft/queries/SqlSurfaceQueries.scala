@@ -244,6 +244,50 @@ object SqlSurfaceQueries {
               |GROUP BY s.s_name
               |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin)
     }),
+    // TPC-H Q14 shape (promotion effect): the CONDITIONAL-aggregate ratio —
+    // 100 * sum(CASE ...) / sum(...) over one date-filtered join; both sums
+    // come out of ONE aggregate pass (no second scan), part broadcasts,
+    // the date range reaches the lineitem scan. DECIMAL sums, the division
+    // in double at the end ('ECONOMY' stands in for the PROMO% class).
+    "q14_promo_effect" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-02-01").cast("timestamp")
+      val rev = sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY",
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          rev.cast("double")).as("promo_revenue_pct"))
+        .select(round(col("promo_revenue_pct"), 6).as("promo_revenue_pct"))
+    }),
+    // TPC-H Q19 shape (discounted revenue, disjunctive brackets): the OR of
+    // three (brand, size-range, quantity-range) conjunct brackets ON TOP of
+    // the join — the common-key equi-join must still be EXTRACTED from the
+    // disjunction (one hash join + the residual OR filter, never a
+    // cartesian), and the shared p_partkey=l_partkey conjunct must not be
+    // duplicated per branch. Plan-asserted: broadcast hash join, no
+    // BroadcastNestedLoop/CartesianProduct.
+    "q19_bracket_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20.0, 40.0))
+      joined.filter(bracket)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    }),
     // RUNTIME bloom-filter join pruning (InjectRuntimeFilter): the selective
     // orders filter builds a bloom filter over o_orderkey that is pushed
     // into the UNFILTERED lineitem side as a might_contain pre-filter —
@@ -496,6 +540,28 @@ object SqlSurfaceQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(
+        |  100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+        |            THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                 (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+        |            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 1.0 AND 20.0)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+        |       AND l.l_quantity BETWEEN 10.0 AND 30.0)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
     "q4_order_priority" ->
       """SELECT o.o_orderpriority, count(*) AS order_count
         |FROM orders o

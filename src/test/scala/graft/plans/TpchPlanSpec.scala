@@ -118,6 +118,32 @@ class TpchPlanSpec extends SparkFunSuite {
       s"the tiny supplier exclusion list must broadcast:\n${plan.take(1200)}")
   }
 
+  test("q19: the disjunctive bracket keeps the extracted hash join — no nested loop, one residual OR filter") {
+    val df = graft.SparkEntry.queries("q19_bracket_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the common p_partkey=l_partkey conjunct must stay an equi hash join:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the OR must not degrade the join to a nested loop:\n${plan.take(1200)}")
+  }
+
+  test("q14: date range pushed to the lineitem scan; both sums in ONE aggregate pass") {
+    val df = graft.SparkEntry.queries("q14_promo_effect")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    // the CASE ratio is one HashAggregate pair (partial+final), not two
+    // scans: count nodes in the executed-plan TREE (formatted explain
+    // repeats every node in its details section)
+    val tree = df.queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(tree).size
+    assert(aggs <= 2, s"expected one partial+final aggregate pair, saw $aggs:\n${tree.take(1200)}")
+    val lineitemScans = "Scan parquet".r.findAllIn(tree).size
+    assert(lineitemScans <= 2, // lineitem + part, each once
+      s"both sums must come from ONE pass, saw $lineitemScans scans:\n${tree.take(1200)}")
+  }
+
   test("q21: EXISTS + NOT EXISTS on the same fact plan as one semi and one anti join") {
     val df = graft.SparkEntry.queries("q21_waiting_suppliers")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
