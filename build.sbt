@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver parses the LAST stdout line as JSON. sbt's
+// default logger for forked output prefixes every line with "[info] " and
+// appends its own "[success] Total time ..." line — both defeat that parse
+// (BENCH_r11..r13 all came back parsed:null despite the JSON being present
+// in the captured tail). StdoutOutput passes the forked JVM's streams
+// through raw (no prefix); showSuccess drops the trailing success line, so
+// Bench's post-stop println is literally the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,11 +124,19 @@ object Bench {
     // the driver-facing line: SHORT (fits any tail window), single line,
     // LAST on stdout, `grep -o '{"metric".*}'`-extractable — `queries`
     // carries the top-12 slowest so the driver's schema contract
-    // (metric/value/unit/queries/sf) still holds
+    // (metric/value/unit/queries/sf) still holds. Printed AFTER
+    // spark.stop() (shutdown chatter goes to stderr, the JSON must be the
+    // final stdout line for the driver's last-line parse; build.sbt's
+    // StdoutOutput + showSuccess=false keep sbt from prefixing or
+    // appending to it).
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}""")
+    // quiet the shutdown path: if the driver captures stdout+stderr merged,
+    // a WARN emitted by a shutdown hook could land after the JSON line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
