@@ -89,7 +89,10 @@ object RecordLinkage {
         recs.join(ok, Seq("blk"), "left_semi")
       }
     // sort_array orders the structs by id (first field), so slice-based
-    // combination yields id_a < id_b by construction
+    // combination yields id_a <= id_b by construction — EQUALITY is
+    // possible when the input carries duplicate ids in a block (sort_array
+    // ties sit adjacent and pair with each other), so the strict-< filter
+    // below is required to match blockedPairs' contract exactly
     sized.groupBy(col("blk"))
       .agg(sort_array(collect_list(struct(col("id"), col("nm")))).as("rs"))
       .select(explode(expr(
@@ -99,6 +102,7 @@ object RecordLinkage {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         levenshtein(col("p.nm_a"), col("p.nm_b")).as("dist"))
+      .filter(col("id_a") < col("id_b")) // pairs-sized: drop duplicate-id self-pairs
       .filter(col("dist") <= maxDist)
   }
 

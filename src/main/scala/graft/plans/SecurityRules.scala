@@ -182,9 +182,14 @@ object ColumnDenyCheck {
     // base-table scan (noting views for phase 2), skip injected nodes' own
     // expressions, descend into subquery expressions
     val ids = scala.collection.mutable.Set.empty[ExprId]
-    val views = scala.collection.mutable.Buffer.empty[View]
-    def noteIfView(chain: Seq[LogicalPlan]): Unit = chain.last match {
-      case v: View => views += v; ()
+    // queued views carry the demand KNOWN AT QUEUE TIME: Some(explicit)
+    // from a demanded context (possibly empty — processing re-derives from
+    // `ids` and falls back to conservative when still empty), None from a
+    // conservative context (everything inside counts)
+    val views = scala.collection.mutable.Buffer.empty[(View, Option[Set[ExprId]])]
+    def noteIfView(chain: Seq[LogicalPlan],
+        demand: Option[Set[ExprId]]): Unit = chain.last match {
+      case v: View => views += ((v, demand)); ()
       case _ => ()
     }
     def walk(p: LogicalPlan): Unit = {
@@ -193,9 +198,20 @@ object ColumnDenyCheck {
         case s: SubqueryExpression => walk(s.plan)
         case _ => ()
       })
+      // EXCEPT/INTERSECT compare FULL rows of both sides: every output
+      // column of both children is read even when the user's select list
+      // (which carries only the LEFT child's exprIds, per SetOperation
+      // output semantics) never names it — without this a denied column in
+      // the right branch, or an unselected one in the left, flows into the
+      // set comparison unchecked.
+      p match {
+        case s: SetOperation =>
+          s.children.foreach(c => ids ++= c.output.map(_.exprId))
+        case _ => ()
+      }
       p.children.foreach {
         case SubqueryAlias(_, child) if injectedChain(child).isDefined =>
-          noteIfView(injectedChain(child).get)
+          noteIfView(injectedChain(child).get, Some(Set.empty))
         case c => walk(c)
       }
     }
@@ -220,9 +236,26 @@ object ColumnDenyCheck {
         ids ++= refs
         walkDemand(pr.child, demanded.map(_ => refs.toSet))
       case SubqueryAlias(_, child) if injectedChain(child).isDefined =>
-        noteIfView(injectedChain(child).get) // nested view scan: queue it
+        noteIfView(injectedChain(child).get, demanded) // nested view scan: queue it
       case v: View =>
-        views += v; () // bare nested view (defensive): queue it
+        views += ((v, demanded)); () // bare nested view (defensive): queue it
+      case u: Union =>
+        // Union output adopts branch-1 exprIds; demand maps POSITIONALLY
+        // onto every branch, else branches 2..n see an empty demand set
+        u.children.foreach { c =>
+          val mapped = demanded.map { d =>
+            c.output.zipWithIndex.collect {
+              case (a, i) if d.contains(u.output(i).exprId) => a.exprId
+            }.toSet
+          }
+          walkDemand(c, mapped)
+        }
+      case s: SetOperation =>
+        // full-row comparison: every column of both sides is read
+        s.children.foreach(walkDemand(_, None))
+      case d: Distinct =>
+        // row-wide dedup reads every output column regardless of demand
+        walkDemand(d.child, Some(d.child.output.map(_.exprId).toSet))
       case _: LeafNode =>
         () // a leaf's expressions are its OUTPUT DEFINITION (LogicalRDD /
            // LocalRelation carry their attributes as constructor args),
@@ -235,11 +268,23 @@ object ColumnDenyCheck {
     }
     // queue semantics: a view's internals may queue deeper views; each runs
     // with the demand visible at ITS processing time (ids only ever grows,
-    // so late processing is the fail-closed direction)
+    // so late processing is the fail-closed direction). A view whose
+    // resolved demand is EMPTY still feeds the plan's data flow (a bare
+    // set-op branch whose exprIds the parent never adopts, SELECT 1 FROM v)
+    // — demanded-mode would skip its internals entirely, the exact
+    // fail-open a view bypass needs, so empty demand falls back to the
+    // conservative walk.
     var i = 0
     while (i < views.length) {
-      val v = views(i); i += 1
-      walkDemand(v.child, Some(v.output.map(_.exprId).toSet.filter(ids.contains)))
+      val (v, queuedDemand) = views(i); i += 1
+      queuedDemand match {
+        case None => walkDemand(v.child, None)
+        case Some(explicit) =>
+          val d = v.output.map(_.exprId).toSet
+            .filter(id => ids.contains(id) || explicit.contains(id))
+          if (d.isEmpty) walkDemand(v.child, None)
+          else walkDemand(v.child, Some(d))
+      }
     }
     denied.flatMap { case ((cat, db, table), chain, cols) =>
       val hit = chain.flatMap(_.output)

@@ -97,7 +97,10 @@ object StreamOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
 
   /** Drain a (possibly stateful) streaming DataFrame into a parquet TABLE
-    * via [[BatchLedger]]-guarded foreachBatch appends on a REAL checkpoint —
+    * via [[BatchLedger]]-guarded [[idempotentBatchAppend]] writes (each
+    * batch owns its `_batch_id` partition, so replays of a crash at ANY
+    * point — including between sink write and ledger record — converge
+    * row-exactly) on a REAL checkpoint —
     * the restart-gate twin of [[runToMemory]]: a memory sink cannot survive
     * a restart (each incarnation's emissions die with its query), while the
     * table accumulates every phase's appends and the ledger makes replayed
@@ -126,8 +129,13 @@ object StreamOps {
             // a skipped body reads as "expected N commits but got 0"
             batch.write.format("noop").mode("overwrite").save()
           } else {
-            batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .format("parquet").saveAsTable(sinkTable)
+            // idempotent per-partition write, NOT a plain Append: a crash
+            // BETWEEN the sink append and the ledger record would replay
+            // the batch at-least-once (duplicated sink rows) — the exact
+            // window idempotentBatchAppend closes by overwriting only the
+            // batch's own _batch_id partition on replay. Readers project
+            // the extra _batch_id column away (or prune on it).
+            idempotentBatchAppend(batch, sinkTable, bid)
             BatchLedger.record(batch.sparkSession, ledgerTable, bid)
           }
         val q = streamed.writeStream

@@ -35,6 +35,20 @@ object BenchDiff {
     val qEnd = text.indexOf("}", qStart)
     val queries = entry.findAllMatchIn(text.substring(qStart + 10, qEnd + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // the driver-facing stdout line carries only the top-12 slowest queries
+    // (its `queries` map is TRUNCATED; `n_queries` states the real count
+    // and `full` points at the complete artifact). Diffing a truncated line
+    // would silently restrict the watch-list to 12 queries — fail loudly
+    // and point the operator at the full file instead.
+    val nQueries = """"n_queries":(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+    nQueries.filter(_ > queries.size).foreach { n =>
+      val full = """"full":"([^"]+)"""".r.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse("<unknown>")
+      throw new IllegalArgumentException(
+        s"artifact is a TRUNCATED driver line (n_queries=$n, queries map " +
+          s"has ${queries.size}) — diff the full per-query file instead: $full")
+    }
     val total = entry.findAllMatchIn(text.substring(0, qStart))
       .collectFirst { case m if m.group(1) == "value" => m.group(2).toDouble }
       .getOrElse(queries.values.filter(_ >= 0).sum)

@@ -753,6 +753,60 @@ class SecurityContextSpec extends SparkFunSuite {
       .foreach(v => spark.catalog.dropTempView(v))
   }
 
+  test("column deny through set-op branches that never adopt the branch's exprIds") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+      "user_A", CAT, DB, "orders", "price"))
+    try {
+      // identical schemas so the analyzer inserts NO Project over either
+      // branch: the Union adopts branch-1's exprIds and the leak branch's
+      // output is never referenced by name anywhere in the user plan
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cd_u_ok AS " +
+        "SELECT order_id, CAST(0 AS DECIMAL(10,5)) AS p FROM orders")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW cd_u_leak AS " +
+        "SELECT order_id, price AS p FROM orders")
+      // bare leak branch under UNION ALL: before the empty-demand fallback
+      // this flowed price to the user unchecked (Union output = branch-1
+      // ids, so cd_u_leak's demand set resolved empty and its internals
+      // were never walked)
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A",
+          "SELECT p FROM (SELECT * FROM cd_u_ok UNION ALL SELECT * FROM cd_u_leak) t")
+      }
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A",
+          "SELECT p FROM (TABLE cd_u_ok UNION ALL TABLE cd_u_leak) t")
+      }
+      // EXCEPT/INTERSECT read FULL rows of both sides: the right branch's
+      // denied column participates in the set comparison even though the
+      // plan output carries only left-branch exprIds
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A",
+          "SELECT order_id FROM (TABLE cd_u_ok EXCEPT TABLE cd_u_leak) t")
+      }
+      // ...and an unselected LEFT-side column is read by the comparison too
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A",
+          "SELECT order_id FROM (TABLE cd_u_leak INTERSECT ALL TABLE cd_u_ok) t")
+      }
+      // zero-demand data flow (SELECT 1 FROM v) still executes the view's
+      // projection of the denied column: conservative fallback denies
+      intercept[ColumnAccessDeniedException] {
+        c.dfRowFilter("user_A", "SELECT 1 AS one FROM cd_u_leak")
+      }
+      // no false positive: the same shapes over clean branches pass
+      assert(c.executeRowFilter("user_A",
+        "SELECT p FROM (TABLE cd_u_ok UNION ALL TABLE cd_u_ok) t", 10).nonEmpty)
+      assert(c.executeRowFilter("user_A",
+        "SELECT 1 AS one FROM cd_u_ok", 10).nonEmpty)
+      // other principals are untouched through every shape
+      assert(c.executeRowFilter("user_B",
+        "SELECT p FROM (TABLE cd_u_ok UNION ALL TABLE cd_u_leak) t", 10).nonEmpty)
+    } finally Seq("cd_u_ok", "cd_u_leak")
+      .foreach(v => spark.catalog.dropTempView(v))
+  }
+
   test("mask-only entry point enforces table-level deny (no fail-open path)") {
     ctx
     val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)

@@ -57,6 +57,23 @@ class RecordLinkageSpec extends SparkFunSuite {
     assert(viaCompact == viaJoin)
   }
 
+  test("blockedPairsCompact excludes self-pairs under duplicate ids (same contract as blockedPairs)") {
+    // two records share id 1 in one block: sort_array ties sit adjacent and
+    // the slice generator pairs them — the strict-< contract must drop the
+    // (1,1) self-pair, exactly as blockedPairs' strict-< join condition does
+    val dup = Seq((1L, "alice smith", "A"), (1L, "alice smyth", "A"),
+      (2L, "alice smith", "A")).toDF("id", "name", "blk")
+    def pairs(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      f.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = pairs(RecordLinkage.blockedPairs(dup, "id", "name",
+      col("blk"), maxDist = 1, maxBlock = Int.MaxValue))
+    val compact = pairs(RecordLinkage.blockedPairsCompact(dup, "id", "name",
+      col("blk"), maxDist = 1, maxBlock = Int.MaxValue))
+    assert(compact == joined)
+    assert(compact == Set((1L, 2L)))
+    assert(compact.forall { case (a, b) => a < b })
+  }
+
   test("transitive matches land in one entity") {
     // a~b (dist 1) and b~c (dist 1) but a vs c is distance 2: components
     // still merge all three
