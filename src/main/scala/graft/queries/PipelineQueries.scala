@@ -3078,6 +3078,34 @@ object PipelineQueries {
       res.select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
         .orderBy(col("p_id"), col("e_id"))
     }),
+    // the interval join under the DISK-BACKED state engine — of the native
+    // stateful shapes this one holds the LARGEST state (BOTH input sides
+    // buffer rows until the watermark clears the join range, vs one
+    // aggregate row per group for windows), so it is where the heap-backed
+    // default dies first at 100 TB and where provider-invariance matters
+    // most. Same plan, same DuckDB oracle as stream_interval_join: the
+    // state engine must be invisible to results. The family-wide sweep
+    // (every native-stateful shape under both providers, with checkpoint
+    // artifact proof RocksDB was engaged) is RocksDbInvarianceSpec.
+    "stream_interval_join_rocksdb" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val purchases = StreamOps.eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+        val errors = StreamOps.eventsStream(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val joined = StreamOps.streamIntervalJoin(purchases, errors,
+          Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600)
+        StreamOps.runToMemory(s, joined, "stream_ivj_rdb_out",
+            statePartitions = Some(8),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
+          .orderBy(col("p_id"), col("e_id"))
+      }
+    }),
     // LATE-DATA DROP, pinned end to end: the older half of the corpus
     // replays BEHIND the watermark and a watermarked hourly aggregation
     // must discard it wholesale (finalized windows, evicted state) — the
@@ -6607,6 +6635,15 @@ object PipelineQueries {
     // inner interval join emits every matched pair regardless of arrival
     // order, so the batch self-join IS the converged streaming result
     "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
+        |ORDER BY p_id, e_id""".stripMargin,
+    // the state engine must be invisible to results: oracle verbatim from
+    // stream_interval_join
+    "stream_interval_join_rocksdb" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
         |FROM events p JOIN events e
         |  ON p.user_id = e.user_id
