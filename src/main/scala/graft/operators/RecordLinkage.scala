@@ -27,6 +27,36 @@ import org.apache.spark.sql.functions._
   */
 object RecordLinkage {
 
+  /** Name-suffix blocking digits derived from corpus size — the r13 scale
+    * knob ("key selectivity must scale with the corpus") made SELF-SETTING,
+    * the same move sessionStatePartitions made for streaming state. Under
+    * a FIXED key, block depth = rows / #blocks grows linearly with rows and
+    * candidate pairs grow with depth² (measured r13: 188x pairs at 10x
+    * rows); one more suffix digit multiplies #blocks by 10, holding depth —
+    * and with it the pair count's growth — near-linear. Anchored so corpora
+    * at or below `anchorRows` keep the reference 2-digit key (the driver
+    * corpora — the er fixture is 1.65k records at sf0.01 and 16.5k at
+    * sf0.1, and the DuckDB oracle states last-2 semantics; the 188x pair
+    * growth was measured at the NEXT decade, 165k records, which is where
+    * the first extra digit lands); capped
+    * because a suffix longer than the name's varying digit run stops adding
+    * selectivity. Output semantics (spec-pinned on the planted-clone
+    * fixture): RECALL on dirt outside the suffix is digit-invariant, and
+    * precision is MONOTONE — a finer key never adds a merge, it only sheds
+    * incidental collisions whose difference sits at the newly-covered
+    * position. Blocking is a declared part of the match policy (match =
+    * blocked together AND within maxDist), so the shed is the policy
+    * tightening with corpus size, not a recall loss.
+    */
+  def derivedNameSuffixDigits(rows: Long, anchorRows: Long = 20000L,
+      base: Int = 2, maxDigits: Int = 8): Int = {
+    require(anchorRows > 0 && base >= 1)
+    var d = base
+    var cap = anchorRows
+    while (rows > cap && d < maxDigits) { d += 1; cap *= 10 }
+    d
+  }
+
   /** Candidate matches: records sharing the blocking key whose `nameCol`
     * values are within `maxDist` edits. Returns (id_a, id_b, dist) with
     * id_a < id_b.

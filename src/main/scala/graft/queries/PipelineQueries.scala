@@ -3357,11 +3357,18 @@ object PipelineQueries {
     // structured-record entity resolution: customers + planted dirty
     // variants (custkey%10==3 re-enters with digit '0' -> letter 'O' at
     // name position 10 and a fresh surrogate id). Blocking key =
-    // (nationkey, last-2 name chars) — STABLE fields the planted dirt
+    // (nationkey, last-N name chars) — STABLE fields the planted dirt
     // cannot touch, so recall on the plant is 1 by construction;
     // levenshtein<=1 verify inside the block join; components + min-id
     // entity assignment. Close original ids colliding in a block also
     // merge — deterministic, and exactly what a distance-1 policy states.
+    // N is DERIVED from the corpus (one more digit per 10x rows,
+    // RecordLinkage.derivedNameSuffixDigits) so block depth — and with it
+    // the r13-measured quadratic candidate growth — stays level at scale;
+    // at the driver corpora (<= 200k records) it resolves to the 2-digit
+    // key the oracle states. Plant recall is digit-INVARIANT and finer
+    // keys only shed incidental original near-collisions — blocking is a
+    // declared part of the match policy, monotone in N (RecordLinkageSpec).
     "er_customers" -> ((s, dir) => {
       val c = Tables.df(s, dir, "customer")
       val dirty = c.filter(col("c_custkey") % 10 === 3)
@@ -3371,8 +3378,11 @@ object PipelineQueries {
           col("c_nationkey"))
       val all = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
         .unionAll(dirty)
+      val digits = graft.operators.RecordLinkage
+        .derivedNameSuffixDigits(all.count())
       graft.operators.RecordLinkage.resolve(all, "c_custkey", "c_name",
-          concat_ws("|", col("c_nationkey"), substring(col("c_name"), -2, 2)),
+          concat_ws("|", col("c_nationkey"),
+            substring(col("c_name"), -digits, digits)),
           maxDist = 1, maxBlock = Int.MaxValue)
         .orderBy(col("id"))
     }),

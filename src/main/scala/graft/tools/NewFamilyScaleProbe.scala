@@ -96,6 +96,19 @@ object NewFamilyScaleProbe {
         graft.operators.RecordLinkage.blockedPairs(erBlk3Input, "c_custkey",
           "c_name", erBlk3Key, maxDist = 1, maxBlock = 1000).count()
       }
+      time("er_customers_derived") {
+        // the SELF-SETTING knob (r13 verdict #4): digits derived from the
+        // corpus — resolves to the 2-digit key at sf0.1 (165k records) and
+        // the 3-digit key at sf1 (1.65M), so the sf0.1->sf1 ratio here is
+        // the ratio the deployed default actually exhibits
+        val in = erBlk3Input
+        val digits = graft.operators.RecordLinkage
+          .derivedNameSuffixDigits(in.count())
+        graft.operators.RecordLinkage.resolve(in, "c_custkey", "c_name",
+          concat_ws("|", col("c_nationkey"),
+            substring(col("c_name"), -digits, digits)),
+          maxDist = 1, maxBlock = 1000).count()
+      }
       time("events_gapfill") {
         graft.operators.Timeseries.gapFill(
           events.filter(col("event_type") === "purchase"),

@@ -74,6 +74,95 @@ class RecordLinkageSpec extends SparkFunSuite {
     assert(compact.forall { case (a, b) => a < b })
   }
 
+  test("derivedNameSuffixDigits: one more digit per 10x rows, anchored and capped") {
+    // driver corpora stay on the oracle's 2-digit key (er fixture sizes:
+    // customer rows + 10% plants per dir)
+    assert(RecordLinkage.derivedNameSuffixDigits(165L) == 2)
+    assert(RecordLinkage.derivedNameSuffixDigits(1650L) == 2)   // sf0.01
+    assert(RecordLinkage.derivedNameSuffixDigits(16500L) == 2)  // sf0.1
+    assert(RecordLinkage.derivedNameSuffixDigits(20000L) == 2)  // anchor edge
+    // one more digit per decade past the anchor — 165k records is where
+    // r13 measured the 188x pair growth under the fixed 2-digit key
+    assert(RecordLinkage.derivedNameSuffixDigits(165000L) == 3)  // ScaleUp sf1
+    assert(RecordLinkage.derivedNameSuffixDigits(1650000L) == 4) // ScaleUp sf10
+    assert(RecordLinkage.derivedNameSuffixDigits(200001L) == 4)
+    // capped where the suffix exhausts the name's varying digit run
+    assert(RecordLinkage.derivedNameSuffixDigits(Long.MaxValue) == 8)
+  }
+
+  test("derived blocking digits: plant recall invariant, finer keys only shed original near-collisions") {
+    // the er_customers fixture at sf0.001. Blanket output-invariance does
+    // NOT hold — and pinning that fact is the point: originals whose names
+    // differ only in the hundreds digit (33 vs 133) share nationkey
+    // (custkey % 25, and 100 % 25 == 0) and sit at lev distance 1, so the
+    // 2-digit key merges them while the 3-digit key blocks them apart.
+    // The contract the self-setting knob actually carries:
+    //   (1) RECALL ON THE PLANT is digit-invariant — the dirt never
+    //       touches the suffix, so every clone merges with its original
+    //       at every digit count;
+    //   (2) precision is MONOTONE — a finer key never ADDS a merge, it
+    //       only sheds incidental original-original collisions;
+    //   (3) every shed pair is exactly an original pair whose names
+    //       differ at the position the extra digit moves into the key —
+    //       blocking is a DECLARED part of the match policy (match =
+    //       blocked together AND lev <= maxDist), not an approximation of
+    //       all-pairs lev, so this is the policy tightening, not a loss.
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val dirty = c.filter(col("c_custkey") % 10 === 3)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 9), lit("O"),
+          substring(col("c_name"), 11, 100)).as("c_name"),
+        col("c_nationkey"))
+    val all = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .unionAll(dirty)
+    def resolveWith(digits: Int): Map[Long, Long] =
+      RecordLinkage.resolve(all, "c_custkey", "c_name",
+          concat_ws("|", col("c_nationkey"),
+            substring(col("c_name"), -digits, digits)),
+          maxDist = 1, maxBlock = Int.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def entityPairs(m: Map[Long, Long]): Set[(Long, Long)] =
+      m.groupBy(_._2).values.flatMap { grp =>
+        val ids = grp.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val byDigits = Seq(2, 3, 4).map(d => d -> resolveWith(d)).toMap
+    // (1) plant recall is 1 at EVERY digit count
+    val plants = dirty.select(col("c_custkey")).collect().map(_.getLong(0))
+    assert(plants.nonEmpty)
+    for ((d, m) <- byDigits; p <- plants)
+      assert(m(p) == m(p - 10000000L),
+        s"digits=$d: plant $p not merged with its original")
+    // (2) monotone precision: finer keys are subsets, and the fixture
+    // really exercises the shedding (d2 strictly coarser than d3)
+    val p2 = entityPairs(byDigits(2))
+    val p3 = entityPairs(byDigits(3))
+    val p4 = entityPairs(byDigits(4))
+    assert(p3.subsetOf(p2) && p4.subsetOf(p3))
+    assert((p2 -- p3).nonEmpty, "fixture must exercise the shed path")
+    // (3) at the DIRECT-match level (cluster pairs also shed transitively
+    // through these), every shed edge is a hundreds-digit collision —
+    // original-original or its plant-plant mirror, NEVER plant-original
+    // (that would be a recall loss) — with names differing ONLY at the
+    // 3rd-from-last char, the char the extra digit moved into the key
+    def matchEdges(digits: Int): Set[(Long, Long)] =
+      RecordLinkage.blockedPairs(all, "c_custkey", "c_name",
+          concat_ws("|", col("c_nationkey"),
+            substring(col("c_name"), -digits, digits)),
+          maxDist = 1, maxBlock = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shed = matchEdges(2) -- matchEdges(3)
+    assert(shed.nonEmpty)
+    val nm = all.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    shed.foreach { case (a, b) =>
+      assert((a < 10000000L) == (b < 10000000L),
+        s"shed edge ($a,$b) crosses plant/original — recall loss")
+      val (na, nb) = (nm(a), nm(b))
+      val diffs = na.zip(nb).zipWithIndex.collect { case ((x, y), i) if x != y => i }
+      assert(diffs == Seq(na.length - 3), s"shed edge ($a,$b) diff at $diffs")
+    }
+  }
+
   test("transitive matches land in one entity") {
     // a~b (dist 1) and b~c (dist 1) but a vs c is distance 2: components
     // still merge all three
