@@ -30,10 +30,23 @@ object Contamination {
     * report (zeros included) makes the pass auditable.
     */
   def report(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val benchGrams = bench
-      .select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
+      textCol: String, n: Int): DataFrame =
+    reportAgainstGrams(docs, benchNgrams(bench, textCol, n), idCol, textCol, n)
+
+  /** The bench side of [[report]] — one `gram` column, distinct. Callers
+    * that confirm repeatedly against the SAME benchmark (a streaming
+    * funnel's per-micro-batch exact confirm) should derive this once,
+    * localCheckpoint it, and pass it to [[reportAgainstGrams]]: the
+    * explode + distinct over the bench corpus is the confirm's dominant
+    * cost and is invariant across batches.
+    */
+  def benchNgrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(TextAnalysis.wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
+
+  /** [[report]] against a pre-derived [[benchNgrams]] frame. */
+  def reportAgainstGrams(docs: DataFrame, benchGrams: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val docGrams = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("gram"))
     val hits = docGrams.join(broadcast(benchGrams), "gram")

@@ -832,7 +832,14 @@ object StreamOps {
         * which is what makes "replays re-append" (the family's documented
         * parquet-sink caveat) a non-event at whole-batch granularity.
         */
-      ledgerTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      ledgerTable: Option[String] = None,
+      /** Prebuilt bench Bloom bytes ([[graft.operators.Contamination.buildBloom]]
+        * with the SAME textCol/decontamN/fpp): the build scans and
+        * aggregates the bench corpus, so callers starting several funnels
+        * against one benchmark (the curate query family) build once and
+        * share. None = build here at stream start.
+        */
+      benchBloomBytes: Option[Array[Byte]] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Contamination, Dedup, TextAnalysis}
     val bloomFlag = "_graft_bloom"
     val fpKey = "_graft_fp_key"
@@ -842,7 +849,9 @@ object StreamOps {
     val flagged = bench
       .map(b => docsStream.withColumn(bloomFlag,
         Contamination.flaggedCol(
-          Contamination.buildBloom(b, textCol, decontamN, fpp), textCol, decontamN)))
+          benchBloomBytes.getOrElse(
+            Contamination.buildBloom(b, textCol, decontamN, fpp)),
+          textCol, decontamN)))
       .getOrElse(docsStream.withColumn(bloomFlag, lit(false)))
     val gated = TextAnalysis.qualityFilter(flagged, textCol, minWords, maxWords,
       minStopHits, maxDupLineFrac, maxDupNgramFrac, ngram)
@@ -852,16 +861,25 @@ object StreamOps {
     // batches band differently
     val (shingleSize, bands, rowsPerBand, _) =
       graft.operators.Dedup.readIndexMeta(docsStream.sparkSession, lshIndexTable)
+    // the confirm's bench side, derived ONCE at stream start: the
+    // explode + distinct over the bench corpus is batch-invariant, and
+    // re-deriving it inside every micro-batch was the confirm's dominant
+    // cost (the eager checkpoint pins gram ROWS, so each batch's confirm
+    // is one broadcast join against cached blocks)
+    val benchGrams = bench.map(b =>
+      Contamination.benchNgrams(b, textCol, decontamN)
+        .localCheckpoint(eager = true))
     val perBatch: (DataFrame, Long) => Unit = (batch0, bid) => BatchLedger.once(
         batch0.sparkSession, ledgerTable, bid) {
       val spark = batch0.sparkSession
       batchShufflePartitions.foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
       // two-phase decontam: exact n-gram confirm ONLY on the flagged slice
-      val batch = bench match {
-        case Some(b) =>
+      val batch = benchGrams match {
+        case Some(grams) =>
           val confirmed = Contamination
-            .report(batch0.filter(col(bloomFlag)), b, idCol, textCol, decontamN)
+            .reportAgainstGrams(batch0.filter(col(bloomFlag)), grams,
+              idCol, textCol, decontamN)
             .filter(col("contaminated")).select(col(idCol))
           batch0.join(confirmed, Seq(idCol), "left_anti").drop(bloomFlag)
         case None => batch0.drop(bloomFlag)
