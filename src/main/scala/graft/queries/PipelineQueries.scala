@@ -329,6 +329,31 @@ object PipelineQueries {
     dst.setLastModified(mtime); ()
   }
 
+  /** Per-prefix truncated-code IVF index for the MRL pair, built once per
+    * (dir, prefix) — ann_ivf_mrl_recall and its _check probe the SAME
+    * deterministic index (identical sliced corpus, identical quantizer
+    * seed), so rebuilding it per query would double the pair's cost for no
+    * information. Tables persist in the warehouse (the inter-query RDD
+    * unpersist does not touch them); the lock serializes the
+    * drop-and-write against the parallel Verify drain.
+    */
+  private val mrlIndexBuilt =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  private val mrlIndexLock = new Object
+  private def mrlIndex(s: SparkSession, dir: String, p: Int): String =
+    mrlIndexBuilt.getOrElse((dir, p), mrlIndexLock.synchronized {
+      mrlIndexBuilt.getOrElseUpdate((dir, p), {
+        // dir lands in the name: a multi-dir sweep (QueryProbe) must not
+        // probe one dir's codes with another dir's queries
+        val tbl = s"graft_ivf_mrl_${p}_${java.lang.Integer.toHexString(dir.hashCode)}"
+        Similarity.ivfWriteBucketed(
+          embs(s, dir).select(col("vec_id"),
+            expr(s"slice(embedding, 1, $p)").as("embedding")),
+          tbl, "vec_id", "embedding")
+        tbl
+      })
+    })
+
   /** documents unioned with an offset copy of itself: plants exact
     * duplicates so the sketch-based dedup paths provably find pairs on any
     * corpus.
@@ -948,6 +973,68 @@ object PipelineQueries {
         .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
         .select(col("query_id"), lit(false).as("ok"))
       ok.unionAll(bad).orderBy(col("query_id"), col("ok"))
+    }),
+    // MRL composed WITH the bucketed index (emb_mrl_recall measures
+    // truncation against BRUTE force; the 100 TB question is whether it
+    // survives the INDEX): codes are stored TRUNCATED — each prefix gets
+    // its own bucketed IVF index over sliced vectors, quantizer fitted on
+    // the sliced space — queries slice the same way, and recall@10 is
+    // measured against the full-dim brute ground truth, so the curve
+    // includes the index's loss on top of the truncation's. At scale this
+    // is the storage/recall dial: a 8-dim-code index is 8x smaller and
+    // this query states what that buys and costs on the real corpus.
+    "ann_ivf_mrl_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val nq = q.count() // queries-sized driver scalar (8 rows)
+      val fullBrute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          "query_id", "qv", k = 10)
+        .select(col("query_id"), col("vec_id"))
+        .localCheckpoint(eager = false) // reused by all four semi joins
+      Seq(8, 16, 32, 64).map { p =>
+        Similarity.ivfTopKFromBucketed(s, mrlIndex(s, dir, p),
+            q.select(col("query_id"), expr(s"slice(qv, 1, $p)").as("qv")),
+            "vec_id", "embedding", "query_id", "qv", k = 10)
+          .select(col("query_id"), col("vec_id"), lit(p).as("prefix_dim"))
+      }.reduce(_ unionAll _)
+        .join(fullBrute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("prefix_dim"))
+        .agg(round(count(lit(1)) / (lit(nq) * 10.0), 6).as("avg_recall"))
+        .orderBy(col("prefix_dim"))
+    }),
+    // the oracled gate for the truncated-code machinery: at EVERY prefix
+    // the sliced query vector IS a stored code — it lands in its own
+    // argmax cell, scores cosine 1, and the vec_id-asc tiebreak puts it at
+    // rank 1 — so branch 1 emits a provably-true `ok` per (prefix, query);
+    // branch 2 (expected EMPTY) re-scores every emitted cosine with
+    // built-in HOFs over the SLICED vectors. A hash match proves the
+    // per-prefix indexes really store and probe truncated codes.
+    "ann_ivf_mrl_recall_check" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Seq(8, 16, 32, 64).map { p =>
+        val sliced = e.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $p)").as("embedding"))
+        val qs = q.select(col("query_id"), expr(s"slice(qv, 1, $p)").as("qv"))
+        val ivf = Similarity.ivfTopKFromBucketed(s, mrlIndex(s, dir, p), qs,
+            "vec_id", "embedding", "query_id", "qv", k = 10)
+          .localCheckpoint(eager = false) // self-fact + FP branch
+        val ok = ivf.groupBy(col("query_id")).agg(
+          max(when(col("vec_id") === col("query_id") && col("rank") === 1, 1)
+            .otherwise(0)).as("_self"))
+          .select(lit(p).as("prefix_dim"), col("query_id"),
+            (col("_self") === 1).as("ok"))
+        val bad = ivf
+          .join(sliced.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+          .join(qs, "query_id")
+          .withColumn("ref_cosine", hofCosine("cv", "qv"))
+          .filter(abs(col("ref_cosine") - col("cosine")) > 1e-9)
+          .select(lit(p).as("prefix_dim"), col("query_id"), lit(false).as("ok"))
+        ok.unionAll(bad)
+      }.reduce(_ unionAll _)
+        .orderBy(col("prefix_dim"), col("query_id"), col("ok"))
     }),
     // cell-occupancy skew report over the persisted IVF index — the measured
     // input to the rebuild decision ivfAppendToIndex defers. Cell ids are
@@ -4337,6 +4424,17 @@ object PipelineQueries {
         |SELECT vec_id AS query_id, true AS ok
         |FROM n WHERE sqrt(list_dot_product(v, v)) > 0
         |ORDER BY query_id, ok""".stripMargin,
+    // one provably-true row per (prefix, non-zero-sliced-norm query); the
+    // FP branch contributes nothing on a correct engine (see the query)
+    "ann_ivf_mrl_recall_check" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT unnest([8, 16, 32, 64]) AS prefix_dim)
+        |SELECT p.prefix_dim, n.vec_id AS query_id, true AS ok
+        |FROM p, n
+        |WHERE sqrt(list_dot_product(list_slice(n.v, 1, p.prefix_dim),
+        |                            list_slice(n.v, 1, p.prefix_dim))) > 0
+        |ORDER BY prefix_dim, query_id, ok""".stripMargin,
     // the occupancy invariants of the cell-stats report (see the query
     // comment): every boolean is provably true, n_rows is the non-zero-norm
     // corpus size
