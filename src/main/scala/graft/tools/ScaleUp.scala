@@ -49,37 +49,53 @@ object ScaleUp {
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
-    // rotating letter permutation (10 distinct rotations for up to 10
-    // copies): copy 0 is the identity, later copies remap texts so no
-    // shingle survives across copies while every per-copy statistic
-    // (lengths, token counts, duplicate structure) is preserved
+    // composite letter permutation — TWO disjoint 10-letter alphabets
+    // rotated independently (c % 10 and c / 10 % 10) give 100 distinct
+    // bijective remaps, so no shingle survives across copies up to n=100
+    // while every per-copy statistic (lengths, token counts, duplicate
+    // structure) is preserved. (A single 10-rotation alphabet made copies
+    // 0/10/20/... byte-identical at n=100 — 10-deep exact cross-copy
+    // clones that inflate dedup pair counts and measure the FIXTURE.)
+    // Copy 0 is the identity at both rotations, n<=10 behaves exactly as
+    // the original single-alphabet scheme.
     def scaledDocs(): DataFrame = {
       val base = Tables.df(spark, src, "documents")
       val alpha = "aeioubcdfg"
+      val beta = "hjklmnpqrt"
+      def rot(s: String, r: Int) = s.substring(r) + s.substring(0, r)
       (0 until n).map { c =>
-        val r = c % alpha.length
-        val to = alpha.substring(r) + alpha.substring(0, r)
+        val to = rot(alpha, c % alpha.length) +
+          rot(beta, c / alpha.length % beta.length)
+        val from = alpha + beta
         base
           .withColumn("doc_id", col("doc_id") + lit(c * K))
           .withColumn("text", translate(col("text"),
-            alpha + alpha.toUpperCase, to + to.toUpperCase))
+            from + from.toUpperCase, to + to.toUpperCase))
       }.reduce(_ unionAll _)
     }
 
     // circular component shift: norms and within-copy angles unchanged,
-    // cross-copy cosine decorrelated so LSH buckets don't fill 10x deep
+    // cross-copy cosine decorrelated so LSH buckets don't fill 10x deep.
+    // Copies past the dimension count (n > dim would otherwise repeat
+    // shift 0 and plant exact cross-copy duplicates) additionally NEGATE —
+    // still norm- and angle-preserving, and a negated twin sits at cosine
+    // -1, the far side of every near-dup/top-k threshold.
     def scaledEmbs(): DataFrame = {
       val base = Tables.df(spark, src, "embeddings")
       val dim = base.selectExpr("size(embedding)").first().getInt(0)
+      require(n <= 2 * dim,
+        s"scaledEmbs supports at most ${2 * dim} disjoint copies (shift x sign)")
       (0 until n).map { c =>
         val shift = c % dim
         val shifted = if (shift == 0) col("embedding")
           else concat(slice(col("embedding"), shift + 1, dim - shift),
             slice(col("embedding"), 1, shift))
+        val signed = if (c < dim) shifted
+          else transform(shifted, x => -x)
         base
           .withColumn("vec_id", col("vec_id") + lit(c * K))
           .withColumn("label", col("label") + lit(c * 1000))
-          .withColumn("embedding", shifted)
+          .withColumn("embedding", signed)
       }.reduce(_ unionAll _)
     }
 
