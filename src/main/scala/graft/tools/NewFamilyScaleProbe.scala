@@ -39,7 +39,20 @@ object NewFamilyScaleProbe {
       println(s"[probe] === $dir ===")
       val docs = graft.queries.Tables.df(spark, dir, "documents")
       val events = graft.queries.Tables.df(spark, dir, "events")
-      val cust = graft.queries.Tables.df(spark, dir, "customer")
+      // DENSE re-key before name regeneration: ScaleUp offsets copy c by
+      // c*1e8, so copies of one base key share BOTH nationkey (1e8 % 25 ==
+      // 0) and every low name-digit — 100 records per suffix block no
+      // matter how many digits the key takes, which defeats suffix
+      // blocking BY FIXTURE (real TPC-H keys are dense and their digit
+      // suffixes distribute). Mapping c*1e8+k -> c*baseMax+k restores the
+      // honest dense-key shape the operator is designed for.
+      val rawCust = graft.queries.Tables.df(spark, dir, "customer")
+      val custBaseMax = rawCust
+        .agg(max(col("c_custkey") % 100000000L)).first().getLong(0)
+      val cust = rawCust
+        .withColumn("c_custkey",
+          (col("c_custkey") / 100000000L).cast("long") * custBaseMax +
+            col("c_custkey") % 100000000L)
         .select(col("c_custkey"),
           format_string("Customer#%011d", col("c_custkey")).as("c_name"),
           col("c_nationkey"))
@@ -57,7 +70,7 @@ object NewFamilyScaleProbe {
       }
       time("er_customers") {
         val dirty = cust.filter(col("c_custkey") % 10 === 3)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          .select((col("c_custkey") + 1000000000L).as("c_custkey"),
             concat(substring(col("c_name"), 1, 9), lit("O"),
               substring(col("c_name"), 11, 100)).as("c_name"),
             col("c_nationkey"))
@@ -68,7 +81,7 @@ object NewFamilyScaleProbe {
       }
       def erBlk3Input = {
         val dirty = cust.filter(col("c_custkey") % 10 === 3)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          .select((col("c_custkey") + 1000000000L).as("c_custkey"),
             concat(substring(col("c_name"), 1, 9), lit("O"),
               substring(col("c_name"), 11, 100)).as("c_name"),
             col("c_nationkey"))
@@ -98,8 +111,8 @@ object NewFamilyScaleProbe {
       }
       time("er_customers_derived") {
         // the SELF-SETTING knob (r13 verdict #4): digits derived from the
-        // corpus — resolves to the 2-digit key at sf0.1 (165k records) and
-        // the 3-digit key at sf1 (1.65M), so the sf0.1->sf1 ratio here is
+        // corpus — 2 digits at sf0.1 (16.5k records incl. plants), 3 at
+        // sf1 (181k), 4 at sf10 (1.8M) — so the per-decade ratio here is
         // the ratio the deployed default actually exhibits
         val in = erBlk3Input
         val digits = graft.operators.RecordLinkage
