@@ -244,6 +244,131 @@ object SqlSurfaceQueries {
               |GROUP BY s.s_name
               |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin)
     }),
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar-AGGREGATE subquery — each line compares against a per-part
+    // aggregate of the SAME fact table. RewriteCorrelatedScalarSubquery
+    // must decorrelate both scalars into partkey-grouped aggregates joined
+    // back (plan-asserted: no subquery survives optimization), or a 100 TB
+    // fact re-scans per row. The avg threshold is expressed multiplied
+    // through (qty * 5 * cnt < sum) so both engines compare EXACT decimals
+    // and no FP-boundary row can flip between them.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q17")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+      s.sql("""SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+              |             AS DOUBLE) / 7.0, 6) AS avg_yearly
+              |FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+              |WHERE p.p_type = 'ECONOMY'
+              |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+              |      (SELECT count(*) FROM lineitem_q17 l2
+              |       WHERE l2.l_partkey = p.p_partkey)
+              |    < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(18,2)))
+              |       FROM lineitem_q17 l3 WHERE l3.l_partkey = p.p_partkey)
+              |""".stripMargin)
+    }),
+    // TPC-H Q15 shape (top supplier): an aggregate CTE consumed TWICE —
+    // once as the join input, once under an uncorrelated scalar MAX — the
+    // run-once-scalar + filter plan (never a re-aggregation per row).
+    // DECIMAL revenue end to end, so the max-equality selects the same
+    // supplier in both engines bit-exactly.
+    "q15_top_supplier" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+      s.sql("""WITH revenue AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              |             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+              |  FROM lineitem_q15
+              |  WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+              |    AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)
+              |  GROUP BY l_suppkey)
+              |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+              |FROM supplier_q15 s JOIN revenue r ON s.s_suppkey = r.supplier_no
+              |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+              |ORDER BY s.s_suppkey""".stripMargin)
+    }),
+    // TPC-H Q22 shape (global sales opportunity): NOT EXISTS anti join +
+    // an uncorrelated scalar AVERAGE threshold. Balances are compared in
+    // integer CENTS with integral division for the mean (Spark DIV /
+    // DuckDB //), so the above-average cut is bit-deterministic across
+    // engines — a double avg would put boundary customers at the mercy of
+    // summation order. (c_nationkey stands in for Q22's phone country
+    // code; the corpus has no phone column.)
+    "q22_sales_opportunity" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q22")
+      s.sql("""WITH cust AS (
+              |  SELECT c_custkey, c_nationkey,
+              |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              |  FROM customer_q22 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+              |SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+              |       CAST(sum(c.cents) AS DOUBLE) / 100.0 AS totacctbal
+              |FROM cust c
+              |WHERE c.cents > (SELECT sum(cents) DIV count(*) FROM cust
+              |                 WHERE cents > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY c.c_nationkey
+              |ORDER BY cntry""".stripMargin)
+    }),
+    // TPC-H Q13 shape (customer order distribution): LEFT OUTER join with
+    // an extra ON-clause predicate (which must stay in the join condition,
+    // not become a WHERE that silently turns the join inner) feeding two
+    // stacked aggregations — per-customer count including the zero-order
+    // customers, then the histogram over counts. Pure integers: exact.
+    "q13_customer_distribution" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q13")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q13")
+      s.sql("""SELECT c_count, count(*) AS custdist
+              |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              |      FROM customer_q13 c LEFT OUTER JOIN orders_q13 o
+              |        ON c.c_custkey = o.o_custkey
+              |       AND o.o_orderpriority = '1-URGENT'
+              |      GROUP BY c.c_custkey) t
+              |GROUP BY c_count
+              |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    }),
+    // TPC-H Q11 shape (important stock): GROUP BY ... HAVING against a
+    // GLOBAL scalar over the same aggregate — the run-once scalar pattern
+    // again, with the threshold kept in DECIMAL (sum * 0.001 exact) so the
+    // cut is engine-invariant. Supplier filter stands in for the nation
+    // scoping.
+    "q11_important_stock" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+      s.sql("""WITH val AS (
+              |  SELECT l.l_partkey,
+              |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+              |  FROM lineitem_q11 l JOIN supplier_q11 s ON l.l_suppkey = s.s_suppkey
+              |  WHERE s.s_nationkey < 13
+              |  GROUP BY l.l_partkey)
+              |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+              |FROM val
+              |WHERE value > (SELECT sum(value) * CAST(0.0005 AS DECIMAL(7,5)) FROM val)
+              |ORDER BY value DESC, l_partkey""".stripMargin)
+    }),
+    // TPC-H Q20 shape (excess inventory suppliers): NESTED IN chains — an
+    // IN whose subquery itself contains an IN plus a grouped HAVING —
+    // planned as two stacked left-semi joins (plan-asserted), the shape a
+    // naive engine executes as nested per-row scans. DECIMAL sum vs an
+    // integer threshold: exact.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+      t(s, dir, "part").createOrReplaceTempView("part_q20")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+      s.sql("""SELECT s_suppkey, s_name
+              |FROM supplier_q20
+              |WHERE s_suppkey IN (
+              |  SELECT l_suppkey FROM lineitem_q20
+              |  WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+              |                      WHERE p_type = 'ECONOMY')
+              |    AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+              |    AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+              |  GROUP BY l_suppkey, l_partkey
+              |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+              |ORDER BY s_suppkey""".stripMargin)
+    }),
     // TPC-H Q14 shape (promotion effect): the CONDITIONAL-aggregate ratio —
     // 100 * sum(CASE ...) / sum(...) over one date-filtered join; both sums
     // come out of ONE aggregate pass (no second scan), part broadcasts,
@@ -562,6 +687,76 @@ object SqlSurfaceQueries {
         |       AND l.l_quantity BETWEEN 10.0 AND 30.0)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
         |       AND l.l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |             AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_type = 'ECONOMY'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |       FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+        |       sum(c.cents) / 100.0 AS totacctbal
+        |FROM cust c
+        |WHERE c.cents > (SELECT sum(cents) // count(*) FROM cust
+        |                 WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntry""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority = '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l.l_partkey,
+        |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey < 13
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM val
+        |WHERE value > (SELECT sum(value) * CAST(0.0005 AS DECIMAL(7,5)) FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'ECONOMY')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
     "q4_order_priority" ->
       """SELECT o.o_orderpriority, count(*) AS order_count
         |FROM orders o

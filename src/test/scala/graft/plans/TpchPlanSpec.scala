@@ -154,4 +154,64 @@ class TpchPlanSpec extends SparkFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "limit-100 must plan as TakeOrdered, not a global sort")
   }
+
+  test("q17: both correlated scalar aggregates decorrelate — no subquery survives optimization") {
+    val df = graft.SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("subquery"),
+      s"correlated scalar aggregates not decorrelated:\n${optimized.take(1500)}")
+    // replaced by partkey-grouped count/sum aggregates joined back
+    assert(optimized.contains("count(") && optimized.contains("sum("),
+      s"expected count+sum aggregates:\n${optimized.take(1500)}")
+    assert(df.count() == 1)
+  }
+
+  test("q15: the max-revenue threshold is a run-once scalar subquery, not a per-row re-aggregation") {
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery"),
+      s"expected a run-once scalar subquery:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar threshold must stay a filter, not a join explosion:\n${plan.take(1500)}")
+    assert(df.count() >= 1)
+  }
+
+  test("q22: NOT EXISTS plans as an anti join; the cents threshold is a run-once scalar") {
+    val df = graft.SparkEntry.queries("q22_sales_opportunity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n${plan.take(1500)}")
+    assert(plan.contains("Subquery"),
+      s"the above-average threshold must be a run-once scalar:\n${plan.take(1500)}")
+    assert(df.count() >= 1)
+  }
+
+  test("q13: the outer join keeps its ON-clause predicate (zero-order customers survive)") {
+    val df = graft.SparkEntry.queries("q13_customer_distribution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"),
+      s"the join must stay LEFT OUTER (the ON predicate must not demote it to inner):\n${plan.take(1500)}")
+    // zero-order customers exist iff the outer semantics held: the
+    // histogram must carry a c_count=0 bucket covering them
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(0L), s"no zero-order bucket — outer join lost: $rows")
+  }
+
+  test("q11: the global-value threshold is a run-once scalar over the grouped aggregate") {
+    val df = graft.SparkEntry.queries("q11_important_stock")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery"),
+      s"expected a run-once scalar subquery:\n${plan.take(1500)}")
+    assert(df.count() >= 1)
+  }
+
+  test("q20: the nested IN chains plan as stacked left-semi joins") {
+    val df = graft.SparkEntry.queries("q20_excess_suppliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"both IN levels must plan as semi joins:\n${plan.take(1500)}")
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("in-subquery"),
+      "no per-row IN evaluation may survive optimization")
+    assert(df.count() >= 1)
+  }
 }
