@@ -3243,6 +3243,29 @@ object PipelineQueries {
           .orderBy(col("p_id"), col("e_id"))
       }
     }),
+    // Spark 4's ARBITRARY-STATE operator (transformWithState): typed named
+    // state variables on the RocksDB provider — the state machine a 100 TB
+    // pipeline writes when windows/sessions can't express it. The
+    // processor folds each batch into a per-user (count, exact-cents)
+    // ValueState and emits the running totals; the final answer is the
+    // max-n emission per key (the counter is strictly monotone), so the
+    // result is batching-invariant and the oracle is the plain batch
+    // aggregate. Cents arithmetic keeps the totals bit-exact across
+    // engines and arrival orders.
+    "stream_tws_totals" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateTotals(s, dir), "stream_tws_out",
+          statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        res.groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            expr("max_by(cents, n)").as("sum_cents"))
+          .orderBy(col("user_id"))
+      }
+    }),
     // LATE-DATA DROP, pinned end to end: the older half of the corpus
     // replays BEHIND the watermark and a watermarked hourly aggregation
     // must discard it wholesale (finalized windows, evicted state) — the
@@ -6799,6 +6822,14 @@ object PipelineQueries {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts <= p.ts
         |ORDER BY p_id, e_id""".stripMargin,
+    // the running-total state machine converges to the plain batch
+    // aggregate; cents exact in both engines (DuckDB sums BIGINT into
+    // HUGEINT, cast back)
+    "stream_tws_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the state engine must be invisible to results: oracle verbatim from
     // stream_interval_join
     "stream_interval_join_rocksdb" ->

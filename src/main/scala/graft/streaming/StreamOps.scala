@@ -1,8 +1,36 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Spark 4 ARBITRARY-STATE processor (the `transformWithState` operator —
+  * the typed-state successor of flatMapGroupsWithState: named state
+  * variables, optional TTL/timers, RocksDB-only): a running per-key
+  * (row count, exact cents total). Emits one `(key, n, cents)` row per
+  * key per micro-batch AFTER folding the batch in, so the counter is
+  * strictly monotone per key and the FINAL total is recoverable from the
+  * accumulated update-mode emissions as the max-n row — batching-invariant,
+  * which is what makes the operator DuckDB-oracle-able. Values are folded
+  * in integer cents (exact), never floating point: the emission totals are
+  * bit-identical regardless of arrival order.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st: ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    st.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
 
 /** Structured Streaming parity (SURVEY §7: the reference executes everything
   * on a streaming engine; our rules and operators are plan-level and
@@ -86,6 +114,27 @@ object StreamOps {
         withBid.write.partitionBy("_batch_id").format("parquet")
           .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
     } finally spark.conf.set(key, saved)
+  }
+
+  /** Per-user running (count, exact cents) through Spark 4's
+    * `transformWithState` ([[RunningTotalsProcessor]]): the arbitrary-state
+    * operator a 100 TB pipeline reaches for when windows/sessions can't
+    * express the state machine. Returns the UPDATE-mode emission stream
+    * `(user_id, n, cents)` — one row per key per batch, counter monotone —
+    * which the caller drains and reduces with max_by. Requires the RocksDB
+    * state-store provider (the operator rejects the HDFS-backed default —
+    * spec-pinned).
+    */
+  def transformWithStateTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n", "cents")
   }
 
   /** Attach a checkpoint dir (real crash-recoverable state, vs the default

@@ -1072,4 +1072,41 @@ class StreamingSpec extends SparkFunSuite {
         .collect().toSet == Set(1L, 2L, 102L, 104L))
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("transformWithState running totals converge to the batch aggregate (RocksDB-only, pinned)") {
+    import org.apache.spark.sql.functions._
+    // happy path: running (count, cents) folded through the arbitrary-state
+    // processor equals the plain batch aggregate — batching-invariant by
+    // the monotone-counter construction
+    val got = graft.SparkUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.streaming.StreamOps.runToMemory(spark,
+          graft.streaming.StreamOps.transformWithStateTotals(spark, dir),
+          "tws_spec_out",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), expr("max_by(cents, n)").as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val exp = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+    // the operator is RocksDB-ONLY: the HDFS-backed default provider must
+    // be rejected at query start, not silently accepted with broken state
+    val e = intercept[Exception] {
+      graft.streaming.StreamOps.runToMemory(spark,
+        graft.streaming.StreamOps.transformWithStateTotals(spark, dir),
+        "tws_spec_default_out",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null &&
+        (m.contains("RocksDB") || m.toLowerCase.contains("provider"))),
+      s"expected a state-store-provider rejection, got: ${chain(e).mkString(" | ")}")
+  }
 }
