@@ -79,8 +79,12 @@ object Bench {
     //    fits (trainedWordpiece, the unigram EM) for the same reason —
     //    r13's suite-order change moved the wordpiece fit onto
     //    text_wordpiece (0.14 -> 1.95 s at both SFs, pure attribution).
+    //    ann_ivf_mrl_recall warms the memoized per-prefix MRL index builds
+    //    shared with its _check twin — the r14b refresh showed the same
+    //    attribution flip the wordpiece fit had (whichever of the pair the
+    //    shuffled order runs first pays ~4 s of shared builds)
     Seq("ann_brute_topk", "dedup_minhash", "text_bpe", "emb_kmeans",
-        "text_wordpiece", "text_unigram")
+        "text_wordpiece", "text_unigram", "ann_ivf_mrl_recall")
       .filter(SparkEntry.queries.contains).foreach(once)
     // 4. streaming machinery (state store, micro-batch planner) on tiny
     //    inputs; prefer the sibling sf0.001 dir, fall back to the bench dir
