@@ -3266,6 +3266,80 @@ object PipelineQueries {
           .orderBy(col("user_id"))
       }
     }),
+    // MapState flavor of the arbitrary-state operator: per-user DISTINCT
+    // event-type counting with the seen set as individual RocksDB map
+    // entries (point writes — the right state shape for large per-key
+    // sets, vs a serialized-blob ValueState that rewrites the whole set
+    // per row). Same monotone-emission discipline, oracle = the plain
+    // batch COUNT(DISTINCT).
+    "stream_tws_distinct" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateDistinct(s, dir), "stream_twsd_out",
+          statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        res.groupBy(col("user_id"))
+          .agg(max(col("n_types")).as("n_types"))
+          .orderBy(col("user_id"))
+      }
+    }),
+    // CRASH-RESTART gate for transformWithState: the new operator's state
+    // lives in Spark's versioned RocksDB checkpoint, so recovery is the
+    // engine's contract — exercised with the same two-incarnation protocol
+    // as the session-window gate. Events time-split into two slices; the
+    // first drains on a real checkpoint, its newest commit record is
+    // deleted (the crash window), the second arrives and the RESTARTED
+    // query must roll the state back and replay: the ValueState counters
+    // re-fold the replayed batch from the rolled-back version, the ledger
+    // skips the duplicate sink append, and the accumulated max-n rows
+    // equal the batch aggregate — oracle verbatim from stream_tws_totals.
+    "stream_tws_totals_restart" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val ev = Tables.df(s, dir, "events")
+          .select(col("user_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+            col("event_id"))
+        Seq("twsr_sink", "twsr_ledger")
+          .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_twsr").toFile
+        val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+        val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+        val ckpt = new java.io.File(tmpRoot, "ckpt")
+        val mid = ev.agg((min(col("event_id")) + max(col("event_id"))) / 2)
+          .head().getDouble(0)
+        writeSliceFixtures(tmpRoot, side, Seq(
+          ev.filter(col("event_id") < mid).drop("event_id"),
+          ev.filter(col("event_id") >= mid).drop("event_id")))
+        def drain(): Unit = {
+          import s.implicits._
+          val stream = s.readStream
+            .schema(ev.drop("event_id").schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+            .as[(Long, Long)]
+          val totals = stream.groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningTotalsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n", "cents")
+          StreamOps.drainToTable(s, totals, "twsr_sink", ckpt.getPath,
+            "twsr_ledger", statePartitions = Some(8),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+        moveIn(side, streamDir, "b0.parquet"); drain() // first half commits
+        dropLatestCommit(ckpt)                         // crash window
+        moveIn(side, streamDir, "b1.parquet")
+        drain() // rollback + replay batch 0, then fold the second half
+        s.table("twsr_sink")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            expr("max_by(cents, n)").as("sum_cents"))
+          .orderBy(col("user_id"))
+      }
+    }),
     // LATE-DATA DROP, pinned end to end: the older half of the corpus
     // replays BEHIND the watermark and a watermarked hourly aggregation
     // must discard it wholesale (finalized windows, evicted state) — the
@@ -6829,6 +6903,17 @@ object PipelineQueries {
       """SELECT user_id, count(*) AS n_events,
         |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |            AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // crash/rollback/replay must be invisible to the totals: oracle
+    // verbatim from stream_tws_totals
+    "stream_tws_totals_restart" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the MapState seen-set converges to the plain batch COUNT(DISTINCT)
+    "stream_tws_distinct" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the state engine must be invisible to results: oracle verbatim from
     // stream_interval_join

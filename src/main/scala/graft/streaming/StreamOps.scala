@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4 ARBITRARY-STATE processor (the `transformWithState` operator —
   * the typed-state successor of flatMapGroupsWithState: named state
@@ -29,6 +29,27 @@ class RunningTotalsProcessor
     rows.foreach { case (_, c) => n += 1; cents += c }
     st.update((n, cents))
     Iterator.single((key, n, cents))
+  }
+}
+
+/** MapState sibling of [[RunningTotalsProcessor]]: per-key DISTINCT-value
+  * counting with the seen set as a keyed MapState — at scale the set lives
+  * in RocksDB as individual map entries (point writes, no
+  * read-modify-write of a serialized blob, which is what makes MapState
+  * the right shape for large per-key sets). Emits the running distinct
+  * count per batch; monotone, so max = the batch COUNT(DISTINCT).
+  */
+class DistinctValuesProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, Long)] {
+  @transient private var seen: MapState[String, Boolean] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seen = getHandle.getMapState[String, Boolean]("seen",
+      Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    rows.foreach { case (_, v) => if (!seen.containsKey(v)) seen.updateValue(v, true) }
+    Iterator.single((key, seen.keys().size.toLong))
   }
 }
 
@@ -137,6 +158,22 @@ object StreamOps {
       .toDF("user_id", "n", "cents")
   }
 
+  /** Per-user running DISTINCT event-type count through MapState
+    * ([[DistinctValuesProcessor]]) — the large-per-key-set shape of the
+    * arbitrary-state API. Update-mode emissions `(user_id, n_types)`,
+    * counter monotone. RocksDB-only like every transformWithState plan.
+    */
+  def transformWithStateDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    ev.groupByKey(_._1)
+      .transformWithState(new DistinctValuesProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_types")
+  }
+
   /** Attach a checkpoint dir (real crash-recoverable state, vs the default
     * temp checkpoint) to a writeStream when one is given.
     */
@@ -163,7 +200,14 @@ object StreamOps {
   def drainToTable(spark: SparkSession, streamed: DataFrame, sinkTable: String,
       checkpointDir: String, ledgerTable: String,
       statePartitions: Option[Int] = None,
-      allowNoDataBatches: Boolean = true): Unit = {
+      allowNoDataBatches: Boolean = true,
+      /** Query output mode: Append (default) for watermark-finalized
+        * emissions; Update for operators that re-emit per batch
+        * (transformWithState running counters — the sink accumulates every
+        * emission and the caller reduces, e.g. max_by over a monotone
+        * counter).
+        */
+      outputMode: OutputMode = OutputMode.Append()): Unit = {
     def drain(): Unit = {
       val key = "spark.sql.streaming.noDataMicroBatches.enabled"
       val saved = spark.conf.get(key)
@@ -188,7 +232,7 @@ object StreamOps {
             BatchLedger.record(batch.sparkSession, ledgerTable, bid)
           }
         val q = streamed.writeStream
-          .outputMode(OutputMode.Append())
+          .outputMode(outputMode)
           .option("checkpointLocation", checkpointDir)
           .foreachBatch(perBatch)
           .start()

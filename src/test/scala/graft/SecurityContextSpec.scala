@@ -753,6 +753,35 @@ class SecurityContextSpec extends SparkFunSuite {
       .foreach(v => spark.catalog.dropTempView(v))
   }
 
+  test("column deny reaches through CTEs (user-authored text counts wholesale)") {
+    ctx
+    val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
+    c.policyManager.addPolicy(graft.policy.ColumnDenyPolicy(
+      "user_A", CAT, DB, "orders", "price"))
+    // reading the denied column through a CTE is a read
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A",
+        "WITH x AS (SELECT order_id, price AS p FROM orders) SELECT p FROM x")
+    }
+    // the CTE TEXT references the denied column, and unlike a stored VIEW
+    // it is the querying principal's own text: it counts wholesale, so even
+    // a sibling-column read through it is denied (fail-closed; the
+    // demand-driven narrowing applies only to views, whose text the
+    // principal did not author)
+    intercept[ColumnAccessDeniedException] {
+      c.dfRowFilter("user_A",
+        "WITH x AS (SELECT order_id, price AS p FROM orders) SELECT order_id FROM x")
+    }
+    // a price-free CTE flows normally
+    assert(c.executeRowFilter("user_A",
+      "WITH x AS (SELECT order_id, region FROM orders) SELECT order_id FROM x",
+      10).nonEmpty)
+    // other principals are untouched
+    assert(c.executeRowFilter("user_B",
+      "WITH x AS (SELECT order_id, price AS p FROM orders) SELECT p FROM x",
+      10).nonEmpty)
+  }
+
   test("column deny through set-op branches that never adopt the branch's exprIds") {
     ctx
     val c = new SecurityContext(spark, defaultCatalog = CAT, defaultDatabase = DB)
