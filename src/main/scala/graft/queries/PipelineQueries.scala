@@ -3285,6 +3285,32 @@ object PipelineQueries {
           .orderBy(col("user_id"))
       }
     }),
+    // TIMER leg of the arbitrary-state API: gap sessionization where the
+    // trailing open session is flushed by an EVENT-TIME TIMER registered
+    // at end+gap (re-armed per update, deleted on inline close) — the
+    // third sessionizer engine (after flatMapGroupsWithState and Catalyst
+    // session_window) and the part of transformWithState the other two
+    // tws queries don't touch. The fence drives the watermark past every
+    // real flush timer, so the drained Append stream equals the batch
+    // gaps-and-islands result: oracle verbatim from stream_sessionize.
+    "stream_tws_sessionize" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val gap = 1800L
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateSessions(s, dir, gap, fenceAheadSec = 3 * gap),
+          "stream_twss_out", statePartitions = Some(8),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true)
+        res.filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("session_start"))).cast("bigint").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
+      }
+    }),
     // CRASH-RESTART gate for transformWithState: the new operator's state
     // lives in Spark's versioned RocksDB checkpoint, so recovery is the
     // engine's contract — exercised with the same two-incarnation protocol
@@ -6915,6 +6941,22 @@ object PipelineQueries {
     "stream_tws_distinct" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // timer-flushed sessions converge to the batch gaps-and-islands
+    // (oracle verbatim from stream_sessionize)
+    "stream_tws_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     // the state engine must be invisible to results: oracle verbatim from
     // stream_interval_join
     "stream_interval_join_rocksdb" ->

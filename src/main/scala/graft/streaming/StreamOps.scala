@@ -32,6 +32,65 @@ class RunningTotalsProcessor
   }
 }
 
+/** TIMER flavor of the arbitrary-state API: a gap sessionizer whose
+  * trailing open session is flushed by an EVENT-TIME TIMER — the third
+  * leg of transformWithState (ValueState, MapState, timers) and the
+  * third sessionizer engine here (flatMapGroupsWithState, Catalyst
+  * session_window, and now typed-state + timers). Semantics match the
+  * flatMapGroupsWithState sessionizer exactly (inclusive floor-seconds
+  * gap, batch rows sorted per key before folding): sessions closed by a
+  * later event emit inline; the timer is re-armed at end + gap (clamped
+  * above the current watermark — a registration at-or-below the
+  * watermark would never fire or fire immediately against a stale end)
+  * after any previously armed timer is deleted, so exactly one flush
+  * timer is live per open session.
+  *
+  * Input (userId, epochSec, eventTs) — the timestamp column carries the
+  * watermark through the typed select; output (userId, start, end, n).
+  */
+class SessionizeProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+      (Long, Long, Long, Long)] {
+  @transient private var open: ValueState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    open = getHandle.getValueState[(Long, Long, Long)]("open",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val sorted = rows.map(_._2).toArray.sorted // key-batch-sized
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    var cur: Option[(Long, Long, Long)] =
+      if (open.exists()) Some(open.get()) else None
+    sorted.foreach { t =>
+      cur = cur match {
+        case Some((s0, e0, n0)) if t - e0 <= gapSeconds =>
+          Some((s0, math.max(e0, t), n0 + 1))
+        case Some((s0, e0, n0)) =>
+          out += ((key, s0, e0, n0)); Some((t, t, 1L))
+        case None => Some((t, t, 1L))
+      }
+    }
+    cur.foreach { c =>
+      open.update(c)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max((c._2 + gapSeconds) * 1000L + 1L,
+        timerValues.getCurrentWatermarkInMs() + 1L))
+    }
+    out.result().iterator
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long)] = {
+    if (open.exists()) {
+      val (s0, e0, n0) = open.get()
+      open.clear()
+      Iterator.single((key, s0, e0, n0))
+    } else Iterator.empty
+  }
+}
+
 /** MapState sibling of [[RunningTotalsProcessor]]: per-key DISTINCT-value
   * counting with the seen set as a keyed MapState — at scale the set lives
   * in RocksDB as individual map entries (point writes, no
@@ -172,6 +231,27 @@ object StreamOps {
       .transformWithState(new DistinctValuesProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_types")
+  }
+
+  /** Gap sessionization through [[SessionizeProcessor]] (transformWithState
+    * + event-time timers): watermarked fenced events in, closed sessions
+    * out in Append mode — the fence drives the watermark past every real
+    * session's flush timer, so the drained stream converges to the batch
+    * gaps-and-islands result exactly (same oracle as stream_sessionize).
+    */
+  def transformWithStateSessions(spark: SparkSession, dir: String,
+      gapSeconds: Long, fenceAheadSec: Long): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamFenced(spark, dir, fenceAheadSec = fenceAheadSec)
+      .withColumn("_ets", col("ts").cast("timestamp"))
+      .withWatermark("_ets", "0 seconds")
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("_ets")), col("_ets"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    ev.groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
   /** Attach a checkpoint dir (real crash-recoverable state, vs the default
