@@ -344,8 +344,14 @@ object PipelineQueries {
     mrlIndexBuilt.getOrElse((dir, p), mrlIndexLock.synchronized {
       mrlIndexBuilt.getOrElseUpdate((dir, p), {
         // dir lands in the name: a multi-dir sweep (QueryProbe) must not
-        // probe one dir's codes with another dir's queries
-        val tbl = s"graft_ivf_mrl_${p}_${java.lang.Integer.toHexString(dir.hashCode)}"
+        // probe one dir's codes with another dir's queries. MD5 prefix, not
+        // String.hashCode: a 32-bit hash collision between two dirs would
+        // silently cross-contaminate the very thing the name exists to keep
+        // apart.
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString
+        val tbl = s"graft_ivf_mrl_${p}_$dirTag"
         Similarity.ivfWriteBucketed(
           embs(s, dir).select(col("vec_id"),
             expr(s"slice(embedding, 1, $p)").as("embedding")),
@@ -3258,7 +3264,7 @@ object PipelineQueries {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val res = StreamOps.runToMemory(s,
           StreamOps.transformWithStateTotals(s, dir), "stream_tws_out",
-          statePartitions = Some(8),
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
         res.groupBy(col("user_id"))
           .agg(max(col("n")).as("n_events"),
@@ -3278,7 +3284,7 @@ object PipelineQueries {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val res = StreamOps.runToMemory(s,
           StreamOps.transformWithStateDistinct(s, dir), "stream_twsd_out",
-          statePartitions = Some(8),
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
         res.groupBy(col("user_id"))
           .agg(max(col("n_types")).as("n_types"))
@@ -3300,7 +3306,8 @@ object PipelineQueries {
         val gap = 1800L
         val res = StreamOps.runToMemory(s,
           StreamOps.transformWithStateSessions(s, dir, gap, fenceAheadSec = 3 * gap),
-          "stream_twss_out", statePartitions = Some(8),
+          "stream_twss_out",
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
           outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
           allowNoDataBatches = true)
         res.filter(col("user_id") =!= -1L)
@@ -3352,7 +3359,8 @@ object PipelineQueries {
               org.apache.spark.sql.streaming.OutputMode.Update())
             .toDF("user_id", "n", "cents")
           StreamOps.drainToTable(s, totals, "twsr_sink", ckpt.getPath,
-            "twsr_ledger", statePartitions = Some(8),
+            "twsr_ledger",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
             outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
         }
         moveIn(side, streamDir, "b0.parquet"); drain() // first half commits
@@ -3364,6 +3372,65 @@ object PipelineQueries {
           .agg(max(col("n")).as("n_events"),
             expr("max_by(cents, n)").as("sum_cents"))
           .orderBy(col("user_id"))
+      }
+    }),
+    // CRASH-RESTART gate for the TIMER leg of transformWithState — the
+    // state most likely to be subtly wrong across rollback: armed timers
+    // must be RESTORED with the rolled-back version, and a replayed batch
+    // whose watermark already passed must RE-FIRE its expired timers
+    // (re-emitting the flushed sessions, which the ledger dedups at the
+    // sink). Protocol as stream_session_window_restart: events time-split
+    // at the range midpoint; incarnation 1 drains the older half — its
+    // final no-data batch fires every timer with end+gap below the new
+    // watermark (sessions no later event can extend), open straddlers stay
+    // in state with a live timer — then the newest commit is deleted (the
+    // crash lands AFTER the timer-firing batch's side effects, BEFORE its
+    // commit record); incarnation 2 adds the newer half + fence and
+    // restarts: rollback, timer re-fire on the replayed batch, straddling
+    // sessions merge across the restart, fence flushes the tail. The
+    // accumulated sink must equal the batch gaps-and-islands: oracle
+    // verbatim from stream_sessionize.
+    "stream_tws_sessionize_restart" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val gap = 1800L
+        val ev = StreamOps.fencibleEvents(s, dir)
+        val r = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val cut = (mn + mx) / 2
+        Seq("twssr_sink", "twssr_ledger")
+          .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_twssr").toFile
+        val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+        val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+        val ckpt = new java.io.File(tmpRoot, "ckpt")
+        writeSliceFixtures(tmpRoot, side, Seq(
+          ev.filter(unix_timestamp(col("ts")) < cut),
+          ev.filter(unix_timestamp(col("ts")) >= cut),
+          StreamOps.fenceRow(s, mx + 3 * gap)))
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+          val sessions = StreamOps.transformWithStateSessionsOn(s, stream, gap)
+          // state partition count must be IDENTICAL across incarnations
+          // (fixed at first start) — the derived value is deterministic
+          StreamOps.drainToTable(s, sessions, "twssr_sink", ckpt.getPath,
+            "twssr_ledger",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+        moveIn(side, streamDir, "b0.parquet"); drain() // older half; timers fire/arm
+        dropLatestCommit(ckpt)                         // crash: newest batch uncommitted
+        moveIn(side, streamDir, "b1.parquet"); moveIn(side, streamDir, "b2.parquet")
+        drain() // rollback + timer re-fire on replay, merge, fence flush
+        s.table("twssr_sink").filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("session_start"))).cast("bigint").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
       }
     }),
     // LATE-DATA DROP, pinned end to end: the older half of the corpus
@@ -6944,6 +7011,22 @@ object PipelineQueries {
     // timer-flushed sessions converge to the batch gaps-and-islands
     // (oracle verbatim from stream_sessionize)
     "stream_tws_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // timer state must survive rollback/replay: oracle verbatim from
+    // stream_sessionize (= stream_tws_sessionize)
+    "stream_tws_sessionize_restart" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,
         |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

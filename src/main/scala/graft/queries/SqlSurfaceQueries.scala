@@ -331,7 +331,7 @@ object SqlSurfaceQueries {
     }),
     // TPC-H Q11 shape (important stock): GROUP BY ... HAVING against a
     // GLOBAL scalar over the same aggregate — the run-once scalar pattern
-    // again, with the threshold kept in DECIMAL (sum * 0.001 exact) so the
+    // again, with the threshold kept in DECIMAL (sum * 0.0005 exact) so the
     // cut is engine-invariant. Supplier filter stands in for the nation
     // scoping.
     "q11_important_stock" -> ((s, dir) => {

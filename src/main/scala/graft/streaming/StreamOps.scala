@@ -59,26 +59,17 @@ class SessionizeProcessor(gapSeconds: Long)
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Long, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-    val sorted = rows.map(_._2).toArray.sorted // key-batch-sized
-    val out = Seq.newBuilder[(Long, Long, Long, Long)]
-    var cur: Option[(Long, Long, Long)] =
+    val prev: Option[(Long, Long, Long)] =
       if (open.exists()) Some(open.get()) else None
-    sorted.foreach { t =>
-      cur = cur match {
-        case Some((s0, e0, n0)) if t - e0 <= gapSeconds =>
-          Some((s0, math.max(e0, t), n0 + 1))
-        case Some((s0, e0, n0)) =>
-          out += ((key, s0, e0, n0)); Some((t, t, 1L))
-        case None => Some((t, t, 1L))
-      }
-    }
+    val (closed, cur) =
+      SessionizeProcessor.foldBatch(prev, rows.map(_._2).toArray, gapSeconds)
     cur.foreach { c =>
       open.update(c)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(math.max((c._2 + gapSeconds) * 1000L + 1L,
         timerValues.getCurrentWatermarkInMs() + 1L))
     }
-    out.result().iterator
+    closed.iterator.map { case (s, e, n) => (key, s, e, n) }
   }
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
@@ -91,24 +82,67 @@ class SessionizeProcessor(gapSeconds: Long)
   }
 }
 
+object SessionizeProcessor {
+  /** Pure gaps-and-islands fold of one key-batch against the open session:
+    * returns (sessions closed by this batch, in start order; the still-open
+    * last session). The open session participates in the interval sweep as
+    * an interval rather than as an "everything merges rightward" anchor, so
+    * an out-of-order event EARLIER than the open session is handled
+    * honestly: within gap of the interval it merges and LOWERS
+    * session_start; beyond gap it forms (and, being earlier than the open
+    * session, immediately closes) its own island — the signed
+    * `t - e0 <= gap` test that silently swallowed arbitrarily-early events
+    * is gone. Under a 0-delay watermark (the pinned gate plan, where every
+    * surviving event has t >= open end) this reduces exactly to the old
+    * fold; with a nonzero watermark delay it now matches the batch
+    * gaps-and-islands oracle for any event the watermark admits, except the
+    * inherent limit of already-EMITTED sessions (an event within gap of a
+    * session closed in an earlier batch starts a new island — no engine can
+    * retract an emitted row in append mode).
+    */
+  def foldBatch(open: Option[(Long, Long, Long)], events: Array[Long],
+      gapSeconds: Long): (Seq[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
+    val intervals = (open.toSeq ++ events.map(t => (t, t, 1L))).sortBy(_._1)
+    val merged = intervals.foldLeft(List.empty[(Long, Long, Long)]) {
+      case ((ps, pe, pn) :: rest, (s, e, n)) if s - pe <= gapSeconds =>
+        (ps, math.max(pe, e), pn + n) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+    if (merged.isEmpty) (Nil, None)
+    else (merged.init, Some(merged.last))
+  }
+}
+
 /** MapState sibling of [[RunningTotalsProcessor]]: per-key DISTINCT-value
   * counting with the seen set as a keyed MapState — at scale the set lives
   * in RocksDB as individual map entries (point writes, no
   * read-modify-write of a serialized blob, which is what makes MapState
-  * the right shape for large per-key sets). Emits the running distinct
-  * count per batch; monotone, so max = the batch COUNT(DISTINCT).
+  * the right shape for large per-key sets). The running count lives in a
+  * companion ValueState[Long] incremented on each first-insert, so the
+  * per-batch emission is O(batch) point reads + ONE value read — never an
+  * O(|seen|) scan of the map (iterating `seen.keys()` each batch would be
+  * quadratic over a key's lifetime, defeating the point-write rationale
+  * for MapState). Emits the running distinct count per batch; monotone,
+  * so max = the batch COUNT(DISTINCT).
   */
 class DistinctValuesProcessor
     extends StatefulProcessor[Long, (Long, String), (Long, Long)] {
   @transient private var seen: MapState[String, Boolean] = _
+  @transient private var count: ValueState[Long] = _
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     seen = getHandle.getMapState[String, Boolean]("seen",
       Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    count = getHandle.getValueState[Long]("count",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
   override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
-    rows.foreach { case (_, v) => if (!seen.containsKey(v)) seen.updateValue(v, true) }
-    Iterator.single((key, seen.keys().size.toLong))
+    var c = if (count.exists()) count.get() else 0L
+    rows.foreach { case (_, v) =>
+      if (!seen.containsKey(v)) { seen.updateValue(v, true); c += 1 }
+    }
+    count.update(c)
+    Iterator.single((key, c))
   }
 }
 
@@ -240,9 +274,18 @@ object StreamOps {
     * gaps-and-islands result exactly (same oracle as stream_sessionize).
     */
   def transformWithStateSessions(spark: SparkSession, dir: String,
-      gapSeconds: Long, fenceAheadSec: Long): DataFrame = {
+      gapSeconds: Long, fenceAheadSec: Long): DataFrame =
+    transformWithStateSessionsOn(spark,
+      eventsStreamFenced(spark, dir, fenceAheadSec = fenceAheadSec), gapSeconds)
+
+  /** Same typed timer-sessionize pipeline over a caller-built event stream
+    * (`ts`, `user_id` columns) — the restart gate feeds a phased FILE
+    * stream here instead of the staged in-memory fence stream.
+    */
+  def transformWithStateSessionsOn(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long): DataFrame = {
     import spark.implicits._
-    val ev = eventsStreamFenced(spark, dir, fenceAheadSec = fenceAheadSec)
+    val ev = events
       .withColumn("_ets", col("ts").cast("timestamp"))
       .withWatermark("_ets", "0 seconds")
       .select(col("user_id").cast("long"),

@@ -62,6 +62,10 @@ object ScaleUp {
       val base = Tables.df(spark, src, "documents")
       val alpha = "aeioubcdfg"
       val beta = "hjklmnpqrt"
+      require(n <= alpha.length * beta.length,
+        s"scaledDocs supports at most ${alpha.length * beta.length} distinct " +
+          "copies (composite two-alphabet permutation); past that, remaps " +
+          "repeat byte-identically and plant cross-copy clones")
       def rot(s: String, r: Int) = s.substring(r) + s.substring(0, r)
       (0 until n).map { c =>
         val to = rot(alpha, c % alpha.length) +

@@ -1109,4 +1109,61 @@ class StreamingSpec extends SparkFunSuite {
         (m.contains("RocksDB") || m.toLowerCase.contains("provider"))),
       s"expected a state-store-provider rejection, got: ${chain(e).mkString(" | ")}")
   }
+
+  test("SessionizeProcessor.foldBatch: interval sweep handles out-of-order events honestly") {
+    import graft.streaming.SessionizeProcessor.foldBatch
+    val gap = 10L
+    // in-order (the pinned 0-watermark gate regime): identical to the old fold
+    assert(foldBatch(None, Array(1L, 5L, 30L, 35L), gap) ==
+      (Seq((1L, 5L, 2L)), Some((30L, 35L, 2L))))
+    assert(foldBatch(Some((100L, 105L, 3L)), Array(110L, 200L), gap) ==
+      (Seq((100L, 110L, 4L)), Some((200L, 200L, 1L))))
+    // out-of-order WITHIN gap of the open session: merges and LOWERS start
+    // (the signed t - e0 <= gap fold kept start frozen at s0)
+    assert(foldBatch(Some((100L, 105L, 3L)), Array(95L), gap) ==
+      (Nil, Some((95L, 105L, 4L))))
+    // event INSIDE the open interval: count grows, boundaries unchanged
+    assert(foldBatch(Some((100L, 120L, 3L)), Array(110L), gap) ==
+      (Nil, Some((100L, 120L, 4L))))
+    // out-of-order far EARLIER than the open session: its own island,
+    // closed immediately (the signed fold silently merged it and never
+    // lowered session_start — the ADVICE divergence)
+    assert(foldBatch(Some((100L, 105L, 3L)), Array(50L), gap) ==
+      (Seq((50L, 50L, 1L)), Some((100L, 105L, 3L))))
+    // and a later in-batch event still merges with that EARLIER island,
+    // not with the open session (full sweep, not an anchor fold)
+    assert(foldBatch(Some((100L, 105L, 3L)), Array(50L, 55L), gap) ==
+      (Seq((50L, 55L, 2L)), Some((100L, 105L, 3L))))
+    // earlier island bridging INTO the open session collapses to one
+    assert(foldBatch(Some((100L, 105L, 3L)), Array(85L, 93L), gap) ==
+      (Nil, Some((85L, 105L, 5L))))
+    val (closed0, open0) = foldBatch(None, Array.empty[Long], gap)
+    assert(closed0.isEmpty && open0.isEmpty)
+  }
+
+  test("DistinctValuesProcessor carries its ValueState counter across batches (O(1) emission)") {
+    import spark.implicits._
+    // two staged batches with an overlapping value: the second batch's
+    // emission must be the RUNNING distinct count (3), which only holds if
+    // the companion ValueState counter persists and increments on
+    // first-insert — a counter recomputed from the batch alone would say 2,
+    // one double-counting the replayed 'b' would say 4
+    val b0 = Seq((7L, "a"), (7L, "b"), (7L, "a")).toDF("user_id", "event_type")
+    val b1 = Seq((7L, "b"), (7L, "c")).toDF("user_id", "event_type")
+    val got = graft.SparkUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val ev = StreamOps.stagedStream(spark, Seq(b0, b1))
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new DistinctValuesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_types")
+      StreamOps.runToMemory(spark, out, "twsd_counter_spec_out",
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(got == Set((7L, 2L), (7L, 3L)))
+  }
 }
