@@ -413,6 +413,94 @@ object SqlSurfaceQueries {
           (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"))
     }),
+    // TPC-H Q8 shape (national market share): the DEEPEST join tree in the
+    // suite — lineitem at the center of a 6-way star (part, supplier+nation
+    // role, orders, customer+nation+region role) with a conditional
+    // aggregate ratio per order year. Every dimension chain broadcasts
+    // (part filtered tiny, supplier/nation/region tiny); lineitem shuffles
+    // once on orderkey to meet orders, once on custkey to meet the
+    // region-scoped customers. Both sums (the NATION_5 share and the total)
+    // come from ONE aggregate pass; exact DECIMAL sums cast to DOUBLE
+    // before the ratio so the division is engine-invariant.
+    "q8_market_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+      val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val amerCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0)))
+            .cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    // TPC-H Q9 shape (product-type profit): a LIKE-filtered part table
+    // DRIVES a 5-way join — the substring filter is pushed to the part
+    // scan (StringContains), the surviving slice broadcasts into lineitem,
+    // and profit aggregates per (supplier nation, order year). The
+    // testdata has no partsupp, so p_retailprice * quantity stands in for
+    // the supplycost leg of the profit expression — same cross-table
+    // arithmetic shape, exact DECIMAL end to end.
+    "q9_product_profit" -> ((s, dir) => {
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(9,2)")
+      val p = t(s, dir, "part").filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q12 shape (shipmode priority counts): a date-BRACKETED
+    // fact-fact join (l_shipdate within [o_orderdate, o_orderdate+30d) —
+    // the commit/receipt bracket re-expressed on the columns the testdata
+    // has) with BOTH CASE-sum counts in one aggregate pass over the join.
+    // The equi-join on orderkey is extracted and the bracket rides as the
+    // join residual — never a cartesian; the shipdate year range and the
+    // returnflag IN (the shipmode stand-in) push to the lineitem scan.
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
     // RUNTIME bloom-filter join pruning (InjectRuntimeFilter): the selective
     // orders filter builds a bloom filter over o_orderkey that is pushed
     // into the UNFILTERED lineitem side as a might_contain pre-filter —
@@ -745,6 +833,57 @@ object SqlSurfaceQueries {
         |FROM val
         |WHERE value > (SELECT sum(value) * CAST(0.0005 AS DECIMAL(7,5)) FROM val)
         |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |                THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                     (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+        |                ELSE 0 END) AS DOUBLE) /
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |       AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |WHERE p.p_type = 'STANDARD'
+        |  AND r.r_name = 'AMERICA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY year(o.o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) -
+        |                CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |                CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l.l_returnflag,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |WHERE l.l_returnflag IN ('A','N')
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q20_excess_suppliers" ->
       """SELECT s_suppkey, s_name
         |FROM supplier

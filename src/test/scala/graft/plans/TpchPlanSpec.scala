@@ -214,4 +214,53 @@ class TpchPlanSpec extends SparkFunSuite {
       "no per-row IN evaluation may survive optimization")
     assert(df.count() >= 1)
   }
+
+  test("q8: dimension chains broadcast, date range pushed to orders, both ratio sums in one pass") {
+    val df = graft.SparkEntry.queries("q8_market_share")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate",
+        "EqualTo(p_type,STANDARD)"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    val plan = df.queryExecution.executedPlan.toString
+    // the deepest join tree in the suite: part, supplier-nation, and the
+    // customer-side nation/region chain all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected >=3 broadcast joins:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), "no join explosion")
+    // share and total are two sums of ONE aggregate pair, not two scans
+    assert("HashAggregate".r.findAllIn(plan).size <= 2,
+      s"both ratio sums must come from one aggregate pass:\n${plan.take(1500)}")
+  }
+
+  test("q9: the LIKE filter is pushed to the part scan and the filtered slice broadcasts") {
+    val df = graft.SparkEntry.queries("q9_product_profit")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("StringContains(p_name,gear)"),
+      s"LIKE '%gear%' must push to the part scan as StringContains:\n" +
+        formatted.take(1500))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"part slice and supplier+nation must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), "no join explosion")
+  }
+
+  test("q12: shipdate range + flag IN pushed to lineitem; bracket rides the equi-join; one aggregate pass") {
+    val df = graft.SparkEntry.queries("q12_shipmode_priority")(spark, dir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "In(l_returnflag"))
+      assert(formatted.contains(f), s"missing pushed filter $f")
+    val plan = df.queryExecution.executedPlan.toString
+    // the date bracket must NOT prevent orderkey equi-join extraction
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"bracket must ride the equi-join as a residual:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).size <= 2,
+      s"both CASE counts must come from one aggregate pass:\n${plan.take(1500)}")
+  }
 }
