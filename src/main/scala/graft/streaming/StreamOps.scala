@@ -1250,6 +1250,28 @@ object StreamOps {
       statePartitions: Option[Int] = None,
       outputMode: OutputMode = OutputMode.Complete(),
       allowNoDataBatches: Boolean = false): DataFrame = {
+    // DRIVER-SAFE routing for large results (the sf10 lesson: a memory sink
+    // holds every emission on the DRIVER heap — millions of appended
+    // session rows OOM an 8g driver, while the executors were never the
+    // problem). When the harness sets spark.graft.stream.drain=table
+    // (QueryProbe flips it on input volume), Append/Update drains go
+    // through [[drainToTable]] into a parquet table instead — emissions
+    // land distributed, the returned frame is a batch scan of the table.
+    // Complete mode stays on the memory sink regardless: the memory sink
+    // REPLACES its contents each batch (snapshot semantics) where a table
+    // drain APPENDS, and a Complete-mode result is the aggregate state
+    // itself — the thing that must fit SOMEWHERE whole.
+    if (spark.conf.get("spark.graft.stream.drain", "memory") == "table" &&
+        outputMode != OutputMode.Complete()) {
+      val tbl = s"${name}_t"
+      val ledger = s"${name}_tl"
+      Seq(tbl, ledger).foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_drain_$name")
+      drainToTable(spark, streamed, tbl, ckpt.toString, ledger,
+        statePartitions = statePartitions,
+        allowNoDataBatches = allowNoDataBatches, outputMode = outputMode)
+      return spark.table(tbl).drop("_batch_id")
+    }
     def drain(): Unit = {
       // a synchronous drain doesn't need the trailing empty micro-batch that
       // event-time cleanup would use — skipping it saves a full batch round

@@ -1110,6 +1110,35 @@ class StreamingSpec extends SparkFunSuite {
       s"expected a state-store-provider rejection, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("table-routed drain equals the memory sink and skips Complete mode") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val proj = StreamOps.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val mem = StreamOps.runToMemory(spark, proj, "drain_mem_out",
+      outputMode = OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    val viaTable = graft.SparkUtil.withConfs(spark,
+      "spark.graft.stream.drain" -> "table") {
+      StreamOps.runToMemory(spark, proj, "drain_tbl_out",
+        outputMode = OutputMode.Append())
+    }
+    // routed: the parquet table exists and the returned frame reads it
+    // (same rows, _batch_id projected away)
+    assert(spark.catalog.tableExists("drain_tbl_out_t"))
+    assert(viaTable.columns.toSeq == Seq("event_id", "user_id", "event_type"))
+    assert(viaTable.collect().map(_.toSeq).toSet == mem)
+    // Complete mode must IGNORE the routing: the memory sink replaces its
+    // snapshot per batch where a table drain would append duplicates
+    val cmpl = graft.SparkUtil.withConfs(spark,
+      "spark.graft.stream.drain" -> "table") {
+      StreamOps.runToMemory(spark,
+        StreamOps.eventsStream(spark, dir).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt")), "drain_cmpl_out")
+    }
+    assert(!spark.catalog.tableExists("drain_cmpl_out_t"))
+    assert(cmpl.count() > 0)
+  }
+
   test("SessionizeProcessor.foldBatch: interval sweep handles out-of-order events honestly") {
     import graft.streaming.SessionizeProcessor.foldBatch
     val gap = 10L
