@@ -3433,6 +3433,157 @@ object PipelineQueries {
           .orderBy(col("user_id"), col("session_seq"))
       }
     }),
+    // LISTSTATE leg of the arbitrary-state API — the FOURTH state shape
+    // (after ValueState, MapState, timers): per-user trailing-3600s event
+    // counts with the epoch buffer as a ListState, entries beyond the
+    // window EVICTED each batch so per-key state is bounded by the window
+    // span (the recent-events/CEP buffer shape at 100 TB). Emissions are
+    // RANGE-window counts (ties are peers), monotone per (user, te);
+    // max-reduced they equal the batch RANGE-window oracle exactly.
+    "stream_tws_trailing" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateTrailing(s, dir, windowSec = 3600L),
+          "stream_twstr_out",
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        res.groupBy(col("user_id"), col("te"))
+          .agg(max(col("cnt")).as("n_in_window"))
+          .orderBy(col("user_id"), col("te"))
+      }
+    }),
+    // CRASH-RESTART gate for the MAPSTATE leg — with this, every state
+    // shape of the arbitrary-state API has its two-incarnation gate
+    // (ValueState: totals_restart; timers: sessionize_restart; ListState:
+    // trailing_restart). MapState recovery is its own question: the seen
+    // set is stored as INDIVIDUAL RocksDB map entries plus a companion
+    // ValueState counter, and rollback must restore both IN AGREEMENT — a
+    // replayed batch that re-inserts against a rolled-back map but a
+    // surviving counter (or vice versa) double-counts exactly the
+    // replayed keys. Oracle verbatim from stream_tws_distinct.
+    "stream_tws_distinct_restart" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val ev = Tables.df(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        Seq("twdr_sink", "twdr_ledger")
+          .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_twdr").toFile
+        val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+        val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+        val ckpt = new java.io.File(tmpRoot, "ckpt")
+        val mid = ev.agg((min(col("event_id")) + max(col("event_id"))) / 2)
+          .head().getDouble(0)
+        writeSliceFixtures(tmpRoot, side, Seq(
+          ev.filter(col("event_id") < mid).drop("event_id"),
+          ev.filter(col("event_id") >= mid).drop("event_id")))
+        def drain(): Unit = {
+          import s.implicits._
+          val stream = s.readStream
+            .schema(ev.drop("event_id").schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+            .as[(Long, String)]
+          val counts = stream.groupByKey(_._1)
+            .transformWithState(new graft.streaming.DistinctValuesProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "n_types")
+          StreamOps.drainToTable(s, counts, "twdr_sink", ckpt.getPath,
+            "twdr_ledger",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+        moveIn(side, streamDir, "b0.parquet"); drain() // first half inserts
+        dropLatestCommit(ckpt)                         // crash window
+        moveIn(side, streamDir, "b1.parquet")
+        drain() // rollback: map entries AND counter must restore together
+        s.table("twdr_sink")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_types")).as("n_types"))
+          .orderBy(col("user_id"))
+      }
+    }),
+    // CRASH-RESTART gate for the LISTSTATE leg: the trailing-window buffer
+    // lives in the versioned RocksDB checkpoint like every tws state —
+    // same two-incarnation protocol (ts-split slices, drain, delete newest
+    // commit, restart with the second slice). The replayed batch re-emits
+    // from the ROLLED-BACK buffer (ledger noops the duplicate append), and
+    // second-slice events whose 3600s window reaches back across the cut
+    // count the FIRST slice's entries — which holds only if the ListState
+    // buffer (and its eviction frontier) survived recovery. Oracle
+    // verbatim from stream_tws_trailing.
+    "stream_tws_trailing_restart" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val ev = Tables.df(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(col("ts").cast("timestamp")).as("te"))
+        val r = ev.agg(min(col("te")), max(col("te"))).head()
+        val cut = (r.getLong(0) + r.getLong(1)) / 2
+        Seq("twtrr_sink", "twtrr_ledger")
+          .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_twtrr").toFile
+        val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+        val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+        val ckpt = new java.io.File(tmpRoot, "ckpt")
+        writeSliceFixtures(tmpRoot, side, Seq(
+          ev.filter(col("te") < cut), ev.filter(col("te") >= cut)))
+        def drain(): Unit = {
+          import s.implicits._
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+            .as[(Long, Long)]
+          val counts = stream.groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.TrailingWindowCountProcessor(3600L),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("user_id", "te", "cnt")
+          StreamOps.drainToTable(s, counts, "twtrr_sink", ckpt.getPath,
+            "twtrr_ledger",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        }
+        moveIn(side, streamDir, "b0.parquet"); drain() // older half buffers
+        dropLatestCommit(ckpt)                         // crash window
+        moveIn(side, streamDir, "b1.parquet")
+        drain() // rollback + replay, windows reach back across the cut
+        s.table("twtrr_sink")
+          .groupBy(col("user_id"), col("te"))
+          .agg(max(col("cnt")).as("n_in_window"))
+          .orderBy(col("user_id"), col("te"))
+      }
+    }),
+    // INITIAL-STATE handoff (StatefulProcessorWithInitialState) — the
+    // backfill -> stream cutover: events below the id midpoint fold as a
+    // BATCH aggregate into handleInitialState, the rest arrive on the
+    // stream, and the max-n emission per streamed key must equal the
+    // FULL-corpus totals — which holds only if the warm start actually
+    // seeded the ValueState (a cold start counts the stream half alone and
+    // misses the oracle). Oracle = stream_tws_totals restricted to the
+    // streamed keys, both halves stated closed-form over event_id.
+    "stream_tws_totals_bootstrap" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val r = Tables.df(s, dir, "events")
+          .agg(min(col("event_id")), max(col("event_id"))).head()
+        val mid = (r.getLong(0) + r.getLong(1)) / 2
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateTotalsBootstrap(s, dir, mid),
+          "stream_twsb_out",
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        res.groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            expr("max_by(cents, n)").as("sum_cents"))
+          .orderBy(col("user_id"))
+      }
+    }),
     // LATE-DATA DROP, pinned end to end: the older half of the corpus
     // replays BEHIND the watermark and a watermarked hourly aggregation
     // must discard it wholesale (finalized windows, evicted state) — the
@@ -7024,6 +7175,43 @@ object PipelineQueries {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |       min(te) AS session_start, max(te) AS session_end
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // ListState trailing-window counts converge to the batch RANGE window
+    // (ties are peers: every event at te counts all events at te)
+    "stream_tws_trailing" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |c AS (SELECT user_id, te,
+        |             count(*) OVER (PARTITION BY user_id ORDER BY te
+        |                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt
+        |      FROM e)
+        |SELECT DISTINCT user_id, te, CAST(cnt AS BIGINT) AS n_in_window
+        |FROM c ORDER BY user_id, te""".stripMargin,
+    // map entries and companion counter must roll back in agreement:
+    // oracle verbatim from stream_tws_distinct
+    "stream_tws_distinct_restart" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the ListState buffer must survive rollback/replay: oracle verbatim
+    // from stream_tws_trailing
+    "stream_tws_trailing_restart" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |c AS (SELECT user_id, te,
+        |             count(*) OVER (PARTITION BY user_id ORDER BY te
+        |                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt
+        |      FROM e)
+        |SELECT DISTINCT user_id, te, CAST(cnt AS BIGINT) AS n_in_window
+        |FROM c ORDER BY user_id, te""".stripMargin,
+    // warm-started totals equal the FULL-corpus aggregate for streamed keys
+    // (both halves closed-form over the event_id midpoint)
+    "stream_tws_totals_bootstrap" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events
+        |  WHERE event_id >= (SELECT (min(event_id) + max(event_id)) // 2
+        |                     FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // timer state must survive rollback/replay: oracle verbatim from
     // stream_sessionize (= stream_tws_sessionize)
     "stream_tws_sessionize_restart" ->

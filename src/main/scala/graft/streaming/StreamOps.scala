@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Spark 4 ARBITRARY-STATE processor (the `transformWithState` operator —
   * the typed-state successor of flatMapGroupsWithState: named state
@@ -146,6 +147,102 @@ class DistinctValuesProcessor
   }
 }
 
+/** ListState leg of the arbitrary-state API (the FOURTH state shape after
+  * ValueState, MapState, and timers): a per-key trailing-window event
+  * counter whose state is the buffer of epochs still inside the window —
+  * the bounded-buffer pattern (recent-events CEP, trailing rate limits,
+  * sliding features) that neither a ValueState blob nor a MapState set
+  * expresses naturally. Per key-batch: ONE ListState read, an in-memory
+  * merge-and-sweep, ONE write-back of the surviving suffix — entries older
+  * than `window` before the newest epoch are EVICTED, so state per key is
+  * bounded by the window span regardless of stream length (the property
+  * that keeps this runnable at 100 TB).
+  *
+  * Emits `(key, te, count of events in [te-window, te])` once per DISTINCT
+  * incoming epoch per batch — RANGE-window semantics (ties are peers:
+  * every event at epoch te counts all events at te, whatever their
+  * intra-batch order), so the emission for a given (key, te) is monotone
+  * across batches (the buffer only grows below te until eviction, and
+  * eviction only removes entries a window BELOW te) and max-reducible to
+  * the batch `count(*) OVER (RANGE 3600 PRECEDING)` oracle.
+  *
+  * Eviction contract: correct for per-key non-DECREASING batch maxima
+  * (ordered replay / watermark-disciplined feeds). An event more than a
+  * full window older than everything already seen would count against an
+  * evicted buffer — the same inherent append-mode limit the sessionizer
+  * documents for already-emitted sessions.
+  */
+class TrailingWindowCountProcessor(windowSec: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var buf: ListState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val incoming = rows.map(_._2).toArray.sorted
+    if (incoming.isEmpty) return Iterator.empty
+    val prior = if (buf.exists()) buf.get().toArray else Array.empty[Long]
+    val (counts, kept) =
+      TrailingWindowCountProcessor.sweep(prior, incoming, windowSec)
+    buf.clear()
+    buf.put(kept)
+    counts.iterator.map { case (te, cnt) => (key, te, cnt) }
+  }
+}
+
+object TrailingWindowCountProcessor {
+  /** Pure merge-and-sweep of one key-batch against the surviving buffer:
+    * returns (one (te, count-in-[te-window, te]) per DISTINCT incoming te;
+    * the buffer suffix within `window` of the newest epoch — everything
+    * older is EVICTED, bounding per-key state to the window span).
+    */
+  def sweep(prior: Array[Long], incoming: Array[Long],
+      windowSec: Long): (Seq[(Long, Long)], Array[Long]) = {
+    val all = (prior ++ incoming).sorted
+    def upperBound(t: Long): Int = { // first index with value > t
+      var lo = 0; var hi = all.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (all(m) <= t) lo = m + 1 else hi = m }
+      lo
+    }
+    val counts = incoming.sorted.distinct.toSeq.map { te =>
+      (te, (upperBound(te) - upperBound(te - windowSec - 1)).toLong)
+    }
+    (counts, all.drop(upperBound(all.last - windowSec - 1)))
+  }
+}
+
+/** INITIAL-STATE handoff for transformWithState (the backfill -> stream
+  * cutover every production pipeline runs): the running-totals state
+  * machine of [[RunningTotalsProcessor]] WARM-STARTED from a batch
+  * aggregate — `handleInitialState` seeds each key's ValueState with the
+  * backfill's (count, cents) before any stream row arrives, and the live
+  * stream folds on top. Emissions are the same monotone running totals,
+  * so the max-n reduction equals the FULL-corpus aggregate for every
+  * streamed key — which holds only if the seed actually loaded (a cold
+  * start would count the stream half alone and miss the oracle).
+  */
+class RunningTotalsBootstrapProcessor
+    extends StatefulProcessorWithInitialState[
+      Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+  @transient private var st: ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+  override def handleInitialState(key: Long, initialState: (Long, Long),
+      timerValues: TimerValues): Unit = {
+    st.update(initialState)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    st.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
+
 /** Structured Streaming parity (SURVEY §7: the reference executes everything
   * on a streaming engine; our rules and operators are plan-level and
   * mode-agnostic). `readStream` -> windowed agg -> memory sink with a
@@ -265,6 +362,52 @@ object StreamOps {
       .transformWithState(new DistinctValuesProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_types")
+  }
+
+  /** Per-user trailing-window event counts through
+    * [[TrailingWindowCountProcessor]] (the ListState leg): update-mode
+    * emissions `(user_id, te, count in [te-window, te])`, monotone per
+    * (user, te), so max per (user, te) equals the batch RANGE-window count.
+    * RocksDB-only like every transformWithState plan.
+    */
+  def transformWithStateTrailing(spark: SparkSession, dir: String,
+      windowSec: Long): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("te"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .transformWithState(new TrailingWindowCountProcessor(windowSec),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "te", "cnt")
+  }
+
+  /** Running totals WARM-STARTED from a batch backfill
+    * ([[RunningTotalsBootstrapProcessor]]): events below `midId` fold as a
+    * BATCH aggregate into the operator's initial state, events at/above it
+    * arrive on the stream — the backfill -> live cutover. Emissions as
+    * [[transformWithStateTotals]]; for every streamed key the max-n row
+    * equals the FULL-corpus totals iff the initial state loaded.
+    */
+  def transformWithStateTotalsBootstrap(spark: SparkSession, dir: String,
+      midId: Long): DataFrame = {
+    import spark.implicits._
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val initial = graft.queries.Tables.df(spark, dir, "events")
+      .filter(col("event_id") < midId)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+    val ev = eventsStream(spark, dir)
+      .filter(col("event_id") >= midId)
+      .select(col("user_id"), cents.as("cents"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .transformWithState(new RunningTotalsBootstrapProcessor,
+        TimeMode.None(), OutputMode.Update(), initial)
+      .toDF("user_id", "n", "cents")
   }
 
   /** Gap sessionization through [[SessionizeProcessor]] (transformWithState

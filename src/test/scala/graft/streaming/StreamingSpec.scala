@@ -1170,6 +1170,81 @@ class StreamingSpec extends SparkFunSuite {
     assert(closed0.isEmpty && open0.isEmpty)
   }
 
+  test("TrailingWindowCountProcessor.sweep: RANGE counts, tie peers, window eviction") {
+    import graft.streaming.TrailingWindowCountProcessor.sweep
+    val w = 3600L
+    // counts include the buffer carried from prior batches
+    val (c1, k1) = sweep(Array(100L), Array(3700L), w)
+    assert(c1 == Seq((3700L, 2L))) // 100 is inside [100, 3700]
+    assert(k1.toSeq == Seq(100L, 3700L))
+    // EVICTION: entries a full window below the newest epoch leave the
+    // buffer — per-key state is bounded by the window span
+    val (c2, k2) = sweep(Array(0L, 100L), Array(5000L), w)
+    assert(c2 == Seq((5000L, 1L)))
+    assert(k2.toSeq == Seq(5000L), s"0 and 100 must evict, got ${k2.toSeq}")
+    // tie PEERS: every event at te counts all events at te (RANGE
+    // semantics), and a cross-batch tie re-emits the upgraded count
+    val (c3, _) = sweep(Array.empty[Long], Array(10L, 10L, 20L), w)
+    assert(c3 == Seq((10L, 2L), (20L, 3L)))
+    val (c4, _) = sweep(Array(10L), Array(10L), w)
+    assert(c4 == Seq((10L, 2L))) // monotone: max-reduction picks this one
+    // exclusive lower edge: an entry exactly window+1 older is out
+    val (c5, _) = sweep(Array(0L), Array(w + 1), w)
+    assert(c5 == Seq((w + 1, 1L)))
+    val (c6, _) = sweep(Array(1L), Array(w + 1), w)
+    assert(c6 == Seq((w + 1, 2L)))
+  }
+
+  test("bootstrap initial state is load-bearing: cold start misses the full-corpus totals") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val r = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    // negative control: the SAME stream half through the plain (cold)
+    // totals processor counts the stream half alone — if this equaled the
+    // full aggregate, the bootstrap oracle would prove nothing
+    val coldIsFull = graft.SparkUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      import spark.implicits._
+      val stream = graft.streaming.StreamOps.eventsStream(spark, dir)
+        .filter(col("event_id") >= mid)
+        .select(col("user_id"), cents.as("cents")).as[(Long, Long)]
+      val cold = stream.groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "cents")
+      graft.streaming.StreamOps.runToMemory(spark, cold, "twsb_cold_spec_out",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), expr("max_by(cents, n)").as("c"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    val streamedKeys = ev.filter(col("event_id") >= mid)
+      .select(col("user_id")).distinct()
+    val full = ev.join(streamedKeys, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(coldIsFull != full,
+      "cold start equals the full aggregate — the bootstrap gate is vacuous")
+    // positive: the warm-started processor DOES hit the full totals
+    val warm = graft.SparkUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.streaming.StreamOps.runToMemory(spark,
+          graft.streaming.StreamOps.transformWithStateTotalsBootstrap(spark, dir, mid),
+          "twsb_warm_spec_out",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), expr("max_by(cents, n)").as("c"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    assert(warm == full)
+  }
+
   test("DistinctValuesProcessor carries its ValueState counter across batches (O(1) emission)") {
     import spark.implicits._
     // two staged batches with an overlapping value: the second batch's
