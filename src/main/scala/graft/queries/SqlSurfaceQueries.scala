@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Plane-B queries: the SQL surface the reference's rewritten queries require
@@ -623,6 +624,63 @@ object SqlSurfaceQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
+    // CUBE: all four grouping sets in one pass, with GROUPING() flags
+    // disambiguating a subtotal NULL from a data NULL (the correctness
+    // trap of every cube consumer). Still one shuffle; the expansion is
+    // map-side Expand, partial aggregation applies per set.
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    // PIVOT with an explicit value list (no extra distinct pass): per-user
+    // cohort, event types rotated into columns. One groupBy shuffle; each
+    // cell is a conditional count (absent combinations stay NULL in both
+    // engines — the oracle's sum(CASE WHEN..THEN 1 END) preserves that).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("cohort"))
+    }),
+    // RANGE window frame (value-based, not row-based): trailing-3600s
+    // event counts per user — the BATCH twin of the stream_tws_trailing
+    // ListState leg, on Catalyst's native WindowExec RANGE frame. Ties are
+    // peers (every event at te sees all events at te), hence the DISTINCT.
+    "q_window_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("te"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("te"))
+        .rangeBetween(-3600L, 0L)
+      e.select(col("user_id"), col("te"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .distinct()
+        .orderBy(col("user_id"), col("te"))
+    }),
+    // distribution window functions over a TOTAL order (ties broken by the
+    // unique key, so ntile bucket boundaries, percent_rank and cume_dist
+    // are engine-invariant exact integer ratios — no rounding needed). A
+    // single global ordering is inherently one partition; at 100 TB the
+    // deployment shape is bucketing by pre-computed quantile boundaries
+    // (see corpus_profile's percentile family), not a global sort.
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
     // anti join: customers with no orders (null-aware NOT EXISTS shape;
     // broadcast the aggregated key set when small, AQE decides)
     "q_anti_join" -> ((s, dir) => {
@@ -991,6 +1049,39 @@ object SqlSurfaceQueries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY cohort""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events)
+        |SELECT DISTINCT user_id, te,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY te
+        |                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS n_in_window
+        |FROM e ORDER BY user_id, te""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
