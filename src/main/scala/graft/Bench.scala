@@ -45,6 +45,11 @@ object Bench {
       t
     }
 
+    // past ~64 MB of streaming input, drain through the parquet table sink
+    // instead of accumulating on the driver (the sf10 harness rule —
+    // StreamOps.configureDrainFor); driver-shipped SFs keep the memory sink
+    graft.streaming.StreamOps.configureDrainFor(spark, sfDir)
+
     // ---- quiesce phase (all untimed) ------------------------------------
     // The r09e artifact showed the suite's FIRST family paying 3-4x its
     // solo time (cold JVM, cold page cache, first-call JIT of the vector

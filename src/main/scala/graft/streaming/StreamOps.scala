@@ -535,6 +535,24 @@ object StreamOps {
     math.max(8, math.min(cap, (bytes / (512L << 10)).toInt))
   }
 
+  /** The harness drain rule (the r14 sf10 OOM, codified): past ~64 MB of
+    * streaming input the memory sink's DRIVER-side accumulation outgrows
+    * the default heap, so big dirs route streaming drains through the
+    * parquet table sink. Sets `spark.graft.stream.drain` accordingly;
+    * both QueryProbe (per probed dir) and Bench (once per suite dir) call
+    * this so measurement harnesses can run any scale factor on the
+    * default heap. Small dirs keep the memory sink for reading-parity
+    * with prior rounds' artifacts.
+    */
+  def configureDrainFor(spark: SparkSession, dir: String): Unit = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sizeOf).sum
+      else f.length()
+    val big = sizeOf(new java.io.File(s"$dir/events.parquet")) > (64L << 20)
+    spark.conf.set("spark.graft.stream.drain", if (big) "table" else "memory")
+  }
+
   /** Streaming read of the events table (nanos timestamps normalized to
     * micros, same as the batch loader).
     */

@@ -32,17 +32,9 @@ object QueryProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- dirs; name <- names) {
-      // the r14 sf10 lesson, codified: past ~64 MB of streaming input the
-      // memory sink's driver-side accumulation OOMs the default heap, so
-      // big dirs route streaming drains through the parquet table sink
-      // (StreamOps.runToMemory honors spark.graft.stream.drain). Small
-      // dirs keep the memory sink for reading-parity with prior rounds.
-      def sizeOf(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sizeOf).sum
-        else f.length()
-      val big = sizeOf(new java.io.File(s"$dir/events.parquet")) > (64L << 20)
-      spark.conf.set("spark.graft.stream.drain", if (big) "table" else "memory")
+      // the r14 sf10 lesson, codified: big dirs route streaming drains
+      // through the parquet table sink (see StreamOps.configureDrainFor)
+      graft.streaming.StreamOps.configureDrainFor(spark, dir)
       (1 to reps).foreach { rep =>
         val t0 = System.nanoTime()
         val outcome =
