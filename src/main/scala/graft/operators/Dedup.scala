@@ -1238,36 +1238,49 @@ object Dedup {
     * key-partitioned; nothing is collected to the driver.
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list (both directions), plus self-loops to keep
-    // singletons of the pair set
-    // materialize the edge list once — its lineage may be a whole LSH
-    // pipeline, which must not be recomputed every iteration
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
-    // size the iterative shuffles to the (materialized) edge count: each
-    // round is several shuffle stages, and fixed per-partition overhead
-    // dominates when the dup graph is much smaller than the corpus — the
-    // session default is sized for the corpus scan, not this graph
+    // materialize the PAIR list once — its lineage may be a whole LSH
+    // pipeline, which must not be recomputed every iteration — and size
+    // everything downstream (including the edge distinct, which previously
+    // ran OUTSIDE the sized scope) from its count
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
     val spark = pairs.sparkSession
-    val edgeCount = edges.count()
+    val pairCount = p.count()
     // empty pair set -> empty labeling, skipping the seed aggregate, the
     // convergence fingerprints and at least one pointer-jumping round
     // (several jobs). Matters per MICRO-BATCH in the streaming funnel,
     // where clean batches are the common case and every per-batch job is
     // pure fixed cost (StreamTrioProbe measures the floor).
-    if (edgeCount == 0L) {
-      edges.unpersist(blocking = false)
+    if (pairCount == 0L) {
+      p.unpersist(blocking = false)
       // built from `pairs` (not the unpersisted checkpoint); LIMIT 0
       // optimizes to an empty LocalRelation, so the lineage never runs
       return pairs.select(col("id_a").as("id"), col("id_b").as("label")).limit(0)
     }
-    val parts = math.max(1, math.min(
+    // size the iterative shuffles to the graph: each round is several
+    // shuffle stages, and fixed per-partition overhead dominates when the
+    // dup graph is much smaller than the corpus — the session default is
+    // sized for the corpus scan, not this graph. Two rules compose:
+    //   - downsize toward 1 partition per 500k edges, capped at the
+    //     session default (small graphs pay less fixed cost);
+    //   - a CAPACITY FLOOR of 1 partition per 1M edges that may EXCEED the
+    //     session default — a hash aggregate fed >1M edge rows per task is
+    //     where [AGGREGATE_OUT_OF_MEMORY] lives on a 256 MB/task budget
+    //     (the r15 sf10 ER graph: 162M edges at the pinned 32 partitions
+    //     = 5M rows/task). On a cluster whose session default is already
+    //     graph-sized the floor is a no-op; it only engages when the
+    //     default would under-partition THIS aggregate.
+    val est = 2L * pairCount // both directions, pre-distinct upper bound
+    val parts = math.max(math.max(1, (est / 1000000L).toInt), math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
-      (edgeCount / 500000L).toInt + 1))
+      (est / 500000L).toInt + 1))
     // everything inside is checkpointed, so no plan escapes the scope lazily
     graft.SparkUtil.withShufflePartitions(spark, parts) {
+    // undirected edge list (both directions), plus self-loops to keep
+    // singletons of the pair set — distinct'd INSIDE the sized scope
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
     // seed labels with min(self, neighbors) — the (dst, src) projection folds
     // the first neighbor-min round into the same initial aggregate, so
     // pair-shaped clusters (the overwhelmingly common dup shape) are already

@@ -145,14 +145,39 @@ object RecordLinkage {
     * keeps the codegen'd self-join ([[blockedPairs]]) — measured faster at
     * every probed block size; true switches to the row-local
     * [[blockedPairsCompact]]. Identical output either way (spec-pinned).
+    *
+    * EXACT-COLLAPSE before fuzzy matching (the textbook ER staging, added
+    * after the r15 sf10 sweep): records sharing (block, name) byte-exactly
+    * are first collapsed to their min-id representative — a single hash
+    * aggregate — and only REPRESENTATIVES enter the levenshtein candidate
+    * join; collapsed members attach to their rep by STAR edges. The
+    * resulting components are IDENTICAL to the full pairwise graph's
+    * (levenshtein depends only on the strings, so two members match iff
+    * their reps match, and star + rep edges preserve exactly the full
+    * graph's connectivity — spec-pinned against the uncollapsed pipeline),
+    * while clone mass costs LINEAR edges instead of per-group cliques: a
+    * corpus of 100-deep exact duplicates (the ScaleUp-sf10 regime: 82M
+    * clique pairs, OOM at any local heap) becomes 1 star edge per record.
+    * `maxBlock` now guards REPRESENTATIVE blocks — distinct-name depth,
+    * the quantity the key's discriminativeness actually controls.
     */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDist: Int, maxBlock: Int = 1000,
       compactBlocks: Boolean = false): DataFrame = {
-    val pairs =
-      if (compactBlocks) blockedPairsCompact(df, idCol, nameCol, blockKey, maxDist, maxBlock)
-      else blockedPairs(df, idCol, nameCol, blockKey, maxDist, maxBlock)
-    val labels = Dedup.components(pairs)
+    val recs = df.select(col(idCol).as("id"), blockKey.as("blk"),
+      col(nameCol).as("nm"))
+    val reps = recs.groupBy(col("blk"), col("nm"))
+      .agg(min(col("id")).as("id"))
+      .localCheckpoint(eager = false) // stars + the candidate join read it
+    val stars = recs.join(reps.select(col("blk"), col("nm"),
+        col("id").as("id_a")), Seq("blk", "nm"))
+      .filter(col("id") =!= col("id_a")) // rep = min id, so id_a < id_b
+      .select(col("id_a"), col("id").as("id_b"))
+    val fuzzy =
+      (if (compactBlocks) blockedPairsCompact(reps, "id", "nm", col("blk"), maxDist, maxBlock)
+       else blockedPairs(reps, "id", "nm", col("blk"), maxDist, maxBlock))
+        .select(col("id_a"), col("id_b"))
+    val labels = Dedup.components(fuzzy.unionAll(stars))
     df.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("entity_id"))

@@ -3864,10 +3864,19 @@ object PipelineQueries {
         .unionAll(dirty)
       val digits = graft.operators.RecordLinkage
         .derivedNameSuffixDigits(all.count())
+      // default 1000-member block cap, NOT Int.MaxValue: driver corpora
+      // max out at 10 (sf0.01) / 26 (sf0.1) members per block — 40x
+      // headroom, so oracle parity is untouched — while degenerate keys
+      // (the ScaleUp fixture's copies share nationkey AND low name digits,
+      // so NO key separates them) exit the join instead of going quadratic
+      // into [AGGREGATE_OUT_OF_MEMORY], which is what the r15 sf10 sweep
+      // measured under the uncapped form. Dropping an oversized block is
+      // the guard's documented semantic: a block that size means the KEY
+      // is non-discriminative, not that the matches are real.
       graft.operators.RecordLinkage.resolve(all, "c_custkey", "c_name",
           concat_ws("|", col("c_nationkey"),
             substring(col("c_name"), -digits, digits)),
-          maxDist = 1, maxBlock = Int.MaxValue)
+          maxDist = 1)
         .orderBy(col("id"))
     }),
     // regular-grid resampling with gap filling: per-user DAILY purchase

@@ -163,6 +163,42 @@ class RecordLinkageSpec extends SparkFunSuite {
     }
   }
 
+  test("exact-collapse staging: resolve equals the uncollapsed full-pair components") {
+    // clone-heavy fixture: exact-duplicate groups (the ScaleUp-sf10 regime),
+    // a cross-group fuzzy match, a chain THROUGH a clone group, and
+    // singletons. resolve (collapse -> star + rep fuzzy) must assign
+    // exactly what components over the FULL pairwise graph assigns.
+    val df = Seq(
+      (10L, "alice smith", "A"), (11L, "alice smith", "A"), // clones of 10
+      (12L, "alice smith", "A"),
+      (13L, "alice smyth", "A"),  // fuzzy-matches the clone group (dist 1)
+      (14L, "alice smyt0", "A"),  // chains through 13 (dist 1), 2 from group
+      (20L, "bob jones", "A"),    // singleton in the same block
+      (30L, "carol wu", "B"), (31L, "carol wu", "B")        // clone pair
+    ).toDF("id", "name", "blk")
+    val got = RecordLinkage.resolve(df, "id", "name", col("blk"), maxDist = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // ground truth: components over ALL pairwise matches (clone cliques
+    // included) — the pre-collapse pipeline
+    val full = RecordLinkage.blockedPairs(df, "id", "name", col("blk"),
+      maxDist = 1, maxBlock = Int.MaxValue)
+    val labels = Dedup.components(full)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val expected = df.select(col("id")).collect().map(_.getLong(0))
+      .map(id => id -> labels.getOrElse(id, id)).toMap
+    assert(got == expected)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
+    // and the maxBlock guard now bounds REPRESENTATIVE (distinct-name)
+    // depth: 4 distinct names in block A > cap 3 drops A's fuzzy pairs,
+    // but clone stars still collapse exact groups
+    val capped = RecordLinkage.resolve(df, "id", "name", col("blk"),
+      maxDist = 1, maxBlock = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(capped == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L,
+      14L -> 14L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("transitive matches land in one entity") {
     // a~b (dist 1) and b~c (dist 1) but a vs c is distance 2: components
     // still merge all three
