@@ -681,6 +681,46 @@ object SqlSurfaceQueries {
           cume_dist().over(w).as("cd"))
         .orderBy(col("c_custkey"))
     }),
+    // explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to):
+    // a hand-picked lattice — (status, priority), (priority), grand total —
+    // that neither ROLLUP nor CUBE produces, still one Expand + one shuffle
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_qgs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+              |       count(*) AS cnt
+              |FROM orders_qgs
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |                        (o_orderpriority), ())
+              |ORDER BY g_status, g_priority,
+              |         o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+    // ROWS window frame (position-based, vs q_window_range's value-based):
+    // trailing-3-row moving sum in exact integer cents over a UNIQUE order
+    // (event_id), so the frame contents — and therefore the sum — are
+    // engine-invariant with no FP or tie ambiguity
+    "q_window_rows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .over(w).as("cents_3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // LATERAL array expansion with POSITION (posexplode): one row per
+    // leading token — generator runs map-side (no shuffle until the sort),
+    // position is part of the output contract (ordinality semantics)
+    "q_posexplode" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     // anti join: customers with no orders (null-aware NOT EXISTS shape;
     // broadcast the aggregated key set when small, AQE decides)
     "q_anti_join" -> ((s, dir) => {
@@ -1082,6 +1122,31 @@ object SqlSurfaceQueries {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_window_rows" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cents_3
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_posexplode" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS word,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, word
+        |FROM e WHERE i <= 3 ORDER BY doc_id, pos""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
