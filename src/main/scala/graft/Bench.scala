@@ -41,6 +41,10 @@ object Bench {
       // this)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
+      // the noop write above fully consumed any table-routed stream drain,
+      // so its parquet sink table is dead weight from here — drop it (an
+      // sf10 sweep otherwise accumulates 280+ tables of warehouse residue)
+      graft.streaming.StreamOps.dropDrainResidue(spark)
       System.gc()
       t
     }

@@ -1251,7 +1251,7 @@ object Dedup {
     // where clean batches are the common case and every per-batch job is
     // pure fixed cost (StreamTrioProbe measures the floor).
     if (pairCount == 0L) {
-      p.unpersist(blocking = false)
+      org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(p)
       // built from `pairs` (not the unpersisted checkpoint); LIMIT 0
       // optimizes to an empty LocalRelation, so the lineage never runs
       return pairs.select(col("id_a").as("id"), col("id_b").as("label")).limit(0)
@@ -1281,6 +1281,13 @@ object Dedup {
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
+    // the edges checkpoint is materialized and nothing below reads p again —
+    // drop the pair-list blocks now instead of waiting for ContextCleaner GC
+    // (this runs per MICRO-BATCH in the streaming funnel, and at sf10 the
+    // pair copy is 162M-edge-sized retained storage). NOTE: must go through
+    // the RDD-level shim — Dataset.unpersist only talks to the cache
+    // manager and is a silent no-op on a localCheckpoint's blocks
+    org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(p)
     // seed labels with min(self, neighbors) — the (dst, src) projection folds
     // the first neighbor-min round into the same initial aggregate, so
     // pair-shaped clusters (the overwhelmingly common dup shape) are already
@@ -1326,11 +1333,21 @@ object Dedup {
       // checkpoint BEFORE the convergence action so `next` is computed once
       val nextCk = next.localCheckpoint(eager = true)
       val nextSum = labelSum(nextCk)
+      // nextCk is materialized and lineage-free: the superseded labels
+      // checkpoint and this round's viaEdges cache are never read again —
+      // release their blocks eagerly rather than holding O(rounds) copies
+      // of the label frame until GC
+      org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(labels)
+      org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(viaEdges)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels = nextCk
       i += 1
     }
+    // after ≥1 round the returned labels frame is its own eager checkpoint;
+    // edges is not part of its lineage and can go now (with maxIter<=0 the
+    // seed labels are still a LAZY checkpoint over edges, so keep it)
+    if (i > 0) org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(edges)
     labels
     }
   }

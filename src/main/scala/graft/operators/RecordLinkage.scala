@@ -160,6 +160,17 @@ object RecordLinkage {
     * clique pairs, OOM at any local heap) becomes 1 star edge per record.
     * `maxBlock` now guards REPRESENTATIVE blocks — distinct-name depth,
     * the quantity the key's discriminativeness actually controls.
+    *
+    * CROSS-VERSION OUTPUT CHANGE (re-baseline deliberately if you consumed
+    * pre-r15 assignments): the output identity above holds only BELOW the
+    * cap. Two guard semantics moved at once in r15 — (a) `maxBlock` counts
+    * distinct names, not raw records, so a block that was over the old
+    * raw-record cap but under the distinct-name cap now MATCHES instead of
+    * being dropped wholesale; (b) exact-duplicate star merges bypass the
+    * cap entirely, so byte-identical clones inside an oversized block now
+    * collapse to one entity where they previously all stayed singletons.
+    * Both directions only ADD merges relative to the old semantics, never
+    * remove them.
     */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDist: Int, maxBlock: Int = 1000,

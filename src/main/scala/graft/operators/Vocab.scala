@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint
 
 /** Corpus vocabulary extraction: top-k word n-grams by raw count or document
   * frequency — the first step of tokenizer/vocab training and a cheap corpus
@@ -314,10 +315,10 @@ object Vocab {
         val prev = words
         words = words.withColumn("syms", mergePair(col("syms"), a, b))
           .localCheckpoint()
-        prev.unpersist()
+        unpersistCheckpoint(prev)
       }
     }
-    words.unpersist()
+    unpersistCheckpoint(words)
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
   }
@@ -454,7 +455,7 @@ object Vocab {
         .agg(count(lit(1)).as("vocab_pieces"), sum(col("c")).as("corpus_tokens"))
         .select(lit(k).as("n_merges"), col("corpus_tokens"), col("vocab_pieces"))
     }.reduce(_ unionAll _).orderBy(col("n_merges")).localCheckpoint()
-    words.unpersist()
+    unpersistCheckpoint(words)
     curve
   }
 
@@ -527,11 +528,11 @@ object Vocab {
         // next iteration's words: a projection OVER the materialized step,
         // not a fresh checkpoint
         words = step.select(col("syms"), col("cnt"))
-        Seq(prevWords, prevCounts).foreach(_.unpersist())
+        Seq(prevWords, prevCounts).foreach(unpersistCheckpoint(_))
       }
     }
-    words.unpersist()
-    counts.unpersist()
+    unpersistCheckpoint(words)
+    unpersistCheckpoint(counts)
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
   }
@@ -560,10 +561,10 @@ object Vocab {
         val prev = words
         words = words.withColumn("syms", mergePair(col("syms"), a, b))
           .localCheckpoint()
-        prev.unpersist()
+        unpersistCheckpoint(prev)
       }
     }
-    words.unpersist()
+    unpersistCheckpoint(words)
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
   }

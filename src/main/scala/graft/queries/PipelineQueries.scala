@@ -3324,6 +3324,39 @@ object PipelineQueries {
           .orderBy(col("user_id"), col("session_seq"))
       }
     }),
+    // NONZERO-WATERMARK sessionize (r15 verdict #1): the ordered gates above
+    // pin a 0-second watermark, so foldBatch's out-of-order interval sweep
+    // was only unit-spec'd — this feeds BOUNDED-DISORDER arrival (each batch
+    // = its slice's on-time events + the previous slice's one-batch-late
+    // stragglers) under a real withWatermark delay sized to ADMIT every
+    // straggler (2 slice widths — see eventsStreamBoundedDisorder's proof,
+    // incl. why no mergeable session has been timer-flushed when a
+    // straggler lands). Late events that precede their session's on-time
+    // opener must LOWER session_start (StreamingSpec pins that the fixture
+    // contains such events and that a 0-second watermark diverges); the
+    // oracle is the batch gaps-and-islands over ALL events, identical to
+    // stream_tws_sessionize.
+    "stream_tws_sessionize_late" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val gap = 1800L
+        val (ev, delaySec) = StreamOps.eventsStreamBoundedDisorder(s, dir, gap)
+        val res = StreamOps.runToMemory(s,
+          StreamOps.transformWithStateSessionsOn(s, ev, gap,
+            watermarkDelay = s"$delaySec seconds"),
+          "stream_twssl_out",
+          statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
+          allowNoDataBatches = true)
+        res.filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("session_start"))).cast("bigint").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
+      }
+    }),
     // CRASH-RESTART gate for transformWithState: the new operator's state
     // lives in Spark's versioned RocksDB checkpoint, so recovery is the
     // engine's contract — exercised with the same two-incarnation protocol
@@ -7177,6 +7210,23 @@ object PipelineQueries {
     // timer-flushed sessions converge to the batch gaps-and-islands
     // (oracle verbatim from stream_sessionize)
     "stream_tws_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // bounded-disorder arrival under an admitting watermark delay converges
+    // to the SAME batch gaps-and-islands (every straggler is admitted by
+    // construction — eventsStreamBoundedDisorder's 2W bound)
+    "stream_tws_sessionize_late" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,
         |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -103,14 +103,82 @@ object SessionizeProcessor {
     */
   def foldBatch(open: Option[(Long, Long, Long)], events: Array[Long],
       gapSeconds: Long): (Seq[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
-    val intervals = (open.toSeq ++ events.map(t => (t, t, 1L))).sortBy(_._1)
-    val merged = intervals.foldLeft(List.empty[(Long, Long, Long)]) {
+    val merged = sweep(open.toSeq ++ events.map(t => (t, t, 1L)), gapSeconds)
+    if (merged.isEmpty) (Nil, None)
+    else (merged.init, Some(merged.last))
+  }
+
+  /** The interval sweep itself: merge (start, end, n) intervals whose gaps
+    * are within `gapSeconds`, in start order. [[foldBatch]] is this plus
+    * the eager close-all-but-last split; [[WatermarkSessionizeProcessor]]
+    * uses it directly and paces the closes by watermark instead.
+    */
+  def sweep(intervals: Seq[(Long, Long, Long)],
+      gapSeconds: Long): List[(Long, Long, Long)] =
+    intervals.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long)]) {
       case ((ps, pe, pn) :: rest, (s, e, n)) if s - pe <= gapSeconds =>
         (ps, math.max(pe, e), pn + n) :: rest
       case (acc, iv) => iv :: acc
     }.reverse
-    if (merged.isEmpty) (Nil, None)
-    else (merged.init, Some(merged.last))
+}
+
+/** WATERMARK-PACED gap sessionizer — the nonzero-delay twin of
+  * [[SessionizeProcessor]]. The eager processor closes every non-last
+  * interval the moment a later event lands, which is exact ONLY under
+  * ordered arrival (a 0-second watermark): when the watermark ADMITS
+  * late events, a one-batch-late straggler can belong to a session the
+  * eager fold already emitted, and no append-mode engine can retract it.
+  * This processor holds ALL intervals in a per-key ListState and emits an
+  * interval only once the event-time watermark passes `end + gap` — at
+  * which point no admissible event can extend or precede-within-gap it
+  * (an admitted event has ts >= the late-record watermark, which is at or
+  * above the eviction watermark of some earlier batch; the flush test is
+  * strict, so ts <= end+gap < wm is impossible). That is exactly how
+  * Catalyst's native session_window paces emission; state per key is
+  * bounded by the sessions inside one watermark lag — the inherent
+  * minimum for watermark-honest sessionization at any scale.
+  *
+  * One flush timer per key, armed at the EARLIEST unflushed `end + gap`
+  * (clamped above the current watermark); re-armed on every fold and every
+  * fire, so a quiet key still drains as the watermark advances.
+  */
+class WatermarkSessionizeProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
+      (Long, Long, Long, Long)] {
+  @transient private var ivls: ListState[(Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    ivls = getHandle.getListState[(Long, Long, Long)]("ivls",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  }
+  /** Emit what the watermark has sealed, keep + re-time the rest. */
+  private def flush(merged: Seq[(Long, Long, Long)], wmMs: Long)
+      : Iterator[(Long, Long, Long)] = {
+    val (closed, kept) = merged.partition { case (_, e, _) =>
+      (e + gapSeconds) * 1000L < wmMs }
+    ivls.clear()
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (kept.nonEmpty) {
+      ivls.put(kept.toArray)
+      val next = kept.map { case (_, e, _) => (e + gapSeconds) * 1000L + 1L }.min
+      getHandle.registerTimer(math.max(next, wmMs + 1L))
+    }
+    closed.iterator
+  }
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val prior = if (ivls.exists()) ivls.get().toSeq else Nil
+    val merged = SessionizeProcessor.sweep(
+      prior ++ rows.map(r => (r._2, r._2, 1L)), gapSeconds)
+    flush(merged, timerValues.getCurrentWatermarkInMs())
+      .map { case (s, e, n) => (key, s, e, n) }
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val prior = if (ivls.exists()) ivls.get().toSeq else Nil
+    flush(prior, timerValues.getCurrentWatermarkInMs())
+      .map { case (s, e, n) => (key, s, e, n) }
   }
 }
 
@@ -138,7 +206,13 @@ class DistinctValuesProcessor
   }
   override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
-    var c = if (count.exists()) count.get() else 0L
+    // state-schema migration: a checkpoint written BEFORE the companion
+    // counter existed restores a populated `seen` map with no `count` state;
+    // seeding from zero would under-report forever. Pay the one-time
+    // O(|seen|) key scan on first touch after such a restore — every later
+    // batch is back on the O(1) counter path. (Fresh keys also hit this
+    // branch with an empty map: size 0 == the old seed, no cost.)
+    var c = if (count.exists()) count.get() else seen.keys().size.toLong
     rows.foreach { case (_, v) =>
       if (!seen.containsKey(v)) { seen.updateValue(v, true); c += 1 }
     }
@@ -426,16 +500,31 @@ object StreamOps {
     * stream here instead of the staged in-memory fence stream.
     */
   def transformWithStateSessionsOn(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long): DataFrame = {
+      gapSeconds: Long,
+      /** Event-time watermark delay. The default keeps the ordered-feed
+        * gates exact; the bounded-disorder feed
+        * ([[eventsStreamBoundedDisorder]]) passes its admission bound so
+        * one-batch-late events reach the processor instead of being
+        * dropped — the regime [[SessionizeProcessor.foldBatch]]'s
+        * interval sweep exists for.
+        */
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     import spark.implicits._
     val ev = events
       .withColumn("_ets", col("ts").cast("timestamp"))
-      .withWatermark("_ets", "0 seconds")
+      .withWatermark("_ets", watermarkDelay)
       .select(col("user_id").cast("long"),
         unix_timestamp(col("_ets")), col("_ets"))
       .as[(Long, Long, java.sql.Timestamp)]
+    // eager emission (close every non-last interval inline) is exact only
+    // under ordered arrival; an ADMITTING delay needs watermark-paced
+    // closes or a straggler can chase an already-emitted session — see
+    // WatermarkSessionizeProcessor
+    val proc =
+      if (watermarkDelay == "0 seconds") new SessionizeProcessor(gapSeconds)
+      else new WatermarkSessionizeProcessor(gapSeconds)
     ev.groupByKey(_._1)
-      .transformWithState(new SessionizeProcessor(gapSeconds),
+      .transformWithState(proc,
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
@@ -664,6 +753,47 @@ object StreamOps {
       fenceRow(spark, mx), // on-time marker: ages the watermark past the lag
       ev.filter(unix_timestamp(col("ts")) < cut),
       fenceRow(spark, mx + fenceAheadSec)))
+  }
+
+  /** Bounded-disorder staging of the events table — the realistic arrival
+    * model a NONZERO watermark delay exists for: event time is cut into
+    * `numSlices` equal widths W that arrive in order, but a deterministic
+    * subset of each slice (`event_id % delayMod == 0`) is HELD BACK one
+    * batch, so every batch k carries slice k's on-time events PLUS slice
+    * k-1's stragglers — out-of-order input with disorder bounded by one
+    * slice. Returns (stream, admission delay D = 2W seconds).
+    *
+    * Why 2W admits EVERYTHING (so a batch gaps-and-islands over ALL events
+    * is the exact oracle): a straggler from slice k-1 has ts >= mn+(k-1)W,
+    * while the late-record watermark during its arrival batch is at most
+    * maxts(through slice k-1) - D <= mn+kW-1-2W = mn+(k-2)W-1 — a full
+    * W+1 below it. And no session a straggler could merge into has been
+    * timer-flushed: flushing needs end+gap < wm <= mn+(k-2)W-1, while a
+    * mergeable session has end >= ts-gap >= mn+(k-1)W-gap, i.e. end+gap
+    * >= mn+(k-1)W > wm. The straggler therefore always reaches a LIVE open
+    * session — the regime where [[SessionizeProcessor.foldBatch]]'s
+    * interval sweep must LOWER session_start when the straggler precedes
+    * the session's on-time opener.
+    *
+    * The trailing fence sits D + 3*gap past max ts, so the final watermark
+    * (fence - D) still clears every real session's end+gap flush timer.
+    */
+  def eventsStreamBoundedDisorder(spark: SparkSession, dir: String,
+      gapSeconds: Long, numSlices: Int = 8, delayMod: Int = 5): (DataFrame, Long) = {
+    val ev = fencibleEvents(spark, dir)
+    val r = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / numSlices + 1
+    val sliceOf = floor((unix_timestamp(col("ts")) - mn) / w).cast("int")
+    val delayed = pmod(col("event_id"), lit(delayMod)) === 0
+    val delaySec = 2 * w
+    val parts = (0 until numSlices).map { k =>
+      ev.filter(sliceOf === k && !delayed)
+        .unionAll(ev.filter(sliceOf === (k - 1) && delayed))
+    } :+ ev.filter(sliceOf === (numSlices - 1) && delayed)
+      .unionAll(fenceRow(spark, mx + delaySec + 3 * gapSeconds))
+    (stagedStream(spark, parts), delaySec)
   }
 
   /** Stage `parts` as one-file-per-micro-batch streaming input, arrival
@@ -1407,6 +1537,34 @@ object StreamOps {
     * correct and faster for Complete-mode aggregations and plain Append
     * joins/projections, silently wrong for the watermark-finalized shapes.
     */
+  /** Sink tables left behind by table-routed [[runToMemory]] drains: the
+    * returned frame is a batch scan of the table, so the drop has to wait
+    * until the caller has consumed it — harnesses call [[dropDrainResidue]]
+    * once per query (after materializing) or at suite teardown.
+    */
+  private val drainResidue = new scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** Drop the parquet sink tables accumulated by table-routed drains. Only
+    * call AFTER the frames returned by [[runToMemory]] have been consumed —
+    * they read these tables. Safe to call when nothing is pending.
+    */
+  def dropDrainResidue(spark: SparkSession): Unit =
+    drainResidue.keys.foreach { t =>
+      graft.sources.Sources.dropForOverwrite(spark, t)
+      drainResidue.remove(t)
+    }
+
+  private def deleteTempDir(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      // toList materializes before close; deepest-first so dirs empty out
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.sortBy(-_.getNameCount).foreach((p: Path) => Files.deleteIfExists(p))
+    }
+  }
+
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       statePartitions: Option[Int] = None,
       outputMode: OutputMode = OutputMode.Complete(),
@@ -1428,9 +1586,23 @@ object StreamOps {
       val ledger = s"${name}_tl"
       Seq(tbl, ledger).foreach(graft.sources.Sources.dropForOverwrite(spark, _))
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_drain_$name")
-      drainToTable(spark, streamed, tbl, ckpt.toString, ledger,
-        statePartitions = statePartitions,
-        allowNoDataBatches = allowNoDataBatches, outputMode = outputMode)
+      try {
+        drainToTable(spark, streamed, tbl, ckpt.toString, ledger,
+          statePartitions = statePartitions,
+          allowNoDataBatches = allowNoDataBatches, outputMode = outputMode)
+      } finally {
+        // the drain is synchronous and this checkpoint belongs to THIS call
+        // only (real restart gates manage their own dirs through
+        // drainToTable directly) — delete it now, or a multi-hundred-query
+        // sf10 sweep leaves an unbounded /tmp trail of state snapshots
+        deleteTempDir(ckpt)
+      }
+      // the ledger only guards replays DURING the drain; the returned frame
+      // is a scan of the sink table alone, so the ledger can go now. The
+      // sink table must outlive this call (the caller hasn't read it yet) —
+      // park it for [[dropDrainResidue]] at harness teardown.
+      graft.sources.Sources.dropForOverwrite(spark, ledger)
+      drainResidue.put(tbl, ())
       return spark.table(tbl).drop("_batch_id")
     }
     def drain(): Unit = {

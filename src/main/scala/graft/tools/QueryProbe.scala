@@ -48,6 +48,8 @@ object QueryProbe {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         spark.sharedState.cacheManager.clearCache()
+        // the noop write consumed any table-routed drain; drop its sink table
+        graft.streaming.StreamOps.dropDrainResidue(spark)
         System.gc()
       }
     }

@@ -22,4 +22,19 @@ object GraftSqlShims {
     * higher-order-function `expr(...)` strings.
     */
   def sqlOf(c: Column): String = ExpressionUtils.expression(c).sql
+
+  /** Release the storage blocks behind a `localCheckpoint`'d frame NOW.
+    * `Dataset.unpersist` only talks to the cache manager, but a local
+    * checkpoint persists the frame's INTERNAL RDD directly — so for a
+    * checkpointed frame `df.unpersist()` is a silent no-op and the blocks
+    * live until ContextCleaner GC (the r16 components-spec finding). This
+    * reaches through the checkpoint scan (`LogicalRDD`) and unpersists at
+    * the RDD level; a plan that is not a checkpoint scan is left alone.
+    */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

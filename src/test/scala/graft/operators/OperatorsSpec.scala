@@ -214,6 +214,28 @@ class OperatorsSpec extends SparkFunSuite {
     assert((1L to 12L).forall(chainLabels(_) == 1L))
   }
 
+  test("components releases every intermediate checkpoint (only the result's blocks survive)") {
+    // the streaming funnel runs components PER MICRO-BATCH; leaked pair /
+    // edge / superseded-label checkpoints accumulate as retained storage
+    // until ContextCleaner GC (at sf10 the pair copy alone is 162M-edge
+    // sized). Contract: after the call, at most the RETURNED frame's own
+    // checkpoint is newly persisted, and the labels are still readable.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.components(chain)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).size <= 1,
+      s"components leaked ${(after -- before).size - 1} intermediate checkpoints")
+    // the survivor is the result itself — must still be materializable
+    assert(labels.count() == 12L)
+    // empty-pair fast path leaves nothing behind at all
+    val none = Dedup.components(chain.limit(0))
+    assert(none.count() == 0L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- after).isEmpty)
+  }
+
   test("minhash pairs + components yields exact-dup groups on planted corpus") {
     val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.95)
     val labels = Dedup.components(pairs).as[(Long, Long)].collect().toMap

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkFunSuite
 import graft.policy.{DataMaskPolicy, RowFilterPolicy}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -1139,6 +1140,38 @@ class StreamingSpec extends SparkFunSuite {
     assert(cmpl.count() > 0)
   }
 
+  test("table-routed drain leaves no checkpoint/ledger residue; dropDrainResidue reclaims the sink") {
+    import org.apache.spark.sql.streaming.OutputMode
+    def tmpDrainDirs(): Set[String] =
+      Option(new java.io.File(System.getProperty("java.io.tmpdir")).list())
+        .getOrElse(Array.empty).filter(_.startsWith("graft_drain_resid_spec")).toSet
+    val before = tmpDrainDirs()
+    val proj = StreamOps.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    val out = graft.SparkUtil.withConfs(spark,
+      "spark.graft.stream.drain" -> "table") {
+      StreamOps.runToMemory(spark, proj, "resid_spec", outputMode = OutputMode.Append())
+    }
+    val n = out.count()
+    assert(n > 0)
+    // a 280-query sf10 sweep must not accumulate per-drain residue: the
+    // drain's temp checkpoint is deleted on return and the ledger (only
+    // needed DURING the drain) is dropped with it
+    assert(tmpDrainDirs() == before,
+      "table-routed drain left its temp checkpoint dir behind")
+    assert(!spark.catalog.tableExists("resid_spec_tl"),
+      "table-routed drain left its ledger table behind")
+    // the sink table survives the call (the returned frame reads it) and is
+    // reclaimed by the harness hook AFTER consumption
+    assert(spark.catalog.tableExists("resid_spec_t"))
+    StreamOps.dropDrainResidue(spark)
+    assert(!spark.catalog.tableExists("resid_spec_t"))
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    assert(!new java.io.File(wh, "resid_spec_t").exists(),
+      "dropDrainResidue left the sink's warehouse directory behind")
+  }
+
   test("SessionizeProcessor.foldBatch: interval sweep handles out-of-order events honestly") {
     import graft.streaming.SessionizeProcessor.foldBatch
     val gap = 10L
@@ -1269,5 +1302,148 @@ class StreamingSpec extends SparkFunSuite {
         .as[(Long, Long)].collect().toSet
     }
     assert(got == Set((7L, 2L), (7L, 3L)))
+  }
+
+  test("bounded-disorder sessionize: stragglers LOWER session_start under a nonzero watermark; 0-second watermark diverges") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val gap = 1800L
+    // --- fixture property: the disorder REACHES the lowering path --------
+    // a session whose batch-oracle FIRST event is a straggler
+    // (event_id%5==0) and whose SECOND event is on-time in the SAME slice
+    // arrives second-event-first: folding the straggler must LOWER the open
+    // session's start. Prove such sessions exist, or the gate is vacuous.
+    val ev = graft.queries.Tables.df(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("te"))
+    val r = ev.agg(min(col("te")), max(col("te"))).head()
+    val w = (r.getLong(1) - r.getLong(0)) / 8 + 1
+    val bySession = ev
+      .withColumn("slice", floor((col("te") - lit(r.getLong(0))) / w).cast("int"))
+      .withColumn("delayed", pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("is_new", when(coalesce(col("te") -
+        lag(col("te"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("te"), col("event_id"))), lit(gap + 1)) > gap, 1).otherwise(0))
+      .withColumn("seq", sum(col("is_new")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("te"), col("event_id"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"), col("seq"))
+          .orderBy(col("te"), col("event_id"))))
+    val opener = bySession.filter(col("rk") === 1)
+      .select(col("user_id"), col("seq"),
+        col("delayed").as("d1"), col("slice").as("s1"))
+    val second = bySession.filter(col("rk") === 2)
+      .select(col("user_id"), col("seq"),
+        col("delayed").as("d2"), col("slice").as("s2"))
+    val lowering = opener.join(second, Seq("user_id", "seq"))
+      .filter(col("d1") && !col("d2") && col("s1") === col("s2"))
+      .count()
+    assert(lowering > 0,
+      "fixture has no straggler-opened session — the late gate proves nothing")
+    // --- the nonzero-watermark run equals the batch gaps-and-islands -----
+    val got = graft.SparkEntry.queries("stream_tws_sessionize_late")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val oracle = graft.SparkEntry.queries("stream_tws_sessionize")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == oracle, "disordered feed diverged from the batch sessions")
+    // --- negative control: a 0-second watermark DROPS the stragglers -----
+    // (proving the nonzero delay is load-bearing, not decorative)
+    val (disordered, _) = StreamOps.eventsStreamBoundedDisorder(spark, dir, gap)
+    val zero = graft.SparkUtil.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      StreamOps.runToMemory(spark,
+        StreamOps.transformWithStateSessionsOn(spark, disordered, gap),
+        "twssl_zero_spec_out",
+        outputMode = OutputMode.Append(), allowNoDataBatches = true)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+    }
+    val full = oracle.map {
+      case Seq(u, _, n, ss, se) => Seq(u, ss, se, n)
+    }.toSet
+    assert(zero != full,
+      "0-second watermark matched the full oracle — the stragglers were not actually late")
+  }
+
+  test("DistinctValuesProcessor restores the counter from a pre-counter checkpoint (state-schema migration)") {
+    import spark.implicits._
+    // incarnation 1 runs the PRE-COUNTER schema (MapState only, the
+    // original O(|seen|) emission) against a real checkpoint; incarnation 2
+    // restarts the CURRENT processor from that checkpoint — the restored
+    // `seen` map is populated but the companion `count` ValueState does not
+    // exist yet, so without the keys()-scan fallback the running count
+    // would restart near zero and under-report forever (here: emit 1
+    // instead of 3 for the second batch)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twd_migrate").toFile
+    val in = new java.io.File(tmp, "in"); in.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt")
+    val sink = "twd_migrate_sink"
+    val ledger = "twd_migrate_ledger"
+    Seq(sink, ledger).foreach(graft.sources.Sources.dropForOverwrite(spark, _))
+    def drain(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long)]): Unit =
+      graft.SparkUtil.withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val stream = spark.readStream
+          .schema("user_id LONG, event_type STRING")
+          .option("maxFilesPerTrigger", "1").parquet(in.getPath)
+          .as[(Long, String)]
+        val counts = stream.groupByKey(_._1)
+          .transformWithState(proc,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_types")
+        StreamOps.drainToTable(spark, counts, sink, ckpt.getPath, ledger,
+          statePartitions = Some(2),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+    // the file stream source lists FILES, not nested dirs: write each slice
+    // to a scratch dir and move its single part file into the stream dir
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val part = new java.io.File(tmp, s"part_$name")
+      rows.toDF("user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(part.getPath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    stage(Seq((7L, "a"), (7L, "b")), "b0")
+    drain(new LegacyDistinctProcessor) // old schema writes the checkpoint
+    stage(Seq((7L, "b"), (7L, "c")), "b1")
+    drain(new DistinctValuesProcessor) // new schema restores from it
+    val byBatch = spark.table(sink)
+      .groupBy(col("_batch_id")).agg(max(col("n_types")).as("n"))
+      .orderBy(col("_batch_id"))
+      .select(col("n")).as[Long].collect().toSeq
+    assert(byBatch == Seq(2L, 3L),
+      s"expected running distinct counts Seq(2, 3) across the migration, got $byBatch")
+  }
+}
+
+/** The DistinctValuesProcessor state schema as it existed BEFORE the
+  * companion ValueState counter: MapState only, O(|seen|) emission. Test
+  * double for the migration gate above — writes a checkpoint the current
+  * processor must restore without under-counting.
+  */
+class LegacyDistinctProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues}
+  import org.apache.spark.sql.{Encoders}
+  @transient private var seen: MapState[String, Boolean] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[String, Boolean]("seen",
+      Encoders.STRING, Encoders.scalaBoolean,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    rows.foreach { case (_, v) =>
+      if (!seen.containsKey(v)) seen.updateValue(v, true)
+    }
+    Iterator.single((key, seen.keys().size.toLong))
   }
 }
