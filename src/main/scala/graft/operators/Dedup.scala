@@ -1183,7 +1183,16 @@ object Dedup {
     * candidates.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
+      blockCols: Seq[String], threshold: Double,
+      /** Capacity sizing for the candidate join: one shuffle partition per
+        * this many pre-distinct candidate pairs, engaged only when the
+        * resulting floor EXCEEDS the session default. The r16 Zipf-sf10
+        * probe found the failure mode: 500k docs over a fixed 50k-type
+        * vocabulary put 1.2B prefix candidates through a 32-partition
+        * distinct (37M rows/task) — heap death. Tests pass 1 to force the
+        * scoped path on small fixtures.
+        */
+      massPerPartition: Long = 2000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     VectorFunctions.register(df.sparkSession)
@@ -1211,21 +1220,74 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
           .orderBy(col("tok_df"), col("tok"))))
       .filter(col("_rk") <= col("sz") - ceil(lit(u) * col("sz")).cast("int") + 1)
-      .select(blockCols.map(col) :+ col(idCol) :+ col("tok"): _*)
+      .select(blockCols.map(col) :+ col(idCol) :+ col("sz") :+ col("_rk") :+ col("tok"): _*)
       .localCheckpoint(eager = false) // both sides of the candidate self-join
-    val a = ranked.select(blockCols.map(col) :+ col("tok") :+ col(idCol).as("id_a"): _*)
-    val b = ranked.select(blockCols.map(col) :+ col("tok") :+ col(idCol).as("id_b"): _*)
-    // deduped BEFORE the expensive exact verify (same pattern as minhash)
-    val candidates = a.join(b, blockCols :+ "tok")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    candidates
-      .join(withSet.select(col(idCol).as("id_a"), col("wset").as("set_a")), "id_a")
-      .join(withSet.select(col(idCol).as("id_b"), col("wset").as("set_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // candidate MASS = the prefix join's pre-distinct output size, closed
+    // form from per-(block, token) counts — one cheap aggregate over the
+    // already-needed checkpoint. It sizes the candidate shuffles the same
+    // way components sizes its edge aggregates: the session default is
+    // corpus-scan sized, not candidate sized, and on a dense-vocabulary
+    // corpus the candidates outgrow the corpus quadratically per decade.
+    val massRow = ranked
+      .groupBy((blockCols.map(col) :+ col("tok")): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("m")).head()
+    val mass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0)
+    def plan(): DataFrame = {
+      val a = ranked.select(blockCols.map(col) :+ col("tok") :+
+        col(idCol).as("id_a") :+ col("sz").as("sz_a") :+ col("_rk").as("rk_a"): _*)
+      val b = ranked.select(blockCols.map(col) :+ col("tok") :+
+        col(idCol).as("id_b") :+ col("sz").as("sz_b") :+ col("_rk").as("rk_b"): _*)
+      // deduped BEFORE the expensive exact verify (same pattern as minhash),
+      // with BOTH textbook pre-filters on the joined rows:
+      //   LENGTH: J >= t forces min|set| >= t * max|set| (J <= min/max);
+      //   POSITIONAL: tokens sort by the same global (df, tok) order in
+      //     every set, so a pair's common tokens appear in the same relative
+      //     order — at a shared token with positions (pa, pb) the remaining
+      //     overlap is at most min(|A|-pa, |B|-pb), and J >= t needs overlap
+      //     >= t/(1+t)·(|A|+|B|). The pair's FIRST shared prefix token
+      //     always passes for a qualifying pair (all its overlap lies at or
+      //     after it), so keeping a pair when ANY shared token passes is
+      //     complete; rows failing it never reach the distinct. Epsilons on
+      //     the ADMIT side — the exact verify re-checks every survivor.
+      val candidates = a.join(b, blockCols :+ "tok")
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold - 1e-9) * greatest(col("sz_a"), col("sz_b")))
+        .filter((lit(1) + least(col("sz_a") - col("rk_a"),
+            col("sz_b") - col("rk_b"))).cast("double") >=
+          ceil(lit(u) * (col("sz_a") + col("sz_b"))))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      candidates
+        .join(withSet.select(col(idCol).as("id_a"), col("wset").as("set_a")), "id_a")
+        .join(withSet.select(col(idCol).as("id_b"), col("wset").as("set_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+    val spark = df.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val floor = math.min(20000L, mass / math.max(1L, massPerPartition) + 1L).toInt
+    if (floor <= sessionParts) plan()
+    else graft.SparkUtil.withShufflePartitions(spark, floor) {
+      // AQE coalescing sizes partitions by the join's INPUT bytes (a few
+      // dozen MB of prefix rows) and would collapse the floor right back to
+      // a handful of tasks whose join OUTPUT is the 1e9-row candidate mass
+      // — the exact heap death the floor exists to prevent. Pin coalescing
+      // off inside the scope; skew-join and the other AQE rules stay on.
+      graft.SparkUtil.withConfs(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+        // materialize INSIDE the sized scope (a lazily returned plan would
+        // execute under the restored default); the output is the verified
+        // pair list — dup-sized, the thing callers iterate over anyway
+        val out = plan().localCheckpoint(eager = true)
+        // the result is its own checkpoint; the intermediates can go now
+        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(ranked)
+        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(withSet)
+        out
+      }
+    }
   }
 
   /** Connected components over near-duplicate pairs: assigns every id the

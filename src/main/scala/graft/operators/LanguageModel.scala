@@ -101,7 +101,9 @@ object LanguageModel {
     * model (no separate count pass); at the limit, the scorer switches to
     * [[scoreWithModelJoin]] — same scores (integer sums commute), no
     * driver-side model — and the join path reuses the already-materialized
-    * checkpoint instead of recomputing the model build.
+    * checkpoint instead of recomputing the model build. The BACKOFF frame
+    * (KN scoring) is probed with the same cap: either side exceeding it
+    * routes the whole score through the join path.
     */
   private def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
       model0: DataFrame, oovNlpQ: Long,
@@ -122,9 +124,17 @@ object LanguageModel {
       case None =>
         graft.functions.TrigramScore(expressionOf(col(textCol)), bc, oovNlpQ)
       case Some(bt) =>
-        // one collect for the whole backoff frame, split by kind
-        // driver-side — not four filter(kind).collect() jobs
-        val rows = bt.select(col("kind"), col("key"), col("nlp_q")).collect()
+        // the BACKOFF is size-guarded with the same cap as the main model:
+        // today it is the lower-order grams of the same model (strictly
+        // smaller), but the guard contract must hold without that
+        // assumption — an oversized backoff falls back to the join path
+        // exactly like an oversized model (probe and fetch are one job,
+        // the checkpoint is reused by the join on fallback)
+        val bck = bt.localCheckpoint(eager = false)
+        val rows = bck.select(col("kind"), col("key"), col("nlp_q"))
+          .limit(probeN.toInt).collect()
+        if (rows.length >= probeN)
+          return scoreWithModelJoin(df, idCol, textCol, model, Some(bck), oovNlpQ)
         val byKind = rows.groupBy(_.getString(0))
         def m(kind: String) =
           byKind.getOrElse(kind, Array.empty[org.apache.spark.sql.Row])

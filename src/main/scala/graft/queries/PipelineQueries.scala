@@ -2697,7 +2697,7 @@ object PipelineQueries {
       val st = ChangeLog.materialize(
         changelogOf(StreamOps.eventsStream(s, dir)),
         "user_id", Seq("ts", "event_id"), "op", Seq("value", "props"))
-      StreamOps.runToMemory(s, st, "stream_cdc_out", statePartitions = Some(8))
+      StreamOps.runToMemory(s, st, "stream_cdc_out", statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)))
         .orderBy(col("user_id"))
     }),
     // ordered view -> click -> purchase funnel, earliest-qualifying
@@ -3033,7 +3033,7 @@ object PipelineQueries {
     "stream_window_agg" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hourlyTypeCounts(StreamOps.eventsStream(s, dir)), "stream_window_agg_out",
-        statePartitions = Some(8))
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)))
       res.orderBy(col("bucket"), col("event_type"))
     }),
     // HOPPING windows (1h size, 30min slide): each event lands in TWO
@@ -3042,7 +3042,7 @@ object PipelineQueries {
     "stream_window_hop" -> ((s, dir) => {
       val res = StreamOps.runToMemory(s,
         StreamOps.hoppingTypeCounts(StreamOps.eventsStream(s, dir)),
-        "stream_window_hop_out", statePartitions = Some(8))
+        "stream_window_hop_out", statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)))
       res.orderBy(col("bucket"), col("event_type"))
     }),
     // watermark-flushed streaming sessionization CONVERGING to the batch
@@ -3056,7 +3056,7 @@ object PipelineQueries {
       val flushed = Sessionize.streamingSessionsFlushed(
         s, fenced, "user_id", "ts", gapSeconds = gap)
       val res = StreamOps.runToMemory(s, flushed.toDF(), "stream_sess_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
         allowNoDataBatches = true)
       res.filter(col("userId") =!= -1L)
@@ -3222,7 +3222,7 @@ object PipelineQueries {
       val joined = StreamOps.streamIntervalJoin(purchases, errors,
         Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600)
       val res = StreamOps.runToMemory(s, joined, "stream_ivj_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
       res.select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
         .orderBy(col("p_id"), col("e_id"))
@@ -3249,7 +3249,7 @@ object PipelineQueries {
         val joined = StreamOps.streamIntervalJoin(purchases, errors,
           Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600)
         StreamOps.runToMemory(s, joined, "stream_ivj_rdb_out",
-            statePartitions = Some(8),
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
             outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
           .select(col("p_id"), col("_r_event_id").as("e_id"), col("user_id"))
           .orderBy(col("p_id"), col("e_id"))
@@ -3636,7 +3636,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       val res = StreamOps.runToMemory(s, agg, "stream_late_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
         allowNoDataBatches = true)
       res.filter(col("event_type") =!= "__fence__")
@@ -3675,7 +3675,7 @@ object PipelineQueries {
         Seq("user_id"), "ts", "ts", lowerSec = 0, upperSec = 600,
         watermark = "0 seconds", joinType = "left_outer")
       val res = StreamOps.runToMemory(s, joined, "stream_ivjo_out",
-        statePartitions = Some(8),
+        statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
         outputMode = org.apache.spark.sql.streaming.OutputMode.Append(),
         allowNoDataBatches = true)
       res.filter(col("user_id") =!= -1L)
@@ -3843,6 +3843,39 @@ object PipelineQueries {
       TextAnalysis.curate(secured, "doc_id", "text", minWords = 30, minStopHits = 1)
         .join(secured.select(col("doc_id"), col("source")), "doc_id")
         .orderBy(col("doc_id"))
+    }),
+    // SECURITY x DEDUP composition (r15 verdict #8): the near-dup operator
+    // consumes the SECURED frame — the row filter restricts the pair space
+    // to the policy's rows (en-only; a cross-language pair in the output
+    // would mean the operator bypassed the filter) and the MASK_HASH'd
+    // source column rides through the pair join still masked. The
+    // masked-TEXT leg of the contract (dedup over a masked text column
+    // sees masked values under dfMixed, and dfMixed vs dfMixedRawFilter
+    // admit different rows when the filter references the masked column)
+    // is pinned in SecurityDedupSpec — masking THIS corpus's text would
+    // collapse its all-lowercase tokens to length patterns and make the
+    // pair count quadratic, which is a fixture artifact, not a contract.
+    "sec_dedup_minhash" -> ((s, dir) => {
+      val ctx = new graft.SecurityContext(s)
+      // the planted corpus (originals + offset clones), carrying lang for
+      // the row filter and source for the mask
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+        .createOrReplaceTempView("documents_sec_dd")
+      ctx.policyManager.addPolicy(graft.policy.RowFilterPolicy(
+        "curator", "spark_catalog", "default", "documents_sec_dd", "lang = 'en'"))
+      ctx.policyManager.addPolicy(graft.policy.DataMaskPolicy(
+        "curator", "spark_catalog", "default", "documents_sec_dd", "source", "MASK_HASH"))
+      val secured = ctx.dfMixed("curator",
+        "SELECT doc_id, text, source FROM documents_sec_dd")
+      Dedup.minhashDedup(secured, "doc_id", "text", threshold = 0.9,
+          maxBucket = Int.MaxValue)
+        .join(secured.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"), col("source_a"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // link-graph centrality (Common Crawl-style source ranking as a
     // curation prior): a deterministic citation graph derived in-plan from
@@ -4944,6 +4977,32 @@ object PipelineQueries {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin),
+    // security x dedup composition: the pair space is the ROW-FILTERED
+    // (en-only) planted corpus and the source column rides through MASK_HASH
+    "sec_dedup_minhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, sha256(source) AS source
+        |  FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, sha256(source)
+        |  FROM documents WHERE lang = 'en'),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(ws) >= 3
+        |           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |           ELSE [array_to_string(ws, ' ')] END) AS s
+        |  FROM w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard,
+        |       ba.source AS source_a
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |JOIN base ba ON ba.doc_id = a.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     // connected components over the same pair set: transitive closure by
     // recursive CTE, label = min reachable id
     "dedup_groups" -> (duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") + """,

@@ -40,11 +40,44 @@ object JaccardScaleProbe {
         withSet.select(explode(col("wset")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c")).count()
       }
-      // full operator with candidate count (the verify join's input size)
-      val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
-        Seq("lang", "len_band"), threshold = 0.6)
-      val nPairs = timed("full-op")(pairs.count())
-      println(s"[jprobe] $dir distinct_tokens=$nTok out_pairs=$nPairs")
+      // phase 2: PREFIX-FILTER PRUNING (r15 verdict #2) — how many candidate
+      // pairs does PPJoin's rarest-token prefix actually remove vs joining
+      // on EVERY shared token? Mirrors Dedup.jaccardPairs' prefix
+      // construction (same u, same df-then-tok rank). The no-prefix mass is
+      // the closed-form per-(block, token) C(cnt, 2) sum — the join's input
+      // work, cheap to count without materializing the pairs.
+      val thr = 0.6
+      val u = thr / (1.0 + thr) - 1e-9
+      val toks = withSet
+        .select(col("doc_id"), col("lang"), col("len_band"),
+          size(col("wset")).as("sz"), explode(col("wset")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+      val allCand = timed("all-token-mass") {
+        toks.groupBy(col("lang"), col("len_band"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
+      }
+      val prefix = toks.join(dfreq, "tok")
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("tok_df"), col("tok"))))
+        .filter(col("_rk") <= col("sz") - ceil(lit(u) * col("sz")).cast("int") + 1)
+      val prefixCand = timed("prefix-mass") {
+        prefix.groupBy(col("lang"), col("len_band"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
+      }
+      // full operator with candidate count (the verify join's input size).
+      // TIMED AS ONE UNIT: on the capacity-floor path jaccardPairs
+      // materializes its result eagerly inside the call, so timing only the
+      // count would miss all the work.
+      val nPairs = timed("full-op") {
+        graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+          Seq("lang", "len_band"), threshold = thr).count()
+      }
+      println(s"[jprobe] $dir distinct_tokens=$nTok out_pairs=$nPairs " +
+        s"all_token_pair_mass=$allCand prefix_pair_mass=$prefixCand " +
+        f"prune=${1.0 - prefixCand.toDouble / math.max(1L, allCand)}%.4f")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()

@@ -29,6 +29,11 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val n = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg "zipf" (+ optional vocab size, default 50000)
+    // switches documents to the ZIPFIAN text mode below and writes ONLY the
+    // documents table (the realistic-vocabulary probes need nothing else)
+    val mode = if (args.length > 3) args(3) else "permute"
+    val zipfVocab = if (args.length > 4) args(4).toInt else 50000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,6 +81,44 @@ object ScaleUp {
           .withColumn("text", translate(col("text"),
             from + from.toUpperCase, to + to.toUpperCase))
       }.reduce(_ unionAll _)
+    }
+
+    // ZIPFIAN text mode (r15 verdict #2): the permute mode preserves the
+    // source corpus's ~310-word vocabulary, where every token is ubiquitous
+    // and PPJoin's rarest-token prefix filter is VOID — it prunes nothing
+    // because no token is rare. Real corpora are Zipf-distributed over tens
+    // of thousands of types. This mode resamples every document's token
+    // stream from a `zipfVocab`-type Zipf(1.0) vocabulary via the inverse
+    // CDF (harmonic CDF ~ ln(1+r)/ln(1+V), so rank = floor(exp(u·ln(V+1)))
+    // has P(r) = ln(1+1/r)/ln(1+V) ~ 1/(r·ln V)): token i of a document is
+    // a pure hash of (seed, copy, i) — deterministic, no RNG state. Word
+    // count per doc is preserved; the vocabulary is CORPUS-WIDE (copies
+    // share types, so document frequency ranking is global — exactly what
+    // the prefix filter keys on). Near-dup structure is planted at ~4%
+    // density: within each 50-block of doc_ids the first TWO docs share a
+    // seed, giving them identical tokens at every shared position (high
+    // Jaccard when their lengths are close) — realistic dup density
+    // instead of the permute fixture's 39-pairs-per-doc wall.
+    def zipfDocs(): DataFrame = {
+      val base = Tables.df(spark, src, "documents")
+      (0 until n).map { c =>
+        base
+          .withColumn("_seed", when(pmod(col("doc_id"), lit(50)) < 2,
+            col("doc_id") - pmod(col("doc_id"), lit(50))).otherwise(col("doc_id")))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, '\\\\s+'), (w, i) -> " +
+              s"concat('t', CAST(exp((pmod(xxhash64(_seed, ${c}L, i), " +
+              s"1000000000L) / 1e9) * ln(${zipfVocab + 1}.0d)) AS BIGINT))), ' ')"))
+          .withColumn("doc_id", col("doc_id") + lit(c * K))
+          .withColumn("n_chars", length(col("text")))
+          .drop("_seed")
+      }.reduce(_ unionAll _)
+    }
+
+    if (mode == "zipf") {
+      write(zipfDocs(), "documents")
+      spark.stop()
+      return
     }
 
     // circular component shift: norms and within-copy angles unchanged,

@@ -1359,6 +1359,16 @@ class OperatorsSpec extends SparkFunSuite {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == naive(0.8).map(p => (p._1, p._2)))
     } finally spark.conf.set(key, saved)
+    // the mass-derived CAPACITY-FLOOR path (engaged on dense-vocabulary
+    // corpora whose candidate mass dwarfs the session shuffle sizing) is
+    // output-identical: massPerPartition=1 forces the scoped+checkpointed
+    // plan on this small fixture
+    for (t <- Seq(0.6, 1.0)) {
+      val floored = Dedup.jaccardPairs(blocked, "doc_id", "text", Seq("block"), t,
+          massPerPartition = 1L)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(floored == naive(t), s"capacity-floor path diverged at threshold $t")
+    }
   }
 
   test("jaccard prefix filtering: randomized equivalence with the naive join") {
@@ -1774,6 +1784,32 @@ class OperatorsSpec extends SparkFunSuite {
         maxBroadcastRows = 1L)
       .as[(Long, Long, Double)].collect().toSet
     assert(knJoin == knMap)
+  }
+
+  test("trigram size guard covers the BACKOFF frame: oversized backoff under an in-cap model falls back to the join") {
+    // repetitive strings keep the trigram model SMALL while the backoff
+    // (two bigram tables + two unigram tables) is larger — the regime where
+    // the old guard probed only the model and then collected the backoff
+    // wholesale. Cap between the two counts: the model passes its probe,
+    // the backoff must trip its own and route through scoreWithModelJoin.
+    val corpus = Seq((1L, "ababababab"), (2L, "cdcdcdcdcd"), (3L, "efefefef"))
+      .toDF("doc_id", "text")
+    val kn = LanguageModel.knTrigramModel(corpus, "text")
+    val bt = LanguageModel.knBackoffTables(corpus, "text")
+    val (nModel, nBackoff) = (kn.count(), bt.count())
+    assert(nModel < nBackoff, s"fixture vacuous: model $nModel >= backoff $nBackoff")
+    val cap = nBackoff - 1 // model under, backoff over
+    val viaMap = LanguageModel.perplexityScoreKN(corpus, "doc_id", "text", kn, bt)
+    val guarded = LanguageModel.perplexityScoreKN(corpus, "doc_id", "text", kn, bt,
+      maxBroadcastRows = cap)
+    // the fallback actually FIRED: the join path's plan contains joins, the
+    // broadcast-map path is a pure projection
+    def hasJoin(df: org.apache.spark.sql.DataFrame) = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.nonEmpty
+    assert(!hasJoin(viaMap) && hasJoin(guarded))
+    // and the scores are unchanged (integer sums commute across the paths)
+    assert(guarded.as[(Long, Long, Double)].collect().toSet ==
+      viaMap.as[(Long, Long, Double)].collect().toSet)
   }
 
   test("charTrigrams expression matches the HOF formulation, incl. unicode") {

@@ -1226,6 +1226,25 @@ class StreamingSpec extends SparkFunSuite {
     assert(c5 == Seq((w + 1, 1L)))
     val (c6, _) = sweep(Array(1L), Array(w + 1), w)
     assert(c6 == Seq((w + 1, 2L)))
+    // EVICTION-BOUNDARY CONTRACT (spec-tested, not just narrated): an event
+    // arriving a full window BEHIND an already-evicted entry counts against
+    // the SURVIVING buffer only. History 0 then w+1 evicts the 0; a
+    // straggler at 5 (within window of the evicted 0, full-history truth 2)
+    // reads 1 — the same inherent append-mode limit the sessionizer
+    // documents, guaranteed unreachable by the gate plan's non-decreasing
+    // per-key batch maxima (watermark discipline).
+    val (_, kEv) = sweep(Array(0L), Array(w + 1), w)
+    assert(kEv.toSeq == Seq(w + 1)) // precondition: 0 is really gone
+    val (cLate, kLate) = sweep(kEv, Array(5L), w)
+    assert(cLate == Seq((5L, 1L)),
+      "straggler must count only the surviving buffer, not resurrect evicted history")
+    // and WITHIN one call the merged view is exact: the same pair arriving
+    // together counts the old entry before eviction drops it
+    val (cTogether, _) = sweep(Array.empty[Long], Array(0L, 5L, w + 1), w)
+    assert(cTogether == Seq((0L, 1L), (5L, 2L), (w + 1, 2L))) // 0 outside w+1's window
+    // the straggler joins the kept suffix (it is within window of the
+    // newest epoch), so a FURTHER event can still count it
+    assert(kLate.toSeq == Seq(5L, w + 1))
   }
 
   test("bootstrap initial state is load-bearing: cold start misses the full-corpus totals") {
