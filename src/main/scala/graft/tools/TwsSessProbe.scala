@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decomposition probe for stream_tws_sessionize's decade-3 reading (r15
+  * verdict #5): counts the WORK first (events, keys, sessions — the
+  * JaccardScaleProbe pattern), then drains the exact pipeline once per dir
+  * and prints per-batch StreamingQueryProgress — trigger duration split,
+  * state-operator update/commit/removal times, and the RocksDB custom
+  * metrics (compaction, flush, memtable) — so the 3x can be attributed to
+  * a named linear driver (timer volume, state partitions, or RocksDB
+  * machinery) instead of waved at.
+  *
+  * Usage: SPARK_GRAFT_PROBE_DIRS=/root/testdata/sf0.1,/tmp/sf1,/tmp/sf10
+  *        runMain graft.tools.TwsSessProbe
+  */
+object TwsSessProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS").map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf10"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val gap = 1800L
+    for (dir <- dirs) {
+      // ---- the work, counted batch-side --------------------------------
+      val ev = graft.queries.Tables.df(spark, dir, "events")
+      val nEvents = ev.count()
+      val nKeys = ev.select(col("user_id")).distinct().count()
+      val nSessions = ev
+        .select(col("user_id"), unix_timestamp(col("ts").cast("timestamp")).as("te"))
+        .withColumn("prev", lag(col("te"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("te"))))
+        .filter(col("prev").isNull || col("te") - col("prev") > gap)
+        .count()
+      val parts = graft.streaming.StreamOps.sessionStatePartitions(spark, dir)
+      println(s"[twsprobe] $dir events=$nEvents keys=$nKeys sessions=$nSessions stateParts=$parts")
+      // ---- the pipeline, with progress capture -------------------------
+      graft.SparkUtil.withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
+        graft.SparkUtil.withShufflePartitions(spark, parts) {
+          // split FIXTURE STAGING (eventsStreamFenced writes the staged
+          // parquet input — harness cost, not engine cost) from the drain
+          val tS = System.nanoTime()
+          val pipeline = graft.streaming.StreamOps
+            .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
+          println(f"[twsprobe] $dir staging ${(System.nanoTime() - tS) / 1e9}%.2f s")
+          val t0 = System.nanoTime()
+          val q = pipeline
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .format("noop")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          println(f"[twsprobe] $dir total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          q.recentProgress.foreach { p =>
+            val dur = p.durationMs
+            def d(k: String) = Option(dur.get(k)).map(_.toString).getOrElse("-")
+            val st = p.stateOperators.headOption
+            def s(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+              st.map(f(_).toString).getOrElse("-")
+            val rocks = st.map(_.customMetrics).map { m =>
+              Seq("rocksdbCommitCompactLatency", "rocksdbCommitFlushLatency",
+                "rocksdbCommitWriteBatchLatency", "rocksdbTotalCompactionLatencyMs")
+                .flatMap(k => Option(m.get(k)).map(v => s"$k=$v")).mkString(" ")
+            }.getOrElse("")
+            println(s"[twsprobe] $dir batch=${p.batchId} rows=${p.numInputRows} " +
+              s"trigger=${d("triggerExecution")} addBatch=${d("addBatch")} " +
+              s"updated=${s(_.numRowsUpdated)} updMs=${s(_.allUpdatesTimeMs)} " +
+              s"removed=${s(_.numRowsRemoved)} rmMs=${s(_.allRemovalsTimeMs)} " +
+              s"commitMs=${s(_.commitTimeMs)} stateRows=${s(_.numRowsTotal)} $rocks")
+          }
+        }
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}
