@@ -154,7 +154,7 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
   private def flush(merged: Seq[(Long, Long, Long)], wmMs: Long)
       : Iterator[(Long, Long, Long)] = {
     val (closed, kept) = merged.partition { case (_, e, _) =>
-      (e + gapSeconds) * 1000L < wmMs }
+      WatermarkSessionizeProcessor.isSealed(e, gapSeconds, wmMs) }
     ivls.clear()
     getHandle.listTimers().foreach(getHandle.deleteTimer)
     if (kept.nonEmpty) {
@@ -180,6 +180,17 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
     flush(prior, timerValues.getCurrentWatermarkInMs())
       .map { case (s, e, n) => (key, s, e, n) }
   }
+}
+
+object WatermarkSessionizeProcessor {
+  /** True iff the watermark has SEALED the interval — no admissible event
+    * (ts at or above the watermark) can extend or precede-within-gap it.
+    * STRICT inequality: an event exactly AT end+gap still merges, so
+    * equality keeps the interval open one more firing. The completeness
+    * argument in the class scaladoc depends on this direction.
+    */
+  def isSealed(endSec: Long, gapSeconds: Long, wmMs: Long): Boolean =
+    (endSec + gapSeconds) * 1000L < wmMs
 }
 
 /** MapState sibling of [[RunningTotalsProcessor]]: per-key DISTINCT-value

@@ -78,6 +78,13 @@ object JaccardScaleProbe {
       println(s"[jprobe] $dir distinct_tokens=$nTok out_pairs=$nPairs " +
         s"all_token_pair_mass=$allCand prefix_pair_mass=$prefixCand " +
         f"prune=${1.0 - prefixCand.toDouble / math.max(1L, allCand)}%.4f")
+      // the minhash sibling on the same corpus (verdict r15 #2 names both):
+      // banded LSH bucket join + exact verify, default 200-member bucket cap
+      val nMinhash = timed("minhash-op") {
+        graft.operators.Dedup.minhashDedup(docs, "doc_id", "text",
+          threshold = 0.9).count()
+      }
+      println(s"[jprobe] $dir minhash_pairs=$nMinhash")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()

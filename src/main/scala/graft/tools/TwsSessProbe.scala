@@ -47,10 +47,18 @@ object TwsSessProbe {
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
         graft.SparkUtil.withShufflePartitions(spark, parts) {
           // split FIXTURE STAGING (eventsStreamFenced writes the staged
-          // parquet input — harness cost, not engine cost) from the drain
+          // parquet input — harness cost, not engine cost) from the drain.
+          // SPARK_GRAFT_PROBE_LATE=1 probes the bounded-disorder +
+          // watermark-paced pipeline (stream_tws_sessionize_late) instead.
           val tS = System.nanoTime()
-          val pipeline = graft.streaming.StreamOps
-            .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
+          val pipeline =
+            if (sys.env.get("SPARK_GRAFT_PROBE_LATE").contains("1")) {
+              val (ev, delaySec) = graft.streaming.StreamOps
+                .eventsStreamBoundedDisorder(spark, dir, gap)
+              graft.streaming.StreamOps.transformWithStateSessionsOn(
+                spark, ev, gap, watermarkDelay = s"$delaySec seconds")
+            } else graft.streaming.StreamOps
+              .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
           println(f"[twsprobe] $dir staging ${(System.nanoTime() - tS) / 1e9}%.2f s")
           val t0 = System.nanoTime()
           val q = pipeline

@@ -1323,6 +1323,17 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == Set((7L, 2L), (7L, 3L)))
   }
 
+  test("WatermarkSessionizeProcessor.isSealed: strict boundary — equality keeps the interval open") {
+    import graft.streaming.WatermarkSessionizeProcessor.isSealed
+    val gap = 1800L
+    // wm exactly AT (end+gap): an event at that instant still merges — open
+    assert(!isSealed(1000L, gap, (1000L + gap) * 1000L))
+    // one ms past: sealed (no admissible event can reach end+gap)
+    assert(isSealed(1000L, gap, (1000L + gap) * 1000L + 1L))
+    // below: open
+    assert(!isSealed(1000L, gap, (1000L + gap) * 1000L - 1L))
+  }
+
   test("bounded-disorder sessionize: stragglers LOWER session_start under a nonzero watermark; 0-second watermark diverges") {
     import org.apache.spark.sql.streaming.OutputMode
     val gap = 1800L
