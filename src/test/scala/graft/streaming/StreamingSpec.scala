@@ -1398,6 +1398,64 @@ class StreamingSpec extends SparkFunSuite {
       "0-second watermark matched the full oracle — the stragglers were not actually late")
   }
 
+  test("watermark-paced sessionize: randomized bounded-disorder equivalence with the batch fold") {
+    import spark.implicits._
+    // seeded random corpora under random one-slice-late holdbacks: every
+    // (corpus, holdback) draw must reproduce the batch gaps-and-islands
+    // exactly — the randomized twin of the fixture gate, same discipline as
+    // the jaccard naive-join sweep. Admission/no-premature-flush holds by
+    // the same 2W argument as eventsStreamBoundedDisorder for ANY holdback
+    // set, so the equivalence is exact, not probabilistic.
+    val rnd = new scala.util.Random(20260816L)
+    val gap = 1000L
+    val slices = 5
+    for (round <- 0 until 3) {
+      val n = 150 + rnd.nextInt(100)
+      val events = (0 until n).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(100000).toLong)
+      }
+      val (mn, mx) = (events.map(_._2).min, events.map(_._2).max)
+      val w = (mx - mn) / slices + 1
+      val delayed = events.map(_ => rnd.nextBoolean() && rnd.nextBoolean())
+      def df(rows: Seq[(Long, Long)]) = rows
+        .map { case (u, t) => (u, new java.sql.Timestamp(t * 1000L)) }
+        .toDF("user_id", "ts")
+      def sliceOf(t: Long): Int = ((t - mn) / w).toInt
+      val tagged = events.zip(delayed)
+      val parts = (0 until slices).map { k =>
+        df(tagged.collect {
+          case ((u, t), d) if (sliceOf(t) == k && !d) || (sliceOf(t) == k - 1 && d) => (u, t)
+        })
+      } :+ df(tagged.collect { case ((u, t), d) if sliceOf(t) == slices - 1 && d => (u, t) }
+        :+ ((-1L, mx + 2 * w + 3 * gap))) // fence flushes every timer
+      val got = graft.SparkUtil.withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        StreamOps.runToMemory(spark,
+          StreamOps.transformWithStateSessionsOn(spark,
+            StreamOps.stagedStream(spark, parts), gap,
+            watermarkDelay = s"${2 * w} seconds"),
+          s"twssl_rand_${round}_out",
+          outputMode = OutputMode.Append(), allowNoDataBatches = true)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .collect().map(_.toSeq).toSet
+      }
+      // batch truth: per-user gaps-and-islands over ALL events
+      val oracle = events.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val islands = ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+          case ((s, e, c) :: rest, t) =>
+            if (t - e <= gap) (s, t, c + 1) :: rest else (t, t, 1L) :: (s, e, c) :: rest
+          case (Nil, t) => List((t, t, 1L))
+        }
+        islands.map { case (s, e, c) => Seq[Any](u, s, e, c) }
+      }.toSet
+      assert(got == oracle, s"round $round (n=$n) diverged from the batch fold")
+    }
+  }
+
   test("DistinctValuesProcessor restores the counter from a pre-counter checkpoint (state-schema migration)") {
     import spark.implicits._
     // incarnation 1 runs the PRE-COUNTER schema (MapState only, the
