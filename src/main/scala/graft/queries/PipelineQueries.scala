@@ -3472,6 +3472,70 @@ object PipelineQueries {
           .orderBy(col("user_id"), col("session_seq"))
       }
     }),
+    // CRASH-RESTART gate for the WATERMARK-PACED sessionizer (the r16
+    // processor): its state is the per-key INTERVAL LIST plus the flush
+    // timer, and rollback must restore both in agreement with the ledger —
+    // a replayed batch re-merges its stragglers against the rolled-back
+    // interval lists and re-emits whatever the watermark has sealed (the
+    // ledger noops the duplicate append). Protocol: the bounded-disorder
+    // slices (same construction as stream_tws_sessionize_late) staged as
+    // phased files; incarnation 1 drains the first half of the disorder
+    // schedule — stragglers already folding, intervals accumulating — then
+    // the newest commit is deleted; incarnation 2 adds the rest + fence
+    // and restarts. Accumulated sink = the batch gaps-and-islands over ALL
+    // events (every straggler admitted by the 2W argument), oracle
+    // verbatim from stream_tws_sessionize_late.
+    "stream_tws_sessionize_late_restart" -> ((s, dir) => {
+      graft.SparkUtil.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val gap = 1800L
+        val numSlices = 8
+        val delayMod = 5
+        val ev = StreamOps.fencibleEvents(s, dir)
+        val r = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val w = (mx - mn) / numSlices + 1
+        val delaySec = 2 * w
+        val sliceOf = floor((unix_timestamp(col("ts")) - mn) / w).cast("int")
+        val delayed = pmod(col("event_id"), lit(delayMod)) === 0
+        Seq("twsslr_sink", "twsslr_ledger")
+          .foreach(graft.sources.Sources.dropForOverwrite(s, _))
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_twsslr").toFile
+        val side = new java.io.File(tmpRoot, "side"); side.mkdirs()
+        val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
+        val ckpt = new java.io.File(tmpRoot, "ckpt")
+        val slices = (0 until numSlices).map { k =>
+          ev.filter(sliceOf === k && !delayed)
+            .unionAll(ev.filter(sliceOf === (k - 1) && delayed))
+        } :+ ev.filter(sliceOf === (numSlices - 1) && delayed)
+          .unionAll(StreamOps.fenceRow(s, mx + delaySec + 3 * gap))
+        writeSliceFixtures(tmpRoot, side, slices)
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+          val sessions = StreamOps.transformWithStateSessionsOn(s, stream,
+            gap, watermarkDelay = s"$delaySec seconds")
+          // state partition count must be IDENTICAL across incarnations
+          StreamOps.drainToTable(s, sessions, "twsslr_sink", ckpt.getPath,
+            "twsslr_ledger",
+            statePartitions = Some(StreamOps.sessionStatePartitions(s, dir)),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+        (0 until 4).foreach(k => moveIn(side, streamDir, s"b$k.parquet"))
+        drain() // first half of the disorder schedule: stragglers folding
+        dropLatestCommit(ckpt) // crash: newest batch's commit record gone
+        (4 to numSlices).foreach(k => moveIn(side, streamDir, s"b$k.parquet"))
+        drain() // rollback, straggler re-merge on replay, fence flush
+        s.table("twsslr_sink").filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("session_start"))).cast("bigint").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
+      }
+    }),
     // LISTSTATE leg of the arbitrary-state API — the FOURTH state shape
     // (after ValueState, MapState, timers): per-user trailing-3600s event
     // counts with the epoch buffer as a ListState, entries beyond the
@@ -7286,6 +7350,22 @@ object PipelineQueries {
     // to the SAME batch gaps-and-islands (every straggler is admitted by
     // construction — eventsStreamBoundedDisorder's 2W bound)
     "stream_tws_sessionize_late" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
+        |d AS (SELECT user_id, ts, te,
+        |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR te - lag(te) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |                  THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, te,
+        |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM d)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |       min(te) AS session_start, max(te) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // interval-list + timer state must survive rollback/replay under
+    // disorder: oracle verbatim from stream_tws_sessionize_late
+    "stream_tws_sessionize_late_restart" ->
       """WITH e AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events),
         |d AS (SELECT user_id, ts, te,
         |             CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
