@@ -920,7 +920,7 @@ object Dedup {
     * incremental index, so an increment is banded bit-for-bit like the
     * corpus it probes.
     */
-  private def bandRowsOf(sets: DataFrame, idCol: String, bands: Int,
+  private[graft] def bandRowsOf(sets: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     sets

@@ -3934,8 +3934,15 @@ object PipelineQueries {
         "curator", "spark_catalog", "default", "documents_sec_dd", "source", "MASK_HASH"))
       val secured = ctx.dfMixed("curator",
         "SELECT doc_id, text, source FROM documents_sec_dd")
-      Dedup.minhashDedup(secured, "doc_id", "text", threshold = 0.9,
-          maxBucket = Int.MaxValue)
+      // DEFAULT maxBucket: capBuckets drops whole oversized buckets, so the
+      // planted clone pairs survive iff their band buckets stay under the
+      // cap — which this fixture guarantees by construction (verbatim
+      // doubling: bucket = 2x the natural band cluster, and the corpus's
+      // max natural cluster is tiny; SecurityDedupSpec pins max bucket
+      // <= 50 at the oracle SF, 2x headroom). The cap must stay: an
+      // Int.MaxValue bypass here was r16's one flagged cap-bypass — the
+      // same pattern as r15's mm_neardup quadratic.
+      Dedup.minhashDedup(secured, "doc_id", "text", threshold = 0.9)
         .join(secured.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"), col("source_a"))

@@ -150,15 +150,30 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
     ivls = getHandle.getListState[(Long, Long, Long)]("ivls",
       Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
   }
-  /** Emit what the watermark has sealed, keep + re-time the rest. */
-  private def flush(merged: Seq[(Long, Long, Long)], wmMs: Long)
-      : Iterator[(Long, Long, Long)] = {
+  /** Emit what the watermark has sealed, keep + re-time the rest.
+    *
+    * `stateHoldsMerged`: true on the timer path, where `merged` IS the
+    * stored list (no new events folded in). When additionally nothing
+    * sealed, the clear-and-put would rewrite an identical interval list —
+    * at a production watermark lag (hours) that is per-firing RocksDB
+    * write amplification on every quiet key, so it is skipped; only the
+    * consumed timer is re-armed. Any seal or any fold takes the full
+    * rewrite path.
+    */
+  private def flush(merged: Seq[(Long, Long, Long)], wmMs: Long,
+      stateHoldsMerged: Boolean): Iterator[(Long, Long, Long)] = {
     val (closed, kept) = merged.partition { case (_, e, _) =>
       WatermarkSessionizeProcessor.isSealed(e, gapSeconds, wmMs) }
-    ivls.clear()
+    if (!(closed.isEmpty && stateHoldsMerged)) {
+      ivls.clear()
+      if (kept.nonEmpty) ivls.put(kept.toArray)
+    }
+    // the timer is single (earliest unflushed end+gap, clamped above the
+    // watermark) and was either consumed by this firing or may sit earlier
+    // than the new earliest seal point — delete-and-re-arm both ways; a
+    // timer write is one fixed-size entry, not the interval list
     getHandle.listTimers().foreach(getHandle.deleteTimer)
     if (kept.nonEmpty) {
-      ivls.put(kept.toArray)
       val next = kept.map { case (_, e, _) => (e + gapSeconds) * 1000L + 1L }.min
       getHandle.registerTimer(math.max(next, wmMs + 1L))
     }
@@ -170,14 +185,14 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
     val prior = if (ivls.exists()) ivls.get().toSeq else Nil
     val merged = SessionizeProcessor.sweep(
       prior ++ rows.map(r => (r._2, r._2, 1L)), gapSeconds)
-    flush(merged, timerValues.getCurrentWatermarkInMs())
+    flush(merged, timerValues.getCurrentWatermarkInMs(), stateHoldsMerged = false)
       .map { case (s, e, n) => (key, s, e, n) }
   }
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[(Long, Long, Long, Long)] = {
     val prior = if (ivls.exists()) ivls.get().toSeq else Nil
-    flush(prior, timerValues.getCurrentWatermarkInMs())
+    flush(prior, timerValues.getCurrentWatermarkInMs(), stateHoldsMerged = true)
       .map { case (s, e, n) => (key, s, e, n) }
   }
 }
@@ -822,9 +837,25 @@ object StreamOps {
     readStaged(spark, stageParts(parts), parts.head.schema)
 
   /** Write the staged one-file-per-batch fixture and return its directory. */
+  /** Every staged temp dir ever written (INCLUDING a duplicate staged by
+    * the losing side of a concurrent first [[stagedStreamCached]] call —
+    * TrieMap.getOrElseUpdate may evaluate the thunk on both sides and keep
+    * one), swept by a JVM shutdown hook so a long sbt session doesn't
+    * accumulate orphaned fixture dirs in /tmp.
+    */
+  private val stagedForCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val stagedCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedForCleanup.forEach(d =>
+        try deleteTempDir(java.nio.file.Paths.get(d))
+        catch { case _: Throwable => () })))
+
   private def stageParts(parts: Seq[DataFrame]): String = {
     require(parts.nonEmpty, "stagedStream needs at least one part")
+    stagedCleanupHook
     val stage = java.nio.file.Files.createTempDirectory("graft_stage").toFile
+    stagedForCleanup.add(stage.getPath)
     val t0 = System.currentTimeMillis()
     parts.zipWithIndex.foreach { case (df, i) =>
       val tmp = new java.io.File(stage, s"d$i")
@@ -852,6 +883,13 @@ object StreamOps {
     * 1.4x/decade). The staged files are immutable once written and every
     * reader gets its own checkpoint, so reuse is free. Driver-side PATH
     * strings only (the memo-safety rule: no frames, no blocks).
+    *
+    * ASSUMPTION: the SOURCE parquet under `dir` is immutable for the JVM's
+    * lifetime — the memo is keyed on (variant, dir, params) only, so
+    * rewriting a source dir's data in-JVM would serve a stale fixture.
+    * Every current source is a read-only /root/testdata or ScaleUp output
+    * dir; a harness that rewrites one must use a fresh path. Staged dirs
+    * are swept at JVM exit ([[stagedForCleanup]]).
     */
   private val stagedFixtures = new scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1600,6 +1638,21 @@ object StreamOps {
       graft.sources.Sources.dropForOverwrite(spark, t)
       drainResidue.remove(t)
     }
+
+  /** Per-name release: drop ONLY the sink table behind the named
+    * [[runToMemory]] drain (the table is `<name>_t`), for a harness that
+    * just consumed that one frame but may still hold other table-routed
+    * frames unconsumed — the drop-all form above would invalidate those at
+    * their next action. No-op if the name was memory-routed or already
+    * dropped.
+    */
+  def dropDrainResidue(spark: SparkSession, name: String): Unit = {
+    val t = s"${name}_t"
+    if (drainResidue.contains(t)) {
+      graft.sources.Sources.dropForOverwrite(spark, t)
+      drainResidue.remove(t)
+    }
+  }
 
   private def deleteTempDir(dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}

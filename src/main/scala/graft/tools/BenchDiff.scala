@@ -55,6 +55,17 @@ object BenchDiff {
     (total, queries)
   }
 
+  /** Query names recorded under `"retimed"` (in-run adjudicated entries
+    * whose reported time is the warm second reading, first reading kept in
+    * this map) — empty for pre-r16 or baseline-less artifacts.
+    */
+  private[tools] def retimedNames(text: String): Set[String] = {
+    val i = text.indexOf("\"retimed\":{")
+    if (i < 0) Set.empty
+    else entry.findAllMatchIn(text.substring(i + 10, text.indexOf("}", i) + 1))
+      .map(_.group(1)).toSet
+  }
+
   /** Queries regressed past (ratio, minSec) between two per-query maps. */
   private[tools] def watchList(old: Map[String, Double], cur: Map[String, Double],
       ratio: Double, minSec: Double): Seq[(String, Double, Double, Double)] =
@@ -69,10 +80,20 @@ object BenchDiff {
     val ratio = if (args.length > 2) args(2).toDouble else 1.5
     val minSec = if (args.length > 3) args(3).toDouble else 1.0
     def read(p: String) = { val s = Source.fromFile(p); try s.mkString finally s.close() }
-    val (oldTotal, old) = parse(read(args(0)))
-    val (newTotal, cur) = parse(read(args(1)))
+    val oldText = read(args(0)); val newText = read(args(1))
+    val (oldTotal, old) = parse(oldText)
+    val (newTotal, cur) = parse(newText)
     println(f"[benchdiff] total ${oldTotal}%.1f s -> ${newTotal}%.1f s " +
       f"(${newTotal / math.max(oldTotal, 1e-9)}%.2fx); thresholds: >${ratio}x and >${minSec} s")
+    // adjudicated artifacts are not single-draw: a retimed query's reported
+    // time is its second (warm) reading — surface that so a cross-round
+    // comparison knows which side had in-run adjudication and on what
+    Seq("old" -> oldText, "new" -> newText).foreach { case (side, t) =>
+      val names = retimedNames(t)
+      if (names.nonEmpty) println(s"[benchdiff] note: $side artifact has " +
+        s"${names.size} retimed (warm second-reading) entries: " +
+        names.toSeq.sorted.mkString(","))
+    }
     // the other-SF draw, for the both-SFs noise signature (no minSec there:
     // at the smaller SF the same fixed hiccup lands on a smaller base)
     val otherWatch: Option[Set[String]] =

@@ -76,7 +76,8 @@ object TwsSessProbe {
               st.map(f(_).toString).getOrElse("-")
             val rocks = st.map(_.customMetrics).map { m =>
               Seq("rocksdbCommitCompactLatency", "rocksdbCommitFlushLatency",
-                "rocksdbCommitWriteBatchLatency", "rocksdbTotalCompactionLatencyMs")
+                "rocksdbCommitWriteBatchLatency", "rocksdbTotalCompactionLatencyMs",
+                "rocksdbTotalBytesWritten", "rocksdbTotalBytesRead")
                 .flatMap(k => Option(m.get(k)).map(v => s"$k=$v")).mkString(" ")
             }.getOrElse("")
             println(s"[twsprobe] $dir batch=${p.batchId} rows=${p.numInputRows} " +

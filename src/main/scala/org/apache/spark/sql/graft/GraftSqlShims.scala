@@ -27,12 +27,21 @@ object GraftSqlShims {
     * `Dataset.unpersist` only talks to the cache manager, but a local
     * checkpoint persists the frame's INTERNAL RDD directly — so for a
     * checkpointed frame `df.unpersist()` is a silent no-op and the blocks
-    * live until ContextCleaner GC (the r16 components-spec finding). This
-    * reaches through the checkpoint scan (`LogicalRDD`) and unpersists at
-    * the RDD level; a plan that is not a checkpoint scan is left alone.
+    * live until ContextCleaner GC (the r16 components-spec finding).
+    *
+    * CONTRACT — the frame must be FULLY SUPERSEDED: a local checkpoint
+    * truncates lineage, so once its blocks are gone any still-live frame
+    * scanning the same RDD fails unrecoverably at its next action.
+    * Callers materialize every successor (eager checkpoint of the follow-up
+    * frame, or a completed action) BEFORE releasing the predecessor. To
+    * keep that contract visible at the call site, this accepts ONLY the
+    * checkpoint frame itself — the plan must BE the checkpoint scan
+    * (`LogicalRDD` leaf); a derived frame is left alone (no-op) rather
+    * than reached into, so a shared upstream checkpoint can never be
+    * released through an unrelated derived handle.
     */
   def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking)
       case _ => ()

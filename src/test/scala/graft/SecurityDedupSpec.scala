@@ -48,6 +48,34 @@ class SecurityDedupSpec extends SparkFunSuite {
       "raw corpus must not pair — otherwise the masked pair proves nothing")
   }
 
+  test("sec_dedup_minhash fixture's band buckets stay under the DEFAULT cap (planted pairs survive capBuckets)") {
+    // The bench/oracle query sec_dedup_minhash runs minhashDedup with the
+    // DEFAULT maxBucket (capBuckets drops an ENTIRE oversized bucket, so a
+    // planted clone pair would vanish from a band only if that band's
+    // bucket overflows — and from the OUTPUT only if all 16 of its band
+    // buckets overflow). This pins the fixture property that makes the
+    // default cap a NO-OP there: at the oracle SF, every (band, band_hash)
+    // bucket of the doubled en-only corpus stays at or under the cap, with
+    // real headroom. If the fixture or corpus generation changes, this
+    // fails BEFORE the oracle mismatches.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val d = graft.queries.Tables.df(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"))
+    val fixture = d.unionAll(
+      d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val sets = fixture.select(col("doc_id"),
+      expr("graft_shingle_hashes(text, 3)").as("sh"))
+    val maxBucket = Dedup.bandRowsOf(sets, "doc_id", bands = 16, rowsPerBand = 4)
+      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBucket <= 50,
+      s"fixture max band bucket $maxBucket leaves no headroom under the " +
+        "default cap (100) — sec_dedup_minhash's planted pairs may be " +
+        "cap-dropped; re-evaluate the cap there before trusting the oracle")
+  }
+
   test("divergence switch decides which ROWS reach the dedup operator (filter-sees-masked vs raw)") {
     corpus.createOrReplaceTempView("docs_secdd_div")
     val ctx = new SecurityContext(spark)
