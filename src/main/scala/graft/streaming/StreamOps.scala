@@ -154,17 +154,27 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
     *
     * `stateHoldsMerged`: true on the timer path, where `merged` IS the
     * stored list (no new events folded in). When additionally nothing
-    * sealed, the clear-and-put would rewrite an identical interval list —
-    * at a production watermark lag (hours) that is per-firing RocksDB
-    * write amplification on every quiet key, so it is skipped; only the
-    * consumed timer is re-armed. Any seal or any fold takes the full
-    * rewrite path.
+    * sealed, the clear-and-put would rewrite an identical interval list,
+    * so it is skipped and only the consumed timer re-armed. MEASURED
+    * (TwsSessProbe A/B, r17): under the arming invariant below this quiet
+    * case is structurally absent — the single timer sits at the EARLIEST
+    * unflushed end+gap clamped above the watermark, so by the time it
+    * fires the watermark has passed that seal point and the firing always
+    * seals >= 1 interval (identical state-store bytes with the skip forced
+    * off, sf0.1 and sf1). The skip therefore costs nothing and guards only
+    * engine-initiated firings outside the invariant (e.g. replayed timers
+    * after restart). The remaining per-batch rewrite is O(kept) per
+    * ACTIVE key only — the inherent ListState compaction cost, bounded by
+    * the sessions inside one watermark lag; if production traces ever show
+    * it dominating, the escalation path is interval-keyed MapState point
+    * writes (the DistinctValuesProcessor rationale).
     */
   private def flush(merged: Seq[(Long, Long, Long)], wmMs: Long,
       stateHoldsMerged: Boolean): Iterator[(Long, Long, Long)] = {
     val (closed, kept) = merged.partition { case (_, e, _) =>
       WatermarkSessionizeProcessor.isSealed(e, gapSeconds, wmMs) }
-    if (!(closed.isEmpty && stateHoldsMerged)) {
+    if (!(closed.isEmpty && stateHoldsMerged &&
+        WatermarkSessionizeProcessor.trimQuietFlush)) {
       ivls.clear()
       if (kept.nonEmpty) ivls.put(kept.toArray)
     }
@@ -198,6 +208,15 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
 }
 
 object WatermarkSessionizeProcessor {
+  /** PROBE-ONLY A/B switch (meaningful in local mode's single JVM, where
+    * executor threads share this object): false forces the pre-trim flush
+    * (state rewritten on every firing) so [[graft.tools.TwsSessProbe]] can
+    * quantify the quiet-firing write amplification in one run. Production
+    * code never touches it; in a distributed deployment executors see the
+    * default (true).
+    */
+  @volatile var trimQuietFlush = true
+
   /** True iff the watermark has SEALED the interval — no admissible event
     * (ts at or above the watermark) can extend or precede-within-gap it.
     * STRICT inequality: an event exactly AT end+gap still merges, so

@@ -50,42 +50,64 @@ object TwsSessProbe {
           // parquet input — harness cost, not engine cost) from the drain.
           // SPARK_GRAFT_PROBE_LATE=1 probes the bounded-disorder +
           // watermark-paced pipeline (stream_tws_sessionize_late) instead.
-          val tS = System.nanoTime()
-          val pipeline =
-            if (sys.env.get("SPARK_GRAFT_PROBE_LATE").contains("1")) {
-              val (ev, delaySec) = graft.streaming.StreamOps
-                .eventsStreamBoundedDisorder(spark, dir, gap)
-              graft.streaming.StreamOps.transformWithStateSessionsOn(
-                spark, ev, gap, watermarkDelay = s"$delaySec seconds")
-            } else graft.streaming.StreamOps
-              .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
-          println(f"[twsprobe] $dir staging ${(System.nanoTime() - tS) / 1e9}%.2f s")
-          val t0 = System.nanoTime()
-          val q = pipeline
-            .writeStream
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-            .format("noop")
-            .start()
-          try q.processAllAvailable() finally q.stop()
-          println(f"[twsprobe] $dir total ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          q.recentProgress.foreach { p =>
-            val dur = p.durationMs
-            def d(k: String) = Option(dur.get(k)).map(_.toString).getOrElse("-")
-            val st = p.stateOperators.headOption
-            def s(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
-              st.map(f(_).toString).getOrElse("-")
-            val rocks = st.map(_.customMetrics).map { m =>
-              Seq("rocksdbCommitCompactLatency", "rocksdbCommitFlushLatency",
-                "rocksdbCommitWriteBatchLatency", "rocksdbTotalCompactionLatencyMs",
-                "rocksdbTotalBytesWritten", "rocksdbTotalBytesRead")
-                .flatMap(k => Option(m.get(k)).map(v => s"$k=$v")).mkString(" ")
-            }.getOrElse("")
-            println(s"[twsprobe] $dir batch=${p.batchId} rows=${p.numInputRows} " +
-              s"trigger=${d("triggerExecution")} addBatch=${d("addBatch")} " +
-              s"updated=${s(_.numRowsUpdated)} updMs=${s(_.allUpdatesTimeMs)} " +
-              s"removed=${s(_.numRowsRemoved)} rmMs=${s(_.allRemovalsTimeMs)} " +
-              s"commitMs=${s(_.commitTimeMs)} stateRows=${s(_.numRowsTotal)} $rocks")
+          val late = sys.env.get("SPARK_GRAFT_PROBE_LATE").contains("1")
+          def runOnce(label: String): Unit = {
+            val tS = System.nanoTime()
+            val pipeline =
+              if (late) {
+                val (ev, delaySec) = graft.streaming.StreamOps
+                  .eventsStreamBoundedDisorder(spark, dir, gap)
+                graft.streaming.StreamOps.transformWithStateSessionsOn(
+                  spark, ev, gap, watermarkDelay = s"$delaySec seconds")
+              } else graft.streaming.StreamOps
+                .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
+            println(f"[twsprobe] $dir$label staging ${(System.nanoTime() - tS) / 1e9}%.2f s")
+            val t0 = System.nanoTime()
+            val q = pipeline
+              .writeStream
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .format("noop")
+              .start()
+            try q.processAllAvailable() finally q.stop()
+            println(f"[twsprobe] $dir$label total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            var (updSum, rmSum, bytesSum) = (0L, 0L, 0L)
+            q.recentProgress.foreach { p =>
+              val dur = p.durationMs
+              def d(k: String) = Option(dur.get(k)).map(_.toString).getOrElse("-")
+              val st = p.stateOperators.headOption
+              def s(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+                st.map(f(_).toString).getOrElse("-")
+              st.foreach { so =>
+                updSum += so.numRowsUpdated; rmSum += so.numRowsRemoved
+                bytesSum += Option(so.customMetrics.get("rocksdbTotalBytesWritten"))
+                  .map(_.longValue).getOrElse(0L)
+              }
+              val rocks = st.map(_.customMetrics).map { m =>
+                Seq("rocksdbCommitCompactLatency", "rocksdbCommitFlushLatency",
+                  "rocksdbCommitWriteBatchLatency", "rocksdbTotalCompactionLatencyMs",
+                  "rocksdbTotalBytesWritten", "rocksdbTotalBytesRead")
+                  .flatMap(k => Option(m.get(k)).map(v => s"$k=$v")).mkString(" ")
+              }.getOrElse("")
+              println(s"[twsprobe] $dir$label batch=${p.batchId} rows=${p.numInputRows} " +
+                s"trigger=${d("triggerExecution")} addBatch=${d("addBatch")} " +
+                s"updated=${s(_.numRowsUpdated)} updMs=${s(_.allUpdatesTimeMs)} " +
+                s"removed=${s(_.numRowsRemoved)} rmMs=${s(_.allRemovalsTimeMs)} " +
+                s"commitMs=${s(_.commitTimeMs)} stateRows=${s(_.numRowsTotal)} $rocks")
+            }
+            println(s"[twsprobe] $dir$label SUM updated=$updSum removed=$rmSum " +
+              s"rocksdbBytesWritten=$bytesSum")
           }
+          if (late) {
+            // A/B the quiet-firing flush trim in one run (single local JVM,
+            // so the companion toggle reaches the executor threads): the
+            // trimmed path must show fewer state rows written at the same
+            // drain time — the r16 verdict #6 receipt
+            Seq("[trim]" -> true, "[notrim]" -> false).foreach { case (l, v) =>
+              graft.streaming.WatermarkSessionizeProcessor.trimQuietFlush = v
+              runOnce(l)
+            }
+            graft.streaming.WatermarkSessionizeProcessor.trimQuietFlush = true
+          } else runOnce("")
         }
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

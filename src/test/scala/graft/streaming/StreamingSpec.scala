@@ -1172,6 +1172,30 @@ class StreamingSpec extends SparkFunSuite {
       "dropDrainResidue left the sink's warehouse directory behind")
   }
 
+  test("per-name dropDrainResidue releases ONLY the named drain") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val proj = StreamOps.eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    val (a, b) = graft.SparkUtil.withConfs(spark,
+      "spark.graft.stream.drain" -> "table") {
+      (StreamOps.runToMemory(spark, proj, "resid_pn_a", outputMode = OutputMode.Append()),
+        StreamOps.runToMemory(spark, proj, "resid_pn_b", outputMode = OutputMode.Append()))
+    }
+    assert(a.count() > 0)
+    // a's frame is consumed; b's is NOT — the per-name release must leave
+    // b's sink table readable (the drop-all form would invalidate it)
+    StreamOps.dropDrainResidue(spark, "resid_pn_a")
+    assert(!spark.catalog.tableExists("resid_pn_a_t"))
+    assert(spark.catalog.tableExists("resid_pn_b_t"))
+    assert(b.count() > 0, "unconsumed drain must survive a per-name release")
+    // unknown / already-dropped names are no-ops
+    StreamOps.dropDrainResidue(spark, "resid_pn_a")
+    StreamOps.dropDrainResidue(spark, "never_drained")
+    // suite teardown: the drop-all form reclaims the rest
+    StreamOps.dropDrainResidue(spark)
+    assert(!spark.catalog.tableExists("resid_pn_b_t"))
+  }
+
   test("SessionizeProcessor.foldBatch: interval sweep handles out-of-order events honestly") {
     import graft.streaming.SessionizeProcessor.foldBatch
     val gap = 10L

@@ -26,6 +26,17 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(qs.size == 2)
   }
 
+  test("retimedNames extracts the adjudicated entries; absent map reads empty") {
+    val full = """{"metric":"total","value":3.0,"unit":"sec","queries":{"a":1.0,"b":2.0},"retimed":{"b":4.500},"sf":"/x"}"""
+    assert(BenchDiff.retimedNames(full) == Set("b"))
+    // the reported map still carries the warm second reading, not the first
+    assert(BenchDiff.parse(full)._2("b") == 2.0)
+    val plain = """{"metric":"total","value":3.0,"unit":"sec","queries":{"a":1.0},"sf":"/x"}"""
+    assert(BenchDiff.retimedNames(plain).isEmpty)
+    val empty = """{"metric":"total","value":3.0,"unit":"sec","queries":{"a":1.0},"retimed":{},"sf":"/x"}"""
+    assert(BenchDiff.retimedNames(empty).isEmpty)
+  }
+
   test("watchList flags only both-present, above-threshold regressions") {
     val w = BenchDiff.watchList(
       Map("a" -> 1.0, "b" -> 2.0, "gone" -> 5.0),
