@@ -100,7 +100,14 @@ object Bench {
     //    itself so the warmup never silently no-ops
     val warmDir = {
       val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (tiny.isDirectory) tiny.getPath else sfDir
+      // ScaleUp dirs (/tmp/sf1, /tmp/sf10) have no tiny sibling — fall back
+      // to the driver-shipped tiny dir, NOT sfDir: a "warm-up" at the bench
+      // SF runs full-size queries untimed (wasted minutes at sf10, and
+      // suite-heap churn the timed protocol never had)
+      val shipped = new java.io.File("/root/testdata/sf0.001")
+      if (tiny.isDirectory) tiny.getPath
+      else if (shipped.isDirectory) shipped.getPath
+      else sfDir
     }
     try graft.streaming.StreamOps.runToMemory(spark,
       graft.streaming.StreamOps.hourlyTypeCounts(
