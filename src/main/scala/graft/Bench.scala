@@ -161,11 +161,31 @@ object Bench {
     // `runMain graft.Bench` — which never sets the env var, and whose r16
     // draw read 1.2x over the same-HEAD closing artifact purely from
     // cold-draw noise — gets the same adjudication as the closing pair.
+    // The committed default must resolve for UNATTENDED runs launched from
+    // ANY cwd (the driver's bare `runMain graft.Bench`): try cwd first, then
+    // anchor at the repo root derived from this class's own location
+    // (target/scala-*/classes -> three levels up), so a launch from outside
+    // the repo still finds bench/. If neither resolves, say so — a silently
+    // missing baseline defeats the committed-default mechanism (r17 advice).
+    val defaultName = s"baseline_${new java.io.File(sfDir).getName}.json"
+    val defaultCandidates: Seq[java.io.File] = {
+      val cwd = new java.io.File(s"bench/$defaultName")
+      val fromClasses = scala.util.Try {
+        val loc = new java.io.File(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        // classes dir target/scala-2.13/classes or a jar in target/...
+        val root = Iterator.iterate(loc)(_.getParentFile).takeWhile(_ != null)
+          .find(d => new java.io.File(d, "build.sbt").isFile)
+        root.map(r => new java.io.File(r, s"bench/$defaultName"))
+      }.toOption.flatten
+      Seq(Some(cwd), fromClasses).flatten
+    }
     val baselinePath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .orElse {
-        val p = s"bench/baseline_${new java.io.File(sfDir).getName}.json"
-        if (new java.io.File(p).isFile) Some(p) else None
-      }
+      .orElse(defaultCandidates.find(_.isFile).map(_.getPath))
+    if (baselinePath.isEmpty) System.err.println(
+      s"[bench] NOTE: no retime baseline resolved (no SPARK_GRAFT_BENCH_BASELINE; " +
+        s"default $defaultName absent at ${defaultCandidates.map(_.getPath).mkString(", ")}) — " +
+        "suspect readings will not be re-drawn")
     val baseline: Map[String, Double] = baselinePath
       .flatMap { p => scala.util.Try {
         val s = new String(java.nio.file.Files.readAllBytes(

@@ -498,6 +498,12 @@ object Vocab {
   private def deltaLoop(words0: DataFrame, numMerges: Int): DataFrame = {
     val spark = words0.sparkSession
     var words = words0
+    // the CHECKPOINT frame backing `words` — unpersistCheckpoint is
+    // leaf-only by contract, so releases must go through this handle:
+    // `words` itself becomes a Project over the step checkpoint below, and
+    // passing that would be a silent no-op (the r17 advice finding — every
+    // superseded word table retained until ContextCleaner GC)
+    var wordsCk = words0
     var counts = pairsOf(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -509,7 +515,7 @@ object Vocab {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, c))
-        val prevWords = words
+        val prevWordsCk = wordsCk
         val prevCounts = counts
         val step = words
           .withColumn("_had", hasPair(a, b))
@@ -526,12 +532,13 @@ object Vocab {
           .filter(col("c") > 0)
           .localCheckpoint()
         // next iteration's words: a projection OVER the materialized step,
-        // not a fresh checkpoint
+        // not a fresh checkpoint — but the release handle is the step itself
         words = step.select(col("syms"), col("cnt"))
-        Seq(prevWords, prevCounts).foreach(unpersistCheckpoint(_))
+        wordsCk = step
+        Seq(prevWordsCk, prevCounts).foreach(unpersistCheckpoint(_))
       }
     }
-    unpersistCheckpoint(words)
+    unpersistCheckpoint(wordsCk)
     unpersistCheckpoint(counts)
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")

@@ -142,7 +142,15 @@ object SessionizeProcessor {
   * (clamped above the current watermark); re-armed on every fold and every
   * fire, so a quiet key still drains as the watermark advances.
   */
-class WatermarkSessionizeProcessor(gapSeconds: Long)
+class WatermarkSessionizeProcessor(gapSeconds: Long,
+    /** PROBE-ONLY off-switch: false forces the pre-trim flush (state
+      * rewritten on every firing) so [[graft.tools.TwsSessProbe]] can A/B
+      * the quiet-firing write amplification in one run. Production call
+      * sites always use the default — the toggle is a constructor argument
+      * (not mutable global state) so a probe's choice is pinned at plan
+      * build time and serialized with the processor.
+      */
+    trimQuietFlush: Boolean = true)
     extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp),
       (Long, Long, Long, Long)] {
   @transient private var ivls: ListState[(Long, Long, Long)] = _
@@ -173,8 +181,7 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
       stateHoldsMerged: Boolean): Iterator[(Long, Long, Long)] = {
     val (closed, kept) = merged.partition { case (_, e, _) =>
       WatermarkSessionizeProcessor.isSealed(e, gapSeconds, wmMs) }
-    if (!(closed.isEmpty && stateHoldsMerged &&
-        WatermarkSessionizeProcessor.trimQuietFlush)) {
+    if (!(closed.isEmpty && stateHoldsMerged && trimQuietFlush)) {
       ivls.clear()
       if (kept.nonEmpty) ivls.put(kept.toArray)
     }
@@ -208,15 +215,6 @@ class WatermarkSessionizeProcessor(gapSeconds: Long)
 }
 
 object WatermarkSessionizeProcessor {
-  /** PROBE-ONLY A/B switch (meaningful in local mode's single JVM, where
-    * executor threads share this object): false forces the pre-trim flush
-    * (state rewritten on every firing) so [[graft.tools.TwsSessProbe]] can
-    * quantify the quiet-firing write amplification in one run. Production
-    * code never touches it; in a distributed deployment executors see the
-    * default (true).
-    */
-  @volatile var trimQuietFlush = true
-
   /** True iff the watermark has SEALED the interval — no admissible event
     * (ts at or above the watermark) can extend or precede-within-gap it.
     * STRICT inequality: an event exactly AT end+gap still merges, so
@@ -553,7 +551,11 @@ object StreamOps {
         * dropped — the regime [[SessionizeProcessor.foldBatch]]'s
         * interval sweep exists for.
         */
-      watermarkDelay: String = "0 seconds"): DataFrame = {
+      watermarkDelay: String = "0 seconds",
+      /** Pass-through to [[WatermarkSessionizeProcessor]]'s probe-only A/B
+        * switch; only meaningful with a nonzero delay.
+        */
+      trimQuietFlush: Boolean = true): DataFrame = {
     import spark.implicits._
     val ev = events
       .withColumn("_ets", col("ts").cast("timestamp"))
@@ -567,7 +569,7 @@ object StreamOps {
     // WatermarkSessionizeProcessor
     val proc =
       if (watermarkDelay == "0 seconds") new SessionizeProcessor(gapSeconds)
-      else new WatermarkSessionizeProcessor(gapSeconds)
+      else new WatermarkSessionizeProcessor(gapSeconds, trimQuietFlush)
     ev.groupByKey(_._1)
       .transformWithState(proc,
         TimeMode.EventTime(), OutputMode.Append())

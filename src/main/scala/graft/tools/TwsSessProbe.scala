@@ -51,14 +51,15 @@ object TwsSessProbe {
           // SPARK_GRAFT_PROBE_LATE=1 probes the bounded-disorder +
           // watermark-paced pipeline (stream_tws_sessionize_late) instead.
           val late = sys.env.get("SPARK_GRAFT_PROBE_LATE").contains("1")
-          def runOnce(label: String): Unit = {
+          def runOnce(label: String, trim: Boolean = true): Unit = {
             val tS = System.nanoTime()
             val pipeline =
               if (late) {
                 val (ev, delaySec) = graft.streaming.StreamOps
                   .eventsStreamBoundedDisorder(spark, dir, gap)
                 graft.streaming.StreamOps.transformWithStateSessionsOn(
-                  spark, ev, gap, watermarkDelay = s"$delaySec seconds")
+                  spark, ev, gap, watermarkDelay = s"$delaySec seconds",
+                  trimQuietFlush = trim)
               } else graft.streaming.StreamOps
                 .transformWithStateSessions(spark, dir, gap, fenceAheadSec = 3 * gap)
             println(f"[twsprobe] $dir$label staging ${(System.nanoTime() - tS) / 1e9}%.2f s")
@@ -98,15 +99,14 @@ object TwsSessProbe {
               s"rocksdbBytesWritten=$bytesSum")
           }
           if (late) {
-            // A/B the quiet-firing flush trim in one run (single local JVM,
-            // so the companion toggle reaches the executor threads): the
-            // trimmed path must show fewer state rows written at the same
-            // drain time — the r16 verdict #6 receipt
+            // A/B the quiet-firing flush trim in one run: the toggle is a
+            // CONSTRUCTOR argument of WatermarkSessionizeProcessor (r17
+            // advice: no mutable probe globals in production state-machine
+            // code), so each leg builds its own pipeline with the flag
+            // pinned at plan time — the r16 verdict #6 receipt
             Seq("[trim]" -> true, "[notrim]" -> false).foreach { case (l, v) =>
-              graft.streaming.WatermarkSessionizeProcessor.trimQuietFlush = v
-              runOnce(l)
+              runOnce(l, trim = v)
             }
-            graft.streaming.WatermarkSessionizeProcessor.trimQuietFlush = true
           } else runOnce("")
         }
       }

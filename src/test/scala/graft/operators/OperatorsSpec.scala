@@ -2697,6 +2697,26 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("bpe delta loop releases every superseded word/count checkpoint (r18: leaf-handle fix)") {
+    // deltaLoop keeps `words` as a Project OVER the step checkpoint; with
+    // unpersistCheckpoint leaf-only (the r17 shim contract) a release
+    // through that derived handle is a silent no-op, so the loop must pass
+    // the checkpoint frame itself. The loop owns every checkpoint it makes
+    // and its result is a driver-side merge table — after training, NO new
+    // persisted RDD may survive (O(iterations) block accumulation at the
+    // 100k+-word delta regime otherwise).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Seq((1L, "ab ab ac abc ab ac"), (2L, "bc ab abc ac bc ab"))
+      .toDF("doc_id", "text")
+    val merges = Vocab.bpeTrainDelta(corpus, "text", numMerges = 5)
+    assert(merges.count() >= 3L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"delta loop leaked ${leaked.size} checkpoint(s) — superseded step/count " +
+        "blocks must be released through their leaf handles")
+  }
+
   test("bpe doc tokenization agrees with the dictionary-join token counts") {
     val corpus = docs // the shared 5-doc fixture
     val merges = Vocab.bpeTrain(corpus, "text", numMerges = 6)
