@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MaskFunctions
-import graft.plans.{DataMaskRule, RowFilterRule, TableScope}
+import graft.plans.{DataMaskRule, DmlSecurityRewrite, RowFilterRule, TableScope}
 import graft.policy.PolicyManager
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -237,6 +237,67 @@ final class SecurityContext(
 
   def dfMixedRawFilter(user: String, sql: String): DataFrame =
     GraftSqlShims.ofRows(spark, mixedRewriteRawFilter(user, sql))
+
+  // --- row-level DML API (MERGE INTO / UPDATE / DELETE on tables with
+  // SupportsRowLevelOperations — beyond-reference surface; the reference's
+  // only DML is INSERT INTO ... SELECT, handled by the read rewrites'
+  // embedded-query path). Policy contract in [[graft.plans.DmlSecurityRewrite]]:
+  // target row filters constrain which existing rows the user can touch,
+  // source reads get the full filter+mask rewrite, deny/column-deny fail
+  // closed. ---
+
+  /** Parse + security-rewrite + analyze one DML statement; audits the
+    * submission, the target constraint, and every source-side policy
+    * application. Throws [[ColumnAccessDeniedException]] fail-closed on
+    * denied tables/columns (after auditing the denial).
+    */
+  def rewriteDml(user: String, sql: String): LogicalPlan = {
+    val rule = DmlSecurityRewrite(spark, user, policyManager, scope)
+    def crumbs(): Seq[(String, String)] = rule.dmlAudit.toSeq.map { c =>
+      val Array(action, rest) = c.split("\\|", 2)
+      (action, rest)
+    }
+    val rewritten =
+      try rule(parseSql(sql))
+      catch { case e: ColumnAccessDeniedException =>
+        auditBuf.synchronized {
+          auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", "dml", sql)
+          crumbs().foreach { case (action, crumb) =>
+            val Array(obj, detail) = crumb.split("\\|", 2)
+            auditBuf += AuditEntry(auditBuf.size.toLong, user, action, obj, detail)
+          }
+        }
+        throw e
+      }
+    // source-side rule applications carry the ordinary plan tags; the
+    // target-side constraint (a condition rewrite, no plan node to tag)
+    // arrives through the rule's crumb buffer
+    val plan = analyzed(rewritten)
+    val tagged = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).isDefined =>
+        ("ROW_FILTER", f.getTagValue(graft.plans.SecurityTags.RowFilterAudit).get)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.getTagValue(graft.plans.SecurityTags.MaskAudit).isDefined =>
+        ("DATA_MASK", p.getTagValue(graft.plans.SecurityTags.MaskAudit).get)
+    }.distinct // the merge rewrite replays the source subtree into several
+               // plan positions (join leg, cardinality check) — one policy
+               // decision, one audit row
+    auditBuf.synchronized {
+      auditBuf += AuditEntry(auditBuf.size.toLong, user, "QUERY", "dml", sql)
+      (crumbs() ++ tagged).foreach { case (action, crumb) =>
+        val Array(obj, detail) = crumb.split("\\|", 2)
+        auditBuf += AuditEntry(auditBuf.size.toLong, user, action, obj, detail)
+      }
+    }
+    plan
+  }
+
+  /** Rewrite + run one DML statement (the write executes eagerly). */
+  def executeDml(user: String, sql: String): Unit = {
+    GraftSqlShims.ofRows(spark, rewriteDml(user, sql)).collect()
+    ()
+  }
 
   // --- execute API (reference SecurityContext.java:190-242) ---
 

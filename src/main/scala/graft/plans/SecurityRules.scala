@@ -614,3 +614,228 @@ final case class DataMaskRule(
     }
   }
 }
+
+/** Security rewrite for ROW-LEVEL DML — MERGE INTO / UPDATE / DELETE
+  * against tables that implement `SupportsRowLevelOperations` (e.g.
+  * [[graft.sources.GraftMemoryCatalog]]'s tables).
+  *
+  * The reference's only DML surface is `INSERT INTO ... SELECT`, where the
+  * rewrite reaches inside the SELECT body (RewriteRowFilterTest.java:484-541,
+  * RewriteDataMaskTest.java:363-436 — both ported). MERGE/UPDATE/DELETE are
+  * the modern CDC-upsert equivalents, and the policy contract extends
+  * naturally:
+  *
+  *   - ROW FILTER on the TARGET: constrains which existing rows the user
+  *     can TOUCH. The filter is AND-ed into the condition of every
+  *     matched / not-matched-by-source action (and the UPDATE/DELETE WHERE
+  *     clause), so a row outside the user's filter is matched-but-untouched:
+  *     it can never be updated or deleted, and because it still MATCHES,
+  *     a WHEN NOT MATCHED insert cannot smuggle in a duplicate of it.
+  *     (This is visible-but-untouchable write semantics, deliberately NOT
+  *     Postgres-RLS invisible-row semantics — an invisible match would
+  *     duplicate rather than protect.) Inserted values are not gated by the
+  *     target's row filter, matching the reference's INSERT handling.
+  *   - DENY on the target: the statement fails closed before planning.
+  *   - ROW FILTER / MASK on the SOURCE (MERGE): the source subtree is a
+  *     read like any other — both rules run on it, so a policied source
+  *     feeds only visible rows and masked values into the merge.
+  *   - COLUMN DENY: any reference to a denied column of the target (or of
+  *     a source base table) in the statement's expressions fails closed.
+  *     References are collected pre-resolution, so a BARE name that could
+  *     resolve to either side checks against both — a fail-closed
+  *     over-approximation, never fail-open.
+  *
+  * The injection happens on the PARSED plan (conditions stay unresolved and
+  * the caller re-analyzes), because Catalyst's analyzer rewrites these
+  * commands into `ReplaceData` group-replacement plans during analysis —
+  * after that the action structure is gone. Injected target conditions are
+  * qualified with the target's alias so they can never capture a
+  * same-named source column.
+  *
+  * Scale note: the rewritten statement plans exactly like the unsecured
+  * one plus a pushed-down predicate per action — group-based MERGE is one
+  * full-outer join either way, and the injected conditions ride the merge
+  * rows; no extra shuffle or pass (the SecurityTaxProbe argument applies
+  * unchanged).
+  */
+final case class DmlSecurityRewrite(
+    spark: SparkSession,
+    user: String,
+    policies: PolicyManager,
+    override val scope: TableScope
+) extends SecurityRuleSupport {
+
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+
+  /** Audit crumbs ("action|cat.db.table|detail") for decisions that have no
+    * plan node to tag (the target-side constraint rewrites CONDITIONS, not
+    * plans). Drained by [[graft.SecurityContext]] after the rewrite.
+    */
+  val dmlAudit = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def parts(rel: UnresolvedRelation): (String, String, String) =
+    rel.multipartIdentifier match {
+      case Seq(t) => (scope.catalog, scope.database, t)
+      case Seq(db, t) => (scope.catalog, db, t)
+      case ps => (ps.head, ps.init.last, ps.last)
+    }
+
+  /** (relation, qualifier-for-injected-conditions): the alias if the target
+    * is aliased, the table name otherwise.
+    */
+  private def targetOf(plan: LogicalPlan): (UnresolvedRelation, String) = plan match {
+    case SubqueryAlias(id, r: UnresolvedRelation) => (r, id.name)
+    case r: UnresolvedRelation => (r, r.multipartIdentifier.last)
+    case other => throw new UnsupportedOperationException(
+      s"row-level DML target must be a named table, got ${other.nodeName}")
+  }
+
+  private def qualify(q: String, e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+      UnresolvedAttribute(q +: a.nameParts)
+  }
+
+  /** The target's combined row-filter condition for `user`, alias-qualified;
+    * None when unpolicied. Fails closed on an active DENY.
+    */
+  private def targetConstraint(cat: String, db: String, table: String,
+      qualifier: String): Option[Expression] = {
+    if (policies.isDenied(user, cat, db, table)) {
+      dmlAudit += s"ROW_DENY|$cat.$db.$table|DENY"
+      throw new graft.ColumnAccessDeniedException(
+        s"user '$user' is denied rows of $cat.$db.$table — row-level DML " +
+          "against a denied table fails closed")
+    }
+    val conds = policies.rowFilterConditions(user, cat, db, table)
+    if (conds.isEmpty) None
+    else {
+      val parsed = conds.map { c =>
+        try spark.sessionState.sqlParser.parseExpression(c)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"row-filter policy for user '$user' on $cat.$db.$table has " +
+              s"an unparseable condition: $c", e)
+        }
+      }
+      dmlAudit += s"ROW_FILTER|$cat.$db.$table|${conds.mkString(" AND ")} (DML target constraint)"
+      Some(parsed.map(qualify(qualifier, _)).reduceLeft[Expression](And(_, _)))
+    }
+  }
+
+  private def and(cond: Option[Expression], extra: Expression): Option[Expression] =
+    Some(cond.map(And(_, extra)).getOrElse(extra))
+
+  private def constrain(actions: Seq[MergeAction], f: Expression): Seq[MergeAction] =
+    actions.map {
+      case a: UpdateAction => a.copy(condition = and(a.condition, f))
+      case a: UpdateStarAction => a.copy(condition = and(a.condition, f))
+      case a: DeleteAction => a.copy(condition = and(a.condition, f))
+      case other => other // insert actions: not an existing-row touch
+    }
+
+  /** Fail closed when any expression of the statement references a denied
+    * column of the target (refs qualified with the target alias, or bare)
+    * or of a source base table (refs qualified with that table's
+    * alias/name, or bare). Pre-resolution name matching — bare names check
+    * against every side they COULD resolve to.
+    */
+  private def enforceColumnDeny(target: (String, String, String, String),
+      sources: Seq[(String, String, String, String)],
+      exprs: Seq[Expression]): Unit = {
+    val refs = exprs.flatMap(_.collect {
+      case a: UnresolvedAttribute => a.nameParts
+    })
+    def hits(cat: String, db: String, table: String, qual: String): Seq[String] = {
+      val denied = policies.deniedColumns(user, cat, db, table)
+        .map(_.toLowerCase)
+      if (denied.isEmpty) Nil
+      else refs.collect {
+        case Seq(col) if denied.contains(col.toLowerCase) => col
+        case Seq(q, col) if q.equalsIgnoreCase(qual) &&
+          denied.contains(col.toLowerCase) => col
+      }.distinct
+    }
+    val violations = (target +: sources).flatMap { case (c, d, t, q) =>
+      val h = hits(c, d, t, q)
+      if (h.isEmpty) Nil else Seq(s"$c.$d.$t" -> h)
+    }
+    if (violations.nonEmpty) {
+      violations.foreach { case (obj, cols) =>
+        dmlAudit += s"COLUMN_DENY|$obj|${cols.mkString(",")}"
+      }
+      throw new graft.ColumnAccessDeniedException(
+        s"user '$user' is denied column(s) " +
+          violations.map { case (o, cs) => s"$o.(${cs.mkString(",")})" }
+            .mkString("; ") + " — the DML statement references them and fails closed")
+    }
+  }
+
+  /** Base tables of a (parsed) source subtree with their reference
+    * qualifier: the nearest alias if present, else the table name.
+    */
+  private def sourceTables(plan: LogicalPlan): Seq[(String, String, String, String)] =
+    plan.collect {
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        val (c, d, t) = parts(r); (c, d, t, id.name)
+      case r: UnresolvedRelation =>
+        val (c, d, t) = parts(r); (c, d, t, r.multipartIdentifier.last)
+    }
+
+  /** Source subtree through the ordinary read rewrite: analyze standalone,
+    * inject row filters then masks, re-analyze if needed, splice back. The
+    * surrounding (still-parsed) statement resolves around the already-
+    * analyzed subtree.
+    */
+  private def secureSource(plan: LogicalPlan): LogicalPlan = {
+    val analyzed = spark.sessionState.executePlan(plan).analyzed
+    val filtered = RowFilterRule(spark, user, policies, scope)(analyzed)
+    val masked = DataMaskRule(spark, user, policies, scope)(filtered)
+    if (masked.resolved) masked
+    else spark.sessionState.executePlan(masked).analyzed
+  }
+
+  /** Rewrite one parsed row-level DML statement. Returns the modified
+    * parsed plan (caller analyzes + executes).
+    */
+  def apply(parsed: LogicalPlan): LogicalPlan = parsed match {
+    case m: MergeIntoTable =>
+      val (rel, qualifier) = targetOf(m.targetTable)
+      val (cat, db, table) = parts(rel)
+      val srcs = sourceTables(m.sourceTable)
+      enforceColumnDeny((cat, db, table, qualifier), srcs,
+        Seq(m.mergeCondition) ++
+          (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+            .flatMap(a => a.condition.toSeq ++ (a match {
+              case u: UpdateAction => u.assignments.flatMap(x => Seq(x.key, x.value))
+              case i: InsertAction => i.assignments.flatMap(x => Seq(x.key, x.value))
+              case _ => Nil
+            })))
+      val constrained = targetConstraint(cat, db, table, qualifier) match {
+        case Some(f) => m.copy(
+          matchedActions = constrain(m.matchedActions, f),
+          notMatchedBySourceActions = constrain(m.notMatchedBySourceActions, f))
+        case None => m
+      }
+      constrained.copy(sourceTable = secureSource(m.sourceTable))
+    case u: UpdateTable =>
+      val (rel, qualifier) = targetOf(u.table)
+      val (cat, db, table) = parts(rel)
+      enforceColumnDeny((cat, db, table, qualifier), Nil,
+        u.condition.toSeq ++ u.assignments.flatMap(a => Seq(a.key, a.value)))
+      targetConstraint(cat, db, table, qualifier) match {
+        case Some(f) => u.copy(condition = and(u.condition, f))
+        case None => u
+      }
+    case d: DeleteFromTable =>
+      val (rel, qualifier) = targetOf(d.table)
+      val (cat, db, table) = parts(rel)
+      enforceColumnDeny((cat, db, table, qualifier), Nil, Seq(d.condition))
+      targetConstraint(cat, db, table, qualifier) match {
+        case Some(f) => d.copy(condition = And(d.condition, f))
+        case None => d
+      }
+    case other => throw new UnsupportedOperationException(
+      s"not a row-level DML statement: ${other.nodeName} " +
+        "(use the query rewrite entry points for reads, execute() for DDL/INSERT)")
+  }
+}

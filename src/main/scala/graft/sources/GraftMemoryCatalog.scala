@@ -110,7 +110,8 @@ object GraftMemoryCatalog {
   def clear(): Unit = { tables.clear(); rows.clear() }
 
   private class MemTable(ident: String, tableSchema: StructType,
-      storeKey: (String, String)) extends Table with SupportsRead with SupportsWrite {
+      storeKey: (String, String)) extends Table with SupportsRead with SupportsWrite
+      with SupportsRowLevelOperations {
     override def name(): String = ident
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] =
@@ -127,6 +128,46 @@ object GraftMemoryCatalog {
           override def createReaderFactory(): PartitionReaderFactory =
             new MemReaderFactory(tableSchema)
         }
+      }
+
+    /** Row-level DML (MERGE INTO / UPDATE / DELETE): GROUP-BASED
+      * (copy-on-write), the Iceberg copy-on-write model Spark's
+      * RewriteMergeIntoTable / RewriteUpdateTable / RewriteDeleteFromTable
+      * plan as `ReplaceData` — Catalyst reads the affected groups through
+      * the operation's scan, computes the surviving/updated/inserted rows,
+      * and the operation's write REPLACES exactly what the scan covered.
+      * This table exposes no partition/file metadata columns, so the one
+      * group is the WHOLE table: the scan is the ordinary full scan and the
+      * commit is truncate-and-write. (At 100 TB the same contract holds
+      * per-file/per-partition for real formats — group granularity is the
+      * table's choice, invisible to the rewritten plan's semantics.) The
+      * reference has no DML rewrite surface beyond INSERT bodies
+      * (RewriteRowFilterTest.java:484-541); this is the beyond-reference
+      * write path [[graft.SecurityContext.executeDml]] secures.
+      */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      () => new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          MemTable.this.newScanBuilder(options)
+        override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pi: PhysicalWriteInfo): DataWriterFactory =
+                  new RowLevelWriterFactory(wi.schema())
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  val batch = messages.collect { case MemCommit(rs) => rs }
+                    .flatten.toVector
+                  // replace the read group = the whole table
+                  rows.update(storeKey, batch)
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
       }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -206,11 +247,18 @@ object GraftMemoryCatalog {
   private def newMemWriter(schema: StructType): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Seq[Any]]
-      private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(schema)
+      // convert FIELD BY FIELD through the row accessors, never via
+      // record.copy(): the row-level-DML exec hands the writer a
+      // ProjectingInternalRow whose copy() returns the UNDERLYING full row
+      // (operation column included), silently breaking the projection
+      private val fieldConverters = schema.fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(f.dataType))
       override def write(record: InternalRow): Unit = {
-        val r = toScala(record.copy()).asInstanceOf[org.apache.spark.sql.Row]
-        buf += r.toSeq
+        buf += Seq.tabulate(schema.length) { i =>
+          if (record.isNullAt(i)) null
+          else fieldConverters(i)(record.get(i, schema(i).dataType))
+        }
         ()
       }
       override def commit(): WriterCommitMessage = MemCommit(buf.result())
@@ -222,6 +270,42 @@ object GraftMemoryCatalog {
       storeKey: (String, String)) extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       newMemWriter(schema)
+  }
+
+  /** Writer for the row-level-DML replace path. Catalyst's group-based
+    * rewrite prepends an `__row_operation` metadata column to the write
+    * plan's output, and for a table with no `requiredMetadataAttributes`
+    * the physical writer hands rows through UNPROJECTED (the
+    * row-projection branch only engages together with a metadata
+    * projection — WriteToDataSourceV2Exec's `writingTask`). The declared
+    * write schema (`LogicalWriteInfo.schema`) carries only the data
+    * columns, so the data fields sit at a fixed leading offset:
+    * `numFields - schema.length`. Reading at that offset handles both the
+    * unprojected shape and an already-projected row (offset 0) with one
+    * rule.
+    */
+  private class RowLevelWriterFactory(schema: StructType)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new DataWriter[InternalRow] {
+        private val buf = Vector.newBuilder[Seq[Any]]
+        private val fieldConverters = schema.fields.map(f =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(f.dataType))
+        override def write(record: InternalRow): Unit = {
+          val off = record.numFields - schema.length
+          require(off >= 0, s"row-level write row has ${record.numFields} " +
+            s"fields for a ${schema.length}-column write schema")
+          buf += Seq.tabulate(schema.length) { i =>
+            if (record.isNullAt(off + i)) null
+            else fieldConverters(i)(record.get(off + i, schema(i).dataType))
+          }
+          ()
+        }
+        override def commit(): WriterCommitMessage = MemCommit(buf.result())
+        override def abort(): Unit = ()
+        override def close(): Unit = ()
+      }
   }
 
   private class MemStreamingWriterFactory(schema: StructType,
