@@ -301,8 +301,121 @@ object SecurityQueries {
       }
       c.dfRowFilter(USER,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")
+    }),
+
+    // ---- row-level DML (MERGE INTO / UPDATE / DELETE) on the DSv2 memory
+    // catalog's SupportsRowLevelOperations path, through
+    // SecurityContext.executeDml. The memory-table fixtures are seeded
+    // FROM the parquet tables with an ABSOLUTE key cap, so the mutable
+    // state stays fixture-sized at every SF (the memory catalog is the
+    // local/test connector; the scale path for row-level DML is the same
+    // group/delta replace contract on a real format). Each oracle states
+    // the post-DML table as a pure SELECT over the same parquet inputs
+    // (the driver's DuckDB has no MERGE statement). ----
+    "cdc_merge_upsert" -> ((s, dir) => {
+      memCat(s)
+      seedOrdersTable(s, dir, "cdc_mu_t")
+      val c = new SecurityContext(s)
+      // CDC upsert: matched keys take the change row, new keys insert —
+      // the source is a real parquet read (the rewrite-inside-body shape)
+      c.executeDml("admin",
+        """MERGE INTO graft_mem.default.cdc_mu_t AS t
+          |USING (SELECT o_orderkey AS k, 'U' AS st,
+          |              CAST(round(o_totalprice * 100) AS BIGINT) + 11111 AS cents
+          |       FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET st = s.st, cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (k, st, cents) VALUES (s.k, s.st, s.cents)""".stripMargin)
+      s.table("graft_mem.default.cdc_mu_t").orderBy("k")
+    }),
+    "cdc_update_delete" -> ((s, dir) => {
+      memCat(s)
+      seedOrdersTable(s, dir, "cdc_ud_t")
+      val c = new SecurityContext(s)
+      c.executeDml("admin",
+        "UPDATE graft_mem.default.cdc_ud_t SET st = 'X', cents = cents + 5 WHERE k % 10 = 0")
+      c.executeDml("admin",
+        "DELETE FROM graft_mem.default.cdc_ud_t WHERE cents > 30000000")
+      s.table("graft_mem.default.cdc_ud_t").orderBy("k")
+    }),
+    "sec_merge_rls" -> ((s, dir) => {
+      memCat(s)
+      seedCustomerTable(s, dir, "sec_mr_t")
+      val c = new SecurityContext(s)
+      c.policyManager.addPolicy(RowFilterPolicy(
+        USER, "graft_mem", "default", "sec_mr_t", "seg = 'BUILDING'"))
+      // matched rows OUTSIDE the filter are visible-but-untouchable: not
+      // updated, and not re-inserted (they still match)
+      c.executeDml(USER,
+        """MERGE INTO graft_mem.default.sec_mr_t AS t
+          |USING (SELECT c_custkey AS k, c_mktsegment AS seg,
+          |              CAST(round(c_acctbal * 100) AS BIGINT) + 999 AS cents
+          |       FROM customer WHERE c_custkey BETWEEN 1500 AND 4500) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (k, seg, cents) VALUES (s.k, s.seg, s.cents)""".stripMargin)
+      s.table("graft_mem.default.sec_mr_t").orderBy("k")
+    }),
+    "sec_dml_rls" -> ((s, dir) => {
+      memCat(s)
+      seedCustomerTable(s, dir, "sec_ud_t")
+      val c = new SecurityContext(s)
+      c.policyManager.addPolicy(RowFilterPolicy(
+        USER, "graft_mem", "default", "sec_ud_t", "seg = 'BUILDING'"))
+      c.executeDml(USER,
+        "UPDATE graft_mem.default.sec_ud_t SET cents = 0 WHERE cents < 0")
+      c.executeDml(USER,
+        "DELETE FROM graft_mem.default.sec_ud_t WHERE cents > 500000")
+      s.table("graft_mem.default.sec_ud_t").orderBy("k")
+    }),
+    "sec_merge_mask_source" -> ((s, dir) => {
+      memCat(s)
+      Tables.load(s, dir, "customer")
+      s.sql("DROP TABLE IF EXISTS graft_mem.default.sec_mm_t")
+      s.sql("CREATE TABLE graft_mem.default.sec_mm_t (k BIGINT, name STRING)")
+      s.sql("""INSERT INTO graft_mem.default.sec_mm_t
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000""")
+      val c = new SecurityContext(s)
+      // mask policy on the SOURCE: everything the user's merge reads from
+      // it — matched updates and inserts alike — arrives masked
+      c.policyManager.addPolicy(DataMaskPolicy(
+        USER, CAT, DB, "customer", "c_name", "MASK"))
+      c.executeDml(USER,
+        """MERGE INTO graft_mem.default.sec_mm_t AS t
+          |USING (SELECT c_custkey AS k, c_name AS name FROM customer
+          |       WHERE c_custkey BETWEEN 500 AND 4000) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET name = s.name
+          |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)""".stripMargin)
+      s.table("graft_mem.default.sec_mm_t").orderBy("k")
     })
   )
+
+  private def memCat(s: SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.GraftMemoryCatalog].getName)
+
+  /** (k, st, cents) from orders, keys capped at 2000 — a constant-size
+    * fixture at every SF (key space is generation-stable).
+    */
+  private def seedOrdersTable(s: SparkSession, dir: String, name: String): Unit = {
+    Tables.load(s, dir, "orders")
+    s.sql(s"DROP TABLE IF EXISTS graft_mem.default.$name")
+    s.sql(s"CREATE TABLE graft_mem.default.$name (k BIGINT, st STRING, cents BIGINT)")
+    s.sql(s"""INSERT INTO graft_mem.default.$name
+      SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey <= 2000""")
+  }
+
+  /** (k, seg, cents) from customer, keys capped at 3000. */
+  private def seedCustomerTable(s: SparkSession, dir: String, name: String): Unit = {
+    Tables.load(s, dir, "customer")
+    s.sql(s"DROP TABLE IF EXISTS graft_mem.default.$name")
+    s.sql(s"CREATE TABLE graft_mem.default.$name (k BIGINT, seg STRING, cents BIGINT)")
+    s.sql(s"""INSERT INTO graft_mem.default.$name
+      SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT)
+      FROM customer WHERE c_custkey <= 3000""")
+  }
 
   val oracles: Map[String, String] = Map(
     "sec_rls_basic" ->
@@ -423,6 +536,71 @@ object SecurityQueries {
     // only the in-window filter applies; the expired deny does not
     "sec_rls_window" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    // ---- row-level DML: each oracle states the POST-DML table as a pure
+    // SELECT (DuckDB 1.0 has no MERGE statement): updated/kept rows via
+    // LEFT JOIN + CASE, inserts via NOT EXISTS ----
+    "cdc_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2000),
+        |     s AS (SELECT o_orderkey AS k, 'U' AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) + 11111 AS cents
+        |           FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000)
+        |SELECT t.k, coalesce(s.st, t.st) AS st, coalesce(s.cents, t.cents) AS cents
+        |FROM t LEFT JOIN s ON t.k = s.k
+        |UNION ALL
+        |SELECT s.k, s.st, s.cents FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+        |ORDER BY k""".stripMargin,
+    "cdc_update_delete" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2000),
+        |     u AS (SELECT k,
+        |                  CASE WHEN k % 10 = 0 THEN 'X' ELSE st END AS st,
+        |                  CASE WHEN k % 10 = 0 THEN cents + 5 ELSE cents END AS cents
+        |           FROM t)
+        |SELECT k, st, cents FROM u WHERE cents <= 30000000 ORDER BY k""".stripMargin,
+    // the analyst's filter is seg = 'BUILDING': only BUILDING rows take the
+    // matched update; out-of-filter matches stay put and are NOT duplicated
+    "sec_merge_rls" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer WHERE c_custkey <= 3000),
+        |     s AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) + 999 AS cents
+        |           FROM customer WHERE c_custkey BETWEEN 1500 AND 4500)
+        |SELECT t.k, t.seg,
+        |       CASE WHEN s.k IS NOT NULL AND t.seg = 'BUILDING'
+        |            THEN s.cents ELSE t.cents END AS cents
+        |FROM t LEFT JOIN s ON t.k = s.k
+        |UNION ALL
+        |SELECT s.k, s.seg, s.cents FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+        |ORDER BY k""".stripMargin,
+    "sec_dml_rls" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer WHERE c_custkey <= 3000),
+        |     u AS (SELECT k, seg,
+        |                  CASE WHEN seg = 'BUILDING' AND cents < 0
+        |                       THEN 0 ELSE cents END AS cents
+        |           FROM t)
+        |SELECT k, seg, cents FROM u
+        |WHERE NOT (seg = 'BUILDING' AND cents > 500000)
+        |ORDER BY k""".stripMargin,
+    "sec_merge_mask_source" ->
+      s"""WITH t AS (SELECT c_custkey AS k, c_name AS name FROM customer
+        |           WHERE c_custkey <= 1000),
+        |     s AS (SELECT c_custkey AS k, ${duckMask("c_name")} AS name
+        |           FROM customer WHERE c_custkey BETWEEN 500 AND 4000)
+        |SELECT t.k, CASE WHEN s.k IS NULL THEN t.name ELSE s.name END AS name
+        |FROM t LEFT JOIN s ON t.k = s.k
+        |UNION ALL
+        |SELECT s.k, s.name FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+        |ORDER BY k""".stripMargin
   )
 }
