@@ -40,6 +40,36 @@ object SecurityTaxProbe {
           s"schema=${s.metadata.getOrElse("ReadSchema", "-")}"
     }
 
+  /** Shuffle count + join strategies of the RUNTIME-FINAL plan under AQE:
+    * executes the frame (noop sink), then walks the finalized adaptive plan
+    * RECURSIVELY through query-stage boundaries (QueryStageExec is a leaf
+    * node — a plain collect stops at the first stage). Reused exchanges are
+    * not re-counted or re-entered.
+    */
+  private def aqeFinalSummary(df: DataFrame): (Int, Seq[String]) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Nil
+        case _ => p.children.flatMap(walk)
+      }
+      p +: inner
+    }
+    val all = walk(df.queryExecution.executedPlan)
+    val shuffles = all.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    val joins = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.nodeName
+    }
+    (shuffles, joins)
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS").map(_.split(",").toSeq)
       .getOrElse(Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf10"))
@@ -57,23 +87,48 @@ object SecurityTaxProbe {
       // AQE off for the snapshot so both plans are compared pre-runtime
       // (same rule set either way; AQE decisions depend on runtime stats,
       // not on which side wrote the filter)
-      graft.SparkUtil.withConfs(spark, "spark.sql.adaptive.enabled" -> "false") {
-        val secured = graft.SparkEntry.queries("sec_pipeline_curate")(spark, dir)
+      def manualCurate(): DataFrame = {
         val d = graft.queries.Tables.df(spark, dir, "documents")
         import org.apache.spark.sql.graft.GraftSqlShims.{columnOf, expressionOf}
         val manualIn = d.filter(col("lang") === "en")
           .select(col("doc_id"), col("text"),
             columnOf(graft.functions.MaskFunctions.maskHash(
               Seq(expressionOf(col("source"))))).as("source"))
-        val manual = graft.operators.TextAnalysis.curate(
+        graft.operators.TextAnalysis.curate(
             manualIn, "doc_id", "text", minWords = 30, minStopHits = 1)
           .join(manualIn.select(col("doc_id"), col("source")), "doc_id")
           .orderBy(col("doc_id"))
+      }
+      graft.SparkUtil.withConfs(spark, "spark.sql.adaptive.enabled" -> "false") {
+        val secured = graft.SparkEntry.queries("sec_pipeline_curate")(spark, dir)
+        val manual = manualCurate()
         val (es, em) = (exchanges(secured), exchanges(manual))
         println(s"[sectax] $dir plan-parity exchanges: sec=$es manual=$em " +
           (if (es == em) "MATCH" else "MISMATCH"))
         println(s"[sectax] $dir sec scans:    ${scanFilters(secured).mkString(" | ")}")
         println(s"[sectax] $dir manual scans: ${scanFilters(manual).mkString(" | ")}")
+      }
+
+      // ---- 1b. AQE-ON plan parity (r17 verdict caveat: the static
+      // snapshot pins AQE off, but at 100 TB AQE is on and its skew/
+      // coalesce/broadcast decisions are made from runtime stats — if the
+      // policied side's stats diverged enough to flip a join strategy or
+      // split a skewed partition differently, the parity argument would
+      // have daylight). Execute both sides under AQE and compare the
+      // FINALIZED plans: materialized shuffle count and join strategies
+      // must match. ----
+      {
+        val (ss, js) = aqeFinalSummary(
+          graft.SparkEntry.queries("sec_pipeline_curate")(spark, dir))
+        val (ms, mj) = aqeFinalSummary(manualCurate())
+        println(s"[sectax] $dir AQE-final shuffles: sec=$ss manual=$ms " +
+          (if (ss == ms) "MATCH" else "MISMATCH") +
+          s"; joins sec=[${js.mkString(",")}] manual=[${mj.mkString(",")}] " +
+          (if (js == mj) "MATCH" else "MISMATCH"))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
       }
 
       // ---- 2. rewrite-only latency (driver side, no execution) ------------

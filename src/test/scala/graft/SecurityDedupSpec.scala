@@ -58,22 +58,38 @@ class SecurityDedupSpec extends SparkFunSuite {
     // bucket of the doubled en-only corpus stays at or under the cap, with
     // real headroom. If the fixture or corpus generation changes, this
     // fails BEFORE the oracle mismatches.
-    val dir = "/root/testdata/sf0.01"
-    assume(new java.io.File(dir).isDirectory)
-    val d = graft.queries.Tables.df(spark, dir, "documents")
-      .filter(col("lang") === "en")
-      .select(col("doc_id"), col("text"))
-    val fixture = d.unionAll(
-      d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    val sets = fixture.select(col("doc_id"),
-      expr("graft_shingle_hashes(text, 3)").as("sh"))
-    val maxBucket = Dedup.bandRowsOf(sets, "doc_id", bands = 16, rowsPerBand = 4)
-      .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    assert(maxBucket <= 50,
-      s"fixture max band bucket $maxBucket leaves no headroom under the " +
-        "default cap (100) — sec_dedup_minhash's planted pairs may be " +
-        "cap-dropped; re-evaluate the cap there before trusting the oracle")
+    // r17 advice: the no-headroom guarantee must hold at the BENCH SFs
+    // too, not just the oracle dir — an over-cap bucket at sf0.1+ would
+    // silently drop planted pairs and change output volume versus prior
+    // rounds' uncapped runs. The structural argument that it holds:
+    // ScaleUp replication grows the number of dup GROUPS, not their size,
+    // and random 32-bit band-hash collisions stay negligible at these
+    // corpus sizes — so max bucket is ~flat per decade. This measures it:
+    // shipped dirs assert the 2x-headroom bound; transient ScaleUp decades
+    // (/tmp) assert the cap itself when present, and every measured value
+    // is printed so the round log carries the receipt.
+    val dirs = Seq(
+      ("/root/testdata/sf0.01", 50L), ("/root/testdata/sf0.1", 50L),
+      ("/tmp/sf1", 100L), ("/tmp/sf10", 100L))
+    val present = dirs.filter { case (d, _) => new java.io.File(d).isDirectory }
+    assume(present.nonEmpty)
+    present.foreach { case (dir, bound) =>
+      val d = graft.queries.Tables.df(spark, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+      val fixture = d.unionAll(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val sets = fixture.select(col("doc_id"),
+        expr("graft_shingle_hashes(text, 3)").as("sh"))
+      val maxBucket = Dedup.bandRowsOf(sets, "doc_id", bands = 16, rowsPerBand = 4)
+        .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      info(s"$dir max band bucket = $maxBucket (bound $bound, cap 100)")
+      assert(maxBucket <= bound,
+        s"$dir: fixture max band bucket $maxBucket exceeds $bound — " +
+          "sec_dedup_minhash's planted pairs may be cap-dropped; " +
+          "re-evaluate the cap there before trusting the oracle/bench")
+    }
   }
 
   test("divergence switch decides which ROWS reach the dedup operator (filter-sees-masked vs raw)") {
