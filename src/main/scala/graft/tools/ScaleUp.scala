@@ -121,6 +121,29 @@ object ScaleUp {
       return
     }
 
+    // DECADE mode (r18 verdict #4): a corpus for n past the permute/shift
+    // caps (the composite two-alphabet permutation repeats byte-identically
+    // past n=100, scaledEmbs past 2*dim — both would plant cross-copy
+    // clones and measure the fixture). Writes exactly what the decade-4
+    // probe families read: customer + events via key offsets (valid at any
+    // n), documents via the GENERATIVE zipf mode (per-copy hash seed, no
+    // permutation to reuse), dims as-is. lineitem / orders / embeddings
+    // are NOT written — logged here, not silently: no probe family reads
+    // them, and writing them honestly at this n is impossible (embeddings)
+    // or pointless volume (lineitem).
+    if (mode == "decade") {
+      println(s"[scaleup] decade mode (n=$n): customer, events, " +
+        "documents(zipf), dims; SKIPPING lineitem/orders/embeddings " +
+        "(no decade-probe family reads them; permute/shift schemes cap out)")
+      write(scaled("customer", Seq("c_custkey")), "customer")
+      write(scaled("events", Seq("event_id", "user_id")), "events")
+      write(zipfDocs(), "documents")
+      Seq("nation", "region", "part", "supplier")
+        .foreach(t => write(Tables.df(spark, src, t), t))
+      spark.stop()
+      return
+    }
+
     // circular component shift: norms and within-copy angles unchanged,
     // cross-copy cosine decorrelated so LSH buckets don't fill 10x deep.
     // Copies past the dimension count (n > dim would otherwise repeat
