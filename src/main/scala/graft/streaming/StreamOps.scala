@@ -1487,15 +1487,31 @@ object StreamOps {
       val spark = batch0.sparkSession
       batchShufflePartitions.foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+      // Pay the stateless front end (source scan + bloom flag + quality
+      // gate) exactly ONCE per batch: an EAGER localCheckpoint materializes
+      // the micro-batch into storage blocks and truncates lineage, so the
+      // funnel's independent exchange map-stages read blocks instead of
+      // re-running the scan. A lazy persist() does NOT achieve this here —
+      // the funnel's first execution materializes three exchanges under
+      // AQE, each of whose single-task map stages recomputed the not-yet-
+      // populated cache: measured three equal ~0.9 s jobs per batch at
+      // sf0.1 (JobProfile, r18); with the eager checkpoint the front end
+      // is one ~0.9 s job and the map stages read blocks.
+      val batchCk = batch0.localCheckpoint(eager = true)
+      // phase labels (guide §1.5): the funnel runs ~15 jobs per batch;
+      // without labels the UI/profiler can't attribute them
+      def phase(s: String): Unit =
+        spark.sparkContext.setJobDescription(s"curate b$bid: $s")
+      try {
       // two-phase decontam: exact n-gram confirm ONLY on the flagged slice
       val batch = benchGrams match {
         case Some(grams) =>
           val confirmed = Contamination
-            .reportAgainstGrams(batch0.filter(col(bloomFlag)), grams,
+            .reportAgainstGrams(batchCk.filter(col(bloomFlag)), grams,
               idCol, textCol, decontamN)
             .filter(col("contaminated")).select(col(idCol))
-          batch0.join(confirmed, Seq(idCol), "left_anti").drop(bloomFlag)
-        case None => batch0.drop(bloomFlag)
+          batchCk.join(confirmed, Seq(idCol), "left_anti").drop(bloomFlag)
+        case None => batchCk.drop(bloomFlag)
       }
       // exact stage: key = whitespace-normalized lowercase text, so the
       // index's content_hash IS TextAnalysis.fingerprint of the doc
@@ -1513,6 +1529,7 @@ object StreamOps {
       val sets = exactSurvivors.select(col(idCol),
           expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
         .localCheckpoint(eager = false)
+      phase("local LSH pass + components")
       val localDrop = Dedup
         .components(Dedup.minhashDedupFromSets(sets, idCol, bands, rowsPerBand,
           maxBucket, threshold))
@@ -1525,6 +1542,7 @@ object StreamOps {
         .select(col("batch_id").as(idCol)).distinct()
       val survivors = localSurvivors.join(dupIds, Seq(idCol), "left_anti")
         .localCheckpoint(eager = false) // sink append + LSH index append
+      phase("index probe + sink append")
       survivors.drop(fpKey).write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(sinkTable)
       // fuzzy-dropped docs (local pass + index probe) quarantine verbatim:
@@ -1532,17 +1550,30 @@ object StreamOps {
       // that span batches — a dropped doc is in neither the sink nor the
       // LSH index, so without this record its links are unrecoverable
       quarantineTable.foreach { qt =>
+        phase("quarantine append")
         exactSurvivors.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
           .drop(fpKey)
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(qt)
       }
       if (extendIndex) {
+        phase("exact index append")
         Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol, fpKey)
         // final survivors' sets, from the same single shingle pass
+        phase("LSH index append")
         Dedup.minhashAppendToIndexFromSets(
           sets.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
           lshIndexTable, idCol)
+      }
+      } finally {
+        spark.sparkContext.setJobDescription(null)
+        // the batch checkpoint is fully superseded once the four appends
+        // above have run (every downstream frame either wrote or is itself
+        // a materialized checkpoint) — release its blocks NOW rather than
+        // letting them accumulate across batches until ContextCleaner GC
+        // (guide §5 memory hygiene; leaf-only release contract)
+        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(batchCk)
+        ()
       }
     }
     withCheckpoint(gated.writeStream.outputMode("append")
