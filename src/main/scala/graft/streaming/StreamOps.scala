@@ -388,15 +388,61 @@ object StreamOps {
     * 1-row append per micro-batch — never data-sized.
     */
   object BatchLedger {
-    def applied(spark: SparkSession, table: String, batchId: Long): Boolean =
-      spark.catalog.tableExists(table) &&
-        !spark.table(table).filter(col("batch_id") === batchId).isEmpty
+    /** Read-through memo of each ledger table's recorded ids, loaded once
+      * per (session, table) and then maintained by [[record]]: the naive
+      * per-batch `applied` check was a tableExists + full ledger read JOB
+      * per micro-batch — measured ~0.24 s/batch (MachineryProbe, r18),
+      * pure machinery multiplied by every ledger-guarded stream. The TABLE
+      * stays the source of truth: the memo is populated only from the
+      * table itself and from this JVM's own [[record]] appends — exactly
+      * the mutations the single-driver ledger contract allows — and a memo
+      * entry is dropped whenever its table is observed missing (queries
+      * drop+recreate their ledger tables at setup), so a stale set can
+      * never survive a table recreation: the drop is observed by the next
+      * `applied` call, which every [[once]] body issues before any
+      * [[record]]. A fresh JVM (the real crash-recovery path) starts with
+      * an empty memo and reloads from the persisted table. Weakly keyed on
+      * the session (the memo must not outlive it); the inner sets are
+      * concurrent — Verify drains streams in parallel on one session.
+      */
+    private val appliedMemo = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, java.util.Set[java.lang.Long]]]())
+
+    private def memoOf(spark: SparkSession)
+        : scala.collection.concurrent.TrieMap[String, java.util.Set[java.lang.Long]] = {
+      val existing = appliedMemo.get(spark)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.concurrent.TrieMap
+          .empty[String, java.util.Set[java.lang.Long]]
+        val raced = appliedMemo.putIfAbsent(spark, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
+
+    def applied(spark: SparkSession, table: String, batchId: Long): Boolean = {
+      val perSession = memoOf(spark)
+      if (!spark.catalog.tableExists(table)) {
+        perSession.remove(table) // table dropped/recreated: forget its ids
+        false
+      } else {
+        val ids = perSession.getOrElseUpdate(table, {
+          val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+          spark.table(table).select(col("batch_id")).collect()
+            .foreach(r => s.add(r.getLong(0)))
+          s
+        })
+        ids.contains(batchId)
+      }
+    }
 
     def record(spark: SparkSession, table: String, batchId: Long): Unit = {
       import spark.implicits._
       Seq(batchId).toDF("batch_id").write
         .mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(table)
+      memoOf(spark).get(table).foreach(_.add(batchId))
     }
 
     /** Run `body` once per batchId: skip when the ledger already holds it

@@ -28,6 +28,10 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc A/B hook: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     graft.streaming.StreamOps.configureDrainFor(spark, dir)
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
