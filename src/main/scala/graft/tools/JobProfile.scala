@@ -115,7 +115,7 @@ object JobProfile {
           Option(execOfJob.get(j.id)).flatMap(id => Option(sqlExecs.get(id)))
             .foreach { plan =>
               println("        -- SQL plan (head) --")
-              plan.linesIterator.take(12).foreach(l => println(s"        | $l"))
+              plan.linesIterator.take(sys.env.getOrElse("SPARK_GRAFT_PROFILE_PLAN_LINES", "12").toInt).foreach(l => println(s"        | $l"))
             }
         }
       }
