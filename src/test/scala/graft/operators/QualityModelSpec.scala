@@ -32,6 +32,28 @@ class QualityModelSpec extends SparkFunSuite {
     assert(model.weights.toMap.apply("f_len") > 0.0)
   }
 
+  test("single-class input fits a degenerate-but-usable model (saturated Hessian)") {
+    // every label 1: p -> 1 everywhere, the data Hessian vanishes and only
+    // the ridge (plus the solver's damping) keeps the Newton system
+    // invertible — the fit must terminate and predict the one class
+    val oneClass = labeledDocs.withColumn("y", lit(1))
+    val df = QualityModel.withFeatures(oneClass, "text")
+    val model = QualityModel.trainLR(df,
+      QualityModel.featureColumns("text").map(_._1), "y")
+    assert(model.intercept.isFinite && model.weights.forall(_._2.isFinite))
+    val preds = QualityModel.scoreWithModel(oneClass, "text", model)
+      .select("quality_pred").as[Int].collect()
+    assert(preds.forall(_ == 1))
+  }
+
+  test("empty training input returns the zero model") {
+    val df = QualityModel.withFeatures(labeledDocs.limit(0), "text")
+    val model = QualityModel.trainLR(df,
+      QualityModel.featureColumns("text").map(_._1), "y")
+    assert(model.intercept === 0.0)
+    assert(model.weights.forall(_._2 === 0.0))
+  }
+
   test("scoreColumn is the sigmoid of the literal weights (hand-checked)") {
     val model = QualityModel.LinearModel(-1.0,
       Seq("f_len" -> 2.0, "f_mean_tok_len" -> 0.0, "f_stop_ratio" -> 0.0,
