@@ -886,12 +886,25 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       maxBucket: Int = 100,
+      threshold: Double = 0.7): DataFrame =
+    minhashDedupFromBandRows(sets,
+      bandRowsOf(sets, idCol, bands, rowsPerBand), idCol, maxBucket, threshold)
+
+  /** [[minhashDedupFromSets]] over PRECOMPUTED band rows (the
+    * [[bandRowsOf]] shape, banded from the SAME `sets` frame): the minhash
+    * signature pass (k hashes over every shingle of every doc) is the
+    * funnel's heaviest per-doc map work after shingling, and a caller that
+    * also probes and extends a persisted index needs the identical banding
+    * three times per micro-batch — checkpoint one band-rows frame and share
+    * it instead of re-signing the batch per stage.
+    */
+  def minhashDedupFromBandRows(
+      sets: DataFrame,
+      bandRows: DataFrame,
+      idCol: String,
+      maxBucket: Int = 100,
       threshold: Double = 0.7): DataFrame = {
     VectorFunctions.register(sets.sparkSession)
-    // Band rows carry only (id, band, band_hash) — the shingle arrays never
-    // ride through the LSH shuffles.
-    val bandRows = bandRowsOf(sets, idCol, bands, rowsPerBand)
-
     // cap pathological buckets (boilerplate shingle collisions) — skew
     // guard, shared [[capBuckets]] form. lazy checkpoint: `buckets` is both
     // sides of the self-join below, and without it the banding explode
@@ -1024,10 +1037,22 @@ object Dedup {
   private def appendSetsWithMeta(sets: DataFrame, table: String, idCol: String,
       meta: (Int, Int, Int, Int)): Unit = {
     val (_, bands, rowsPerBand, numBuckets) = meta
+    minhashAppendToIndexFromBandRows(sets,
+      bandRowsOf(sets, idCol, bands, rowsPerBand), table, idCol, numBuckets)
+  }
+
+  /** [[minhashAppendToIndexFromSets]] over PRECOMPUTED band rows (banded
+    * from the SAME `sets` frame with the index's meta parameters — the
+    * caller's responsibility, normally met by deriving both from one shared
+    * [[bandRowsOf]] checkpoint). `numBuckets` must come from the index's
+    * meta table, so the append can never be laid out differently from it.
+    */
+  private[graft] def minhashAppendToIndexFromBandRows(sets: DataFrame,
+      bandRows: DataFrame, table: String, idCol: String,
+      numBuckets: Int): Unit = {
     VectorFunctions.register(sets.sparkSession)
     val append = org.apache.spark.sql.SaveMode.Append
-    graft.sources.Sources.writeBucketed(
-      bandRowsOf(sets, idCol, bands, rowsPerBand), table,
+    graft.sources.Sources.writeBucketed(bandRows, table,
       Seq("band", "band_hash"), numBuckets, append)
     graft.sources.Sources.writeBucketed(sets, s"${table}_sets", Seq(idCol),
       numBuckets, append)
@@ -1058,10 +1083,23 @@ object Dedup {
   private def probeSetsWithMeta(batchSets: DataFrame, table: String,
       idCol: String, maxBucket: Int, threshold: Double,
       meta: (Int, Int, Int, Int)): DataFrame = {
+    val (_, bands, rowsPerBand, _) = meta
+    probeSetsWithBands(batchSets,
+      bandRowsOf(batchSets, idCol, bands, rowsPerBand), table, idCol,
+      maxBucket, threshold)
+  }
+
+  /** [[minhashDedupIncrementalFromSets]] over PRECOMPUTED batch band rows
+    * (banded from the SAME `batchSets` frame with the index's meta
+    * parameters — the caller's responsibility, normally met by deriving
+    * both from one shared [[bandRowsOf]] checkpoint).
+    */
+  private[graft] def probeSetsWithBands(batchSets: DataFrame,
+      bandRows: DataFrame, table: String, idCol: String, maxBucket: Int,
+      threshold: Double): DataFrame = {
     val spark = batchSets.sparkSession
     VectorFunctions.register(spark)
-    val (_, bands, rowsPerBand, _) = meta
-    val batchBands = bandRowsOf(batchSets, idCol, bands, rowsPerBand)
+    val batchBands = bandRows
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val corpusBands = spark.table(table)
     val capped =

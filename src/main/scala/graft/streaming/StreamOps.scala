@@ -1518,7 +1518,7 @@ object StreamOps {
     // the index exists by contract before the stream starts, and a stable pin
     // is the stronger guarantee — a mid-stream meta rewrite cannot make two
     // batches band differently
-    val (shingleSize, bands, rowsPerBand, _) =
+    val (shingleSize, bands, rowsPerBand, lshNumBuckets) =
       graft.operators.Dedup.readIndexMeta(docsStream.sparkSession, lshIndexTable)
     // the confirm's bench side, derived ONCE at stream start: the
     // explode + distinct over the bench corpus is batch-invariant, and
@@ -1544,6 +1544,10 @@ object StreamOps {
       // sf0.1 (JobProfile, r18); with the eager checkpoint the front end
       // is one ~0.9 s job and the map stages read blocks.
       val batchCk = batch0.localCheckpoint(eager = true)
+      // every checkpoint the body creates, released together at body end
+      // (declared out here so the finally can see frames born inside try)
+      val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame](batchCk)
+      def ck(df: DataFrame): DataFrame = { ckpts += df; df }
       // phase labels (guide §1.5): the funnel runs ~15 jobs per batch;
       // without labels the UI/profiler can't attribute them
       def phase(s: String): Unit =
@@ -1561,64 +1565,105 @@ object StreamOps {
       }
       // exact stage: key = whitespace-normalized lowercase text, so the
       // index's content_hash IS TextAnalysis.fingerprint of the doc
-      val exactSurvivors = Dedup.exactDedupIncremental(
+      val exactSurvivors = ck(Dedup.exactDedupIncremental(
           batch.withColumn(fpKey,
             regexp_replace(lower(trim(col(textCol))), "\\s+", " ")),
           exactIndexTable, idCol, fpKey)
-        .localCheckpoint(eager = false) // feeds local fuzzy + probe + appends
+        .localCheckpoint(eager = false)) // feeds local fuzzy + probe + appends
       // batch-local fuzzy pass, parameters pinned to the probed index (read
       // once at stream start, above). ONE shingle pass per batch: the same
       // checkpointed sets feed the local LSH pass, the cross-batch index
       // probe AND the index append — shingling is the funnel's expensive
       // map work, and the pre-r11 shape paid it three times per batch.
       graft.functions.VectorFunctions.register(spark)
-      val sets = exactSurvivors.select(col(idCol),
+      val sets = ck(exactSurvivors.select(col(idCol),
           expr(s"graft_shingle_hashes($textCol, $shingleSize)").as("sh"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false))
+      // ONE banding pass per batch: the minhash signature (bands x
+      // rowsPerBand hashes over every shingle of every doc) is the heaviest
+      // per-doc map work after shingling, and the local pass, the index
+      // probe AND the index append all need the identical banding — the
+      // pre-r18 shape signed the batch three times (Dedup band-rows sharing
+      // variants). Filters on the checkpointed frame stay row-identical to
+      // banding the filtered sets: banding is per-doc.
+      val bandRows = ck(Dedup
+        .bandRowsOf(sets, idCol, bands, rowsPerBand)
+        .localCheckpoint(eager = false))
       phase("local LSH pass + components")
       val localDrop = Dedup
-        .components(Dedup.minhashDedupFromSets(sets, idCol, bands, rowsPerBand,
+        .components(Dedup.minhashDedupFromBandRows(sets, bandRows, idCol,
           maxBucket, threshold))
         .filter(col("id") =!= col("label")).select(col("id").as(idCol))
       val localSurvivors = exactSurvivors.join(localDrop, Seq(idCol), "left_anti")
       val localSurvivorSets = sets.join(localDrop, Seq(idCol), "left_anti")
       // cross-batch fuzzy: probe the persisted LSH index
-      val dupIds = Dedup.minhashDedupIncrementalFromSets(localSurvivorSets,
+      val dupIds = Dedup.probeSetsWithBands(localSurvivorSets,
+          bandRows.join(localDrop, Seq(idCol), "left_anti"),
           lshIndexTable, idCol, maxBucket, threshold)
         .select(col("batch_id").as(idCol)).distinct()
-      val survivors = localSurvivors.join(dupIds, Seq(idCol), "left_anti")
-        .localCheckpoint(eager = false) // sink append + LSH index append
-      phase("index probe + sink append")
-      survivors.drop(fpKey).write.mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(sinkTable)
-      // fuzzy-dropped docs (local pass + index probe) quarantine verbatim:
-      // the evidence [[reconcileCurate]] needs to close transitive chains
-      // that span batches — a dropped doc is in neither the sink nor the
-      // LSH index, so without this record its links are unrecoverable
-      quarantineTable.foreach { qt =>
-        phase("quarantine append")
-        exactSurvivors.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
-          .drop(fpKey)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(qt)
+      // EAGER: the four appends below all read this frame and run
+      // CONCURRENTLY — materialize it once up front so the forked actions
+      // read blocks instead of racing the lazy checkpoint's first
+      // materialization
+      phase("index probe + survivors")
+      val survivors = ck(localSurvivors.join(dupIds, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = true)) // sink append + LSH index append
+      // the batch's four table appends (sink, quarantine, exact index, LSH
+      // index) are INDEPENDENT writes to different tables over materialized
+      // checkpoints, and each one is mostly fixed commit-protocol/metastore
+      // latency (~0.16-0.28 s regardless of rows — MachineryProbe, r18) —
+      // submit them concurrently so the batch pays the slowest append, not
+      // the sum (guide §2.6 "overlap independent jobs"). Crash semantics are
+      // unchanged: the ledger already guards at WHOLE-BATCH granularity (a
+      // crash anywhere between the first append and the ledger record
+      // replays the entire body), so append ORDER within the body never
+      // mattered; the ledger record still runs strictly AFTER every append
+      // (all writers joined, first failure rethrown before [[BatchLedger]]
+      // can record).
+      val appends = Seq[(String, () => Unit)](
+        "sink append" -> (() =>
+          survivors.drop(fpKey).write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(sinkTable))) ++
+        // fuzzy-dropped docs (local pass + index probe) quarantine verbatim:
+        // the evidence [[reconcileCurate]] needs to close transitive chains
+        // that span batches — a dropped doc is in neither the sink nor the
+        // LSH index, so without this record its links are unrecoverable
+        quarantineTable.map(qt => "quarantine append" -> (() =>
+          exactSurvivors.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+            .drop(fpKey)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(qt))) ++
+        (if (!extendIndex) Seq.empty else Seq[(String, () => Unit)](
+          "exact index append" -> (() =>
+            Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol,
+              fpKey)),
+          // final survivors' sets AND band rows, from the same single
+          // shingle + signature passes
+          "LSH index append" -> (() =>
+            Dedup.minhashAppendToIndexFromBandRows(
+              sets.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+              bandRows.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+              lshIndexTable, idCol, lshNumBuckets))))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers = appends.map { case (label, body) =>
+        new Thread(() => {
+          try { phase(label); body() } // job description is thread-local
+          catch { case t: Throwable => failures.add(t); () }
+        })
       }
-      if (extendIndex) {
-        phase("exact index append")
-        Dedup.exactAppendToIndex(exactSurvivors, exactIndexTable, idCol, fpKey)
-        // final survivors' sets, from the same single shingle pass
-        phase("LSH index append")
-        Dedup.minhashAppendToIndexFromSets(
-          sets.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
-          lshIndexTable, idCol)
-      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      if (!failures.isEmpty) throw new RuntimeException(
+        s"curate b$bid append failed (${failures.size} of ${appends.size})",
+        failures.peek())
       } finally {
         spark.sparkContext.setJobDescription(null)
-        // the batch checkpoint is fully superseded once the four appends
-        // above have run (every downstream frame either wrote or is itself
-        // a materialized checkpoint) — release its blocks NOW rather than
+        // every per-batch checkpoint is superseded once the four appends
+        // above have run (each downstream frame either wrote or is itself
+        // a materialized checkpoint) — release their blocks NOW rather than
         // letting them accumulate across batches until ContextCleaner GC
         // (guide §5 memory hygiene; leaf-only release contract)
-        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(batchCk)
+        ckpts.foreach(
+          org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(_))
         ()
       }
     }

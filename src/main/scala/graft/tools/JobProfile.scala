@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.JobProfile <query>[,<query>...] [dir]
   */
 object JobProfile {
-  private case class Job(id: Int, desc: String, ms: Long)
+  private case class Job(id: Int, desc: String, ms: Long, startMs: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: JobProfile <query,...> [dir]")
@@ -67,7 +67,7 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (desc, t0) =>
-          done.add(Job(je.jobId, desc, je.time - t0))
+          done.add(Job(je.jobId, desc, je.time - t0, t0))
         }
       }
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -106,8 +106,11 @@ object JobProfile {
       }
       println(f"\n===== $name cold=$cold%.2f s warm=$warm%.2f s jobs=${all.size} jobSum=${all.map(_.ms).sum / 1e3}%.2f s =====")
       val slowCut = sys.env.getOrElse("SPARK_GRAFT_PROFILE_SLOW_MS", "150").toLong
+      // start offsets expose serialization vs overlap between jobs (two
+      // jobs submitted "concurrently" should show near-equal offsets)
+      val epoch = if (all.isEmpty) 0L else all.map(_.startMs).min
       all.foreach { j =>
-        println(f"  job ${j.id}%4d ${j.ms}%6d ms  ${j.desc.take(110)}")
+        println(f"  job ${j.id}%4d +${(j.startMs - epoch) / 1e3}%7.2f ${j.ms}%6d ms  ${j.desc.take(110)}")
         if (j.ms >= slowCut) {
           import scala.jdk.CollectionConverters._
           Option(stagesOfJob.get(j.id)).foreach(_.asScala.foreach(s =>

@@ -28,6 +28,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc untouched
   }
 
+  test("band-rows sharing variants equal the from-sets forms (pairs, probe, append)") {
+    // the streaming funnel checkpoints ONE bandRowsOf frame and feeds the
+    // local pass, the index probe and the index append from it; each must be
+    // row-identical to the re-banding form it replaced
+    graft.functions.VectorFunctions.register(spark)
+    val sets = docs.select(col("doc_id"),
+      expr("graft_shingle_hashes(text, 3)").as("sh"))
+    val bandRows = Dedup.bandRowsOf(sets, "doc_id", 16, 4)
+    def pairSet(df: DataFrame) = df.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairSet(Dedup.minhashDedupFromBandRows(sets, bandRows, "doc_id",
+        threshold = 0.5)) ==
+      pairSet(Dedup.minhashDedupFromSets(sets, "doc_id", threshold = 0.5)))
+    // probe + append against a real index: same probe hits, same appended rows
+    Dedup.minhashWriteBucketed(docs.filter(col("doc_id") <= 2), "br_idx",
+      "doc_id", "text")
+    val batch = docs.filter(col("doc_id") > 2)
+    val batchSets = batch.select(col("doc_id"),
+      expr("graft_shingle_hashes(text, 3)").as("sh"))
+    val batchBands = Dedup.bandRowsOf(batchSets, "doc_id", 16, 4)
+    def probeSet(df: DataFrame) = df.select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probeSet(Dedup.probeSetsWithBands(batchSets, batchBands, "br_idx",
+        "doc_id", 100, 0.5)) ==
+      probeSet(Dedup.minhashDedupIncrementalFromSets(batchSets, "br_idx",
+        "doc_id", threshold = 0.5)))
+    Dedup.minhashWriteBucketed(docs.filter(col("doc_id") <= 2), "br_idx2",
+      "doc_id", "text")
+    Dedup.minhashAppendToIndexFromSets(batchSets, "br_idx", "doc_id")
+    Dedup.minhashAppendToIndexFromBandRows(batchSets, batchBands, "br_idx2",
+      "doc_id", numBuckets = 16)
+    def tableSet(t: String) = spark.table(t).collect()
+      .map(_.toSeq).toSet
+    assert(tableSet("br_idx") == tableSet("br_idx2"))
+    assert(tableSet("br_idx_sets") == tableSet("br_idx2_sets"))
+  }
+
   test("simhash: identical texts collide, near-dups are close, distinct far") {
     val sk = docs.select(col("doc_id"), Dedup.simhash64("text").as("s"))
       .as[(Long, Long)].collect().toMap
