@@ -1342,7 +1342,11 @@ object Dedup {
     // pipeline, which must not be recomputed every iteration — and size
     // everything downstream (including the edge distinct, which previously
     // ran OUTSIDE the sized scope) from its count
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
+    // LAZY: the count below is the first action and materializes it — an
+    // eager checkpoint would pay one extra job (+ driver gap) for the same
+    // compute-once guarantee, and components runs per MICRO-BATCH in the
+    // streaming funnel where per-job fixed cost is the floor
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
     val spark = pairs.sparkSession
     val pairCount = p.count()
     // empty pair set -> empty labeling, skipping the seed aggregate, the
@@ -1430,8 +1434,14 @@ object Dedup {
       val next = viaEdges.join(parents, Seq("label"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-      // checkpoint BEFORE the convergence action so `next` is computed once
-      val nextCk = next.localCheckpoint(eager = true)
+      // LAZY checkpoint + the convergence aggregate as its materializing
+      // action: `next` is still computed exactly once (the agg computes and
+      // persists every partition, lineage truncates at job end — the same
+      // pattern as the seed labels above), in ONE job instead of the eager
+      // checkpoint's compute job followed by a separate sum job. Two fewer
+      // driver round-trips per round, which is the dominant cost when the
+      // dup graph is micro-batch-sized.
+      val nextCk = next.localCheckpoint(eager = false)
       val nextSum = labelSum(nextCk)
       // nextCk is materialized and lineage-free: the superseded labels
       // checkpoint and this round's viaEdges cache are never read again —
@@ -1444,9 +1454,10 @@ object Dedup {
       labels = nextCk
       i += 1
     }
-    // after ≥1 round the returned labels frame is its own eager checkpoint;
-    // edges is not part of its lineage and can go now (with maxIter<=0 the
-    // seed labels are still a LAZY checkpoint over edges, so keep it)
+    // after ≥1 round the returned labels frame is its own MATERIALIZED
+    // checkpoint (the convergence aggregate ran it); edges is not part of
+    // its lineage and can go now (with maxIter<=0 the seed labels are an
+    // unmaterialized lazy checkpoint over edges, so keep it)
     if (i > 0) org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(edges)
     labels
     }
