@@ -30,6 +30,34 @@ object SparkUtil {
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
     withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
+  /** Submit independent Spark actions from their own threads so they run
+    * CONCURRENTLY on the shared scheduler (optimization guide §2.6 "overlap
+    * independent jobs") — the pattern the curate funnel's four tail appends
+    * and the slice-fixture writes already use, shared: table appends are
+    * mostly fixed commit-protocol/metastore latency (~0.16-0.28 s
+    * regardless of rows — MachineryProbe, r18), so a sequential body pays
+    * the SUM where the scheduler could pay the slowest. Each action's
+    * Throwable is captured and the first rethrows AFTER all joins (a failed
+    * write surfaces here, at the write site, never as a downstream
+    * mystery); each thread labels its jobs with the action's name (job
+    * descriptions are thread-local). Callers must hand actions over
+    * MATERIALIZED inputs (eager checkpoints): two actions racing a lazy
+    * checkpoint's first materialization compute the plan twice.
+    */
+  def concurrently(spark: SparkSession, actions: Seq[(String, () => Unit)]): Unit = {
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = actions.map { case (label, body) =>
+      new Thread(() => {
+        try { spark.sparkContext.setJobDescription(label); body() }
+        catch { case t: Throwable => failures.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) throw new RuntimeException(
+      s"concurrent action failed (${failures.size} of ${actions.size}): " +
+        failures.peek().getMessage, failures.peek())
+  }
+
   /** [[withShufflePartitions]] generalized to any session-conf overrides,
     * under the same per-session lock (one lock for ALL conf overrides: two
     * different-key overrides interleaving is just as racy as same-key).

@@ -128,11 +128,17 @@ object Retrieval {
     Seq(table, s"${table}_stats", s"${table}_meta")
       .foreach(graft.sources.Sources.dropForOverwrite(spark, _))
     import spark.implicits._
-    Seq((k1, b, numBuckets)).toDF("k1", "b", "num_buckets")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${table}_meta")
-    writePostings(docs, table, idCol, textCol, numBuckets,
-      org.apache.spark.sql.SaveMode.Overwrite)
+    // the 1-row meta write is independent of the corpus-sized posting pass
+    // — overlap them (guide §2.6) instead of paying its commit latency
+    // up front serially
+    graft.SparkUtil.concurrently(spark, Seq(
+      "bm25 meta write" -> (() =>
+        Seq((k1, b, numBuckets)).toDF("k1", "b", "num_buckets")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(s"${table}_meta")),
+      "bm25 postings+stats build" -> (() =>
+        writePostings(docs, table, idCol, textCol, numBuckets,
+          org.apache.spark.sql.SaveMode.Overwrite))))
   }
 
   /** Append new documents' postings + a stats delta row to a
@@ -169,18 +175,30 @@ object Retrieval {
   private def writePostings(docs: DataFrame, table: String, idCol: String,
       textCol: String, numBuckets: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
-    // checkpointed: the tokenize scan feeds the posting aggregation AND the
-    // 1-row stats aggregate
+    // EAGER checkpoint: the tokenize scan feeds the posting aggregation AND
+    // the 1-row stats aggregate, and the two table writes below run
+    // CONCURRENTLY (guide §2.6 — each is mostly fixed commit latency, so
+    // sequential pays the sum where the scheduler can pay the slowest);
+    // the forked actions must read materialized blocks, not race the lazy
+    // checkpoint's first materialization (which would tokenize twice).
+    // Crash semantics unchanged: both writes were already non-atomic as a
+    // pair (the documented at-least-once window between them), and the
+    // replay id-guard in [[bm25AppendToIndex]] keys on the POSTINGS table
+    // whichever write lands first.
     val toks = tokensWithDl(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
-    graft.sources.Sources.writeBucketed(
-      toks.groupBy(col("term"), col(idCol))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
-      table, Seq("term"), numBuckets, mode)
-    toks.select(col(idCol), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-        bit_xor(xxhash64(col(idCol))).as("batch_fp"))
-      .write.mode(mode).saveAsTable(s"${table}_stats")
+      .localCheckpoint(eager = true)
+    try graft.SparkUtil.concurrently(toks.sparkSession, Seq(
+      "bm25 postings write" -> (() =>
+        graft.sources.Sources.writeBucketed(
+          toks.groupBy(col("term"), col(idCol))
+            .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+          table, Seq("term"), numBuckets, mode)),
+      "bm25 stats write" -> (() =>
+        toks.select(col(idCol), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+            bit_xor(xxhash64(col(idCol))).as("batch_fp"))
+          .write.mode(mode).saveAsTable(s"${table}_stats"))))
+    finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(toks)
   }
 
   /** Top-k BM25 over a persisted [[bm25WriteBucketed]] posting index — the

@@ -180,25 +180,41 @@ object PipelineQueries {
       oldCols, db = "graft", table = "documents")
     val ev1 = graft.sources.KafkaShapedLog.encodeDebezium(ch1, "doc_id",
       oldCols, db = "graft", table = "documents")
+    // EAGER: segments 2-3 share this frame and the four segment writes run
+    // CONCURRENTLY below — forked writers must read materialized blocks,
+    // not race a lazy checkpoint's first materialization
     val ev2 = graft.sources.KafkaShapedLog.encodeDebezium(ch2, "doc_id",
       newCols, db = "graft", table = "documents")
-      .localCheckpoint(eager = false) // two segment writes share it
+      .localCheckpoint(eager = true)
     val tmpRoot = java.nio.file.Files.createTempDirectory(prefix).toFile
     val logDir = new java.io.File(tmpRoot, "log")
-    graft.sources.KafkaShapedLog.appendSegment(ev0, logDir.getPath,
-      topic = "graft.documents", segment = 0,
-      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-    graft.sources.KafkaShapedLog.appendSegment(ev1, logDir.getPath,
-      topic = "graft.documents", segment = 1,
-      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-    graft.sources.KafkaShapedLog.appendSegment(ev2.filter(d % 2 === 1),
-      logDir.getPath, topic = "graft.documents", segment = 2,
-      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-    graft.sources.KafkaShapedLog.appendSegment(ev2.filter(d % 2 === 0),
-      logDir.getPath, topic = "graft.documents", segment = 3,
-      keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
+    try appendSegmentsConcurrently(boot.sparkSession, logDir,
+      topic = "graft.documents", keyCol = "doc_id",
+      orderCols = Seq("doc_id", "op"),
+      segments = Seq(0 -> ev0, 1 -> ev1,
+        2 -> ev2.filter(d % 2 === 1), 3 -> ev2.filter(d % 2 === 0)))
+    finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(ev2)
     (logDir.getPath, widest)
   }
+
+  /** Append independent Kafka-shaped log segments CONCURRENTLY (guide §2.6
+    * "overlap independent jobs"): each [[graft.sources.KafkaShapedLog.appendSegment]]
+    * is a single-file write that is mostly fixed commit latency (~0.3-0.9 s
+    * apiece measured at sf0.1, JobProfile r18), and segment file NAMES and
+    * MTIMES derive from the segment number alone — write order is
+    * irrelevant to the file source's segment ordering, which is the
+    * fixture's arrival-order contract. Callers must hand over either
+    * independent plans or slices of an EAGERLY materialized checkpoint.
+    */
+  private def appendSegmentsConcurrently(s: SparkSession,
+      logDir: java.io.File, topic: String, keyCol: String,
+      orderCols: Seq[String], segments: Seq[(Int, DataFrame)]): Unit =
+    graft.SparkUtil.concurrently(s, segments.map { case (seg, df) =>
+      s"log segment $seg write" -> (() =>
+        graft.sources.KafkaShapedLog.appendSegment(df, logDir.getPath,
+          topic = topic, segment = seg, keyCol = keyCol,
+          orderCols = orderCols))
+    })
 
   /** The events table reinterpreted as a user-profile changelog for the
     * [[ChangeLog]] family: signup inserts the profile, error deletes it
@@ -1556,16 +1572,11 @@ object PipelineQueries {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bm25s").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
       val rest = d.filter(col("doc_id") % 3 === 0)
-      val now = System.currentTimeMillis()
-      Seq(0, 3, 6).zipWithIndex.foreach { case (res, i) =>
-        val part = new java.io.File(tmpRoot, s"part$i")
-        rest.filter(col("doc_id") % 9 === res)
-          .coalesce(1).write.mode("overwrite").parquet(part.getPath)
-        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(streamDir, s"b$i.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(now - (3 - i) * 60000L)
-      }
+      // same slice set/names/mtime order as the old inline loop, but the
+      // three single-file writes submit CONCURRENTLY (guide §2.6) — they
+      // ran back-to-back before, ~0.3-0.6 s apiece of mostly commit latency
+      writeSliceFixtures(tmpRoot, streamDir,
+        Seq(0, 3, 6).map(res => rest.filter(col("doc_id") % 9 === res)))
       // per-batch append jobs sized to the batch (the stream's session
       // clone snapshots the conf at start)
       graft.SparkUtil.withShufflePartitions(s, 8) {
@@ -2887,17 +2898,17 @@ object PipelineQueries {
         .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
       ChangeLog.aggStateWriteBucketed(prev, "graft_ivmk_state", "lang",
         Seq("chars"), numBuckets = 4)
+      // EAGER: the three concurrent segment writes below share this frame
       val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
         Seq("lang", "chars"))
-        .localCheckpoint(eager = false) // three segment writes share it
+        .localCheckpoint(eager = true)
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivmk").toFile
       val logDir = new java.io.File(tmpRoot, "log")
-      Seq(0, 1, 2).foreach { res =>
-        graft.sources.KafkaShapedLog.appendSegment(
-          changes.filter(col("doc_id") % 3 === res), logDir.getPath,
-          topic = "doc_changes", segment = res,
-          keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-      }
+      try appendSegmentsConcurrently(s, logDir, topic = "doc_changes",
+        keyCol = "doc_id", orderCols = Seq("doc_id", "op"),
+        segments = Seq(0, 1, 2).map(res =>
+          res -> changes.filter(col("doc_id") % 3 === res)))
+      finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(changes)
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val decoded = graft.sources.KafkaShapedLog.decodeJson(
             graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
@@ -2932,17 +2943,17 @@ object PipelineQueries {
         Seq("chars"), numBuckets = 4)
       val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
         Seq("lang", "chars"))
+      // EAGER: the three concurrent segment writes below share this frame
       val events = graft.sources.KafkaShapedLog.encodeDebezium(changes,
           "doc_id", Seq("lang", "chars"), db = "graft", table = "documents")
-        .localCheckpoint(eager = false) // three segment writes share it
+        .localCheckpoint(eager = true)
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivmd").toFile
       val logDir = new java.io.File(tmpRoot, "log")
-      Seq(0, 1, 2).foreach { res =>
-        graft.sources.KafkaShapedLog.appendSegment(
-          events.filter(col("doc_id") % 3 === res), logDir.getPath,
-          topic = "graft.documents", segment = res,
-          keyCol = "doc_id", orderCols = Seq("doc_id", "op"))
-      }
+      try appendSegmentsConcurrently(s, logDir, topic = "graft.documents",
+        keyCol = "doc_id", orderCols = Seq("doc_id", "op"),
+        segments = Seq(0, 1, 2).map(res =>
+          res -> events.filter(col("doc_id") % 3 === res)))
+      finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(events)
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val decoded = graft.sources.KafkaShapedLog.decodeDebezium(
           graft.sources.KafkaShapedLog.readStream(s, logDir.getPath),
