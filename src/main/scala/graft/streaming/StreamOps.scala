@@ -924,14 +924,25 @@ object StreamOps {
     val stage = java.nio.file.Files.createTempDirectory("graft_stage").toFile
     stagedForCleanup.add(stage.getPath)
     val t0 = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (df, i) =>
-      val tmp = new java.io.File(stage, s"d$i")
-      df.repartition(1).write.parquet(tmp.getPath)
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(stage, f"$i%03d_part.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 - (parts.size - i) * 60000L)
-    }
+    // the per-slice writes are independent single-file jobs (each slice is
+    // its own filter over the source — repartition(1), so single-threaded
+    // inside the job) and arrival order is pinned by NAME + MTIME computed
+    // from the slice INDEX, never by write completion order — submit them
+    // concurrently (guide §2.6): the sequential loop measured ~8.5 s per
+    // staging at ScaleUp-sf10 (r16 TwsSessProbe), dominated by N back-to-
+    // back one-task jobs the scheduler can overlap
+    graft.SparkUtil.concurrently(parts.head.sparkSession,
+      parts.zipWithIndex.map { case (df, i) =>
+        s"stage slice $i" -> (() => {
+          val tmp = new java.io.File(stage, s"d$i")
+          df.repartition(1).write.parquet(tmp.getPath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(stage, f"$i%03d_part.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 - (parts.size - i) * 60000L)
+          ()
+        })
+      })
     stage.getPath
   }
 
