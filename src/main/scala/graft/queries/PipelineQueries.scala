@@ -2808,16 +2808,10 @@ object PipelineQueries {
         Seq("lang", "chars"))
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivm").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
-      val now = System.currentTimeMillis()
-      Seq(0, 1, 2).foreach { res =>
-        val part = new java.io.File(tmpRoot, s"part$res")
-        changes.filter(col("doc_id") % 3 === res)
-          .coalesce(1).write.mode("overwrite").parquet(part.getPath)
-        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(streamDir, s"b$res.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(now - (3 - res) * 60000L)
-      }
+      // concurrent slice writes (guide §2.6) — same fixture helper the
+      // restart sibling already used; names/mtimes unchanged
+      writeSliceFixtures(tmpRoot, streamDir,
+        Seq(0, 1, 2).map(res => changes.filter(col("doc_id") % 3 === res)))
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val stream = s.readStream.schema(changes.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
@@ -4126,17 +4120,12 @@ object PipelineQueries {
       val cut2 = lo + 2 * (hi - lo + 1) / 3
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_anom").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
-      val now = System.currentTimeMillis()
-      Seq(col("bucket") < cut1,
-        col("bucket") >= cut1 && col("bucket") < cut2,
-        col("bucket") >= cut2).zipWithIndex.foreach { case (pred, i) =>
-        val part = new java.io.File(tmpRoot, s"part$i")
-        b.filter(pred).coalesce(1).write.mode("overwrite").parquet(part.getPath)
-        val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(streamDir, s"b$i.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        dst.setLastModified(now - (3 - i) * 60000L)
-      }
+      // concurrent slice writes (guide §2.6): `b` is already materialized
+      // by the bounds head() above, so the forked writers read its blocks
+      writeSliceFixtures(tmpRoot, streamDir,
+        Seq(col("bucket") < cut1,
+          col("bucket") >= cut1 && col("bucket") < cut2,
+          col("bucket") >= cut2).map(pred => b.filter(pred)))
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val stream = s.readStream.schema(b.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
