@@ -92,8 +92,15 @@ object Bench {
     //    shared with its _check twin — the r14b refresh showed the same
     //    attribution flip the wordpiece fit had (whichever of the pair the
     //    shuffled order runs first pays ~4 s of shared builds)
+    //    mm_features warms the REAL-codec path (JDK ImageIO plugin
+    //    discovery + PNG reader/writer classload + JIT of the per-row
+    //    encode/decode loop) shared by the whole mm_ family — r18 measured
+    //    mm_real_roundtrip 5.66 s in-suite vs 1.73 s solo and mm_features
+    //    4.53 s first vs 3.61 s retime: first-call cost landing on
+    //    whichever mm query the shuffled order runs first.
     Seq("ann_brute_topk", "dedup_minhash", "text_bpe", "emb_kmeans",
-        "text_wordpiece", "text_unigram", "ann_ivf_mrl_recall")
+        "text_wordpiece", "text_unigram", "ann_ivf_mrl_recall",
+        "mm_features")
       .filter(SparkEntry.queries.contains).foreach(once(_))
     // 4. streaming machinery (state store, micro-batch planner) on tiny
     //    inputs; prefer the sibling sf0.001 dir, fall back to the bench dir
