@@ -53,9 +53,18 @@ object SparkUtil {
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    if (!failures.isEmpty) throw new RuntimeException(
-      s"concurrent action failed (${failures.size} of ${actions.size}): " +
-        failures.peek().getMessage, failures.peek())
+    if (!failures.isEmpty) {
+      // first failure is the cause; the rest ride along as suppressed so no
+      // diagnostic is reduced to a count ($first interpolates the class name
+      // too — getMessage alone can be null)
+      val first = failures.poll()
+      val ex = new RuntimeException(
+        s"concurrent action failed (${failures.size + 1} of ${actions.size}): $first",
+        first)
+      var t = failures.poll()
+      while (t != null) { ex.addSuppressed(t); t = failures.poll() }
+      throw ex
+    }
   }
 
   /** [[withShufflePartitions]] generalized to any session-conf overrides,

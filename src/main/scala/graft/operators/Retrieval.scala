@@ -176,29 +176,38 @@ object Retrieval {
       textCol: String, numBuckets: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
     // EAGER checkpoint: the tokenize scan feeds the posting aggregation AND
-    // the 1-row stats aggregate, and the two table writes below run
-    // CONCURRENTLY (guide §2.6 — each is mostly fixed commit latency, so
-    // sequential pays the sum where the scheduler can pay the slowest);
-    // the forked actions must read materialized blocks, not race the lazy
-    // checkpoint's first materialization (which would tokenize twice).
-    // Crash semantics unchanged: both writes were already non-atomic as a
-    // pair (the documented at-least-once window between them), and the
-    // replay id-guard in [[bm25AppendToIndex]] keys on the POSTINGS table
-    // whichever write lands first.
+    // the 1-row stats aggregate; the postings WRITE and the stats COMPUTE
+    // run concurrently (guide §2.6), but the stats COMMIT happens strictly
+    // AFTER the postings commit. Ordering matters for crash semantics: the
+    // replay id-guard in [[bm25AppendToIndex]] keys on the POSTINGS table,
+    // so a stats row that landed while the postings write failed would be
+    // an ORPHAN the guard cannot see — a retried append with a slightly
+    // different batch would then double-count the overlap in N/sum_dl
+    // (r18 advice). Postings-first restores the only documented window
+    // (postings landed, stats not — the at-least-once shape replays
+    // converge through), while the agg job still overlaps the heavy write.
     val toks = tokensWithDl(docs, idCol, textCol)
       .localCheckpoint(eager = true)
-    try graft.SparkUtil.concurrently(toks.sparkSession, Seq(
-      "bm25 postings write" -> (() =>
-        graft.sources.Sources.writeBucketed(
-          toks.groupBy(col("term"), col(idCol))
-            .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
-          table, Seq("term"), numBuckets, mode)),
-      "bm25 stats write" -> (() =>
-        toks.select(col(idCol), col("dl")).distinct()
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
-            bit_xor(xxhash64(col(idCol))).as("batch_fp"))
-          .write.mode(mode).saveAsTable(s"${table}_stats"))))
-    finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(toks)
+    try {
+      val spark = toks.sparkSession
+      val statsAgg = toks.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+          bit_xor(xxhash64(col(idCol))).as("batch_fp"))
+      val statsRow =
+        new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
+      graft.SparkUtil.concurrently(spark, Seq(
+        "bm25 postings write" -> (() =>
+          graft.sources.Sources.writeBucketed(
+            toks.groupBy(col("term"), col(idCol))
+              .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+            table, Seq("term"), numBuckets, mode)),
+        "bm25 stats agg" -> (() => statsRow.set(statsAgg.head()))))
+      // postings committed (a failure above rethrows before this line);
+      // the 1-row stats append is the already-computed row, commit only
+      spark.createDataFrame(
+          java.util.Collections.singletonList(statsRow.get()), statsAgg.schema)
+        .write.mode(mode).saveAsTable(s"${table}_stats")
+    } finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(toks)
   }
 
   /** Top-k BM25 over a persisted [[bm25WriteBucketed]] posting index — the

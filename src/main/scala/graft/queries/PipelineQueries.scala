@@ -40,11 +40,14 @@ object PipelineQueries {
     */
   private def writeSliceFixtures(tmpRoot: java.io.File, streamDir: java.io.File,
       slices: Seq[DataFrame]): Unit = {
+    if (slices.isEmpty) return
     val now = System.currentTimeMillis()
-    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val writers = slices.zipWithIndex.map { case (sl, i) =>
-      new Thread(() => {
-        try {
+    // threading delegated to the shared SparkUtil.concurrently (join-all,
+    // first failure rethrown with the rest suppressed) — one copy of the
+    // fork/queue/join logic to keep correct, not two
+    graft.SparkUtil.concurrently(slices.head.sparkSession,
+      slices.zipWithIndex.map { case (sl, i) =>
+        s"fixture slice $i" -> (() => {
           val part = new java.io.File(tmpRoot, s"part$i")
           sl.coalesce(1).write.mode("overwrite").parquet(part.getPath)
           val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -52,13 +55,8 @@ object PipelineQueries {
           java.nio.file.Files.move(f.toPath, dst.toPath)
           dst.setLastModified(now - (slices.size - i) * 60000L)
           ()
-        } catch { case t: Throwable => failures.add(t); () }
+        })
       })
-    }
-    writers.foreach(_.start()); writers.foreach(_.join())
-    if (!failures.isEmpty) throw new RuntimeException(
-      s"fixture slice write failed (${failures.size} of ${slices.size})",
-      failures.peek())
   }
 
   /** Move a staged batch file from the side dir into the live stream dir —
@@ -2804,14 +2802,18 @@ object PipelineQueries {
         .foreach(t => graft.sources.Sources.dropForOverwrite(s, t))
       ChangeLog.aggStateWriteBucketed(prev, "graft_ivm_state", "lang",
         Seq("chars"), numBuckets = 4)
+      // EAGER, matching the kafka/debezium siblings: without it the three
+      // concurrent slice writers each recompute the snapshot-diff join
       val changes = ChangeLog.fromSnapshotsFull(prev, next, "doc_id",
         Seq("lang", "chars"))
+        .localCheckpoint(eager = true)
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivm").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
       // concurrent slice writes (guide §2.6) — same fixture helper the
       // restart sibling already used; names/mtimes unchanged
-      writeSliceFixtures(tmpRoot, streamDir,
+      try writeSliceFixtures(tmpRoot, streamDir,
         Seq(0, 1, 2).map(res => changes.filter(col("doc_id") % 3 === res)))
+      finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(changes)
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val stream = s.readStream.schema(changes.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
@@ -4113,19 +4115,23 @@ object PipelineQueries {
           floor(unix_timestamp(col("ts")) / 86400).as("bucket"),
           col("value").as("v"))
         .groupBy("key", "bucket").agg(round(sum("v"), 6).as("value"))
-        .localCheckpoint(eager = false) // three segment writes share it
+        // EAGER, like every other concurrent-slice-writer site: relying on
+        // the bounds head() below to have materialized a lazy checkpoint is
+        // a fragile implicit ordering — reorder it and the three writers
+        // race the first materialization (triple recompute)
+        .localCheckpoint(eager = true)
       val bounds = b.agg(min("bucket"), max("bucket")).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val cut1 = lo + (hi - lo + 1) / 3
       val cut2 = lo + 2 * (hi - lo + 1) / 3
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_anom").toFile
       val streamDir = new java.io.File(tmpRoot, "in"); streamDir.mkdirs()
-      // concurrent slice writes (guide §2.6): `b` is already materialized
-      // by the bounds head() above, so the forked writers read its blocks
-      writeSliceFixtures(tmpRoot, streamDir,
+      // concurrent slice writes (guide §2.6) over the materialized blocks
+      try writeSliceFixtures(tmpRoot, streamDir,
         Seq(col("bucket") < cut1,
           col("bucket") >= cut1 && col("bucket") < cut2,
           col("bucket") >= cut2).map(pred => b.filter(pred)))
+      finally org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(b)
       graft.SparkUtil.withShufflePartitions(s, 8) {
         val stream = s.readStream.schema(b.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
