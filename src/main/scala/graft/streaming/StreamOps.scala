@@ -437,11 +437,53 @@ object StreamOps {
       }
     }
 
+    /** Append the 1-row commit record. The FIRST record for a table goes
+      * through `saveAsTable` (creates the table + catalog entry — one
+      * normal commit per query); every later record writes its one-row
+      * parquet file DIRECTLY into the table's location and renames it
+      * visible — no Spark job, no commit protocol, no metastore round
+      * trip. The per-batch ledger append was pure fixed machinery
+      * (~0.15-0.2 s of commit latency for one 8-byte row — MachineryProbe
+      * r18, verdict r19 #3); the direct write is ~1 ms. Crash semantics
+      * unchanged: the record becomes visible atomically at the RENAME
+      * (hidden `.`-prefixed name before that, which parquet readers
+      * ignore), so a crash mid-write leaves no record and the batch
+      * replays — exactly the window the old mid-commit crash left. The
+      * table stays the source of truth and stays readable as a normal
+      * parquet table (the restart gates assert its ROWS).
+      */
     def record(spark: SparkSession, table: String, batchId: Long): Unit = {
       import spark.implicits._
-      Seq(batchId).toDF("batch_id").write
-        .mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(table)
+      if (!spark.catalog.tableExists(table)) {
+        Seq(batchId).toDF("batch_id").write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(table)
+      } else {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+        val conf = spark.sessionState.newHadoopConf()
+        val dir = new org.apache.hadoop.fs.Path(loc)
+        val uniq = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".graft-ledger-$batchId-$uniq.parquet.inprogress")
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"part-graft-ledger-$batchId-$uniq.parquet")
+        val schema = org.apache.parquet.schema.MessageTypeParser
+          .parseMessageType("message graft_ledger { optional int64 batch_id; }")
+        val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(tmp, conf))
+          .withType(schema).withConf(conf).build()
+        try writer.write(new org.apache.parquet.example.data.simple
+          .SimpleGroupFactory(schema).newGroup().append("batch_id", batchId))
+        finally writer.close()
+        val fs = dir.getFileSystem(conf)
+        if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+          s"ledger record rename failed: $tmp -> $dst")
+        // invalidate the cached file index so plain spark.table reads see
+        // the new record (the memo below serves the hot applied() path)
+        spark.catalog.refreshTable(table)
+      }
       memoOf(spark).get(table).foreach(_.add(batchId))
     }
 
