@@ -1260,16 +1260,39 @@ object Dedup {
       .filter(col("_rk") <= col("sz") - ceil(lit(u) * col("sz")).cast("int") + 1)
       .select(blockCols.map(col) :+ col(idCol) :+ col("sz") :+ col("_rk") :+ col("tok"): _*)
       .localCheckpoint(eager = false) // both sides of the candidate self-join
+    val spark = df.sparkSession
+    // The prefix-join + verify stages are CPU-DENSE: per row they hash-
+    // probe and merge sorted token arrays, so their compute cost is orders
+    // of magnitude above their shuffle BYTES — and AQE's byte-based
+    // coalescing collapsed them to a single 2.5 s task at sf0.1 while 31
+    // cores idled (r19 JobProfile: the whole candidate+verify pipeline ran
+    // as ONE task over the 1-partition `ranked` checkpoint). A smaller
+    // coalescing minPartitionSize keeps the post-shuffle partition count
+    // tracking max(bytes/defaultParallelism, 64k) — core-count-adaptive on
+    // tiny inputs, byte-sized (a no-op) at scale where
+    // bytes/defaultParallelism >> 64k (guide §2.5: compute density the
+    // byte heuristic cannot see). The scope must cover the massRow action
+    // below — it is the FIRST action, so it materializes the `ranked` and
+    // `withSet` checkpoints, freezing their partition counts for every
+    // downstream stage. Interleaved same-JVM A/B at sf0.1: 3.84 -> 2.28 s
+    // median (ConfAB, r19).
+    // parameterised (session conf, local default 64k) so deployments can
+    // retune and A/B harnesses can toggle the old behavior (1m = AQE's
+    // default, i.e. scope becomes a no-op)
+    def denseScoped[T](body: => T): T = graft.SparkUtil.withConfs(spark,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+        spark.conf.getOption("spark.graft.densePartitionMinBytes")
+          .getOrElse("65536"))(body)
     // candidate MASS = the prefix join's pre-distinct output size, closed
     // form from per-(block, token) counts — one cheap aggregate over the
     // already-needed checkpoint. It sizes the candidate shuffles the same
     // way components sizes its edge aggregates: the session default is
     // corpus-scan sized, not candidate sized, and on a dense-vocabulary
     // corpus the candidates outgrow the corpus quadratically per decade.
-    val massRow = ranked
+    val massRow = denseScoped { ranked
       .groupBy((blockCols.map(col) :+ col("tok")): _*)
       .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) DIV 2")).as("m")).head()
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("m")).head() }
     val mass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0)
     def plan(): DataFrame = {
       val a = ranked.select(blockCols.map(col) :+ col("tok") :+
@@ -1304,10 +1327,15 @@ object Dedup {
           expr("graft_jaccard_sorted(set_a, set_b)").as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
-    val spark = df.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val floor = math.min(20000L, mass / math.max(1L, massPerPartition) + 1L).toInt
-    if (floor <= sessionParts) plan()
+    // Both arms materialize INSIDE their conf scope (a lazily returned plan
+    // would execute under the restored defaults); the output is the
+    // verified pair list — dup-sized, the thing callers iterate over
+    // anyway — and materializing it here lets the intermediates go now
+    // instead of at ContextCleaner's leisure.
+    val out = if (floor <= sessionParts)
+      denseScoped { plan().localCheckpoint(eager = true) }
     else graft.SparkUtil.withShufflePartitions(spark, floor) {
       // AQE coalescing sizes partitions by the join's INPUT bytes (a few
       // dozen MB of prefix rows) and would collapse the floor right back to
@@ -1316,16 +1344,13 @@ object Dedup {
       // off inside the scope; skew-join and the other AQE rules stay on.
       graft.SparkUtil.withConfs(spark,
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
-        // materialize INSIDE the sized scope (a lazily returned plan would
-        // execute under the restored default); the output is the verified
-        // pair list — dup-sized, the thing callers iterate over anyway
-        val out = plan().localCheckpoint(eager = true)
-        // the result is its own checkpoint; the intermediates can go now
-        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(ranked)
-        org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(withSet)
-        out
+        plan().localCheckpoint(eager = true)
       }
     }
+    // the result is its own checkpoint; the intermediates can go now
+    org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(ranked)
+    org.apache.spark.sql.graft.GraftSqlShims.unpersistCheckpoint(withSet)
+    out
   }
 
   /** Connected components over near-duplicate pairs: assigns every id the
